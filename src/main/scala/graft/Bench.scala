@@ -1,24 +1,41 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): runs the headline queries
+  * on SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+  *
+  * Methodology: one untimed warmup pass (JIT/codegen/parquet footer
+  * caches), then one timed pass executing each plan with a noop write —
+  * full distributed execution, nothing collected to the driver.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    qs.foreach { case (_, fn) =>
+      try exec(fn) catch { case _: Throwable => () }
+    }
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

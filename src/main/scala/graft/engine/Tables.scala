@@ -1,0 +1,36 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Test-table access for the driver harness (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` function receives `(spark, sfDir)` and reads
+  * parquet from `sfDir`; the DuckDB oracle reads the same files under the
+  * bare table name. Centralizing the read keeps scan options (vectorized
+  * parquet reader, pushdown) uniform.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects (no nanosecond TimestampType). Reading it as a plain
+    * INT64 via an explicit schema works in any session (no legacy flag
+    * needed); we then truncate ns→µs in exact integer math, which is also
+    * what DuckDB-on-ns effectively compares at for date/bucket outputs.
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+        .withColumn("ts",
+          timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.star.StarBuilder
+import graft.marts.Marts
+
+/** The full reference pipeline (raw feed → ODS → DDS star → DM marts,
+  * `README.md:56-59`) re-expressed over the driver's `events` table so the
+  * DuckDB oracle can check every layer end-to-end at sf0.01.
+  *
+  * Mapping (deterministic, integer-exact):
+  *   - a "chart entry" is one (date, event_type, user_id) group of events
+  *   - country      := event_type            (3-5 distinct values, like the
+  *                                            reference's country list)
+  *   - song_name    := 'song_' || user_id
+  *   - artist_name  := 'artist_' || user_id % 20
+  *   - listeners    := COUNT(*) of the group
+  *   - duration_sec := 0 for every 10th user (exercises the imputation
+  *                     path, `README.md:70`), else a value derived from
+  *                     SUM(value) in exact cents arithmetic
+  *   - song_rank    := row_number by listeners DESC within (date, country),
+  *                     top-100 kept (W1, `raw_from_api_to_s3.py:42`)
+  *
+  * The star/mart layers are the real library code ([[StarBuilder]],
+  * [[Marts]]) — exactly what the fixture-driven Last.fm pipeline uses.
+  */
+object ChartQueries {
+
+  /** events → ODS-shaped chart rows (ods.daily_data contract,
+    * `scripts/ddl_ods.sql:14-24`). Single shuffle on the group key; the
+    * rank window reuses the same (date, country) partitioning.
+    */
+  def chartOds(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val grouped = t(s, dir, "events")
+      .select(to_date(col("ts")).as("source_date"),
+        col("event_type").as("country"), col("user_id"), cents.as("cents"))
+      .groupBy(col("source_date"), col("country"), col("user_id"))
+      .agg(count(lit(1)).as("listeners_count"), sum(col("cents")).as("sum_cents"))
+      .withColumn("song_name", concat(lit("song_"), col("user_id").cast("string")))
+      .withColumn("artist_name",
+        concat(lit("artist_"), (col("user_id") % 20).cast("string")))
+      .withColumn("duration_sec",
+        when(col("user_id") % 10 === 0, lit(0L))
+          .otherwise(call_function("div", col("sum_cents"), lit(100L)) % 540 + 31))
+    val w = Window.partitionBy(col("source_date"), col("country"))
+      .orderBy(col("listeners_count").desc, col("user_id"))
+    grouped.withColumn("song_rank", row_number().over(w).cast("long"))
+      .filter(col("song_rank") <= 100)
+  }
+
+  private def odsProjection(df: DataFrame): DataFrame =
+    df.select("song_name", "artist_name", "duration_sec", "listeners_count",
+      "song_rank", "source_date", "country")
+
+  /** Shared oracle CTE prefix — the SQL mirror of [[chartOds]] +
+    * [[StarBuilder]], reused by every lastfm_* oracle below.
+    */
+  private val cte = """
+    WITH grouped AS (
+      SELECT CAST(ts AS DATE) AS source_date,
+             event_type AS country,
+             user_id,
+             COUNT(*) AS listeners_count,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents
+      FROM events
+      GROUP BY CAST(ts AS DATE), event_type, user_id),
+    ods AS (
+      SELECT 'song_' || CAST(user_id AS VARCHAR) AS song_name,
+             'artist_' || CAST(user_id % 20 AS VARCHAR) AS artist_name,
+             CASE WHEN user_id % 10 = 0 THEN 0
+                  ELSE (sum_cents // 100) % 540 + 31 END AS duration_sec,
+             listeners_count, source_date, country, user_id
+      FROM grouped),
+    chart AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source_date, country
+            ORDER BY listeners_count DESC, user_id) AS song_rank
+        FROM ods)
+      WHERE song_rank <= 100),
+    imp AS (
+      SELECT source_date,
+             (2 * SUM(duration_sec) + COUNT(*)) // (2 * COUNT(*)) AS imputed
+      FROM chart WHERE duration_sec > 0 GROUP BY source_date),
+    filled AS (
+      SELECT c.*, CASE WHEN c.duration_sec = 0 THEN imp.imputed
+                       ELSE c.duration_sec END AS duration_filled
+      FROM chart c LEFT JOIN imp ON c.source_date = imp.source_date),
+    dim_artist AS (
+      SELECT row_number() OVER (ORDER BY artist_name) AS artist_id, artist_name
+      FROM (SELECT DISTINCT artist_name FROM chart)),
+    dim_country AS (
+      SELECT row_number() OVER (ORDER BY country) AS country_id,
+             country AS country_name
+      FROM (SELECT DISTINCT country FROM chart)),
+    dim_song AS (
+      SELECT row_number() OVER (ORDER BY song_name, duration_filled) AS song_id,
+             song_name, duration_filled AS duration_sec
+      FROM (SELECT DISTINCT song_name, duration_filled FROM filled)),
+    fact AS (
+      SELECT f.source_date AS date, dc.country_id, ds.song_id, da.artist_id,
+             f.song_rank, f.listeners_count
+      FROM filled f
+        JOIN dim_artist da ON da.artist_name = f.artist_name
+        JOIN dim_song ds ON ds.song_name = f.song_name
+                        AND ds.duration_sec = f.duration_filled
+        JOIN dim_country dc ON dc.country_name = f.country)
+    """
+
+  private def filled(s: SparkSession, dir: String): DataFrame =
+    StarBuilder.imputePerDate(chartOds(s, dir))
+
+  val odsQuery = QueryDef(
+    "lastfm_ods",
+    (s, dir) => odsProjection(chartOds(s, dir))
+      .orderBy(col("source_date"), col("country"), col("song_rank")),
+    Some(cte + """
+      SELECT song_name, artist_name, duration_sec, listeners_count,
+             song_rank, source_date, country
+      FROM chart ORDER BY source_date, country, song_rank"""))
+
+  val dimArtistQuery = QueryDef(
+    "lastfm_dim_artist",
+    (s, dir) => StarBuilder.dimArtist(chartOds(s, dir)).orderBy("artist_id"),
+    Some(cte + "SELECT artist_id, artist_name FROM dim_artist ORDER BY artist_id"))
+
+  val dimCountryQuery = QueryDef(
+    "lastfm_dim_country",
+    (s, dir) => StarBuilder.dimCountry(chartOds(s, dir)).orderBy("country_id"),
+    Some(cte + "SELECT country_id, country_name FROM dim_country ORDER BY country_id"))
+
+  val dimSongQuery = QueryDef(
+    "lastfm_dim_song",
+    (s, dir) => StarBuilder.dimSong(filled(s, dir)).orderBy("song_id"),
+    Some(cte + "SELECT song_id, song_name, duration_sec FROM dim_song ORDER BY song_id"))
+
+  val factQuery = QueryDef(
+    "lastfm_fact",
+    (s, dir) => {
+      val f = filled(s, dir)
+      StarBuilder.fact(f, StarBuilder.dimArtist(f), StarBuilder.dimSong(f),
+          StarBuilder.dimCountry(f))
+        .orderBy(col("date"), col("country_id"), col("song_rank"))
+    },
+    Some(cte + """
+      SELECT date, country_id, song_id, artist_id, song_rank, listeners_count
+      FROM fact ORDER BY date, country_id, song_rank"""))
+
+  private def star(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val f = filled(s, dir)
+    val (da, dsg, dc) =
+      (StarBuilder.dimArtist(f), StarBuilder.dimSong(f), StarBuilder.dimCountry(f))
+    (StarBuilder.fact(f, da, dsg, dc), da, dsg, dc)
+  }
+
+  val avgDurationQuery = QueryDef(
+    "lastfm_dm_avg_duration",
+    (s, dir) => {
+      val (fact, _, dsg, dc) = star(s, dir)
+      Marts.avgSongDurationByCountry(fact, dsg, dc)
+    },
+    Some(cte + """
+      SELECT date, country_name,
+             CAST(SUM(s.duration_sec) AS DOUBLE) / COUNT(s.duration_sec) AS avg_duration_sec
+      FROM fact JOIN dim_song s USING(song_id) JOIN dim_country USING(country_id)
+      GROUP BY date, country_name
+      ORDER BY date, country_name"""))
+
+  val appearancesQuery = QueryDef(
+    "lastfm_dm_appearances",
+    (s, dir) => {
+      val (fact, da, _, _) = star(s, dir)
+      Marts.artistAppearancesByDate(fact, da)
+    },
+    Some(cte + """
+      SELECT date, artist_name, COUNT(*) AS cnt_appearance
+      FROM fact JOIN dim_artist USING(artist_id)
+      GROUP BY date, artist_name
+      ORDER BY date, artist_name"""))
+
+  val royaltiesQuery = QueryDef(
+    "lastfm_dm_royalties",
+    (s, dir) => {
+      val (fact, da, _, _) = star(s, dir)
+      Marts.expectedArtistRoyaltiesByDate(fact, da)
+    },
+    Some(cte + """
+      SELECT date, artist_name,
+             CAST((SUM(listeners_count) * 3 + 5) // 10 AS DOUBLE) / 100 AS royalties
+      FROM fact JOIN dim_artist USING(artist_id)
+      GROUP BY date, artist_name
+      ORDER BY date, royalties DESC, artist_name"""))
+
+  val all: Seq[QueryDef] = Seq(odsQuery, dimArtistQuery, dimCountryQuery,
+    dimSongQuery, factQuery, avgDurationQuery, appearancesQuery, royaltiesQuery)
+}

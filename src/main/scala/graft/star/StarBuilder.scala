@@ -1,0 +1,99 @@
+package graft.star
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DDS star-schema builder — the Spark restatement of the reference's
+  * `from_ods_to_dds_pg` DAG (`dags/from_ods_to_dds_pg.py:42-104`,
+  * `scripts/ddl_dds.sql`).
+  *
+  * Input contract: an ODS-shaped DataFrame with columns
+  * `(song_name, artist_name, duration_sec, listeners_count, song_rank,
+  * source_date, country)` — `scripts/ddl_ods.sql:14-24`.
+  *
+  * Deviations from the reference (documented, SURVEY.md §7.4.5):
+  *  - imputation is applied once, upstream of BOTH dim_song and the fact
+  *    join. The reference imputes only inside dim_song
+  *    (`from_ods_to_dds_pg.py:74-77`) but joins the fact on the raw
+  *    duration (`:98`), silently dropping zero-duration rows; we keep them.
+  *  - surrogate ids are deterministic `row_number` over the natural-key
+  *    order, not insertion-order `serial` (`ddl_dds.sql:3,9,15`). Ids are
+  *    join plumbing only; no mart exposes them.
+  *
+  * Scale notes (100 TB design): imputation is a per-date partial aggregate
+  * broadcast back — no wide shuffle of the fact side. Dim builds shuffle
+  * only the distinct natural keys (dims are small by definition); the
+  * global `row_number` window over a dim is a deliberate single-task step
+  * over that already-tiny set. The fact build broadcasts all three dims,
+  * so the (huge) ODS side is never shuffled.
+  */
+object StarBuilder {
+
+  /** Per-date mean imputation of zero durations (A4/P7,
+    * `from_ods_to_dds_pg.py:74-77`): zero durations are replaced by the
+    * date's mean of nonzero durations, rounded half-up like PG
+    * `numeric::int` — computed in pure integer math for engine parity.
+    * Adds `duration_filled`; null when a date has no nonzero durations.
+    */
+  def imputePerDate(ods: DataFrame): DataFrame = {
+    val perDate = ods.filter(col("duration_sec") > 0)
+      .groupBy(col("source_date"))
+      .agg(call_function("div",
+        sum(col("duration_sec")) * 2 + count(lit(1)),
+        count(lit(1)) * 2).as("imputed_duration"))
+    ods.join(broadcast(perDate), Seq("source_date"), "left")
+      .withColumn("duration_filled",
+        when(col("duration_sec") === 0, col("imputed_duration"))
+          .otherwise(col("duration_sec")))
+      .drop("imputed_duration")
+  }
+
+  private def dim(df: DataFrame, idCol: String, naturalKey: Seq[String]): DataFrame = {
+    val keys = naturalKey.map(col)
+    df.select(keys: _*).distinct()
+      .withColumn(idCol, row_number().over(Window.orderBy(keys: _*)).cast("long"))
+      .select(col(idCol) +: keys: _*)
+  }
+
+  /** `INSERT INTO dds.dim_artist ... SELECT DISTINCT artist_name`
+    * (`from_ods_to_dds_pg.py:56-64`).
+    */
+  def dimArtist(ods: DataFrame): DataFrame =
+    dim(ods, "artist_id", Seq("artist_name"))
+
+  /** `... SELECT DISTINCT country` (`from_ods_to_dds_pg.py:42-51`). */
+  def dimCountry(ods: DataFrame): DataFrame =
+    dim(ods.withColumnRenamed("country", "country_name"),
+      "country_id", Seq("country_name"))
+
+  /** `... SELECT DISTINCT song_name, CASE WHEN duration_sec = 0 ...`
+    * (`from_ods_to_dds_pg.py:66-80`) — distinct AFTER imputation, composite
+    * natural key (song_name, duration_sec) per `ddl_dds.sql:18`.
+    * Input must already carry `duration_filled` (from [[imputePerDate]]).
+    */
+  def dimSong(filled: DataFrame): DataFrame =
+    dim(filled.select(col("song_name"), col("duration_filled").as("duration_sec")),
+      "song_id", Seq("song_name", "duration_sec"))
+
+  /** Fact build — the 3-way natural-key→surrogate-id lookup join J1
+    * (`from_ods_to_dds_pg.py:84-102`). All dims broadcast; the big ODS
+    * side streams through without a shuffle.
+    */
+  def fact(filled: DataFrame, dimArtist: DataFrame, dimSong: DataFrame,
+      dimCountry: DataFrame): DataFrame = {
+    // Dims are usually derived from `filled` itself; rename their join
+    // columns so Catalyst never sees an ambiguous self-join condition.
+    val ds = dimSong.select(col("song_id"), col("song_name").as("ds_song_name"),
+      col("duration_sec").as("ds_duration_sec"))
+    filled
+      .join(broadcast(dimArtist), Seq("artist_name"))
+      .join(broadcast(ds),
+        col("song_name") === col("ds_song_name") &&
+        col("duration_filled") === col("ds_duration_sec"))
+      .join(broadcast(dimCountry), col("country") === col("country_name"))
+      .select(col("source_date").as("date"), col("country_id"),
+        col("song_id"), col("artist_id"), col("song_rank"),
+        col("listeners_count"))
+  }
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local differential check: Spark (graft.Verify output) vs DuckDB oracle.
+
+Dev tool only (mirrors the driver's t2 gate; not part of the library).
+Usage:
+    python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def rows_of(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = rel.fetchall()
+    rows = [tuple(norm(r[i]) for i in order) for r in data]
+    return sorted(cols), sorted(rows, key=lambda t: tuple(
+        (x is None, str(type(x)), str(x)) for x in t))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spath = f"{out_dir}/{name}"
+        if not os.path.isdir(spath):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            scols, srows = rows_of(con.sql(f"SELECT * FROM '{spath}/*.parquet'"))
+            ocols, orows = rows_of(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if scols != ocols:
+            print(f"FAIL {name}: cols spark={scols} oracle={ocols}"); n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1; continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first @{i}:")
+            print(f"  spark : {a}\n  oracle: {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
