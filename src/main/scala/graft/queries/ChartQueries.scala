@@ -111,8 +111,13 @@ object ChartQueries {
         JOIN dim_country dc ON dc.country_name = f.country)
     """
 
+  /** The imputed ODS is consumed by 4+ plan branches (3 dims + fact); we
+    * persist it like a real pipeline materializes its ODS layer, so the
+    * events scan + group + rank window run once per query, not per branch.
+    * (ReuseExchange alone does not survive the diverging AQE replans.)
+    */
   private def filled(s: SparkSession, dir: String): DataFrame =
-    StarBuilder.imputePerDate(chartOds(s, dir))
+    StarBuilder.imputePerDate(chartOds(s, dir)).persist()
 
   val odsQuery = QueryDef(
     "lastfm_ods",
