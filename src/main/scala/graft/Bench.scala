@@ -24,18 +24,27 @@ object Bench {
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-    qs.foreach { case (_, fn) =>
-      try exec(fn) catch { case _: Throwable => () }
+    qs.foreach { case (name, fn) =>
+      try exec(fn) catch { case e: Throwable =>
+        System.err.println(s"[bench warmup] $name failed: ${e.getMessage}")
+      }
     }
+    // A failed query must never read as a fast success: record -1 and an
+    // entry in "errors" (round-1 swallowed Throwables silently).
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { exec(fn); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors += name; false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,10 +25,11 @@ def norm(v):
 
 def rows_of(rel):
     cols = rel.columns
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = rel.fetchall()
     rows = [tuple(norm(r[i]) for i in order) for r in data]
-    return sorted(cols), sorted(rows, key=lambda t: tuple(
+    return sorted(cols), [types[i] for i in order], sorted(rows, key=lambda t: tuple(
         (x is None, str(type(x)), str(x)) for x in t))
 
 
@@ -46,13 +47,18 @@ def main():
         if not os.path.isdir(spath):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            scols, srows = rows_of(con.sql(f"SELECT * FROM '{spath}/*.parquet'"))
-            ocols, orows = rows_of(con.sql(sql))
+            scols, stypes, srows = rows_of(con.sql(f"SELECT * FROM '{spath}/*.parquet'"))
+            ocols, otypes, orows = rows_of(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if scols != ocols:
             print(f"FAIL {name}: cols spark={scols} oracle={ocols}"); n_fail += 1
             continue
+        # Round-1 lesson: the driver gate hashes typed values, so a DuckDB
+        # HUGEINT vs Spark BIGINT mismatch fails even when values agree.
+        if stypes != otypes:
+            print(f"FAIL {name}: types spark={stypes} oracle={otypes}")
+            n_fail += 1; continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
             n_fail += 1; continue
