@@ -19,7 +19,9 @@ object Marts {
     */
   def avgSongDurationByCountry(fact: DataFrame, dimSong: DataFrame,
       dimCountry: DataFrame): DataFrame =
-    fact.join(broadcast(dimSong), Seq("song_id"))
+    // dim_song is data-scaled: no broadcast hint — AQE decides from
+    // measured size. dim_country is bounded: always broadcast.
+    fact.join(dimSong, Seq("song_id"))
       .join(broadcast(dimCountry), Seq("country_id"))
       .groupBy(col("date"), col("country_name"))
       .agg((sum(col("duration_sec")).cast("double") /
@@ -30,7 +32,7 @@ object Marts {
     * `from_dds_to_dm_pg.py:57-66`): COUNT(*) per (date, artist_name).
     */
   def artistAppearancesByDate(fact: DataFrame, dimArtist: DataFrame): DataFrame =
-    fact.join(broadcast(dimArtist), Seq("artist_id"))
+    fact.join(dimArtist, Seq("artist_id"))
       .groupBy(col("date"), col("artist_name"))
       .agg(count(lit(1)).as("cnt_appearance"))
       .orderBy(col("date"), col("artist_name"))
@@ -42,7 +44,7 @@ object Marts {
     * as double — reproduces PG numeric ROUND half-away-from-zero exactly.
     */
   def expectedArtistRoyaltiesByDate(fact: DataFrame, dimArtist: DataFrame): DataFrame =
-    fact.join(broadcast(dimArtist), Seq("artist_id"))
+    fact.join(dimArtist, Seq("artist_id"))
       .groupBy(col("date"), col("artist_name"))
       .agg((call_function("div",
         sum(col("listeners_count")) * 3 + 5, lit(10L))

@@ -143,12 +143,9 @@ object Relational {
     */
   val qDimComposite = QueryDef(
     "q_dim_surrogate",
-    (s, dir) => {
-      val distinctKeys = t(s, dir, "part").select("p_brand", "p_type").distinct()
-      distinctKeys.withColumn("dim_id",
-        row_number().over(Window.orderBy(col("p_brand"), col("p_type"))).cast("long"))
-        .select("dim_id", "p_brand", "p_type")
-    },
+    (s, dir) => graft.star.StarBuilder.withSurrogateId(
+      t(s, dir, "part").select("p_brand", "p_type").distinct(),
+      "dim_id", Seq("p_brand", "p_type")),
     Some("""
       SELECT row_number() OVER (ORDER BY p_brand, p_type) AS dim_id, p_brand, p_type
       FROM (SELECT DISTINCT p_brand, p_type FROM part)"""))

@@ -1,8 +1,8 @@
 package graft.star
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** DDS star-schema builder — the Spark restatement of the reference's
   * `from_ods_to_dds_pg` DAG (`dags/from_ods_to_dds_pg.py:42-104`,
@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB design): imputation is a per-date partial aggregate
   * broadcast back — no wide shuffle of the fact side. Dim builds shuffle
-  * only the distinct natural keys (dims are small by definition); the
-  * global `row_number` window over a dim is a deliberate single-task step
-  * over that already-tiny set. The fact build broadcasts all three dims,
-  * so the (huge) ODS side is never shuffled.
+  * only the distinct natural keys; surrogate ids are assigned by a fully
+  * distributed sort + zipWithIndex (no single-task window, see
+  * [[withSurrogateId]]). The fact build broadcasts only the provably
+  * bounded dim (country); data-scaled dims (song, artist) are joined
+  * unhinted so AQE picks broadcast vs sort-merge from measured sizes.
   */
 object StarBuilder {
 
@@ -49,12 +50,34 @@ object StarBuilder {
       .drop("imputed_duration")
   }
 
-  private def dim(df: DataFrame, idCol: String, naturalKey: Seq[String]): DataFrame = {
+  /** Deterministic dense surrogate ids equal to the 1-based rank of the
+    * natural key in sorted order — the Spark restatement of `serial`
+    * (`ddl_dds.sql:3,9,15`), made deterministic by ranking on the key
+    * instead of insertion order (SURVEY §7.4.1).
+    *
+    * Scale design: round 1 used `row_number().over(Window.orderBy(...))`,
+    * which funnels every distinct key through ONE task — fine for 5
+    * countries, a straight bottleneck for a data-scaled dim_song. This is
+    * the two-phase version: a fully distributed range-partitioned sort,
+    * then `zipWithIndex` (phase 1 counts rows per partition, phase 2 adds
+    * the per-partition offset). The index equals the global sorted
+    * position whatever the sampled range boundaries are, so ids stay
+    * deterministic run-to-run, and no single task ever holds the dim.
+    */
+  def withSurrogateId(distinctKeys: DataFrame, idCol: String,
+      naturalKey: Seq[String]): DataFrame = {
     val keys = naturalKey.map(col)
-    df.select(keys: _*).distinct()
-      .withColumn(idCol, row_number().over(Window.orderBy(keys: _*)).cast("long"))
-      .select(col(idCol) +: keys: _*)
+    val sorted = distinctKeys.select(keys: _*).orderBy(keys: _*)
+    val out = StructType(StructField(idCol, LongType, nullable = false) +:
+      sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((i + 1L) +: r.toSeq)
+    }
+    sorted.sparkSession.createDataFrame(rdd, out)
   }
+
+  private def dim(df: DataFrame, idCol: String, naturalKey: Seq[String]): DataFrame =
+    withSurrogateId(df.select(naturalKey.map(col): _*).distinct(), idCol, naturalKey)
 
   /** `INSERT INTO dds.dim_artist ... SELECT DISTINCT artist_name`
     * (`from_ods_to_dds_pg.py:56-64`).
@@ -77,8 +100,17 @@ object StarBuilder {
       "song_id", Seq("song_name", "duration_sec"))
 
   /** Fact build — the 3-way natural-key→surrogate-id lookup join J1
-    * (`from_ods_to_dds_pg.py:84-102`). All dims broadcast; the big ODS
-    * side streams through without a shuffle.
+    * (`from_ods_to_dds_pg.py:84-102`).
+    *
+    * Broadcast policy (100 TB design): dim_country is bounded by the
+    * country list (`raw_from_api_to_s3.py:14-18`) and always broadcast.
+    * dim_song and dim_artist are DATA-SCALED — their cardinality grows
+    * with the corpus, so an unconditional broadcast hint (round 1) OOMs
+    * executors at scale. We leave them unhinted: AQE measures the built
+    * side at runtime and picks broadcast-hash when it is actually small,
+    * falling back to sort-merge when it is not — exactly the
+    * "conditional on measured size" policy, with Spark doing the
+    * measuring.
     */
   def fact(filled: DataFrame, dimArtist: DataFrame, dimSong: DataFrame,
       dimCountry: DataFrame): DataFrame = {
@@ -87,8 +119,8 @@ object StarBuilder {
     val ds = dimSong.select(col("song_id"), col("song_name").as("ds_song_name"),
       col("duration_sec").as("ds_duration_sec"))
     filled
-      .join(broadcast(dimArtist), Seq("artist_name"))
-      .join(broadcast(ds),
+      .join(dimArtist, Seq("artist_name"))
+      .join(ds,
         col("song_name") === col("ds_song_name") &&
         col("duration_filled") === col("ds_duration_sec"))
       .join(broadcast(dimCountry), col("country") === col("country_name"))
