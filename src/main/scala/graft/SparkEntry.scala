@@ -13,14 +13,15 @@ object SparkEntry {
 
   /** Full registry, assembled from the per-area modules. */
   def registry: Seq[QueryDef] =
-    Relational.all ++ ChartQueries.all
+    Relational.all ++ ChartQueries.all ++ IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The royalties mart exercises the whole vertical: scan → group →
-    * window top-k → imputation → star join → mart aggregate (SURVEY §7.3).
+    * The raw-JSON end-to-end royalties mart exercises the whole reference
+    * vertical: multiLine JSON read → flatten → cast → filename recovery →
+    * dedup → imputation → star join → mart aggregate (SURVEY §7.3).
     */
   def entry(spark: SparkSession): DataFrame =
-    ChartQueries.royaltiesQuery.run(spark, "/root/testdata/sf0.001")
+    IngestQueries.e2eRoyaltiesQuery.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,99 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Raw-JSON → ODS ingest — the Spark restatement of the reference's
+  * extract/transform half (`dags/transformed_from_s3_to_pg.py`):
+  * pretty-printed per-(country, date) Last.fm `geo.getTopTracks` documents
+  * under `{root}/{date}/{country}_{date}.json`
+  * (`dags/raw_from_api_to_s3.py:47-54`) become `ods.daily_data`-shaped rows
+  * (`scripts/ddl_ods.sql:14-24`).
+  *
+  * What the reference does row-at-a-time in Python
+  * (`transformed_from_s3_to_pg.py:31-45,61-67`) — key listing, JSON parse,
+  * `tracks.track[]` flatten, nested projection, 3 string→int casts,
+  * country-from-filename recovery, `ON CONFLICT DO NOTHING` dedup — is one
+  * declarative plan here: Relation(json) → Generate(posexplode) → Project
+  * → window-dedup. The CSV hop and the Postgres staging table
+  * (`transformed_from_s3_to_pg.py:52-92`) have no semantic content and are
+  * eliminated (SURVEY §2.1 S5/S6).
+  *
+  * Scale notes: `multiLine` JSON files are unsplittable, but the layout is
+  * one document per (country, date), so parallelism equals file count —
+  * exactly the axis that grows at scale. The declared read schema keeps
+  * the JSON parser from materializing unused fields (mbid/url/streamable).
+  * The dedup window partitions on the ODS key — no global shuffle hotspot.
+  */
+object OdsBuilder {
+
+  /** Default fixture landing dir (stands in for the reference's
+    * `s3://top-100-bucket/top_100/raw/`, `raw_from_api_to_s3.py:47`).
+    */
+  val fixtureRoot = "/root/repo/fixtures/lastfm_raw"
+
+  /** Read schema — only the fields the reference consumes
+    * (`transformed_from_s3_to_pg.py:34-43`). Numbers are JSON strings as
+    * Last.fm sends them; casts happen in [[toOds]].
+    */
+  private val trackSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("duration", StringType),
+    StructField("listeners", StringType),
+    StructField("artist", StructType(Seq(StructField("name", StringType)))),
+    StructField("@attr", StructType(Seq(StructField("rank", StringType))))))
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("tracks", StructType(Seq(
+      StructField("track", ArrayType(trackSchema)))))))
+
+  /** S4: one pretty-printed doc per file → one row per file.
+    * `multiLine` is required — the reference lands `json.dumps(indent=4)`
+    * (`raw_from_api_to_s3.py:50`); without it every file is a
+    * `_corrupt_record` (SURVEY §7.4.6).
+    */
+  def readRaw(spark: SparkSession, root: String = fixtureRoot): DataFrame =
+    spark.read.option("multiLine", value = true).schema(rawSchema)
+      .json(s"$root/*/*.json")
+
+  /** P1-P4 + J5-shaped dedup: flatten, project, cast, recover
+    * (country, date) from the file path, first-wins dedup on the ODS key
+    * `(song_rank, source_date, country)` (`ddl_ods.sql:23`).
+    *
+    * "First wins" mirrors `ON CONFLICT DO NOTHING`
+    * (`transformed_from_s3_to_pg.py:146-151`): within a file the earlier
+    * array element wins, made deterministic by ranking on the exploded
+    * position instead of relying on insertion order.
+    */
+  def toOds(raw: DataFrame): DataFrame = {
+    // input_file_name() is URI-encoded ("United%20States"); decode before
+    // the regex so countries with spaces survive (F6/P4,
+    // `transformed_from_s3_to_pg.py:64`).
+    val file = url_decode(input_file_name())
+    val exploded = raw
+      .withColumn("country",
+        regexp_extract(file, "([^/]+)_\\d{4}-\\d{2}-\\d{2}\\.json$", 1))
+      .withColumn("source_date",
+        to_date(regexp_extract(file, "_(\\d{4}-\\d{2}-\\d{2})\\.json$", 1)))
+      .select(col("country"), col("source_date"),
+        posexplode(col("tracks.track")).as(Seq("pos", "t")))
+      .select(
+        col("t.name").as("song_name"),
+        col("t.artist.name").as("artist_name"),
+        col("t.duration").cast(IntegerType).as("duration_sec"),
+        col("t.listeners").cast(IntegerType).as("listeners_count"),
+        col("t.`@attr`.rank").cast(IntegerType).as("song_rank"),
+        col("source_date"), col("country"), col("pos"))
+    val w = Window.partitionBy(col("song_rank"), col("source_date"), col("country"))
+      .orderBy(col("pos"))
+    exploded.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("pos", "rn")
+  }
+
+  /** Full ingest: landing dir → deduped ODS rows. */
+  def ingest(spark: SparkSession, root: String = fixtureRoot): DataFrame =
+    toOds(readRaw(spark, root))
+}
