@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/hash primitives for the LLM-data-pipeline operators
+  * (dedup, fingerprinting, minhash/simhash, quality scoring).
+  *
+  * Engine-parity design: every primitive is computed from `md5` hex — the
+  * one hash both Spark and DuckDB implement bit-identically — parsed to
+  * integers via hex→decimal conversion. Spark: `conv(substring(md5(x),..),
+  * 16, 10)`; DuckDB: `CAST('0x' || substr(md5(x),..) AS BIGINT)`. Verified
+  * equal on both engines. Everything downstream is exact integer math, so
+  * the DuckDB oracle can hash-match signatures, buckets and fingerprints.
+  *
+  * All builders return codegen-friendly Catalyst expressions (built-in
+  * functions + higher-order array lambdas) — no UDFs anywhere.
+  */
+object TextFunctions {
+
+  /** 44-bit md5-derived hash (11 hex digits). Small enough that an affine
+    * permutation `a*h + b` with a < 2^19 never overflows a signed 64-bit
+    * integer: 2^19 * 2^44 + 2^44 < 2^63.
+    */
+  def h44(c: Column): Column =
+    conv(substring(md5(c), 1, 11), 16, 10).cast("bigint")
+
+  /** Spark-SQL-text mirror of [[h44]] (for expr-built lambdas). */
+  def h44SparkSql(x: String): String =
+    s"cast(conv(substring(md5($x), 1, 11), 16, 10) as bigint)"
+
+  /** DuckDB mirror of [[h44]]. */
+  def h44Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 11)) AS BIGINT)"
+
+  /** 60-bit md5-derived hash (15 hex digits) for fingerprints. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  def h60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Lowercased word tokens, empties removed. Same split + filter on the
+    * oracle side ([[wordsSql]]); both engines keep interior/trailing empty
+    * strings from the split, so the explicit filter keeps them aligned.
+    */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+
+  def wordsSql(x: String): String =
+    s"list_filter(string_split_regex(lower($x), '[^a-z0-9]+'), w -> w <> '')"
+
+  // ---- MinHash ----------------------------------------------------------
+
+  /** Signature length (k) and LSH banding (b bands × r rows = k). */
+  val MinhashK = 12
+  val MinhashBands = 2
+  val MinhashRows = 6
+
+  /** Affine permutation constants, fixed-seed deterministic; a odd in
+    * [3, 2^19), b in [0, 2^44). Embedded in BOTH the Spark plan and the
+    * oracle SQL, so hash-function parity is by construction.
+    */
+  val minhashPerms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eedL)
+    Seq.fill(MinhashK)((rnd.nextInt(1 << 18).toLong * 2 + 3,
+      math.abs(rnd.nextLong()) % (1L << 44)))
+  }
+
+  private val M44 = 1L << 44
+
+  /** MinHash signature (array of k minima) over a distinct word array. */
+  def minhashSig(wordsArr: Column): Column = {
+    val hashes = transform(wordsArr, w => h44(w))
+    array(minhashPerms.map { case (a, b) =>
+      array_min(transform(hashes, h => (h * a + b) % M44))
+    }: _*)
+  }
+
+  /** DuckDB mirror of [[minhashSig]] — `ws` must be a distinct word list. */
+  def minhashSigSql(ws: String): String = {
+    val perHash = minhashPerms.map { case (a, b) =>
+      s"list_min(list_transform($ws, w -> (${h44Sql("w")} * $a + $b) % $M44))"
+    }
+    perHash.mkString("[", ", ", "]")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 32-bit SimHash over the DISTINCT words of a document: bit i is set
+    * when the sum over words of (bit i of h44(word) ? +1 : -1) is
+    * positive. Unweighted (set semantics) — the standard variant for
+    * near-dup fingerprinting of short documents. `wsCol` names a distinct
+    * word-array column in scope.
+    */
+  def simhash32(wsCol: String): Column = expr(s"""
+    aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+      (CASE WHEN aggregate(transform($wsCol, w -> ${h44SparkSql("w")}), 0L,
+                   (a, h) -> a + (shiftright(h, i) & 1L) * 2L - 1L) > 0
+            THEN cast(pow(2.0d, i) AS bigint) ELSE 0L END))""")
+
+  /** DuckDB mirror of [[simhash32]]. */
+  def simhash32Sql(ws: String): String = {
+    val hs = s"list_transform($ws, w -> ${h44Sql("w")})"
+    s"""CAST(list_sum(list_transform(range(0, 32), i ->
+       CASE WHEN list_sum(list_transform($hs, h -> ((h >> i) & 1) * 2 - 1)) > 0
+            THEN CAST(2 ** i AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+  }
+}

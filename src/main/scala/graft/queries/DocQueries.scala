@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.functions.TextFunctions._
+
+/** LLM-training-data pipeline operators over the `documents` table
+  * (TESTDATA.md): exact + near-dup deduplication, document
+  * fingerprinting, text analysis (tokens, quality, language-ID). The
+  * reference has no such surface — these are the extension operators the
+  * builder brief mandates (SURVEY §7.6), built Spark-first.
+  *
+  * Scale discipline: nothing here is all-pairs over the corpus. Near-dup
+  * discovery goes shingle → signature → LSH band → bucket-join, so the
+  * only quadratic work is WITHIN a bucket (the 100 TB design); the one
+  * exact-jaccard query is explicitly restricted to a doc_id block and
+  * exists to validate the probabilistic path, flagged bench=false.
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** Exact dedup via content hash: one row per distinct text, keeper =
+    * lowest doc_id (the `ON CONFLICT` first-wins analogue for corpora).
+    * At 100 TB this is the standard hash-groupBy: shuffles only
+    * (hash, doc_id), never the text payload.
+    */
+  val qDedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, dir) => docs(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash")),
+    Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
+
+  /** 60-bit whitespace-normalized fingerprint per document (md5-derived;
+    * robust to case/punctuation/extra-space variation).
+    */
+  val qDocFingerprint = QueryDef(
+    "q_doc_fingerprint",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        h60(array_join(words(col("text")), " ")).as("fingerprint"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             ${h60Sql(s"array_to_string(${wordsSql("text")}, ' ')")} AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  /** Near-dup discovery: distinct-word sets → k=12 MinHash signature →
+    * 2 bands × 6 rows LSH → candidate pairs ONLY within band buckets →
+    * signature-agreement filter (≥ 11/12 ≈ estimated Jaccard ≥ 0.92).
+    * Never all-pairs: the band join is an equi-join on the band key, so
+    * at scale work concentrates where near-dups actually are.
+    */
+  val qDedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, dir) => {
+      val sig = docs(s, dir).select(col("doc_id"),
+        minhashSig(array_distinct(words(col("text")))).as("sig"))
+      val bandStructs = (0 until MinhashBands).map { m =>
+        struct(lit(m).as("m"),
+          md5(array_join(transform(slice(col("sig"), m * MinhashRows + 1, MinhashRows),
+            x => x.cast("string")), ",")).as("bkey"))
+      }
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("band"))
+        .select(col("doc_id"), col("sig"),
+          col("band.m").as("m"), col("band.bkey").as("bkey"))
+      val a = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_a"),
+        col("sig").as("sa"))
+      val b = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_b"),
+        col("sig").as("sb"))
+      a.join(b, Seq("m", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .distinct()
+        .withColumn("matches", expr(
+          "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+        .filter(col("matches") >= MinhashK - 1)
+        .select(col("doc_a"), col("doc_b"),
+          (col("matches").cast("double") / MinhashK).as("est_jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH ws AS (
+        SELECT doc_id, list_distinct(${wordsSql("text")}) AS w FROM documents),
+      sig AS (SELECT doc_id, ${minhashSigSql("w")} AS sig FROM ws),
+      bands AS (
+        SELECT doc_id, sig, m,
+               md5(array_to_string(list_transform(
+                 list_slice(sig, m * $MinhashRows + 1, (m + 1) * $MinhashRows),
+                 x -> CAST(x AS VARCHAR)), ',')) AS bkey
+        FROM sig, (SELECT unnest([${(0 until MinhashBands).mkString(", ")}]) AS m)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sa, b.sig AS sb
+        FROM bands a JOIN bands b ON a.m = b.m AND a.bkey = b.bkey
+                                 AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT doc_a, doc_b,
+               list_sum([CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END
+                         for p in list_zip(sa, sb)]) AS matches
+        FROM pairs)
+      SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / $MinhashK AS est_jaccard
+      FROM scored WHERE matches >= ${MinhashK - 1}
+      ORDER BY doc_a, doc_b"""),
+    bench = false)
+
+  /** Per-document 32-bit SimHash (set-semantics) — hamming-adjacent docs
+    * are near-dups; banding the 4 bytes gives the standard ≤3-bit-distance
+    * blocking at scale.
+    */
+  val qDedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+      .select(col("doc_id"), simhash32("ws").as("simhash"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, ${simhash32Sql(s"list_distinct(${wordsSql("text")})")} AS simhash
+      FROM documents ORDER BY doc_id"""))
+
+  /** Exact n-gram (unigram-set) Jaccard over a bounded doc_id block —
+    * the ground-truth validator for the MinHash path. Deliberately
+    * restricted (all-pairs is not a scale design; bench=false).
+    */
+  val qNgramJaccard = QueryDef(
+    "q_ngram_jaccard",
+    (s, dir) => {
+      val sets = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+      val a = sets.select(col("doc_id").as("doc_a"), col("ws").as("wa"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("ws").as("wb"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("wa"), col("wb"))).cast("bigint").as("inter_size"),
+          size(array_union(col("wa"), col("wb"))).cast("bigint").as("union_size"))
+        .withColumn("jaccard",
+          col("inter_size").cast("double") / col("union_size"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH sets AS (
+        SELECT doc_id, list_distinct(${wordsSql("text")}) AS ws
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_a, doc_b, inter_size, union_size,
+             CAST(inter_size AS DOUBLE) / union_size AS jaccard
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_size,
+               CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS union_size
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+      WHERE CAST(inter_size AS DOUBLE) / union_size >= 0.8
+      ORDER BY doc_a, doc_b"""),
+    bench = false)
+
+  /** Corpus rollup per (lang, source): doc counts, token totals, exact
+    * average chars — the A5/A6 aggregate shapes over text features.
+    */
+  val qTextStats = QueryDef(
+    "q_text_stats",
+    (s, dir) => docs(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(words(col("text"))).cast("bigint").as("n_words"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        max(col("n_words")).as("max_words"))
+      .orderBy(col("lang"), col("source")),
+    Some(s"""
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS total_words,
+             CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+             MAX(n_words) AS max_words
+      FROM (SELECT lang, source, n_chars,
+              CAST(len(${wordsSql("text")}) AS BIGINT) AS n_words
+            FROM documents)
+      GROUP BY lang, source ORDER BY lang, source"""))
+
+  /** Whitespace + BPE-ish regex token counting per document (F-surface:
+    * token budgeting for training-data pipelines).
+    */
+  val qTokenCount = QueryDef(
+    "q_token_count",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("bigint").as("n_words"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint").as("n_tokens"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(${wordsSql("text")}) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Heuristic quality scoring: type-token ratio, stopword ratio, and a
+    * blended score — the standard cheap filters in front of expensive
+    * training-data stages.
+    */
+  val qQualityScore = QueryDef(
+    "q_quality_score",
+    (s, dir) => {
+      val sw = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+      docs(s, dir)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("bigint").as("word_cnt"),
+          expr(s"size(filter(ws, w -> w IN $sw))").cast("bigint").as("stop_cnt"),
+          size(array_distinct(col("ws"))).cast("bigint").as("distinct_cnt"))
+        .select(col("doc_id"), col("word_cnt"),
+          when(col("word_cnt") > 0,
+            col("distinct_cnt").cast("double") / col("word_cnt")).as("ttr"),
+          when(col("word_cnt") > 0,
+            col("stop_cnt").cast("double") / col("word_cnt")).as("stop_ratio"))
+        .withColumn("score",
+          lit(0.5) * col("ttr") + lit(0.5) * (lit(1.0) - col("stop_ratio")))
+        .orderBy(col("doc_id"))
+    },
+    Some({
+      val sw = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS word_cnt,
+               CAST(len(list_filter(ws, w -> w IN $sw)) AS BIGINT) AS stop_cnt,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_cnt
+        FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)),
+      r AS (
+        SELECT doc_id, word_cnt,
+               CASE WHEN word_cnt > 0
+                    THEN CAST(distinct_cnt AS DOUBLE) / word_cnt END AS ttr,
+               CASE WHEN word_cnt > 0
+                    THEN CAST(stop_cnt AS DOUBLE) / word_cnt END AS stop_ratio
+        FROM f)
+      SELECT doc_id, word_cnt, ttr, stop_ratio,
+             0.5 * ttr + 0.5 * (1.0 - stop_ratio) AS score
+      FROM r ORDER BY doc_id"""
+    }))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Stopword-profile language ID (n-gram-heuristic family): score each
+    * language by marker-token frequency, argmax with fixed precedence,
+    * 'und' when nothing matches. On this synthetic corpus (shared
+    * vocabulary across lang labels) it mostly resolves to 'en'/'und' —
+    * the OPERATOR is the deliverable; the data has no real language
+    * signal (documented).
+    */
+  val qLangId = QueryDef(
+    "q_lang_id",
+    (s, dir) => {
+      val scored = langMarkers.foldLeft(
+        docs(s, dir).select(col("doc_id"), col("lang"), words(col("text")).as("ws"))) {
+        case (df, (l, ms)) =>
+          val set = ms.map(w => s"'$w'").mkString("(", ", ", ")")
+          df.withColumn(s"s_$l",
+            expr(s"size(filter(ws, w -> w IN $set))").cast("bigint"))
+      }
+      val langs = langMarkers.map(_._1)
+      val best = greatest(langs.map(l => col(s"s_$l")): _*)
+      val predicted = langs.foldRight(lit("und")) { case (l, els) =>
+        when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(els)
+      }
+      scored.withColumn("predicted", predicted)
+        .select((Seq(col("doc_id"), col("lang"), col("predicted")) ++
+          langs.map(l => col(s"s_$l"))): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some({
+      val scoreExprs = langMarkers.map { case (l, ms) =>
+        val set = ms.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"CAST(len(list_filter(ws, w -> w IN $set)) AS BIGINT) AS s_$l"
+      }.mkString(",\n               ")
+      val langs = langMarkers.map(_._1)
+      val best = langs.map(l => s"s_$l").reduce((x, y) => s"greatest($x, $y)")
+      val predicted = langs.foldRight("'und'") { case (l, els) =>
+        s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $els END"
+      }
+      s"""
+      WITH f AS (
+        SELECT doc_id, lang,
+               $scoreExprs
+        FROM (SELECT doc_id, lang, ${wordsSql("text")} AS ws FROM documents)),
+      g AS (SELECT *, $best AS best FROM f)
+      SELECT doc_id, lang, $predicted AS predicted,
+             ${langs.map(l => s"s_$l").mkString(", ")}
+      FROM g ORDER BY doc_id"""
+    }))
+
+  val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
+    qDedupSimhash, qNgramJaccard, qTextStats, qTokenCount, qQualityScore,
+    qLangId)
+}
