@@ -119,12 +119,17 @@ object DocQueries {
   val qDedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, dir) => docs(s, dir)
-      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
-      .select(col("doc_id"), simhash32("ws").as("simhash"))
+      .select(col("doc_id"),
+        transform(array_distinct(words(col("text"))), w => h44(w)).as("hs"))
+      .select(col("doc_id"), simhash32("hs").as("simhash"))
       .orderBy(col("doc_id")),
     Some(s"""
-      SELECT doc_id, ${simhash32Sql(s"list_distinct(${wordsSql("text")})")} AS simhash
-      FROM documents ORDER BY doc_id"""))
+      SELECT doc_id, ${simhash32Sql("hs")} AS simhash
+      FROM (SELECT doc_id,
+              list_transform(list_distinct(${wordsSql("text")}),
+                w -> ${h44Sql("w")}) AS hs
+            FROM documents)
+      ORDER BY doc_id"""))
 
   /** Exact n-gram (unigram-set) Jaccard over a bounded doc_id block —
     * the ground-truth validator for the MinHash path. Deliberately

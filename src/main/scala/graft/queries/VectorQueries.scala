@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding array<float>`, `label`) — the ANN surface of a training-data
+  * pipeline: exact brute-force cosine top-k as the correctness baseline,
+  * a random-hyperplane LSH-bucketed variant as the scale path, and
+  * bucketed embedding near-dup pairs.
+  *
+  * Engine-parity design: floats are quantized once —
+  * `floor(double(x) * 1e6)` as BIGINT, bit-identical in Spark and DuckDB
+  * since float→double is exact and both floor correctly — and every dot
+  * product / norm is EXACT integer arithmetic (order-independent, no
+  * float-summation drift). The only floating point is the final
+  * `dot / (sqrt(na) * sqrt(nb))`, a fixed chain of correctly-rounded IEEE
+  * ops, so cosines hash-match across engines. Unit-norm 64-dim inputs
+  * keep all sums far below 2^63 (|q| ≤ 1e6 ⇒ Σx² ≤ 6.4e13).
+  *
+  * Everything is built-in higher-order functions (`zip_with` +
+  * `aggregate`) inside whole-stage codegen — no UDFs, nothing collected
+  * to the driver.
+  */
+object VectorQueries {
+
+  private val Dim = 64
+  private val Scale = 1000000L
+  private val NQueries = 8
+  private val TopK = 3
+
+  /** LSH planes: weights in [-1000, 1000], derived from md5 of
+    * "plane_p_dim_j" at CONSTANT-GENERATION time (plain Scala) and
+    * embedded as literals in both the Spark plan and the DuckDB oracle —
+    * hash parity by construction, zero runtime hashing cost.
+    */
+  private val NPlanes = 4
+
+  private def h44Const(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(11), 16)
+  }
+
+  private[graft] val planes: Seq[Seq[Long]] =
+    (0 until NPlanes).map(p =>
+      (0 until Dim).map(j => (h44Const(s"plane_${p}_dim_$j") % 2001) - 1000))
+
+  // ---- Spark-side builders ---------------------------------------------
+
+  /** embeddings → (vec_id, v BIGINT[], n2) with quantized vector + norm². */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * Scale).cast("bigint")).as("v"))
+      .withColumn("n2",
+        aggregate(col("v"), lit(0L), (acc, x) => acc + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def cosine(d: Column, na: Column, nb: Column): Column =
+    d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Signed-projection LSH bucket (NPlanes bits) of a quantized vector. */
+  private def bucket(v: Column): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val wLit = array(w.map(lit): _*)
+      when(dot(v, wLit) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // ---- DuckDB-side mirrors ---------------------------------------------
+
+  private val quantizedSql =
+    s"""SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS v
+        FROM embeddings"""
+
+  private val n2Sql = "CAST(list_sum([x * x for x in v]) AS BIGINT)"
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum([p[1] * p[2] for p in list_zip($a, $b)]) AS BIGINT)"
+
+  private def cosineSql(d: String, na: String, nb: String): String =
+    s"CAST($d AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  private val bucketSql: String =
+    planes.zipWithIndex.map { case (w, p) =>
+      val wLit = w.mkString("[", ", ", "]")
+      s"CASE WHEN ${dotSql("v", wLit)} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  // ---- Queries ----------------------------------------------------------
+
+  /** Exact cosine top-k: broadcast the (small) query set against the full
+    * corpus — one scan, no shuffle of the corpus side; per-query top-k by
+    * ranking window on the (tiny) scored pairs. The correctness baseline
+    * every ANN variant is judged against.
+    */
+  val qCosineTopk = QueryDef(
+    "q_cosine_topk",
+    (s, dir) => {
+      val base = quantized(s, dir)
+      val qs = base.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+      val scored = base.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""
+      WITH base AS ($quantizedSql),
+      n AS (SELECT vec_id, v, $n2Sql AS n2 FROM base),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${cosineSql(dotSql("q.v", "c.v"), "q.n2", "c.n2")} AS cosine
+        FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+      SELECT query_id, rk, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      WHERE rk <= $TopK ORDER BY query_id, rk"""))
+
+  /** LSH-bucketed ANN top-k: random-hyperplane sign bits put each vector
+    * in one of 2^NPlanes buckets; candidates are ONLY the query's bucket
+    * (equi-join on the bucket key). At 100 TB the bucket column is the
+    * partition key — each query touches 1/2^b of the corpus, trading
+    * recall (vs [[qCosineTopk]]) for a corpus-scan-free plan. Recall of
+    * this variant vs the exact baseline is asserted in the test suite.
+    */
+  val qAnnLshTopk = QueryDef(
+    "q_ann_lsh_topk",
+    (s, dir) => {
+      val base = quantized(s, dir).withColumn("bucket", bucket(col("v")))
+      val qs = base.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("bucket"))
+      val scored = base.join(broadcast(qs), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""
+      WITH base AS ($quantizedSql),
+      n AS (SELECT vec_id, v, $n2Sql AS n2, $bucketSql AS bucket FROM base),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ${cosineSql(dotSql("q.v", "c.v"), "q.n2", "c.n2")} AS cosine
+        FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < $NQueries
+                          AND c.vec_id <> q.vec_id)
+      SELECT query_id, rk, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      WHERE rk <= $TopK ORDER BY query_id, rk"""))
+
+  /** Embedding-cosine near-dup pairs, LSH-blocked: pairs are generated
+    * only within a bucket (the banded design again — the all-pairs
+    * variant is exactly what a 100 TB pipeline must never run).
+    */
+  val qEmbeddingNeardup = QueryDef(
+    "q_embedding_neardup",
+    (s, dir) => {
+      val base = quantized(s, dir).withColumn("bucket", bucket(col("v")))
+      val a = base.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("n2").as("na"))
+      val b = base.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("n2").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          cosine(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some(s"""
+      WITH base AS ($quantizedSql),
+      n AS (SELECT vec_id, v, $n2Sql AS n2, $bucketSql AS bucket FROM base)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${cosineSql(dotSql("a.v", "b.v"), "a.n2", "b.n2")} AS cosine
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ${cosineSql(dotSql("a.v", "b.v"), "a.n2", "b.n2")} >= 0.3
+      ORDER BY vec_a, vec_b"""))
+
+  val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qEmbeddingNeardup)
+}
