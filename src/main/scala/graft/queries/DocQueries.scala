@@ -58,35 +58,42 @@ object DocQueries {
     * Never all-pairs: the band join is an equi-join on the band key, so
     * at scale work concentrates where near-dups actually are.
     */
+  /** LSH candidate pairs with signature-agreement counts — the stage the
+    * recall test exercises against exact Jaccard ground truth. Input: any
+    * DataFrame with (doc_id, text).
+    */
+  private[graft] def minhashCandidates(d: DataFrame): DataFrame = {
+    val sig = d.select(col("doc_id"),
+      minhashSig(array_distinct(words(col("text")))).as("sig"))
+    val bandStructs = (0 until MinhashBands).map { m =>
+      struct(lit(m).as("m"),
+        md5(array_join(transform(slice(col("sig"), m * MinhashRows + 1, MinhashRows),
+          x => x.cast("string")), ",")).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.m").as("m"), col("band.bkey").as("bkey"))
+    val a = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_a"),
+      col("sig").as("sa"))
+    val b = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_b"),
+      col("sig").as("sb"))
+    a.join(b, Seq("m", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+      .withColumn("matches", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+      .select(col("doc_a"), col("doc_b"), col("matches"))
+  }
+
   val qDedupMinhash = QueryDef(
     "q_dedup_minhash",
-    (s, dir) => {
-      val sig = docs(s, dir).select(col("doc_id"),
-        minhashSig(array_distinct(words(col("text")))).as("sig"))
-      val bandStructs = (0 until MinhashBands).map { m =>
-        struct(lit(m).as("m"),
-          md5(array_join(transform(slice(col("sig"), m * MinhashRows + 1, MinhashRows),
-            x => x.cast("string")), ",")).as("bkey"))
-      }
-      val bands = sig.select(col("doc_id"), col("sig"),
-        explode(array(bandStructs: _*)).as("band"))
-        .select(col("doc_id"), col("sig"),
-          col("band.m").as("m"), col("band.bkey").as("bkey"))
-      val a = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_a"),
-        col("sig").as("sa"))
-      val b = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_b"),
-        col("sig").as("sb"))
-      a.join(b, Seq("m", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .distinct()
-        .withColumn("matches", expr(
-          "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
-        .filter(col("matches") >= MinhashK - 1)
-        .select(col("doc_a"), col("doc_b"),
-          (col("matches").cast("double") / MinhashK).as("est_jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => minhashCandidates(docs(s, dir))
+      .filter(col("matches") >= MinhashK - 1)
+      .select(col("doc_a"), col("doc_b"),
+        (col("matches").cast("double") / MinhashK).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       WITH ws AS (
         SELECT doc_id, list_distinct(${wordsSql("text")}) AS w FROM documents),

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Tables.t
+import graft.queries.{DocQueries, VectorQueries}
+
+/** Probabilistic-path validation against exact ground truth on the
+  * deterministic sf0.001 testdata: MinHash-LSH candidate recall vs exact
+  * Jaccard, and LSH-ANN overlap vs brute-force cosine top-k. The data is
+  * fixed, so measured recalls are stable; floors are set well under the
+  * measured values but far above chance.
+  */
+class LshRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MinHash LSH recovers most pairs with exact Jaccard >= 0.9") {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 200)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.words(col("text"))).as("ws"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("ws").as("wa"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("ws").as("wb"))
+    val exact = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb")))).as("j"))
+      .filter(col("j") >= 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cand = DocQueries.minhashCandidates(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture slice should contain high-Jaccard pairs")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    info(s"minhash LSH recall@j>=0.9: $recall (${exact.size} true pairs)")
+    assert(recall >= 0.6)
+  }
+
+  test("LSH ANN neighbors overlap brute-force top-k and are bucket-consistent") {
+    val exact = VectorQueries.qCosineTopk.run(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = VectorQueries.qAnnLshTopk.run(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ann.nonEmpty)
+    val overlap = ann.count(exact.contains).toDouble / exact.size
+    info(s"ANN overlap with exact top-3: $overlap")
+    // 4-bit buckets keep ~1/16 of the corpus per query; chance overlap of
+    // top-3 would be ~3/500 ≈ 0.6%. Measured 0.167 on this data — any
+    // sizable overlap shows the buckets preserve cosine structure.
+    assert(overlap >= 0.1)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, IntegerType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.OdsBuilder
+
+/** Ingest-path units over the authored fixture set (FIXTURES.md A1):
+  * 6 files = 3 countries × 2 dates, 11 tracks each after the in-file
+  * duplicate rank is dropped.
+  */
+class OdsBuilderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val ods = OdsBuilder.ingest(spark).cache()
+
+  test("ingest yields 66 deduped ODS rows (11 per (country, date) file)") {
+    assert(ods.count() === 66)
+  }
+
+  test("first-wins dedup keeps the earlier array element for a duplicate rank") {
+    // The US files carry a second rank-7 entry ("Song DupRank") after the
+    // main list; ON CONFLICT semantics keep the earlier one.
+    val kept = ods.filter(col("country") === "United States" && col("song_rank") === 7)
+      .select("song_name").collect().map(_.getString(0)).toSet
+    assert(kept === Set("Song 10", "Song 11"))
+    assert(ods.filter(col("song_name") === "Song DupRank").count() === 0)
+  }
+
+  test("countries with spaces are recovered from URI-encoded file names") {
+    val cs = ods.select("country").distinct().collect().map(_.getString(0)).toSet
+    assert(cs === Set("Russian Federation", "United States", "Kazakhstan"))
+  }
+
+  test("JSON string fields are cast to typed columns") {
+    val f = ods.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(f("duration_sec") === IntegerType)
+    assert(f("listeners_count") === IntegerType)
+    assert(f("song_rank") === IntegerType)
+    assert(f("source_date") === DateType)
+    assert(f("song_name") === StringType)
+  }
+
+  test("zero-duration rows survive to ODS (imputation is downstream)") {
+    assert(ods.filter(col("duration_sec") === 0).count() === 2)
+  }
+
+  test("ODS key (song_rank, source_date, country) is unique") {
+    assert(ods.groupBy("song_rank", "source_date", "country").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+}

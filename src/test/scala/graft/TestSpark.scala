@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared session for the whole ScalaTest run (suites are sequential
+  * in the forked test JVM; a session per suite would dominate runtime).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tests")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}

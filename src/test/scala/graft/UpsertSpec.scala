@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Upsert
+
+/** The idempotency contract: running any layer twice ≡ once
+  * (`ON CONFLICT DO NOTHING`, `transformed_from_s3_to_pg.py:146-151`).
+  */
+class UpsertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-upsert").resolve("t").toString
+
+  private val d1 = Date.valueOf("2024-05-01")
+  private val d2 = Date.valueOf("2024-05-02")
+
+  test("re-running the same batch appends nothing") {
+    val path = tmp()
+    val batch = Seq((1, d1, "US", "x"), (2, d1, "US", "y"))
+      .toDF("rank", "source_date", "country", "payload")
+    assert(Upsert.upsertParquet(spark, path, batch,
+      Seq("rank", "source_date", "country")) === 2)
+    assert(Upsert.upsertParquet(spark, path, batch,
+      Seq("rank", "source_date", "country")) === 0)
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("a second day appends only its new keys") {
+    val path = tmp()
+    val day1 = Seq((1, d1, "US", "x")).toDF("rank", "source_date", "country", "payload")
+    val day2 = Seq((1, d1, "US", "x-replayed"), (1, d2, "US", "z"))
+      .toDF("rank", "source_date", "country", "payload")
+    Upsert.upsertParquet(spark, path, day1, Seq("rank", "source_date", "country"))
+    assert(Upsert.upsertParquet(spark, path, day2,
+      Seq("rank", "source_date", "country")) === 1)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 2)
+    // first write wins for the replayed key
+    assert(back.filter($"source_date" === d1).select("payload")
+      .as[String].collect().toSeq === Seq("x"))
+  }
+
+  test("partitioned upsert is idempotent and prunes by date") {
+    val path = tmp()
+    val batch = Seq((1, d1, "US"), (2, d1, "US"), (1, d2, "US"))
+      .toDF("rank", "source_date", "country")
+    assert(Upsert.upsertPartitioned(spark, path, batch,
+      Seq("rank", "source_date", "country"), "source_date") === 3)
+    assert(Upsert.upsertPartitioned(spark, path, batch,
+      Seq("rank", "source_date", "country"), "source_date") === 0)
+    assert(spark.read.parquet(path).count() === 3)
+    // physical layout is partitioned by date
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("source_date="))
+    assert(dirs.length === 2)
+  }
+
+  test("partitioned upsert rejects keys that omit the date column") {
+    val batch = Seq((1, d1)).toDF("rank", "source_date")
+    assertThrows[IllegalArgumentException] {
+      Upsert.upsertPartitioned(spark, tmp(), batch, Seq("rank"), "source_date")
+    }
+  }
+
+  test("ingest -> ODS upsert replay is a no-op end to end") {
+    val path = tmp()
+    val ods = graft.ingest.OdsBuilder.ingest(spark)
+    val keys = Seq("song_rank", "source_date", "country")
+    assert(Upsert.upsertPartitioned(spark, path, ods, keys, "source_date") === 66)
+    assert(Upsert.upsertPartitioned(spark, path, ods, keys, "source_date") === 0)
+    assert(spark.read.parquet(path).count() === 66)
+  }
+}
