@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.engine.Upsert
+import graft.ingest.OdsBuilder
+
+/** Structured-Streaming restatement of the reference's daily cadence
+  * (SURVEY §2.8): the cron + sensor choreography
+  * (`raw_from_api_to_s3.py:70`, `transformed_from_s3_to_pg.py:119-126`)
+  * becomes a file-source stream over the raw landing directory with
+  * `Trigger.AvailableNow()` — each invocation drains exactly the files
+  * that have arrived, then stops; the checkpoint remembers processed
+  * files, and the idempotent ODS upsert makes replays no-ops even if the
+  * checkpoint is lost. Event-time windows with watermarks cover the
+  * late-data surface the reference cannot express.
+  *
+  * Scale notes: the file source lists only new files per batch;
+  * `foreachBatch` reuses the BATCH OdsBuilder/Upsert plans, so streaming
+  * inherits their partitioning/pruning properties. Watermarked windowed
+  * aggregation is Spark's incremental stateful operator — state is keyed
+  * by (window, event_type), bounded by the watermark horizon.
+  */
+object GraftStreaming {
+
+  /** Daily-drop ingest: landing dir → deduped, date-partitioned ODS.
+    * One call ≙ one reference DAG run.
+    */
+  def dailyDropIngest(spark: SparkSession, landingRoot: String,
+      odsPath: String, checkpoint: String): StreamingQuery = {
+    val raw = spark.readStream
+      .option("multiLine", value = true)
+      .schema(OdsBuilder.rawSchema)
+      .json(s"$landingRoot/*/*.json")
+    raw.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.upsertPartitioned(spark, odsPath, OdsBuilder.toOds(batch),
+          Seq("song_rank", "source_date", "country"), "source_date")
+        ()
+      }
+      .start()
+  }
+
+  /** Tumbling-window event counts + exact value sums. Works in BOTH
+    * batch (the oracle-checked `q_window_hourly`; `withWatermark` is a
+    * no-op there) and streaming (watermark bounds state and drops late
+    * rows). Money-math discipline: values are summed as exact integer
+    * cents and converted to double once (QueryDef.dec rationale).
+    */
+  def windowedEventStats(events: DataFrame, windowLen: String,
+      watermark: String = "30 minutes"): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    events.withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), cents.as("cents"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")).cast("double") / 100).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Sliding-window variant (length 2×slide): every event contributes to
+    * two windows — the overlap shape the reference has no analogue for.
+    */
+  def slidingEventCounts(events: DataFrame, length: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), length, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+}

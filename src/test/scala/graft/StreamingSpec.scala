@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.GraftStreaming
+
+/** Streaming-only semantics: AvailableNow daily-drop incremental ingest
+  * (second drop appends exactly the new date) and watermark-driven
+  * late-data handling on event-time windows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): Path =
+    Files.createTempDirectory(s"graft-stream-$name")
+
+  private def copyDate(landing: Path, date: String): Unit = {
+    val src = Paths.get(graft.ingest.OdsBuilder.fixtureRoot, date)
+    val dst = landing.resolve(date)
+    Files.createDirectories(dst)
+    Files.list(src).forEach(f =>
+      Files.copy(f, dst.resolve(f.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
+  }
+
+  test("AvailableNow daily drops: second drop appends exactly the new date") {
+    val landing = tmp("landing")
+    val ods = tmp("ods").resolve("ods").toString
+    val ckpt = tmp("ckpt").toString
+
+    copyDate(landing, "2024-05-01")
+    GraftStreaming.dailyDropIngest(spark, landing.toString, ods, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(ods).count() === 33)
+
+    copyDate(landing, "2024-05-02")
+    GraftStreaming.dailyDropIngest(spark, landing.toString, ods, ckpt)
+      .awaitTermination()
+    val back = spark.read.parquet(ods)
+    assert(back.count() === 66)
+    assert(back.select("source_date").distinct().count() === 2)
+
+    // replay with a FRESH checkpoint (lost-checkpoint scenario): the
+    // upsert layer still makes it a no-op
+    GraftStreaming.dailyDropIngest(spark, landing.toString, ods,
+      tmp("ckpt2").toString).awaitTermination()
+    assert(spark.read.parquet(ods).count() === 66)
+  }
+
+  test("watermarked tumbling windows finalize and drop late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val out = GraftStreaming.windowedEventStats(events, "10 minutes",
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // two on-time events in the 10:00-10:10 window
+    in.addData((t("2024-05-01 10:02:00"), "click", 1.0),
+      (t("2024-05-01 10:08:00"), "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past the window end -> window finalizes
+    in.addData((t("2024-05-01 11:30:00"), "click", 5.0))
+    q.processAllAvailable()
+    val finalized = spark.table("win")
+      .filter(col("window_start") === t("2024-05-01 10:00:00"))
+      .select("n_events", "sum_value").as[(Long, Double)].collect()
+    assert(finalized.toSeq === Seq((2L, 3.0)))
+
+    // a LATE event for the already-finalized window is dropped
+    in.addData((t("2024-05-01 10:03:00"), "click", 100.0))
+    q.processAllAvailable()
+    val after = spark.table("win")
+      .filter(col("window_start") === t("2024-05-01 10:00:00"))
+      .select("n_events", "sum_value").as[(Long, Double)].collect()
+    assert(after.toSeq === Seq((2L, 3.0)), "late event must not reopen the window")
+    q.stop()
+  }
+}
