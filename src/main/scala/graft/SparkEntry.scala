@@ -14,7 +14,8 @@ object SparkEntry {
   /** Full registry, assembled from the per-area modules. */
   def registry: Seq[QueryDef] =
     Relational.all ++ ChartQueries.all ++ IngestQueries.all ++
-      DocQueries.all ++ VectorQueries.all ++ StreamQueries.all
+      DocQueries.all ++ VectorQueries.all ++ StreamQueries.all ++
+      MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The raw-JSON end-to-end royalties mart exercises the whole reference

@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded per-partition (SURVEY §7.6; builder-brief
+  * multimodal mandate).
+  *
+  * The container has no image/audio codecs, so [[decodeMeta]]'s byte →
+  * (width, height, frames) step is a clearly-marked DETERMINISTIC STUB —
+  * the Spark-side plumbing around it is real: binary column derivation,
+  * a typed `Dataset[MediaRow]`, partition-granular batch decode via
+  * `mapPartitions` (the shape a vectorized decoder needs: amortize codec
+  * init per partition, stream rows within it), and a schema contract the
+  * DuckDB oracle can mirror because the stub is a pure function of the
+  * byte length.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Stand-in payload: the document text's UTF-8 bytes as the opaque
+    * media blob (real pipelines carry jpeg/wav/mp4 bytes here).
+    */
+  def deriveMedia(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      encode(col("text"), "utf-8").cast("binary").as("media"))
+
+  /** STUB decode — stands where an image/audio decoder would run.
+    * Deterministic pure function of the payload so tests and the SQL
+    * oracle can verify the plumbing end-to-end. Partition-granular: one
+    * "codec init" per partition, rows streamed through it.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real code would initialize the decoder ONCE here per partition
+      rows.map { r =>
+        val n = r.media.length.toLong
+        MediaMeta(r.doc_id, "image/fake", n,
+          width = (n % 640).toInt + 1,
+          height = ((n * 7) % 480).toInt + 1,
+          n_frames = (n % 30).toInt + 1)
+      }
+    }
+  }
+
+  /** documents → typed media metadata (the registered query's body). */
+  def documentsMeta(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeMeta(deriveMedia(documents).as[MediaRow]).toDF()
+  }
+}

@@ -24,7 +24,7 @@ object IngestQueries {
   /** Shared oracle prefix: raw JSON → deduped ODS (mirror of
     * [[OdsBuilder.toOds]]).
     */
-  private val odsCte = s"""
+  private[queries] val odsCteSql: String = s"""
     WITH raw AS (
       SELECT generate_subscripts(tracks.track, 1) AS pos,
              unnest(tracks.track) AS t,
@@ -54,7 +54,7 @@ object IngestQueries {
     "lastfm_ingest",
     (s, _) => OdsBuilder.ingest(s)
       .orderBy(col("source_date"), col("country"), col("song_rank")),
-    Some(odsCte + """
+    Some(odsCteSql + """
       SELECT * FROM ods ORDER BY source_date, country, song_rank"""))
 
   /** The full reference vertical from raw JSON: ingest → imputation →
@@ -69,7 +69,7 @@ object IngestQueries {
         StarBuilder.dimSong(filled), StarBuilder.dimCountry(filled))
       Marts.expectedArtistRoyaltiesByDate(fact, StarBuilder.dimArtist(filled))
     },
-    Some(odsCte + """,
+    Some(odsCteSql + """,
     imp AS (
       SELECT source_date,
              CAST((2 * SUM(duration_sec) + COUNT(*)) // (2 * COUNT(*)) AS INTEGER) AS imputed

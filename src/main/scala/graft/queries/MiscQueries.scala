@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.ingest.OdsBuilder
+import graft.multimodal.Multimodal
+import graft.sources.CsvTables
+
+/** Remaining §2 coverage: the CSV hop (S5/S6), JSON serialization +
+  * run-date formatting + key interpolation (F7/F5/F9), and the multimodal
+  * binary-column plumbing.
+  */
+object MiscQueries {
+
+  /** S5+S6: ODS rows → `;`-delimited CSV with header → read back with the
+    * declared schema. The oracle checks the round trip is lossless by
+    * recomputing the same ODS straight from the raw JSON: any
+    * quoting/typing loss in the CSV hop would break the hash.
+    */
+  val qCsvRoundtrip = QueryDef(
+    "q_csv_roundtrip",
+    (s, _) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      CsvTables.writeOdsCsv(OdsBuilder.ingest(s), path)
+      CsvTables.readOdsCsv(s, path)
+        .orderBy(col("source_date"), col("country"), col("song_rank"))
+    },
+    // same oracle as lastfm_ingest — the CSV hop must be invisible
+    IngestQueries.ingestQuery.oracle,
+    bench = false)
+
+  /** F7+F5+F9: reconstruct the reference's S3 key
+    * (`top_100/raw/{date}/{country}_{date}.json`,
+    * `raw_from_api_to_s3.py:47`) and a JSON payload per chart row.
+    * Spark `to_json` and DuckDB `to_json` emit the identical compact
+    * encoding (verified), so the serialization itself is hash-checked.
+    */
+  val qToJson = QueryDef(
+    "q_to_json",
+    (s, _) => OdsBuilder.ingest(s)
+      .select(
+        concat(lit("top_100/raw/"), date_format(col("source_date"), "yyyy-MM-dd"),
+          lit("/"), col("country"), lit("_"),
+          date_format(col("source_date"), "yyyy-MM-dd"), lit(".json")).as("s3_key"),
+        col("song_rank"),
+        to_json(struct(col("song_name"), col("artist_name"),
+          col("duration_sec"))).as("payload"))
+      .orderBy(col("s3_key"), col("song_rank")),
+    Some(IngestQueries.odsCteSql + """
+      SELECT 'top_100/raw/' || strftime(source_date, '%Y-%m-%d') || '/' ||
+             country || '_' || strftime(source_date, '%Y-%m-%d') || '.json' AS s3_key,
+             song_rank,
+             CAST(to_json(struct_pack(song_name := song_name,
+               artist_name := artist_name,
+               duration_sec := duration_sec)) AS VARCHAR) AS payload
+      FROM ods ORDER BY s3_key, song_rank"""),
+    bench = false)
+
+  /** Multimodal plumbing: binary media column + typed metadata via a
+    * partition-granular decode (stubbed deterministically — see
+    * [[Multimodal.decodeMeta]]). The oracle mirrors the stub as a pure
+    * SQL function of the byte length, verifying the binary derivation and
+    * the mapPartitions round trip.
+    */
+  val qMultimodalMeta = QueryDef(
+    "q_multimodal_meta",
+    (s, dir) => Multimodal.documentsMeta(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, 'image/fake' AS mime,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+             CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+             CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qToJson, qMultimodalMeta)
+}
