@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.functions.TextFunctions._
+
+/** Extension-surface operators beyond the reference (SURVEY §2 "extension"
+  * rows): SimHash near-dup pairs via byte banding, rollup subtotals,
+  * calendar extraction, and session windows.
+  */
+object ExtQueries {
+
+  /** SimHash near-dup pairs with hamming ≤ 3, found by 4×8-bit banding:
+    * pigeonhole guarantees any pair within distance 3 shares at least one
+    * of the 4 bands, so the equi-join on (band, byte) finds ALL such
+    * pairs — bucket-local work only, never all-pairs (the same 100 TB
+    * blocking discipline as the MinHash path).
+    */
+  val qSimhashPairs = QueryDef(
+    "q_simhash_pairs",
+    (s, dir) => {
+      val sim = t(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(array_distinct(words(col("text"))), w => h44(w)).as("hs"))
+        .select(col("doc_id"), simhash32("hs").as("sim"))
+      val bands = sim.select(col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(m =>
+          struct(lit(m).as("m"),
+            shiftright(col("sim"), m * 8).bitwiseAND(255).as("bkey"))): _*)).as("b"))
+        .select(col("doc_id"), col("sim"), col("b.m"), col("b.bkey"))
+      val a = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_a"),
+        col("sim").as("sim_a"))
+      val b = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_b"),
+        col("sim").as("sim_b"))
+      a.join(b, Seq("m", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH sim AS (
+        SELECT doc_id, ${simhash32Sql(s"list_transform(list_distinct(${wordsSql("text")}), w -> ${h44Sql("w")})")} AS sim
+        FROM documents),
+      bands AS (
+        SELECT doc_id, sim, m, (sim >> (m * 8)) & 255 AS bkey
+        FROM sim, (SELECT unnest([0, 1, 2, 3]) AS m)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sim AS sim_a, b.sim AS sim_b
+        FROM bands a JOIN bands b ON a.m = b.m AND a.bkey = b.bkey
+                                 AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+      FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      ORDER BY doc_a, doc_b"""),
+    bench = false)
+
+  /** A8 extension: ROLLUP subtotals with labeled grand-total rows. */
+  val qRollup = QueryDef(
+    "q_rollup_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        QueryDef.dec(col("l_extendedprice")).as("price"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("price")).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("revenue"), col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** F-surface extension: calendar-part extraction + grouped counts. */
+  val qDateParts = QueryDef(
+    "q_date_parts",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+        quarter(col("o_orderdate")).cast("int").as("q"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("y"), col("q")),
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+             CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1, 2 ORDER BY y, q"""))
+
+  /** §2.8 extension: session windows (30-minute inactivity gap) per user
+    * over the events stream-table. The DuckDB mirror is the classic
+    * gaps-and-islands rewrite (lag → new-session flag → running sum),
+    * matching Spark's strict gap semantics (a gap of exactly 30 minutes
+    * starts a new session).
+    */
+  val qSessionWindows = QueryDef(
+    "q_session_windows",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      WITH m AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      g AS (
+        SELECT *, SUM(new_s) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+      SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             count(*) AS n_events
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[QueryDef] = Seq(qSimhashPairs, qRollup, qDateParts,
+    qSessionWindows)
+}
