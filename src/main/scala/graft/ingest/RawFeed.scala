@@ -1,0 +1,54 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths}
+
+/** S1/S2 — the live feed half of the reference's DAG 1
+  * (`dags/raw_from_api_to_s3.py`): one `geo.getTopTracks` GET per country
+  * per day, raw body landed verbatim (EL, not ETL) at
+  * `{root}/{date}/{country}_{date}.json` with idempotent overwrite
+  * (`raw_from_api_to_s3.py:21-54`).
+  *
+  * The fetch is driver-side by design — one tiny request per (country,
+  * day) is orchestration, not data-parallel work; executors only get
+  * involved when [[OdsBuilder]] reads the landed files back. The
+  * transport is injectable so the zero-egress harness and the tests run
+  * on fixtures; production passes [[liveFetch]].
+  */
+object RawFeed {
+
+  type Fetch = String => String
+
+  /** `COUNTRIES` per `raw_from_api_to_s3.py:14-18`. */
+  val defaultCountries: Seq[String] =
+    Seq("Russian Federation", "United States", "Kazakhstan")
+
+  /** Request URL shape per `raw_from_api_to_s3.py:21-44` (method,
+    * country, limit=100, json format).
+    */
+  def requestUrl(country: String, apiKey: String): String = {
+    val c = java.net.URLEncoder.encode(country, "UTF-8")
+    "https://ws.audioscrobbler.com/2.0/?method=geo.gettoptracks" +
+      s"&country=$c&limit=100&api_key=$apiKey&format=json"
+  }
+
+  /** Real transport (java.net.http; the reference uses `requests`). */
+  def liveFetch: Fetch = { url =>
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .GET().build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  /** Fetch + land one day's files; returns the written paths. Re-running
+    * overwrites in place (`replace=True`, `raw_from_api_to_s3.py:54`).
+    */
+  def land(fetch: Fetch, apiKey: String, root: String, date: String,
+      countries: Seq[String] = defaultCountries): Seq[Path] = {
+    val dir = Paths.get(root, date)
+    Files.createDirectories(dir)
+    countries.map { c =>
+      val body = fetch(requestUrl(c, apiKey))
+      Files.writeString(dir.resolve(s"${c}_$date.json"), body)
+    }
+  }
+}
