@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Relational
+
+/** Physical-plan gates: the properties that make these queries scale are
+  * asserted, not assumed — filter/column pushdown into the parquet scan,
+  * broadcast joins for small dims, whole-stage codegen, partition
+  * pruning on date-partitioned tables, and no cartesian products.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // drive THIS QueryExecution through AQE to its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter and column pruning reach the lineitem scan") {
+    val p = formatted(Relational.q1PricingSummary.run(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$p")
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q1: aggregation runs inside whole-stage codegen") {
+    // the final (post-AQE) plan marks codegen'd operators with *(n)
+    val p = finalPlan(Relational.q1PricingSummary.run(spark, dir))
+    assert(p.contains("HashAggregate"))
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined,
+      s"HashAggregate not inside a codegen stage:\n$p")
+  }
+
+  test("q3: the filtered customer dim is broadcast") {
+    val p = finalPlan(Relational.q3TopRevenue.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("lastfm fact build: AQE picks broadcast for the small dims at this scale") {
+    val p = finalPlan(graft.queries.ChartQueries.factQuery.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("date-partitioned ODS reads prune to the filtered partition") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-prune").resolve("ods").toString
+    val df = Seq(
+      (1, Date.valueOf("2024-05-01"), "US"),
+      (2, Date.valueOf("2024-05-02"), "US"))
+      .toDF("rank", "source_date", "country")
+    graft.engine.Upsert.upsertPartitioned(spark, path, df,
+      Seq("rank", "source_date", "country"), "source_date")
+    val read = spark.read.parquet(path)
+      .filter(col("source_date") === Date.valueOf("2024-05-01"))
+    val p = formatted(read)
+    assert(p.contains("PartitionFilters"), s"no partition filters in:\n$p")
+    assert(p.contains("isnotnull(source_date"))
+    // only one of the two date partitions is actually scanned
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value === 1,
+      s"expected 1 scanned file after pruning, got ${scan.metrics("numFiles").value}")
+  }
+
+  test("no plan in the registry contains a cartesian product (except the bounded validators)") {
+    val allowed = Set("q_ngram_jaccard") // explicit bounded all-pairs validator
+    SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
+      val p = q.run(spark, dir).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+    }
+  }
+}
