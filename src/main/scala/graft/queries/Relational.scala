@@ -256,6 +256,27 @@ object Relational {
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events ORDER BY event_id"""))
 
+  /** F8 (typed parse) — `from_json` with a declared schema, the
+    * schema-first twin of [[qJsonExtract]]'s path extraction (the
+    * reference's `json.loads`, `transformed_from_s3_to_pg.py:63`).
+    * Aggregating the parsed field proves the struct is fully typed.
+    */
+  val qFromJson = QueryDef(
+    "q_from_json",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).as("p"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("p.k")).as("sum_k"), count(col("p.k")).as("n"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** P1 — array explode with position (the `tracks.track[]` flatten,
     * `dags/transformed_from_s3_to_pg.py:33-34`) over the embeddings table.
     */
@@ -274,5 +295,5 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3TopRevenue, q5LocalSupplier, qDistinct, qDimComposite,
     qImputeScalar, qAntiJoin, qSemiJoin, qTopkPerGroup, qUnion, qJsonExtract,
-    qExplode)
+    qFromJson, qExplode)
 }
