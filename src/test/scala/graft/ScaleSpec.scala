@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.Bucketing
+
+/** Scale-technique gates: bucketed joins elide the shuffle, salted joins
+  * reproduce plain-join results, sketches stay within their error bound.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without an exchange") {
+    import spark.implicits._
+    val orders = graft.engine.Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = graft.engine.Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketing.writeBucketed(orders, "b_orders", 4, Seq("o_orderkey"))
+    Bucketing.writeBucketed(li, "b_lineitem", 4, Seq("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem",
+        Seq("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // row parity with the unbucketed join
+      val expected = orders.join(li, Seq("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join reproduces the plain join exactly") {
+    val salted = graft.queries.ScaleQueries.qSaltedJoin.run(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val ev = graft.engine.Tables.t(spark, dir, "events")
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("bigint"))
+    val plain = ev.select(col("event_type"), cents.as("cents"))
+      .join(dim, Seq("event_type"))
+      .groupBy(col("event_type"), col("type_weight"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")).cast("double") / 100).as("sum_value"))
+      .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+  }
+
+  test("HLL++ estimate stays within its configured error bound") {
+    import spark.implicits._
+    val rows = graft.queries.ScaleQueries.qApproxDistinct.run(spark, dir)
+      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.1, s"HLL error $err (approx=$approx exact=$exact)")
+    }
+  }
+}
