@@ -96,4 +96,13 @@ object OdsBuilder {
   /** Full ingest: landing dir → deduped ODS rows. */
   def ingest(spark: SparkSession, root: String = fixtureRoot): DataFrame =
     toOds(readRaw(spark, root))
+
+  /** Typed variant for library consumers (`Dataset[OdsRow]`, §1.3
+    * contract) — same plan, compile-time column safety at the boundary.
+    */
+  def ingestTyped(spark: SparkSession,
+      root: String = fixtureRoot): org.apache.spark.sql.Dataset[graft.model.Schemas.OdsRow] = {
+    import spark.implicits._
+    ingest(spark, root).as[graft.model.Schemas.OdsRow]
+  }
 }

@@ -242,6 +242,30 @@ object Relational {
       SELECT o_orderpriority AS v FROM orders
       ORDER BY v"""))
 
+  /** §2.6 — INTERSECT (distinct semantics), extension coverage. */
+  val qIntersect = QueryDef(
+    "q_intersect",
+    (s, dir) => t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      .intersect(t(s, dir, "customer").select(col("c_nationkey").as("nk")))
+      .orderBy("nk"),
+    Some("""
+      SELECT s_nationkey AS nk FROM supplier
+      INTERSECT
+      SELECT c_nationkey AS nk FROM customer
+      ORDER BY nk"""))
+
+  /** §2.6 — EXCEPT (distinct semantics), extension coverage. */
+  val qExcept = QueryDef(
+    "q_except",
+    (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk"),
+    Some("""
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nk FROM supplier
+      ORDER BY nk"""))
+
   /** P1/F8 — semi-structured flatten: JSON field extraction from
     * `events.props` (cf. the raw-JSON flatten,
     * `dags/transformed_from_s3_to_pg.py:31-45`).
@@ -294,6 +318,6 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q3TopRevenue, q5LocalSupplier, qDistinct, qDimComposite,
-    qImputeScalar, qAntiJoin, qSemiJoin, qTopkPerGroup, qUnion, qJsonExtract,
-    qFromJson, qExplode)
+    qImputeScalar, qAntiJoin, qSemiJoin, qTopkPerGroup, qUnion, qIntersect,
+    qExcept, qJsonExtract, qFromJson, qExplode)
 }

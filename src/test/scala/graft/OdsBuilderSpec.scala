@@ -48,4 +48,17 @@ class OdsBuilderSpec extends AnyFunSuite {
     assert(ods.groupBy("song_rank", "source_date", "country").count()
       .filter(col("count") > 1).count() === 0)
   }
+
+  test("typed Dataset[OdsRow] boundary round-trips the same rows") {
+    val typed = graft.ingest.OdsBuilder.ingestTyped(spark)
+    assert(typed.count() === 66)
+    // typed transformation: per-row listener cents, compile-checked fields
+    val top = typed.filter(_.song_rank == 1)
+      .map(r => (r.country, r.listeners_count))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaInt))
+      .collect().toMap
+    assert(top.keySet === Set("Russian Federation", "United States", "Kazakhstan"))
+  }
 }
