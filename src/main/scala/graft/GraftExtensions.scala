@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.Md5Prefix44
+
+/** Session extensions — the documented registration path for the
+  * engine's native expressions (set
+  * `spark.sql.extensions=graft.GraftExtensions`). Makes `md5_prefix44`
+  * available to SQL text as well as the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix44"),
+      new ExpressionInfo(classOf[Md5Prefix44].getName, "md5_prefix44"),
+      (children: Seq[Expression]) => Md5Prefix44(children.head)))
+  }
+}

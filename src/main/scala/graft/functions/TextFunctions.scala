@@ -21,8 +21,15 @@ object TextFunctions {
   /** 44-bit md5-derived hash (11 hex digits). Small enough that an affine
     * permutation `a*h + b` with a < 2^19 never overflows a signed 64-bit
     * integer: 2^19 * 2^44 + 2^44 < 2^63.
+    *
+    * Implemented by the native [[Md5Prefix44]] expression (no per-word
+    * hex-string allocation); [[h44Builtin]] is the built-in-functions
+    * formulation it is property-tested against.
     */
-  def h44(c: Column): Column =
+  def h44(c: Column): Column = Md5Prefix44(c)
+
+  /** Built-in-only twin of [[h44]] (parity reference + fallback). */
+  def h44Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 11), 16, 10).cast("bigint")
 
   /** Spark-SQL-text mirror of [[h44]] (for expr-built lambdas). */

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 marks `ExpressionUtils`
+  * `private[sql]`, so third-party native expressions reach it from a
+  * subpackage — the standard extension-library technique (same pattern
+  * as public Spark connector/extension projects; no Spark internals are
+  * modified or copied).
+  */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Md5Prefix44, TextFunctions}
+
+/** The native Md5Prefix44 expression must be value-identical to the
+  * built-in conv(substring(md5)) chain it replaces (the DuckDB oracle
+  * derives from the same hex definition).
+  */
+class TextHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    Seq("", "a", "The quick brown fox", "héllo wörld", "日本語テキスト",
+      "x" * 1000) ++
+      (0 until 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+  }
+
+  test("native h44 equals the built-in hex formulation on varied inputs") {
+    val df = sample.toDF("s")
+      .select(TextFunctions.h44(col("s")).as("native"),
+        TextFunctions.h44Builtin(col("s")).as("builtin"))
+    assert(df.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
+  test("native h44 works inside higher-order-function lambdas") {
+    val df = Seq(Seq("a", "b", "c")).toDF("ws")
+      .select(transform(col("ws"), w => TextFunctions.h44(w)).as("native"),
+        transform(col("ws"), w => TextFunctions.h44Builtin(w)).as("builtin"))
+    val r = df.as[(Seq[Long], Seq[Long])].collect().head
+    assert(r._1 === r._2)
+  }
+
+  test("md5_prefix44 is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT md5_prefix44('abc') AS native, " +
+        "cast(conv(substring(md5('abc'), 1, 11), 16, 10) as bigint) AS builtin")
+      .as[(Long, Long)].collect().head
+    assert(r._1 === r._2)
+  }
+
+  test("scala-side hash matches the engine evaluation") {
+    val engine = Seq("plane_0_dim_0").toDF("s")
+      .select(TextFunctions.h44(col("s"))).as[Long].collect().head
+    assert(engine === Md5Prefix44.hash("plane_0_dim_0".getBytes("UTF-8")))
+  }
+}
