@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.engine.Upsert
+import graft.ingest.OdsBuilder
+import graft.marts.Marts
+import graft.star.StarBuilder
+
+/** The product facade: one call per day ≙ the reference's whole 4-DAG
+  * chain (`raw landing → ods.daily_data → dds star → dm marts`,
+  * `README.md:56-59`), with the reference's cross-day semantics:
+  * append-only ODS/fact keyed by their unique constraints, append-only
+  * dims with stable `serial`-style ids ([[StarBuilder.dimIncremental]]),
+  * idempotent mart refresh per date. Every write is an anti-join upsert
+  * or a staged overwrite — re-running any day is a no-op
+  * (PipelineSpec).
+  *
+  * Scale notes: the day's ingest lists only that date's landing prefix;
+  * ODS and fact are date-partitioned (downstream date predicates prune);
+  * dims are the only full-table rewrites (small relative to facts, and
+  * staged so readers never see a half-written table).
+  */
+object Pipeline {
+
+  private val OdsKeys = Seq("song_rank", "source_date", "country")
+
+  def odsPath(wh: String) = s"$wh/ods_daily_data"
+  def dimArtistPath(wh: String) = s"$wh/dds_dim_artist"
+  def dimCountryPath(wh: String) = s"$wh/dds_dim_country"
+  def dimSongPath(wh: String) = s"$wh/dds_dim_song"
+  def factPath(wh: String) = s"$wh/dds_fact_daily_top_100"
+  def martAvgPath(wh: String) = s"$wh/dm_avg_song_duration_by_country"
+  def martAppearancesPath(wh: String) = s"$wh/dm_artist_appearances_by_date"
+  def martRoyaltiesPath(wh: String) = s"$wh/dm_expected_artist_royalties_by_date"
+
+  /** Run one day end-to-end. `landingRoot` holds
+    * `{date}/{country}_{date}.json` raw files ([[ingest.RawFeed.land]]).
+    */
+  def runDaily(spark: SparkSession, landingRoot: String, warehouse: String,
+      date: String): Unit = {
+    // 1. ingest ONLY the day's prefix (the reference's date-scoped key
+    //    listing, `transformed_from_s3_to_pg.py:22-25`) → idempotent ODS
+    val day = OdsBuilder.toOds(
+      spark.read.option("multiLine", value = true).schema(OdsBuilder.rawSchema)
+        .json(s"$landingRoot/$date/*.json"))
+    Upsert.upsertPartitioned(spark, odsPath(warehouse), day, OdsKeys, "source_date")
+
+    // 2. the day's warehouse rows (post-dedup) → imputation (per-date, so
+    //    day-local equals global)
+    val filled = StarBuilder.imputePerDate(
+      spark.read.parquet(odsPath(warehouse))
+        .filter(col("source_date") === lit(date).cast("date")))
+
+    // 3. dims: append-only with stable ids
+    val dimArtist = upsertDim(spark, dimArtistPath(warehouse),
+      filled.select(col("artist_name")), "artist_id", Seq("artist_name"))
+    val dimCountry = upsertDim(spark, dimCountryPath(warehouse),
+      filled.select(col("country").as("country_name")),
+      "country_id", Seq("country_name"))
+    val dimSong = upsertDim(spark, dimSongPath(warehouse),
+      filled.select(col("song_name"), col("duration_filled").as("duration_sec")),
+      "song_id", Seq("song_name", "duration_sec"))
+
+    // 4. fact for the date, keyed (date, country_id, song_rank)
+    val fact = StarBuilder.fact(filled, dimArtist, dimSong, dimCountry)
+    Upsert.upsertPartitioned(spark, factPath(warehouse), fact,
+      Seq("date", "country_id", "song_rank"), "date")
+
+    // 5. marts for the date (idempotent per-date refresh — fixes the
+    //    reference's duplicate-on-rerun DM inserts, SURVEY §7.4.5)
+    val dayFact = spark.read.parquet(factPath(warehouse))
+      .filter(col("date") === lit(date).cast("date"))
+    Upsert.upsertPartitioned(spark, martAvgPath(warehouse),
+      Marts.avgSongDurationByCountry(dayFact, dimSong, dimCountry),
+      Seq("date", "country_name"), "date")
+    Upsert.upsertPartitioned(spark, martAppearancesPath(warehouse),
+      Marts.artistAppearancesByDate(dayFact, dimArtist),
+      Seq("date", "artist_name"), "date")
+    Upsert.upsertPartitioned(spark, martRoyaltiesPath(warehouse),
+      Marts.expectedArtistRoyaltiesByDate(dayFact, dimArtist),
+      Seq("date", "artist_name"), "date")
+  }
+
+  /** Read-extend-rewrite of a dim table with a STAGED overwrite: the new
+    * table is fully materialized in a sibling dir before the old one is
+    * replaced (a lazy overwrite would delete the very files its plan
+    * still has to read).
+    */
+  private def upsertDim(spark: SparkSession, path: String,
+      candidates: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
+    val existing = readOrEmpty(spark, path, candidates, idCol, keys)
+    val updated = StarBuilder.dimIncremental(existing, candidates, idCol, keys)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".staging")
+    updated.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+    spark.read.parquet(path)
+  }
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+      candidates: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else {
+      val keySchema = StructType(candidates.select(keys.map(col): _*).schema
+        .fields.map(_.copy(nullable = true)))
+      val schema = StructType(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false) +: keySchema.fields)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+}

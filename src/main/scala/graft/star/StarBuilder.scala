@@ -79,6 +79,24 @@ object StarBuilder {
   private def dim(df: DataFrame, idCol: String, naturalKey: Seq[String]): DataFrame =
     withSurrogateId(df.select(naturalKey.map(col): _*).distinct(), idCol, naturalKey)
 
+  /** Incremental dim upsert — the cross-day `serial` semantics
+    * (`ddl_dds.sql:3,9,15` + `ON CONFLICT DO NOTHING`,
+    * `from_ods_to_dds_pg.py:50,63,80`): existing rows keep their ids
+    * forever; unseen natural keys get ids starting at max(existing)+1,
+    * ranked deterministically within the batch. Day-over-day id
+    * stability is what lets the fact table reference dims append-only.
+    */
+  def dimIncremental(existing: DataFrame, candidates: DataFrame,
+      idCol: String, naturalKey: Seq[String]): DataFrame = {
+    val keys = naturalKey.map(col)
+    val fresh = candidates.select(keys: _*).distinct()
+      .join(existing.select(keys: _*), naturalKey, "left_anti")
+    val base = existing.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
+    val assigned = withSurrogateId(fresh, idCol, naturalKey)
+      .withColumn(idCol, col(idCol) + base)
+    existing.unionByName(assigned)
+  }
+
   /** `INSERT INTO dds.dim_artist ... SELECT DISTINCT artist_name`
     * (`from_ods_to_dds_pg.py:56-64`).
     */

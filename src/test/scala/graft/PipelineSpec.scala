@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-day product contract: incremental daily runs with stable
+  * dim ids, append-only fact, idempotent replays, and mart parity with a
+  * full rebuild.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val landing = graft.ingest.OdsBuilder.fixtureRoot
+  private lazy val wh = Files.createTempDirectory("graft-wh").toString
+
+  test("two daily runs build the warehouse incrementally with stable dim ids") {
+    Pipeline.runDaily(spark, landing, wh, "2024-05-01")
+    assert(spark.read.parquet(Pipeline.odsPath(wh)).count() === 33)
+    assert(spark.read.parquet(Pipeline.factPath(wh)).count() === 33)
+    val songsDay1 = spark.read.parquet(Pipeline.dimSongPath(wh))
+      .as[(Long, String, Long)].collect().toSet
+    val artistsDay1 = spark.read.parquet(Pipeline.dimArtistPath(wh))
+      .as[(Long, String)].collect().toSet
+
+    Pipeline.runDaily(spark, landing, wh, "2024-05-02")
+    assert(spark.read.parquet(Pipeline.odsPath(wh)).count() === 66)
+    assert(spark.read.parquet(Pipeline.factPath(wh)).count() === 66)
+
+    // serial semantics: every day-1 id survives day 2 unchanged
+    val songsDay2 = spark.read.parquet(Pipeline.dimSongPath(wh))
+      .as[(Long, String, Long)].collect().toSet
+    assert(songsDay1.subsetOf(songsDay2))
+    assert(songsDay2.size > songsDay1.size, "day 2 should add new song keys")
+    val artistsDay2 = spark.read.parquet(Pipeline.dimArtistPath(wh))
+      .as[(Long, String)].collect().toSet
+    assert(artistsDay2 === artistsDay1, "no new artists on day 2")
+
+    // ids are dense and unique
+    val ids = songsDay2.map(_._1)
+    assert(ids === (1L to ids.size).toSet)
+  }
+
+  test("replaying a day is a no-op for every table") {
+    val before = Seq(Pipeline.odsPath(wh), Pipeline.factPath(wh),
+      Pipeline.dimSongPath(wh), Pipeline.martRoyaltiesPath(wh))
+      .map(p => p -> spark.read.parquet(p).count()).toMap
+    Pipeline.runDaily(spark, landing, wh, "2024-05-02")
+    before.foreach { case (p, n) =>
+      assert(spark.read.parquet(p).count() === n, s"replay changed $p")
+    }
+  }
+
+  test("incremental royalties mart equals the full single-pass rebuild") {
+    val incremental = spark.read.parquet(Pipeline.martRoyaltiesPath(wh))
+      .select(col("date").cast("string"), col("artist_name"), col("royalties"))
+      .as[(String, String, Double)].collect().toSet
+    val fullRebuild = graft.queries.IngestQueries.e2eRoyaltiesQuery.run(spark, "")
+      .select(col("date").cast("string"), col("artist_name"), col("royalties"))
+      .as[(String, String, Double)].collect().toSet
+    assert(incremental === fullRebuild)
+  }
+}
