@@ -168,6 +168,70 @@ object VectorQueries {
         FROM scored)
       WHERE rk <= $TopK ORDER BY query_id, rk"""))
 
+  /** IVF-flat ANN top-k: the corpus is PARTITIONED into inverted lists
+    * by nearest centroid; a query probes only its own centroid's list.
+    * Centroids here are deterministic seeds (the first [[IvfCentroids]]
+    * vectors) so the oracle can mirror them — a production build would
+    * k-means-train them; the partition/probe machinery (the scale part)
+    * is identical. Complements [[qAnnLshTopk]]: IVF gives data-adaptive
+    * cells, LSH gives constant-time hashing.
+    */
+  private val IvfCentroids = 16
+
+  val qAnnIvfTopk = QueryDef(
+    "q_ann_ivf_topk",
+    (s, dir) => {
+      val base = quantized(s, dir)
+      val cent = base.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+      val assignW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = base.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("n2"), col("cent_id"),
+          cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
+        .withColumn("rk", row_number().over(assignW))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("n2"), col("cent_id"))
+      val qs = assigned.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("cent_id"))
+      val scored = assigned.join(broadcast(qs), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""
+      WITH base AS ($quantizedSql),
+      n AS (SELECT vec_id, v, $n2Sql AS n2 FROM base),
+      cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n
+               WHERE vec_id < $IvfCentroids),
+      assigned AS (
+        SELECT vec_id, v, n2, cent_id FROM (
+          SELECT n.vec_id, n.v, n.n2, cent.cent_id,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   ${cosineSql(dotSql("n.v", "cent.cv"), "n.n2", "cent.cn2")} DESC,
+                   cent.cent_id) AS rk
+          FROM n, cent)
+        WHERE rk = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cent_id
+            FROM assigned WHERE vec_id < $NQueries),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+               ${cosineSql(dotSql("q.qv", "c.v"), "q.qn2", "c.n2")} AS cosine
+        FROM assigned c JOIN q ON c.cent_id = q.cent_id
+                             AND c.vec_id <> q.query_id)
+      SELECT query_id, rk, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored)
+      WHERE rk <= $TopK ORDER BY query_id, rk"""))
+
   /** Embedding-cosine near-dup pairs, LSH-blocked: pairs are generated
     * only within a bucket (the banded design again — the all-pairs
     * variant is exactly what a 100 TB pipeline must never run).
@@ -196,5 +260,6 @@ object VectorQueries {
       WHERE ${cosineSql(dotSql("a.v", "b.v"), "a.n2", "b.n2")} >= 0.3
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qEmbeddingNeardup)
+  val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qAnnIvfTopk,
+    qEmbeddingNeardup)
 }
