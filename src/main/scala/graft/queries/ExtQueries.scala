@@ -126,6 +126,58 @@ object ExtQueries {
       FROM g GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** Statistical aggregates in exact integer arithmetic: population mean
+    * and variance from (n, Σx, Σx²) in cents — the one-pass formula
+    * every engine vectorizes, with the float conversion done once at the
+    * end so both engines emit identical doubles (Welford-style running
+    * floats would NOT hash-match across engines).
+    */
+  val qStatsVariance = QueryDef(
+    "q_stats_variance",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      t(s, dir, "events")
+        .select(col("event_type"), cents.as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n") / 100).as("mean_value"),
+          ((col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n"))) / 10000).as("var_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM (SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+              FROM events)
+        GROUP BY event_type)
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n / 100 AS mean_value,
+             (CAST(s2 AS DOUBLE) / n -
+              (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 10000 AS var_value
+      FROM g ORDER BY event_type"""))
+
+  /** Deterministic array aggregation: collect + sort, the only
+    * hash-stable form of `collect_list` (unsorted collection order is
+    * partition-dependent).
+    */
+  val qCollectSorted = QueryDef(
+    "q_collect_sorted",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("event_id"))).as("event_ids"))
+      .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id, list_sort(list(event_id)) AS event_ids
+      FROM events WHERE user_id < 20
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(qSimhashPairs, qRollup, qDateParts,
-    qSessionWindows)
+    qSessionWindows, qStatsVariance, qCollectSorted)
 }
