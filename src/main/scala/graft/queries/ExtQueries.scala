@@ -178,6 +178,30 @@ object ExtQueries {
       FROM events WHERE user_id < 20
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** Exact percentiles (sort-based, not sketched): Spark `percentile`
+    * and DuckDB `quantile_cont` share the (n-1)*p linear-interpolation
+    * definition, and on exact integer cents the doubles agree bitwise.
+    */
+  val qPercentiles = QueryDef(
+    "q_percentiles",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      t(s, dir, "events")
+        .select(col("event_type"), cents.as("c"))
+        .groupBy(col("event_type"))
+        .agg((expr("percentile(c, 0.5d)") / 100).as("p50_value"),
+          (expr("percentile(c, 0.9d)") / 100).as("p90_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             quantile_cont(c, 0.5) / 100 AS p50_value,
+             quantile_cont(c, 0.9) / 100 AS p90_value
+      FROM (SELECT event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(qSimhashPairs, qRollup, qDateParts,
-    qSessionWindows, qStatsVariance, qCollectSorted)
+    qSessionWindows, qStatsVariance, qCollectSorted, qPercentiles)
 }
