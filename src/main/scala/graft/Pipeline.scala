@@ -92,12 +92,19 @@ object Pipeline {
       candidates: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
     val existing = readOrEmpty(spark, path, candidates, idCol, keys)
     val updated = StarBuilder.dimIncremental(existing, candidates, idCol, keys)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
     updated.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+    // Swap with the previous table parked aside, not deleted first: a
+    // crash between delete and rename would lose the dim and its stable
+    // ids for good. Worst case after a crash here: `.old` remains for
+    // manual recovery; the target is never absent AND unrecoverable.
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
     spark.read.parquet(path)
   }
 

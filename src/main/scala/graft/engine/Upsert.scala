@@ -26,10 +26,16 @@ object Upsert {
 
   /** Rows of `incoming` whose natural key is absent from `existing` —
     * first-wins within `incoming` itself is the caller's concern (see
-    * `OdsBuilder.toOds`).
+    * `OdsBuilder.toOds`). NULL-SAFE on every key column: a plain
+    * `Seq`-key anti-join never matches NULL = NULL, so a row with a NULL
+    * key component (e.g. a rank that failed its cast) would be
+    * re-appended on every replay, breaking the idempotency contract.
     */
-  def newRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+  def newRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame = {
+    val ex = existing.select(keys.map(k => col(k).as(s"__ex_$k")): _*)
+    val cond = keys.map(k => incoming(k) <=> ex(s"__ex_$k")).reduce(_ && _)
+    incoming.join(ex, cond, "left_anti")
+  }
 
   /** Idempotent append of `incoming` into the parquet table at `path`,
     * keyed by `keys`. Returns the number of rows actually appended.
@@ -41,15 +47,7 @@ object Upsert {
       if (tableExists(spark, path))
         newRows(incoming, spark.read.parquet(path), keys)
       else incoming
-    // Materialize the delta BEFORE appending: the plan reads the target
-    // it is about to write, and a lazy write scanning a growing directory
-    // is how append jobs corrupt themselves.
-    val staged = toAppend.persist()
-    try {
-      val n = staged.count()
-      if (n > 0) staged.write.mode("append").parquet(path)
-      n
-    } finally { staged.unpersist(); () }
+    stagedAppend(spark, path, toAppend, None)
   }
 
   /** Date-partitioned variant (S7): `partitionBy(dateCol)` makes every
@@ -74,12 +72,33 @@ object Upsert {
           .join(dates, Seq(dateCol), "left_semi")
         newRows(incoming, existing, keys)
       } else incoming
-    val staged = toAppend.persist()
+    stagedAppend(spark, path, toAppend, Some(dateCol))
+  }
+
+  /** Materialize the delta to a STAGING DIRECTORY, then append from that.
+    * The delta's plan reads the target it is about to write; a cache
+    * (`persist` + `count`) is NOT a barrier — a lost cached partition
+    * recomputes its lineage against the half-appended target and
+    * corrupts the delta mid-write. A durably written staging copy makes
+    * the append's input independent of the target.
+    */
+  private def stagedAppend(spark: SparkSession, path: String,
+      delta: DataFrame, dateCol: Option[String]): Long = {
+    val stagingPath = s"$path.__delta_staging"
+    delta.write.mode("overwrite").parquet(stagingPath)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
+      val staged = spark.read.parquet(stagingPath)
       val n = staged.count()
-      if (n > 0) staged.write.mode("append").partitionBy(dateCol).parquet(path)
+      if (n > 0) {
+        val w = staged.write.mode("append")
+        dateCol.fold(w)(c => w.partitionBy(c)).parquet(path)
+      }
       n
-    } finally { staged.unpersist(); () }
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+    }
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {

@@ -32,9 +32,6 @@ object TextFunctions {
   def h44Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 11), 16, 10).cast("bigint")
 
-  /** Spark-SQL-text mirror of [[h44]] (for expr-built lambdas). */
-  def h44SparkSql(x: String): String =
-    s"cast(conv(substring(md5($x), 1, 11), 16, 10) as bigint)"
 
   /** DuckDB mirror of [[h44]]. */
   def h44Sql(x: String): String =
@@ -70,8 +67,11 @@ object TextFunctions {
     */
   val minhashPerms: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(0x5eedL)
-    Seq.fill(MinhashK)((rnd.nextInt(1 << 18).toLong * 2 + 3,
+    val perms = Seq.fill(MinhashK)((rnd.nextInt((1 << 18) - 2).toLong * 2 + 3,
       math.abs(rnd.nextLong()) % (1L << 44)))
+    // the overflow-safety proof (a*h+b < 2^63) requires a < 2^19
+    perms.foreach { case (a, _) => require(a < (1L << 19), s"perm a=$a") }
+    perms
   }
 
   private val M44 = 1L << 44

@@ -31,12 +31,23 @@ object RawFeed {
       s"&country=$c&limit=100&api_key=$apiKey&format=json"
   }
 
-  /** Real transport (java.net.http; the reference uses `requests`). */
-  def liveFetch: Fetch = { url =>
+  /** Real transport (java.net.http; the reference uses `requests`).
+    * One shared client; non-2xx responses throw rather than landing an
+    * error body as raw data (which the declared read schema would parse
+    * to an empty day — silent loss).
+    */
+  lazy val liveFetch: Fetch = {
     val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .GET().build()
-    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    url => {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"feed returned HTTP ${resp.statusCode()} for $url")
+      resp.body()
+    }
   }
 
   /** Fetch + land one day's files; returns the written paths. Re-running

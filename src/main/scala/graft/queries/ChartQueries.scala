@@ -107,7 +107,7 @@ object ChartQueries {
       FROM filled f
         JOIN dim_artist da ON da.artist_name = f.artist_name
         JOIN dim_song ds ON ds.song_name = f.song_name
-                        AND ds.duration_sec = f.duration_filled
+                        AND ds.duration_sec IS NOT DISTINCT FROM f.duration_filled
         JOIN dim_country dc ON dc.country_name = f.country)
     """
 
@@ -124,9 +124,14 @@ object ChartQueries {
   private val filledCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def filled(s: SparkSession, dir: String): DataFrame =
+  private def filled(s: SparkSession, dir: String): DataFrame = {
+    // Evict entries of stopped sessions so the map never retains dead
+    // SparkSessions (and their cached blocks) for the JVM lifetime.
+    filledCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(filledCache.remove)
     filledCache.getOrElseUpdate((s, dir),
       StarBuilder.imputePerDate(chartOds(s, dir)).persist())
+  }
 
   val odsQuery = QueryDef(
     "lastfm_ods",

@@ -89,8 +89,11 @@ object StarBuilder {
   def dimIncremental(existing: DataFrame, candidates: DataFrame,
       idCol: String, naturalKey: Seq[String]): DataFrame = {
     val keys = naturalKey.map(col)
-    val fresh = candidates.select(keys: _*).distinct()
-      .join(existing.select(keys: _*), naturalKey, "left_anti")
+    // Null-safe anti-join: a NULL key component (all-zero-duration date
+    // → NULL imputed duration) must still match its existing dim row, or
+    // every replay would mint a fresh id for it.
+    val fresh = graft.engine.Upsert.newRows(
+      candidates.select(keys: _*).distinct(), existing, naturalKey)
     val base = existing.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
     val assigned = withSurrogateId(fresh, idCol, naturalKey)
       .withColumn(idCol, col(idCol) + base)
@@ -138,9 +141,13 @@ object StarBuilder {
       col("duration_sec").as("ds_duration_sec"))
     filled
       .join(dimArtist, Seq("artist_name"))
+      // Null-safe on the duration: a date whose durations are ALL zero
+      // imputes to NULL, and dim_song carries that NULL key — a plain
+      // equality would silently drop the whole day from the fact table
+      // (the very data-loss bug we fixed in the reference).
       .join(ds,
         col("song_name") === col("ds_song_name") &&
-        col("duration_filled") === col("ds_duration_sec"))
+        (col("duration_filled") <=> col("ds_duration_sec")))
       .join(broadcast(dimCountry), col("country") === col("country_name"))
       .select(col("source_date").as("date"), col("country_id"),
         col("song_id"), col("artist_id"), col("song_rank"),

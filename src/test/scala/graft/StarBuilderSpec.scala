@@ -81,6 +81,35 @@ class StarBuilderSpec extends AnyFunSuite {
     assert(dim.count() === 2)
   }
 
+  test("a date with ONLY zero durations still reaches the fact table (null-safe song join)") {
+    val in = ods(
+      ("s1", "a1", 0, 10, 1, d1, "US"),
+      ("s2", "a1", 0, 9, 2, d1, "US"))
+    val filled = StarBuilder.imputePerDate(in)
+    val fact = StarBuilder.fact(filled, StarBuilder.dimArtist(filled),
+      StarBuilder.dimSong(filled), StarBuilder.dimCountry(filled))
+    assert(fact.count() === 2, "NULL imputed durations must not drop fact rows")
+  }
+
+  test("dimIncremental treats NULL key components null-safely on replay") {
+    val in = ods(
+      ("s1", "a1", 0, 10, 1, d1, "US"),
+      ("s2", "a1", 0, 9, 2, d1, "US"))
+    val cands = StarBuilder.imputePerDate(in)
+      .select($"song_name", $"duration_filled".as("duration_sec"))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("song_id",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+          cands.schema.fields))
+    val v1 = StarBuilder.dimIncremental(empty, cands, "song_id",
+      Seq("song_name", "duration_sec"))
+    val v2 = StarBuilder.dimIncremental(v1, cands, "song_id",
+      Seq("song_name", "duration_sec"))
+    assert(v1.count() === 2)
+    assert(v2.count() === 2, "replay must not mint new ids for NULL-duration keys")
+  }
+
   test("fact keeps zero-duration rows (fixes the reference's silent data loss)") {
     val in = ods(
       ("s1", "a1", 0, 10, 1, d1, "US"),
