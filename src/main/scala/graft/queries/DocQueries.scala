@@ -94,8 +94,18 @@ object DocQueries {
       .select(col("doc_a"), col("doc_b"),
         (col("matches").cast("double") / MinhashK).as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b")),
-    Some(s"""
-      WITH ws AS (
+    Some(minhashScoredCte + s"""
+      SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / $MinhashK AS est_jaccard
+      FROM scored WHERE matches >= ${MinhashK - 1}
+      ORDER BY doc_a, doc_b"""),
+    bench = false)
+
+  /** Oracle CTE chain ending in `scored(doc_a, doc_b, matches)` — the
+    * SQL mirror of [[minhashCandidates]], shared by the pair and group
+    * queries.
+    */
+  private lazy val minhashScoredCte: String = s"""
+      WITH RECURSIVE ws AS (
         SELECT doc_id, list_distinct(${wordsSql("text")}) AS w FROM documents),
       sig AS (SELECT doc_id, ${minhashSigSql("w")} AS sig FROM ws),
       bands AS (
@@ -113,10 +123,64 @@ object DocQueries {
         SELECT doc_a, doc_b,
                list_sum([CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END
                          for p in list_zip(sa, sb)]) AS matches
-        FROM pairs)
-      SELECT doc_a, doc_b, CAST(matches AS DOUBLE) / $MinhashK AS est_jaccard
-      FROM scored WHERE matches >= ${MinhashK - 1}
-      ORDER BY doc_a, doc_b"""),
+        FROM pairs)"""
+
+  /** Transitive dup-group resolution: union the near-dup pairs into
+    * connected components and label every member with the component's
+    * minimum doc_id (the keeper). Distributed label propagation — each
+    * round is one join + min-aggregate, state truncated per round — so
+    * rounds cost O(edges) and the count is O(component diameter), NOT
+    * O(corpus). The oracle computes the same fixpoint via a recursive
+    * transitive-closure CTE.
+    */
+  val qDedupGroups = QueryDef(
+    "q_dedup_groups",
+    (s, dir) => {
+      val pairs = minhashCandidates(docs(s, dir))
+        .filter(col("matches") >= MinhashK - 1)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .persist()
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .select(col("doc"), col("doc").as("label")).persist()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 30) {
+        val neighborMin = edges
+          .join(labels.select(col("doc").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        val next = labels
+          .join(neighborMin.select(col("src").as("doc"), col("nlabel")),
+            Seq("doc"), "left")
+          .select(col("doc"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .persist()
+        val changed = next.join(labels.select(col("doc"), col("label").as("old")),
+          Seq("doc")).filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      val out = labels.select(col("doc").as("doc_id"),
+        col("label").as("dup_group")).orderBy(col("doc_id"))
+      edges.unpersist()
+      out
+    },
+    Some(minhashScoredCte + s""",
+      hits AS (SELECT doc_a, doc_b FROM scored WHERE matches >= ${MinhashK - 1}),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
+                UNION SELECT doc_b, doc_a FROM hits),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      nodes AS (SELECT DISTINCT src AS doc FROM edges)
+      SELECT n.doc AS doc_id, LEAST(n.doc, MIN(r.dst)) AS dup_group
+      FROM nodes n JOIN reach r ON r.src = n.doc
+      GROUP BY n.doc ORDER BY doc_id"""),
     bench = false)
 
   /** Per-document 32-bit SimHash (set-semantics) — hamming-adjacent docs
@@ -315,6 +379,6 @@ object DocQueries {
     }))
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
-    qDedupSimhash, qNgramJaccard, qTextStats, qTokenCount, qQualityScore,
-    qLangId)
+    qDedupGroups, qDedupSimhash, qNgramJaccard, qTextStats, qTokenCount,
+    qQualityScore, qLangId)
 }
