@@ -133,42 +133,52 @@ object DocQueries {
     * O(corpus). The oracle computes the same fixpoint via a recursive
     * transitive-closure CTE.
     */
+  /** Connected components over the near-dup graph by iterative min-label
+    * propagation. Returns (doc_id, dup_group) for every doc that appears
+    * in at least one near-dup pair; dup_group = component min doc_id.
+    */
+  private[graft] def dupGroups(d: DataFrame): DataFrame = {
+    val pairs = minhashCandidates(d)
+      .filter(col("matches") >= MinhashK - 1)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("label")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin.select(col("src").as("doc"), col("nlabel")),
+          Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.select(col("doc"), col("label").as("old")),
+        Seq("doc")).filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    // Snapshot the fixpoint (truncates the per-round join lineage), then
+    // release the loop caches — the ContextCleaner reclaims the snapshot
+    // blocks when the returned frame is no longer referenced.
+    val out = labels.select(col("doc").as("doc_id"), col("label").as("dup_group"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
+  }
+
   val qDedupGroups = QueryDef(
     "q_dedup_groups",
-    (s, dir) => {
-      val pairs = minhashCandidates(docs(s, dir))
-        .filter(col("matches") >= MinhashK - 1)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .persist()
-      var labels = edges.select(col("src").as("doc")).distinct()
-        .select(col("doc"), col("doc").as("label")).persist()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 30) {
-        val neighborMin = edges
-          .join(labels.select(col("doc").as("dst"), col("label")), Seq("dst"))
-          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        val next = labels
-          .join(neighborMin.select(col("src").as("doc"), col("nlabel")),
-            Seq("doc"), "left")
-          .select(col("doc"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .persist()
-        val changed = next.join(labels.select(col("doc"), col("label").as("old")),
-          Seq("doc")).filter(col("label") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        rounds += 1
-      }
-      val out = labels.select(col("doc").as("doc_id"),
-        col("label").as("dup_group")).orderBy(col("doc_id"))
-      edges.unpersist()
-      out
-    },
+    (s, dir) => dupGroups(docs(s, dir)).orderBy(col("doc_id")),
     Some(minhashScoredCte + s""",
       hits AS (SELECT doc_a, doc_b FROM scored WHERE matches >= ${MinhashK - 1}),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
@@ -378,7 +388,71 @@ object DocQueries {
       FROM g ORDER BY doc_id"""
     }))
 
+  /** The training-data pipeline END PRODUCT: quality gate → exact-dup
+    * keeper → near-dup-group keeper, in one composed plan. A document
+    * survives iff its quality score ≥ 0.65 with ≥ 20 words, it is the
+    * lowest doc_id for its exact content hash, and it is its near-dup
+    * component's representative (or in no component). Output is the
+    * clean corpus roster with token counts — what a 100 TB curation run
+    * would hand to tokenization.
+    */
+  val qCorpusClean = QueryDef(
+    "q_corpus_clean",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val qual = d.select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("bigint").as("word_cnt"),
+          expr(s"size(filter(ws, w -> w IN ${stopwords.map(w => s"'$w'").mkString("(", ", ", ")")}))")
+            .cast("bigint").as("stop_cnt"),
+          size(array_distinct(col("ws"))).cast("bigint").as("distinct_cnt"))
+        .withColumn("score",
+          lit(0.5) * (col("distinct_cnt").cast("double") / col("word_cnt")) +
+            lit(0.5) * (lit(1.0) - col("stop_cnt").cast("double") / col("word_cnt")))
+      val exactKeepers = d.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).drop("h")
+      val groups = dupGroups(d)
+      qual.filter(col("score") >= 0.65 && col("word_cnt") >= 20)
+        .join(exactKeepers, Seq("doc_id"), "left_semi")
+        .join(groups, Seq("doc_id"), "left")
+        .filter(col("dup_group").isNull || col("dup_group") === col("doc_id"))
+        .select(col("doc_id"), col("word_cnt").as("n_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some(minhashScoredCte + s""",
+      hits AS (SELECT doc_a, doc_b FROM scored WHERE matches >= ${MinhashK - 1}),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
+                UNION SELECT doc_b, doc_a FROM hits),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      nodes AS (SELECT DISTINCT src AS doc FROM edges),
+      groups AS (
+        SELECT n.doc AS doc_id, LEAST(n.doc, MIN(r.dst)) AS dup_group
+        FROM nodes n JOIN reach r ON r.src = n.doc GROUP BY n.doc),
+      qual AS (
+        SELECT doc_id,
+               CAST(len(qws) AS BIGINT) AS word_cnt,
+               CAST(len(list_filter(qws, w -> w IN ${stopwords.map(w => s"'$w'").mkString("(", ", ", ")")})) AS BIGINT) AS stop_cnt,
+               CAST(len(list_distinct(qws)) AS BIGINT) AS distinct_cnt
+        FROM (SELECT doc_id, ${wordsSql("text")} AS qws FROM documents)),
+      scoredq AS (
+        SELECT doc_id, word_cnt,
+               0.5 * (CAST(distinct_cnt AS DOUBLE) / word_cnt) +
+               0.5 * (1.0 - CAST(stop_cnt AS DOUBLE) / word_cnt) AS score
+        FROM qual),
+      keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+      SELECT q.doc_id, q.word_cnt AS n_words
+      FROM scoredq q
+      JOIN keepers k ON k.doc_id = q.doc_id
+      LEFT JOIN groups g ON g.doc_id = q.doc_id
+      WHERE q.score >= 0.65 AND q.word_cnt >= 20
+        AND (g.dup_group IS NULL OR g.dup_group = q.doc_id)
+      ORDER BY q.doc_id"""),
+    bench = false)
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qTextStats, qTokenCount,
-    qQualityScore, qLangId)
+    qQualityScore, qLangId, qCorpusClean)
 }

@@ -76,6 +76,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 scanned file after pruning, got ${scan.metrics("numFiles").value}")
   }
 
+  test("dim-filtered joins against partitioned facts use dynamic partition pruning") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-dpp").resolve("fact").toString
+    val fact = (1 to 1000).map(i =>
+      (i.toLong, Date.valueOf(s"2024-05-${i % 9 + 1}".replaceAll("-(\\d)$", "-0$1"))))
+      .toDF("k", "date")
+    fact.write.partitionBy("date").parquet(path)
+    val dimPath = Files.createTempDirectory("graft-dpp").resolve("dim").toString
+    (1 to 9).map(d => (Date.valueOf(f"2024-05-$d%02d"), s"tag$d"))
+      .toDF("date", "tag").write.parquet(dimPath)
+    val joined = spark.read.parquet(path)
+      .join(spark.read.parquet(dimPath).filter(col("tag") === "tag3"), Seq("date"))
+    val p = formatted(joined)
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$p")
+  }
+
   test("no plan in the registry contains a cartesian product (except the bounded validators)") {
     val allowed = Set("q_ngram_jaccard") // explicit bounded all-pairs validator
     SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
