@@ -202,6 +202,92 @@ object ExtQueries {
             FROM events)
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** Analytic window frame: per-user running total (cents-exact) over
+    * the event sequence — the cumulative-frame shape (`ROWS UNBOUNDED
+    * PRECEDING`) absent from the reference.
+    */
+  val qRunningTotal = QueryDef(
+    "q_running_total",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Long.MinValue, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), cents.as("c"))
+        .withColumn("running_value", (sum(col("c")).over(w).cast("double") / 100))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
+               AS running_value
+      FROM (SELECT user_id, event_id,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events)
+      WHERE user_id < 20
+      ORDER BY user_id, event_id"""))
+
+  /** lag(): per-user delta between consecutive event values (exact
+    * cents; NULL for each user's first event).
+    */
+  val qLagDelta = QueryDef(
+    "q_lag_delta",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), cents.as("c"))
+        .withColumn("delta_value",
+          ((col("c") - lag(col("c"), 1).over(w)).cast("double") / 100))
+        .select(col("user_id"), col("event_id"), col("delta_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(c - lag(c, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+                  AS DOUBLE) / 100 AS delta_value
+      FROM (SELECT user_id, event_id,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events)
+      WHERE user_id < 20
+      ORDER BY user_id, event_id"""))
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: per-cohort event-type value matrix with a FIXED value list
+    * (never data-driven at scale — that is a collect of the key domain);
+    * the oracle is the equivalent conditional aggregation.
+    */
+  val qPivot = QueryDef(
+    "q_pivot",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      t(s, dir, "events")
+        .select((col("user_id") % 10).as("cohort"), col("event_type"),
+          cents.as("c"))
+        .groupBy(col("cohort"))
+        .pivot("event_type", eventTypes)
+        .agg((sum(col("c")).cast("double") / 100))
+        .orderBy(col("cohort"))
+    },
+    Some(s"""
+      SELECT user_id % 10 AS cohort,
+             ${eventTypes.map(t =>
+               s"CAST(SUM(CASE WHEN event_type = '$t' THEN c END) AS DOUBLE) / 100 AS \"$t\"")
+               .mkString(",\n             ")}
+      FROM (SELECT user_id, event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events)
+      GROUP BY user_id % 10
+      ORDER BY cohort"""))
+
   val all: Seq[QueryDef] = Seq(qSimhashPairs, qRollup, qDateParts,
-    qSessionWindows, qStatsVariance, qCollectSorted, qPercentiles)
+    qSessionWindows, qStatsVariance, qCollectSorted, qPercentiles,
+    qRunningTotal, qLagDelta, qPivot)
 }
