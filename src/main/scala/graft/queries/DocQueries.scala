@@ -149,7 +149,8 @@ object DocQueries {
       .select(col("doc"), col("doc").as("label")).persist()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 30) {
+    val maxRounds = 100
+    while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.select(col("doc").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
@@ -166,6 +167,11 @@ object DocQueries {
       converged = changed == 0
       rounds += 1
     }
+    // A silent partial fixpoint would mislabel components (and diverge
+    // from the transitive-closure oracle) — fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"dup-group label propagation did not converge in $maxRounds rounds " +
+        "(component diameter exceeds the cap)")
     // Snapshot the fixpoint (truncates the per-round join lineage), then
     // release the loop caches — the ContextCleaner reclaims the snapshot
     // blocks when the returned frame is no longer referenced.
@@ -176,10 +182,11 @@ object DocQueries {
     out
   }
 
-  val qDedupGroups = QueryDef(
-    "q_dedup_groups",
-    (s, dir) => dupGroups(docs(s, dir)).orderBy(col("doc_id")),
-    Some(minhashScoredCte + s""",
+  /** Oracle CTE chain extending [[minhashScoredCte]] with the recursive
+    * connected-components fixpoint, ending in `groups(doc_id,
+    * dup_group)` — shared by the group and corpus-clean oracles.
+    */
+  private lazy val dupGroupsCte: String = minhashScoredCte + s""",
       hits AS (SELECT doc_a, doc_b FROM scored WHERE matches >= ${MinhashK - 1}),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
                 UNION SELECT doc_b, doc_a FROM hits),
@@ -187,10 +194,16 @@ object DocQueries {
         SELECT src, dst FROM edges
         UNION
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      nodes AS (SELECT DISTINCT src AS doc FROM edges)
-      SELECT n.doc AS doc_id, LEAST(n.doc, MIN(r.dst)) AS dup_group
-      FROM nodes n JOIN reach r ON r.src = n.doc
-      GROUP BY n.doc ORDER BY doc_id"""),
+      nodes AS (SELECT DISTINCT src AS doc FROM edges),
+      groups AS (
+        SELECT n.doc AS doc_id, LEAST(n.doc, MIN(r.dst)) AS dup_group
+        FROM nodes n JOIN reach r ON r.src = n.doc GROUP BY n.doc)"""
+
+  val qDedupGroups = QueryDef(
+    "q_dedup_groups",
+    (s, dir) => dupGroups(docs(s, dir)).orderBy(col("doc_id")),
+    Some(dupGroupsCte + """
+      SELECT doc_id, dup_group FROM groups ORDER BY doc_id"""),
     bench = false)
 
   /** Per-document 32-bit SimHash (set-semantics) — hamming-adjacent docs
@@ -289,6 +302,49 @@ object DocQueries {
       FROM documents ORDER BY doc_id"""))
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared quality scoring: (doc_id, word_cnt, ttr, stop_ratio, score)
+    * with zero-word guards (NULL, not a NaN/NULL cross-engine split).
+    * One definition for both qQualityScore and qCorpusClean.
+    */
+  private[graft] def scoredQuality(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("word_cnt"),
+        expr(s"size(filter(ws, w -> w IN $stopwordsSqlList))")
+          .cast("bigint").as("stop_cnt"),
+        size(array_distinct(col("ws"))).cast("bigint").as("distinct_cnt"))
+      .select(col("doc_id"), col("word_cnt"),
+        when(col("word_cnt") > 0,
+          col("distinct_cnt").cast("double") / col("word_cnt")).as("ttr"),
+        when(col("word_cnt") > 0,
+          col("stop_cnt").cast("double") / col("word_cnt")).as("stop_ratio"))
+      .withColumn("score",
+        lit(0.5) * col("ttr") + lit(0.5) * (lit(1.0) - col("stop_ratio")))
+
+  /** SQL mirror of [[scoredQuality]], ending in
+    * `scoredq(doc_id, word_cnt, ttr, stop_ratio, score)`. No leading
+    * WITH — embeds in any CTE chain.
+    */
+  private lazy val qualityCteBody: String = s"""
+      qf AS (
+        SELECT doc_id,
+               CAST(len(qws) AS BIGINT) AS word_cnt,
+               CAST(len(list_filter(qws, w -> w IN $stopwordsSqlList)) AS BIGINT) AS stop_cnt,
+               CAST(len(list_distinct(qws)) AS BIGINT) AS distinct_cnt
+        FROM (SELECT doc_id, ${wordsSql("text")} AS qws FROM documents)),
+      qr AS (
+        SELECT doc_id, word_cnt,
+               CASE WHEN word_cnt > 0
+                    THEN CAST(distinct_cnt AS DOUBLE) / word_cnt END AS ttr,
+               CASE WHEN word_cnt > 0
+                    THEN CAST(stop_cnt AS DOUBLE) / word_cnt END AS stop_ratio
+        FROM qf),
+      scoredq AS (
+        SELECT doc_id, word_cnt, ttr, stop_ratio,
+               0.5 * ttr + 0.5 * (1.0 - stop_ratio) AS score
+        FROM qr)"""
 
   /** Heuristic quality scoring: type-token ratio, stopword ratio, and a
     * blended score — the standard cheap filters in front of expensive
@@ -296,43 +352,11 @@ object DocQueries {
     */
   val qQualityScore = QueryDef(
     "q_quality_score",
-    (s, dir) => {
-      val sw = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-      docs(s, dir)
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("bigint").as("word_cnt"),
-          expr(s"size(filter(ws, w -> w IN $sw))").cast("bigint").as("stop_cnt"),
-          size(array_distinct(col("ws"))).cast("bigint").as("distinct_cnt"))
-        .select(col("doc_id"), col("word_cnt"),
-          when(col("word_cnt") > 0,
-            col("distinct_cnt").cast("double") / col("word_cnt")).as("ttr"),
-          when(col("word_cnt") > 0,
-            col("stop_cnt").cast("double") / col("word_cnt")).as("stop_ratio"))
-        .withColumn("score",
-          lit(0.5) * col("ttr") + lit(0.5) * (lit(1.0) - col("stop_ratio")))
-        .orderBy(col("doc_id"))
-    },
-    Some({
-      val sw = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-      s"""
-      WITH f AS (
-        SELECT doc_id,
-               CAST(len(ws) AS BIGINT) AS word_cnt,
-               CAST(len(list_filter(ws, w -> w IN $sw)) AS BIGINT) AS stop_cnt,
-               CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_cnt
-        FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)),
-      r AS (
-        SELECT doc_id, word_cnt,
-               CASE WHEN word_cnt > 0
-                    THEN CAST(distinct_cnt AS DOUBLE) / word_cnt END AS ttr,
-               CASE WHEN word_cnt > 0
-                    THEN CAST(stop_cnt AS DOUBLE) / word_cnt END AS stop_ratio
-        FROM f)
-      SELECT doc_id, word_cnt, ttr, stop_ratio,
-             0.5 * ttr + 0.5 * (1.0 - stop_ratio) AS score
-      FROM r ORDER BY doc_id"""
-    }))
+    (s, dir) => scoredQuality(docs(s, dir)).orderBy(col("doc_id")),
+    Some(s"""
+      WITH $qualityCteBody
+      SELECT doc_id, word_cnt, ttr, stop_ratio, score
+      FROM scoredq ORDER BY doc_id"""))
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in"),
@@ -400,48 +424,17 @@ object DocQueries {
     "q_corpus_clean",
     (s, dir) => {
       val d = docs(s, dir)
-      val qual = d.select(col("doc_id"), words(col("text")).as("ws"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("bigint").as("word_cnt"),
-          expr(s"size(filter(ws, w -> w IN ${stopwords.map(w => s"'$w'").mkString("(", ", ", ")")}))")
-            .cast("bigint").as("stop_cnt"),
-          size(array_distinct(col("ws"))).cast("bigint").as("distinct_cnt"))
-        .withColumn("score",
-          lit(0.5) * (col("distinct_cnt").cast("double") / col("word_cnt")) +
-            lit(0.5) * (lit(1.0) - col("stop_cnt").cast("double") / col("word_cnt")))
       val exactKeepers = d.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).drop("h")
-      val groups = dupGroups(d)
-      qual.filter(col("score") >= 0.65 && col("word_cnt") >= 20)
+      scoredQuality(d)
+        .filter(col("score") >= 0.65 && col("word_cnt") >= 20)
         .join(exactKeepers, Seq("doc_id"), "left_semi")
-        .join(groups, Seq("doc_id"), "left")
+        .join(dupGroups(d), Seq("doc_id"), "left")
         .filter(col("dup_group").isNull || col("dup_group") === col("doc_id"))
         .select(col("doc_id"), col("word_cnt").as("n_words"))
         .orderBy(col("doc_id"))
     },
-    Some(minhashScoredCte + s""",
-      hits AS (SELECT doc_a, doc_b FROM scored WHERE matches >= ${MinhashK - 1}),
-      edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
-                UNION SELECT doc_b, doc_a FROM hits),
-      reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      nodes AS (SELECT DISTINCT src AS doc FROM edges),
-      groups AS (
-        SELECT n.doc AS doc_id, LEAST(n.doc, MIN(r.dst)) AS dup_group
-        FROM nodes n JOIN reach r ON r.src = n.doc GROUP BY n.doc),
-      qual AS (
-        SELECT doc_id,
-               CAST(len(qws) AS BIGINT) AS word_cnt,
-               CAST(len(list_filter(qws, w -> w IN ${stopwords.map(w => s"'$w'").mkString("(", ", ", ")")})) AS BIGINT) AS stop_cnt,
-               CAST(len(list_distinct(qws)) AS BIGINT) AS distinct_cnt
-        FROM (SELECT doc_id, ${wordsSql("text")} AS qws FROM documents)),
-      scoredq AS (
-        SELECT doc_id, word_cnt,
-               0.5 * (CAST(distinct_cnt AS DOUBLE) / word_cnt) +
-               0.5 * (1.0 - CAST(stop_cnt AS DOUBLE) / word_cnt) AS score
-        FROM qual),
+    Some(dupGroupsCte + "," + qualityCteBody + """,
       keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
       SELECT q.doc_id, q.word_cnt AS n_words
       FROM scoredq q
