@@ -445,7 +445,33 @@ object DocQueries {
       ORDER BY q.doc_id"""),
     bench = false)
 
+  /** F-surface breadth: case, substring, replace, reverse, edit
+    * distance — the string toolbox of fuzzy matching / normalization
+    * stages, each verified to behave identically in both engines.
+    */
+  val qStringFuncs = QueryDef(
+    "q_string_funcs",
+    (s, dir) => docs(s, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 20).as("prefix"))
+      .select(col("doc_id"), col("prefix"),
+        upper(col("prefix")).as("prefix_upper"),
+        regexp_replace(col("prefix"), "a", "@").as("prefix_sub"),
+        reverse(col("prefix")).as("prefix_rev"),
+        levenshtein(col("prefix"), reverse(col("prefix"))).cast("int")
+          .as("lev_to_rev"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, prefix,
+             upper(prefix) AS prefix_upper,
+             replace(prefix, 'a', '@') AS prefix_sub,
+             reverse(prefix) AS prefix_rev,
+             CAST(levenshtein(prefix, reverse(prefix)) AS INTEGER) AS lev_to_rev
+      FROM (SELECT doc_id, substr(text, 1, 20) AS prefix
+            FROM documents WHERE doc_id < 50)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qTextStats, qTokenCount,
-    qQualityScore, qLangId, qCorpusClean)
+    qQualityScore, qLangId, qCorpusClean, qStringFuncs)
 }
