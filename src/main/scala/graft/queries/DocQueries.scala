@@ -137,7 +137,22 @@ object DocQueries {
     * propagation. Returns (doc_id, dup_group) for every doc that appears
     * in at least one near-dup pair; dup_group = component min doc_id.
     */
+  /** [[dupGroups]] result cached per (session, dir-fingerprint) — both
+    * q_dedup_groups and q_corpus_clean need it; the propagation loop is
+    * the expensive part. Keyed on the input plan's semantic string so
+    * different inputs never collide.
+    */
+  private val groupsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
   private[graft] def dupGroups(d: DataFrame): DataFrame = {
+    val key = (d.sparkSession, d.queryExecution.analyzed.toString)
+    groupsCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(groupsCache.remove)
+    groupsCache.getOrElseUpdate(key, dupGroupsUncached(d))
+  }
+
+  private def dupGroupsUncached(d: DataFrame): DataFrame = {
     val pairs = minhashCandidates(d)
       .filter(col("matches") >= MinhashK - 1)
       .select(col("doc_a"), col("doc_b"))
@@ -145,24 +160,39 @@ object DocQueries {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .persist()
+    // Every round ends in an EAGER localCheckpoint: the shortcut
+    // self-join would otherwise double the logical plan each round
+    // (exponential lineage — measured as an OOM while Spark merely
+    // stringified the plan). Checkpointing keeps the per-round plan
+    // constant-size and the loop state in block storage.
     var labels = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("label")).persist()
+      .select(col("doc"), col("doc").as("label")).localCheckpoint(true)
     var converged = false
     var rounds = 0
-    val maxRounds = 100
+    val maxRounds = 64
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.select(col("doc").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels
+      val prop = labels
         .join(neighborMin.select(col("src").as("doc"), col("nlabel")),
           Seq("doc"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
+      // Pointer-doubling shortcut: jump to the label's OWN label
+      // (labels are always node ids, so the lookup self-join is total).
+      // Neighbor-min alone needs ~diameter rounds — ~30 on this data,
+      // 100s of wall clock; the shortcut halves the remaining depth
+      // every round, converging in O(log diameter).
+      val next = prop
+        .join(prop.select(col("doc").as("l2doc"), col("label").as("l2label")),
+          prop("label") === col("l2doc"), "left")
+        .select(prop("doc"),
+          least(prop("label"), coalesce(col("l2label"), prop("label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.select(col("doc"), col("label").as("old")),
         Seq("doc")).filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
@@ -172,14 +202,10 @@ object DocQueries {
     if (!converged) throw new IllegalStateException(
       s"dup-group label propagation did not converge in $maxRounds rounds " +
         "(component diameter exceeds the cap)")
-    // Snapshot the fixpoint (truncates the per-round join lineage), then
-    // release the loop caches — the ContextCleaner reclaims the snapshot
-    // blocks when the returned frame is no longer referenced.
-    val out = labels.select(col("doc").as("doc_id"), col("label").as("dup_group"))
-      .localCheckpoint(true)
-    labels.unpersist()
+    // labels is already a checkpointed leaf; the ContextCleaner reclaims
+    // intermediate round blocks as their frames go unreferenced.
     edges.unpersist()
-    out
+    labels.select(col("doc").as("doc_id"), col("label").as("dup_group"))
   }
 
   /** Oracle CTE chain extending [[minhashScoredCte]] with the recursive
