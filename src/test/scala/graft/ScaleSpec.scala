@@ -52,6 +52,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("compaction shrinks file counts without changing content") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("t").toString
+    // simulate many small incremental appends
+    (1 to 12).foreach { day =>
+      Seq.tabulate(50)(i => (day * 1000 + i, s"payload$i", java.sql.Date.valueOf(f"2024-06-$day%02d")))
+        .toDF("k", "v", "d")
+        .repartition(3).write.mode("append").partitionBy("d").parquet(path)
+    }
+    val before = spark.read.parquet(path)
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    val (nBefore, nAfter) = graft.engine.Compaction.compact(spark, path, Some("d"))
+    assert(nBefore >= 36)
+    assert(nAfter < nBefore / 2, s"expected real shrink, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(path)
+    assert(after.collect().map(_.toSeq).toSet === beforeRows)
+    // still partition-pruned after the rewrite
+    val pruned = after.filter(col("d") === java.sql.Date.valueOf("2024-06-03"))
+    assert(pruned.count() === 50)
+  }
+
   test("HLL++ estimate stays within its configured error bound") {
     import spark.implicits._
     val rows = graft.queries.ScaleQueries.qApproxDistinct.run(spark, dir)
