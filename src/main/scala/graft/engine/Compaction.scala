@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Small-file compaction — the warehouse-maintenance counterpart of the
   * daily upserts: every incremental append adds a few files per
@@ -39,17 +39,34 @@ object Compaction {
     val df = spark.read.parquet(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".compact_staging")
     val writer = partitionCol match {
-      // repartition by the partition column so each output partition dir
-      // gets coalesced files rather than nFiles slivers per partition
-      case Some(c) => df.repartition(nFiles, col(c)).write.partitionBy(c)
+      case Some(c) =>
+        // Hashing on the partition column ALONE would emit exactly one
+        // file per partition value (one task writing a whole date — a
+        // straggler at the daily-append regime this exists for). Add a
+        // content-hash salt sized so each partition dir gets roughly
+        // target-sized files.
+        val nParts = math.max(1L, df.select(col(c)).distinct().count())
+        val filesPerPart = math.max(1, math.ceil(nFiles.toDouble / nParts).toInt)
+        val salt = pmod(hash(df.columns.map(col): _*), lit(filesPerPart))
+        df.repartition(nFiles, col(c), salt).write.partitionBy(c)
       case None => df.repartition(nFiles).write
     }
     writer.mode("overwrite").parquet(staging.toString)
 
+    // Hadoop rename reports many failures by returning false, not
+    // throwing — an unchecked swap could silently leave the staging copy
+    // nested inside the live table. Abort (staging removed, target
+    // intact) on any false.
+    def renameOrAbort(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to)) {
+        fs.delete(staging, true)
+        throw new java.io.IOException(s"compaction swap failed: $from -> $to")
+      }
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(old, true)
-    fs.rename(target, old)
-    fs.rename(staging, target)
+    renameOrAbort(target, old)
+    renameOrAbort(staging, target)
     fs.delete(old, true)
     (before.size.toLong, dataFiles(target).size.toLong)
   }

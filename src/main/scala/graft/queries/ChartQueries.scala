@@ -121,17 +121,15 @@ object ChartQueries {
     * query × bench pass — the prime suspect for the round-1 bench tail
     * degradation (VERDICT r1 "What's wrong" #2).
     */
-  private val filledCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val filledCache = new graft.engine.SessionKeyedCache[DataFrame]
 
-  private def filled(s: SparkSession, dir: String): DataFrame = {
-    // Evict entries of stopped sessions so the map never retains dead
-    // SparkSessions (and their cached blocks) for the JVM lifetime.
-    filledCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(filledCache.remove)
-    filledCache.getOrElseUpdate((s, dir),
+  private def cacheKey(s: SparkSession, dir: String): String =
+    dir + "|" + graft.engine.SessionKeyedCache
+      .fileFingerprint(s, s"$dir/events.parquet")
+
+  private def filled(s: SparkSession, dir: String): DataFrame =
+    filledCache.getOrElseUpdate(s, cacheKey(s, dir))(
       StarBuilder.imputePerDate(chartOds(s, dir)).persist())
-  }
 
   val odsQuery = QueryDef(
     "lastfm_ods",
@@ -159,12 +157,8 @@ object ChartQueries {
 
   val factQuery = QueryDef(
     "lastfm_fact",
-    (s, dir) => {
-      val f = filled(s, dir)
-      StarBuilder.fact(f, StarBuilder.dimArtist(f), StarBuilder.dimSong(f),
-          StarBuilder.dimCountry(f))
-        .orderBy(col("date"), col("country_id"), col("song_rank"))
-    },
+    (s, dir) => star(s, dir)._1
+      .orderBy(col("date"), col("country_id"), col("song_rank")),
     Some(cte + """
       SELECT date, country_id, song_id, artist_id, song_rank, listeners_count
       FROM fact ORDER BY date, country_id, song_rank"""))
@@ -175,19 +169,16 @@ object ChartQueries {
     * Same keyed-cache + stopped-session eviction discipline as
     * [[filled]].
     */
-  private val starCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]
+  private val starCache =
+    new graft.engine.SessionKeyedCache[(DataFrame, DataFrame, DataFrame, DataFrame)]
 
-  private def star(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    starCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(starCache.remove)
-    starCache.getOrElseUpdate((s, dir), {
+  private def star(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    starCache.getOrElseUpdate(s, cacheKey(s, dir)) {
       val f = filled(s, dir)
       val (da, dsg, dc) =
         (StarBuilder.dimArtist(f), StarBuilder.dimSong(f), StarBuilder.dimCountry(f))
       (StarBuilder.fact(f, da, dsg, dc).persist(), da, dsg, dc)
-    })
-  }
+    }
 
   val avgDurationQuery = QueryDef(
     "lastfm_dm_avg_duration",

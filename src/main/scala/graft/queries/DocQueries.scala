@@ -137,20 +137,19 @@ object DocQueries {
     * propagation. Returns (doc_id, dup_group) for every doc that appears
     * in at least one near-dup pair; dup_group = component min doc_id.
     */
-  /** [[dupGroups]] result cached per (session, dir-fingerprint) — both
-    * q_dedup_groups and q_corpus_clean need it; the propagation loop is
-    * the expensive part. Keyed on the input plan's semantic string so
-    * different inputs never collide.
+  /** [[dupGroups]] result cached per (session, canonicalized input
+    * plan) — both q_dedup_groups and q_corpus_clean need it and the
+    * propagation loop is the expensive part. The CANONICALIZED plan
+    * normalizes expression ids (a fresh `spark.read` per call mints new
+    * ones), so identical inputs actually hit; callers over mutable
+    * tables should re-read after appends/compactions so the relation's
+    * file listing (part of the canonical plan) changes the key.
     */
-  private val groupsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val groupsCache = new graft.engine.SessionKeyedCache[DataFrame]
 
-  private[graft] def dupGroups(d: DataFrame): DataFrame = {
-    val key = (d.sparkSession, d.queryExecution.analyzed.toString)
-    groupsCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(groupsCache.remove)
-    groupsCache.getOrElseUpdate(key, dupGroupsUncached(d))
-  }
+  private[graft] def dupGroups(d: DataFrame): DataFrame =
+    groupsCache.getOrElseUpdate(d.sparkSession,
+      d.queryExecution.analyzed.canonicalized.toString)(dupGroupsUncached(d))
 
   private def dupGroupsUncached(d: DataFrame): DataFrame = {
     val pairs = minhashCandidates(d)
@@ -160,6 +159,11 @@ object DocQueries {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .persist()
+    try dupGroupsLoop(edges)
+    finally { edges.unpersist(); () }
+  }
+
+  private def dupGroupsLoop(edges: DataFrame): DataFrame = {
     // Every round ends in an EAGER localCheckpoint: the shortcut
     // self-join would otherwise double the logical plan each round
     // (exponential lineage — measured as an OOM while Spark merely
@@ -203,8 +207,8 @@ object DocQueries {
       s"dup-group label propagation did not converge in $maxRounds rounds " +
         "(component diameter exceeds the cap)")
     // labels is already a checkpointed leaf; the ContextCleaner reclaims
-    // intermediate round blocks as their frames go unreferenced.
-    edges.unpersist()
+    // intermediate round blocks as their frames go unreferenced, and the
+    // caller's finally releases edges.
     labels.select(col("doc").as("doc_id"), col("label").as("dup_group"))
   }
 
