@@ -53,4 +53,30 @@ object Multimodal {
     import documents.sparkSession.implicits._
     decodeMeta(deriveMedia(documents).as[MediaRow]).toDF()
   }
+
+  final case class FrameRef(doc_id: Long, frame_idx: Long, frame_off: Long,
+      frame_len: Long)
+
+  /** Frame sampling: every `everyK`-th frame of each media payload,
+    * emitted as (offset, length) references into the blob — the shape a
+    * video pipeline fans out to per-frame feature extraction. The frame
+    * geometry is the same DETERMINISTIC STUB family as [[decodeMeta]]
+    * (offset = idx*7 mod size), so the plumbing — per-partition batch
+    * iteration, one-to-many flatMap, typed output — is fully
+    * oracle-checkable.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int = 5): Dataset[FrameRef] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real code would open the container/codec once per partition
+      rows.flatMap { r =>
+        val n = r.media.length.toLong
+        val frames = (n % 30) + 1
+        (0L until frames by everyK.toLong).map { i =>
+          val off = (i * 7) % n
+          FrameRef(r.doc_id, i, off, math.min(16L, n - off))
+        }
+      }
+    }
+  }
 }

@@ -74,5 +74,31 @@ object MiscQueries {
              CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qToJson, qMultimodalMeta)
+  /** Frame-sampling plumbing over the media blobs (every 5th frame as
+    * (offset, length) refs) — the one-to-many mapPartitions shape of
+    * per-frame feature extraction, mirrored in SQL via range unnesting
+    * over the same deterministic geometry.
+    */
+  val qMultimodalFrames = QueryDef(
+    "q_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+        Multimodal.deriveMedia(t(s, dir, "documents")).as[Multimodal.MediaRow])
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      SELECT doc_id, frame_idx,
+             (frame_idx * 7) % n_bytes AS frame_off,
+             LEAST(16, n_bytes - (frame_idx * 7) % n_bytes) AS frame_len
+      FROM (
+        SELECT doc_id, n_bytes,
+               unnest(range(0, n_bytes % 30 + 1, 5)) AS frame_idx
+        FROM (SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents))
+      ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qToJson, qMultimodalMeta,
+    qMultimodalFrames)
 }
