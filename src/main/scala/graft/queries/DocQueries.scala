@@ -501,7 +501,88 @@ object DocQueries {
             FROM documents WHERE doc_id < 50)
       ORDER BY doc_id"""))
 
+  /** TF-IDF term weighting (linear-idf variant): score = tf × N/df
+    * computed as ONE exact-integer ratio converted to double at the end.
+    * The log-idf form is deliberately avoided: Spark's `ln` (Java
+    * Math.log) and DuckDB's libm `ln` differ in the last ulp (measured),
+    * which would break the bit-exact oracle gate — the linear variant
+    * ranks identically within a corpus.
+    */
+  val qTfidf = QueryDef(
+    "q_tfidf",
+    (s, dir) => {
+      val subset = docs(s, dir).filter(col("doc_id") < 100)
+      val terms = subset.select(col("doc_id"),
+        explode(words(col("text"))).as("word"))
+      val cnt = terms.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val docTotals = cnt.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("word_cnt"))
+      val dfCounts = cnt.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+      val n = subset.agg(count(lit(1)).as("n_docs"))
+      cnt.join(docTotals, Seq("doc_id"))
+        .join(dfCounts, Seq("word"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"), col("cnt"),
+          ((col("cnt") * col("n_docs")).cast("double") /
+            (col("word_cnt") * col("df"))).as("tfidf_lin"))
+        .orderBy(col("doc_id"), col("word"))
+    },
+    Some(s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(${wordsSql("text")}) AS word
+        FROM documents WHERE doc_id < 100),
+      cnt AS (
+        SELECT doc_id, word, count(*) AS cnt FROM terms GROUP BY doc_id, word),
+      doc_totals AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS word_cnt FROM cnt GROUP BY doc_id),
+      dfc AS (SELECT word, count(*) AS df FROM cnt GROUP BY word),
+      n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100)
+      SELECT c.doc_id, c.word, c.cnt,
+             CAST(c.cnt * n.n_docs AS DOUBLE) / (t.word_cnt * d.df) AS tfidf_lin
+      FROM cnt c JOIN doc_totals t USING(doc_id) JOIN dfc d USING(word), n
+      ORDER BY doc_id, word"""),
+    bench = false)
+
+  /** Top-5 word bigrams per language label, deterministic tie-break —
+    * the n-gram frequency rollup of corpus analysis.
+    */
+  val qNgramFreq = QueryDef(
+    "q_ngram_freq",
+    (s, dir) => {
+      // size >= 2 guard on BOTH sides: Spark's sequence(1, 0) descends
+      // instead of being empty (DuckDB's range(1, 1) IS empty), so a
+      // one-word doc would throw INVALID_ARRAY_INDEX here.
+      val bigrams = docs(s, dir)
+        .select(col("lang"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("bigram"))
+      val counts = bigrams.groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))
+      counts.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("bigram"), col("cnt"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT lang, unnest([ws[i] || ' ' || ws[i + 1]
+                             for i in range(1, len(ws))]) AS bigram
+        FROM (SELECT lang, ${wordsSql("text")} AS ws FROM documents)
+        WHERE len(ws) >= 2),
+      c AS (SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY lang, bigram)
+      SELECT lang, rk, bigram, cnt FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY cnt DESC, bigram) AS rk
+        FROM c)
+      WHERE rk <= 5 ORDER BY lang, rk"""))
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qTextStats, qTokenCount,
-    qQualityScore, qLangId, qCorpusClean, qStringFuncs)
+    qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf, qNgramFreq)
 }
