@@ -290,6 +290,42 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     bench = false)
 
+  /** Directional containment |A∩B| / |A| — catches sub-document
+    * duplication (a doc embedded in a larger one) that symmetric Jaccard
+    * under-scores. Bounded validator like [[qNgramJaccard]]
+    * (bench=false); the scale path blocks by LSH buckets first.
+    */
+  val qContainment = QueryDef(
+    "q_containment",
+    (s, dir) => {
+      val sets = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+      val a = sets.select(col("doc_id").as("doc_sub"), col("ws").as("wa"))
+      val b = sets.select(col("doc_id").as("doc_super"), col("ws").as("wb"))
+      a.crossJoin(b).filter(col("doc_sub") =!= col("doc_super"))
+        .select(col("doc_sub"), col("doc_super"),
+          size(array_intersect(col("wa"), col("wb"))).cast("bigint").as("inter_size"),
+          size(col("wa")).cast("bigint").as("sub_size"))
+        .withColumn("containment",
+          col("inter_size").cast("double") / col("sub_size"))
+        .filter(col("containment") >= 0.95)
+        .orderBy(col("doc_sub"), col("doc_super"))
+    },
+    Some(s"""
+      WITH sets AS (
+        SELECT doc_id, list_distinct(${wordsSql("text")}) AS ws
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_sub, doc_super, inter_size, sub_size,
+             CAST(inter_size AS DOUBLE) / sub_size AS containment
+      FROM (
+        SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+               CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_size,
+               CAST(len(a.ws) AS BIGINT) AS sub_size
+        FROM sets a JOIN sets b ON a.doc_id <> b.doc_id)
+      WHERE CAST(inter_size AS DOUBLE) / sub_size >= 0.95
+      ORDER BY doc_sub, doc_super"""),
+    bench = false)
+
   /** Corpus rollup per (lang, source): doc counts, token totals, exact
     * average chars — the A5/A6 aggregate shapes over text features.
     */
@@ -583,6 +619,7 @@ object DocQueries {
       WHERE rk <= 5 ORDER BY lang, rk"""))
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
-    qDedupGroups, qDedupSimhash, qNgramJaccard, qTextStats, qTokenCount,
-    qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf, qNgramFreq)
+    qDedupGroups, qDedupSimhash, qNgramJaccard, qContainment, qTextStats,
+    qTokenCount, qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf,
+    qNgramFreq)
 }

@@ -99,7 +99,8 @@ class PlanSpec extends AnyFunSuite {
     // label-propagation loop eagerly and returns a checkpointed leaf, so
     // plan inspection both costs a full run and sees no joins; their
     // candidate-join shape is already swept via q_dedup_minhash.
-    val allowed = Set("q_ngram_jaccard", "q_dedup_groups", "q_corpus_clean")
+    val allowed = Set("q_ngram_jaccard", "q_containment",
+      "q_dedup_groups", "q_corpus_clean")
     SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val p = q.run(spark, dir).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"),
