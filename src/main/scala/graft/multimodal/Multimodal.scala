@@ -22,6 +22,14 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)
 
+  /** Stub geometry constants — ONE definition for both decode and frame
+    * sampling, interpolated into the oracle SQL strings so the invariant
+    * is structural.
+    */
+  val FramesMod = 30
+  val FrameStride = 5
+  private[graft] def nFrames(nBytes: Long): Long = (nBytes % FramesMod) + 1
+
   /** Stand-in payload: the document text's UTF-8 bytes as the opaque
     * media blob (real pipelines carry jpeg/wav/mp4 bytes here).
     */
@@ -43,7 +51,7 @@ object Multimodal {
         MediaMeta(r.doc_id, "image/fake", n,
           width = (n % 640).toInt + 1,
           height = ((n * 7) % 480).toInt + 1,
-          n_frames = (n % 30).toInt + 1)
+          n_frames = nFrames(n).toInt)
       }
     }
   }
@@ -65,14 +73,16 @@ object Multimodal {
     * iteration, one-to-many flatMap, typed output — is fully
     * oracle-checkable.
     */
-  def sampleFrames(media: Dataset[MediaRow], everyK: Int = 5): Dataset[FrameRef] = {
+  def sampleFrames(media: Dataset[MediaRow],
+      everyK: Int = FrameStride): Dataset[FrameRef] = {
+    require(everyK > 0, s"frame stride must be positive, got $everyK")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real code would open the container/codec once per partition
       rows.flatMap { r =>
         val n = r.media.length.toLong
-        val frames = (n % 30) + 1
-        (0L until frames by everyK.toLong).map { i =>
+        if (n == 0) Iterator.empty // empty payload: nothing to sample
+        else (0L until nFrames(n) by everyK.toLong).iterator.map { i =>
           val off = (i * 7) % n
           FrameRef(r.doc_id, i, off, math.min(16L, n - off))
         }

@@ -262,8 +262,7 @@ object DocQueries {
   val qNgramJaccard = QueryDef(
     "q_ngram_jaccard",
     (s, dir) => {
-      val sets = docs(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+      val sets = boundedWordSets(docs(s, dir))
       val a = sets.select(col("doc_id").as("doc_a"), col("ws").as("wa"))
       val b = sets.select(col("doc_id").as("doc_b"), col("ws").as("wb"))
       a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -275,10 +274,7 @@ object DocQueries {
         .filter(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some(s"""
-      WITH sets AS (
-        SELECT doc_id, list_distinct(${wordsSql("text")}) AS ws
-        FROM documents WHERE doc_id < 100)
+    Some(boundedSetsCte + s"""
       SELECT doc_a, doc_b, inter_size, union_size,
              CAST(inter_size AS DOUBLE) / union_size AS jaccard
       FROM (
@@ -290,6 +286,22 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     bench = false)
 
+  /** Bounded distinct-word sets shared by the exact-similarity
+    * validators. Zero-word docs are excluded on BOTH sides — they would
+    * divide by zero, and Spark NaN vs DuckDB NULL disagree on `>=`.
+    */
+  private def boundedWordSets(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") < 100)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 1)
+
+  private lazy val boundedSetsCte: String = s"""
+      WITH sets AS (
+        SELECT doc_id, ws FROM (
+          SELECT doc_id, list_distinct(${wordsSql("text")}) AS ws
+          FROM documents WHERE doc_id < 100)
+        WHERE len(ws) >= 1)"""
+
   /** Directional containment |A∩B| / |A| — catches sub-document
     * duplication (a doc embedded in a larger one) that symmetric Jaccard
     * under-scores. Bounded validator like [[qNgramJaccard]]
@@ -298,8 +310,7 @@ object DocQueries {
   val qContainment = QueryDef(
     "q_containment",
     (s, dir) => {
-      val sets = docs(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+      val sets = boundedWordSets(docs(s, dir))
       val a = sets.select(col("doc_id").as("doc_sub"), col("ws").as("wa"))
       val b = sets.select(col("doc_id").as("doc_super"), col("ws").as("wb"))
       a.crossJoin(b).filter(col("doc_sub") =!= col("doc_super"))
@@ -311,10 +322,7 @@ object DocQueries {
         .filter(col("containment") >= 0.95)
         .orderBy(col("doc_sub"), col("doc_super"))
     },
-    Some(s"""
-      WITH sets AS (
-        SELECT doc_id, list_distinct(${wordsSql("text")}) AS ws
-        FROM documents WHERE doc_id < 100)
+    Some(boundedSetsCte + s"""
       SELECT doc_sub, doc_super, inter_size, sub_size,
              CAST(inter_size AS DOUBLE) / sub_size AS containment
       FROM (

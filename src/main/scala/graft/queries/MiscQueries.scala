@@ -66,12 +66,12 @@ object MiscQueries {
     "q_multimodal_meta",
     (s, dir) => Multimodal.documentsMeta(t(s, dir, "documents"))
       .orderBy(col("doc_id")),
-    Some("""
+    Some(s"""
       SELECT doc_id, 'image/fake' AS mime,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
              CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
-             CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+             CAST(octet_length(encode(text)) % ${Multimodal.FramesMod} + 1 AS INTEGER) AS n_frames
       FROM documents ORDER BY doc_id"""))
 
   /** Frame-sampling plumbing over the media blobs (every 5th frame as
@@ -87,16 +87,18 @@ object MiscQueries {
         Multimodal.deriveMedia(t(s, dir, "documents")).as[Multimodal.MediaRow])
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     },
-    Some("""
+    Some(s"""
       SELECT doc_id, frame_idx,
              (frame_idx * 7) % n_bytes AS frame_off,
              LEAST(16, n_bytes - (frame_idx * 7) % n_bytes) AS frame_len
       FROM (
         SELECT doc_id, n_bytes,
-               unnest(range(0, n_bytes % 30 + 1, 5)) AS frame_idx
+               unnest(range(0, n_bytes % ${Multimodal.FramesMod} + 1,
+                            ${Multimodal.FrameStride})) AS frame_idx
         FROM (SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-              FROM documents))
+              FROM documents)
+        WHERE n_bytes > 0)
       ORDER BY doc_id, frame_idx"""))
 
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qToJson, qMultimodalMeta,
