@@ -55,11 +55,13 @@ object VectorQueries {
     t(s, dir, "embeddings").select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * Scale).cast("bigint")).as("v"))
-      .withColumn("n2",
-        aggregate(col("v"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("n2", dot(col("v"), col("v")))
 
+  /** Native codegen'd integer dot product (see [[graft.functions.LongArrayDot]]
+    * — the HOF aggregate/zip_with formulation runs interpreted).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongArrayDot(a, b)
 
   private def cosine(d: Column, na: Column, nb: Column): Column =
     d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))

@@ -42,6 +42,19 @@ class TextHashSpec extends AnyFunSuite {
     assert(r._1 === r._2)
   }
 
+  test("native long_array_dot equals the HOF aggregate/zip_with formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextInt(2000000).toLong - 1000000),
+      Seq.fill(64)(rnd.nextInt(2000000).toLong - 1000000)))
+    val df = rows.toDF("a", "b")
+      .select(
+        graft.functions.LongArrayDot(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("scala-side hash matches the engine evaluation") {
     val engine = Seq("plane_0_dim_0").toDF("s")
       .select(TextFunctions.h44(col("s"))).as[Long].collect().head
