@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.Md5Prefix44
+import graft.functions.{LongArrayDot, Md5Prefix44}
 
 /** Session extensions — the documented registration path for the
   * engine's native expressions (set
   * `spark.sql.extensions=graft.GraftExtensions`). Makes `md5_prefix44`
-  * available to SQL text as well as the Column API.
+  * and `long_array_dot` available to SQL text as well as the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_prefix44"),
       new ExpressionInfo(classOf[Md5Prefix44].getName, "md5_prefix44"),
       (children: Seq[Expression]) => Md5Prefix44(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("long_array_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+      (children: Seq[Expression]) => LongArrayDot(children.head, children(1))))
   }
 }
