@@ -47,7 +47,7 @@ object Compaction {
         // target-sized files.
         val nParts = math.max(1L, df.select(col(c)).distinct().count())
         val filesPerPart = math.max(1, math.ceil(nFiles.toDouble / nParts).toInt)
-        val salt = pmod(hash(df.columns.map(col): _*), lit(filesPerPart))
+        val salt = pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(filesPerPart))
         df.repartition(nFiles, col(c), salt).write.partitionBy(c)
       case None => df.repartition(nFiles).write
     }

@@ -25,7 +25,7 @@ object CsvTables {
     StructField("country", StringType)))
 
   def writeOdsCsv(df: DataFrame, path: String): Unit =
-    df.select(odsCsvSchema.fieldNames.map(df.col): _*)
+    df.select(odsCsvSchema.fieldNames.toIndexedSeq.map(df.col): _*)
       .write.mode("overwrite")
       .option("header", value = true).option("delimiter", ";")
       .csv(path)
