@@ -15,10 +15,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("md5_prefix44"),
       new ExpressionInfo(classOf[Md5Prefix44].getName, "md5_prefix44"),
-      (children: Seq[Expression]) => Md5Prefix44(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => Md5Prefix44(c)
+        case other =>
+          throw org.apache.spark.sql.graftshim.Shims
+            .wrongNumArgs("md5_prefix44", 1, other.size)
+      }))
     ext.injectFunction((
       FunctionIdentifier("long_array_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
-      (children: Seq[Expression]) => LongArrayDot(children.head, children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => LongArrayDot(a, b)
+        case other =>
+          throw org.apache.spark.sql.graftshim.Shims
+            .wrongNumArgs("long_array_dot", 2, other.size)
+      }))
   }
 }

@@ -99,12 +99,24 @@ object Pipeline {
     updated.write.mode("overwrite").parquet(tmp.toString)
     // Swap with the previous table parked aside, not deleted first: a
     // crash between delete and rename would lose the dim and its stable
-    // ids for good. Worst case after a crash here: `.old` remains for
-    // manual recovery; the target is never absent AND unrecoverable.
+    // ids for good. Hadoop rename reports many failures by returning
+    // false, so every step is checked; on a failed swap the previous
+    // table is restored (or `.old` is preserved for manual recovery) —
+    // the target is never absent AND unrecoverable.
     fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
-    fs.delete(old, true)
+    val hadPrevious = fs.exists(target)
+    if (hadPrevious && !fs.rename(target, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"dim swap failed: $target -> $old (target intact)")
+    }
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, true)
+      if (hadPrevious && !fs.rename(old, target))
+        throw new java.io.IOException(
+          s"dim swap failed AND restore failed — recover manually from $old")
+      throw new java.io.IOException(s"dim swap failed: $tmp -> $target (previous restored)")
+    }
+    if (fs.exists(target)) fs.delete(old, true)
     spark.read.parquet(path)
   }
 

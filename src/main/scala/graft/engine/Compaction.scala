@@ -55,18 +55,27 @@ object Compaction {
 
     // Hadoop rename reports many failures by returning false, not
     // throwing — an unchecked swap could silently leave the staging copy
-    // nested inside the live table. Abort (staging removed, target
-    // intact) on any false.
-    def renameOrAbort(from: org.apache.hadoop.fs.Path,
-        to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to)) {
-        fs.delete(staging, true)
-        throw new java.io.IOException(s"compaction swap failed: $from -> $to")
-      }
+    // nested inside the live table, so every step is checked. If the
+    // second rename fails, the parked `.old` is renamed BACK so the live
+    // table never stays absent. A process crash exactly between the two
+    // renames still leaves the table parked at `.old` (the same exposure
+    // as any non-atomic two-rename swap on a plain FS); recovery is
+    // `mv .old <path>` — both copies exist, nothing is lost.
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(old, true)
-    renameOrAbort(target, old)
-    renameOrAbort(staging, target)
+    if (!fs.rename(target, old)) {
+      fs.delete(staging, true)
+      throw new java.io.IOException(
+        s"compaction swap failed: $target -> $old (target intact)")
+    }
+    if (!fs.rename(staging, target)) {
+      fs.delete(staging, true)
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"compaction swap failed AND restore failed — recover manually from $old")
+      throw new java.io.IOException(
+        s"compaction swap failed: $staging -> $target (previous restored)")
+    }
     fs.delete(old, true)
     (before.size.toLong, dataFiles(target).size.toLong)
   }

@@ -22,24 +22,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(LongType) ||
-        left.dataType == ArrayType(LongType, containsNull = false)) {
-      if (right.dataType == left.dataType ||
-          right.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("right side must be array<bigint>")
-    } else TypeCheckResult.TypeCheckFailure(
-      s"long_array_dot requires array<bigint> inputs, got ${left.dataType}")
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_array_dot requires array<bigint> on both sides, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "long_array_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    LongArrayDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    LongArrayDot.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.LongArrayDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.LongArrayDot.dotOrNull($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.longValue();
+      }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): LongArrayDot = copy(left = newLeft, right = newRight)
@@ -49,16 +58,20 @@ object LongArrayDot {
 
   /** Tight loop over the shorter length; exact 64-bit integer math
     * (callers keep |x| ≤ 1e6-quantized unit vectors, far below overflow).
+    * A null element makes the whole product null — the same answer the
+    * equivalent `aggregate(zip_with(...))` chain gives, so swapping the
+    * native expression in never changes results on nullable arrays.
     */
-  def dot(a: ArrayData, b: ArrayData): Long = {
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getLong(i) * b.getLong(i)
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 
   def apply(a: Column, b: Column): Column =

@@ -164,17 +164,22 @@ object ExtQueries {
 
   /** Deterministic array aggregation: collect + sort, the only
     * hash-stable form of `collect_list` (unsorted collection order is
-    * partition-dependent).
+    * partition-dependent). The list is emitted as a `,`-joined string:
+    * the comparison harness row-sorts result values, and raw array cells
+    * are unsortable there, while the string form is — with no loss, since
+    * the digits round-trip exactly.
     */
   val qCollectSorted = QueryDef(
     "q_collect_sorted",
     (s, dir) => t(s, dir, "events")
       .filter(col("user_id") < 20)
       .groupBy(col("user_id"))
-      .agg(array_sort(collect_list(col("event_id"))).as("event_ids"))
+      .agg(concat_ws(",",
+        array_sort(collect_list(col("event_id")))).as("event_ids"))
       .orderBy(col("user_id")),
     Some("""
-      SELECT user_id, list_sort(list(event_id)) AS event_ids
+      SELECT user_id,
+             array_to_string(list_sort(list(event_id)), ',') AS event_ids
       FROM events WHERE user_id < 20
       GROUP BY user_id ORDER BY user_id"""))
 

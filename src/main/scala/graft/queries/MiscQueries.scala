@@ -20,7 +20,11 @@ object MiscQueries {
   val qCsvRoundtrip = QueryDef(
     "q_csv_roundtrip",
     (s, _) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      // Session-scoped path: concurrent sessions must not race on one
+      // shared dir (overwrite mode would delete a sibling run's files
+      // mid-read); within a session the path is stable so re-runs reuse it.
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_csv_roundtrip_${s.sparkContext.applicationId}"
       CsvTables.writeOdsCsv(OdsBuilder.ingest(s), path)
       CsvTables.readOdsCsv(s, path)
         .orderBy(col("source_date"), col("country"), col("song_rank"))

@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Proper wrong-number-of-arguments AnalysisException for registered
+    * SQL functions (the error builders are `private[sql]`).
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual)
 }

@@ -55,6 +55,41 @@ class TextHashSpec extends AnyFunSuite {
     assert(df.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("long_array_dot nulls out on null elements, matching the HOF chain") {
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+      .select(
+        graft.functions.LongArrayDot(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("hof"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getLong(0) === 11L && rows(1).getLong(1) === 11L)
+  }
+
+  test("registered functions reject wrong arity with a clear analysis error") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT md5_prefix44()").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("md5_prefix44"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT long_array_dot(array(1L))").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("long_array_dot"))
+  }
+
+  test("long_array_dot rejects non-bigint arrays at analysis time") {
+    val err = intercept[Exception] {
+      Seq((Seq(1.0, 2.0), Seq(1L, 2L))).toDF("a", "b")
+        .select(graft.functions.LongArrayDot(col("a"), col("b")))
+        .collect()
+    }
+    assert(err.getMessage.contains("array<bigint>") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("scala-side hash matches the engine evaluation") {
     val engine = Seq("plane_0_dim_0").toDF("s")
       .select(TextFunctions.h44(col("s"))).as[Long].collect().head
