@@ -140,19 +140,23 @@ object ChartQueries {
              song_rank, source_date, country
       FROM chart ORDER BY source_date, country, song_rank"""))
 
+  // The dim queries read the session-cached star layer (same plans the
+  // fact/mart queries consume): imputation does not touch artist/country
+  // keys, so the dims built from `filled` equal the reference's
+  // chart-derived ones, and each query is a scan of the persisted dim.
   val dimArtistQuery = QueryDef(
     "lastfm_dim_artist",
-    (s, dir) => StarBuilder.dimArtist(chartOds(s, dir)).orderBy("artist_id"),
+    (s, dir) => star(s, dir)._2.orderBy("artist_id"),
     Some(cte + "SELECT artist_id, artist_name FROM dim_artist ORDER BY artist_id"))
 
   val dimCountryQuery = QueryDef(
     "lastfm_dim_country",
-    (s, dir) => StarBuilder.dimCountry(chartOds(s, dir)).orderBy("country_id"),
+    (s, dir) => star(s, dir)._4.orderBy("country_id"),
     Some(cte + "SELECT country_id, country_name FROM dim_country ORDER BY country_id"))
 
   val dimSongQuery = QueryDef(
     "lastfm_dim_song",
-    (s, dir) => StarBuilder.dimSong(filled(s, dir)).orderBy("song_id"),
+    (s, dir) => star(s, dir)._3.orderBy("song_id"),
     Some(cte + "SELECT song_id, song_name, duration_sec FROM dim_song ORDER BY song_id"))
 
   val factQuery = QueryDef(
@@ -175,8 +179,13 @@ object ChartQueries {
   private def star(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
     starCache.getOrElseUpdate(s, cacheKey(s, dir)) {
       val f = filled(s, dir)
+      // The dims persist too: each is consumed by the fact build AND by
+      // its own dim query, and the surrogate-id assignment behind them
+      // (distributed sort + zipWithIndex) is the one non-codegen RDD hop
+      // in the pipeline — materialize it once, not per consumer.
       val (da, dsg, dc) =
-        (StarBuilder.dimArtist(f), StarBuilder.dimSong(f), StarBuilder.dimCountry(f))
+        (StarBuilder.dimArtist(f).persist(), StarBuilder.dimSong(f).persist(),
+          StarBuilder.dimCountry(f).persist())
       (StarBuilder.fact(f, da, dsg, dc).persist(), da, dsg, dc)
     }
 

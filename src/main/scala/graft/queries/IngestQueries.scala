@@ -57,6 +57,21 @@ object IngestQueries {
     Some(odsCteSql + """
       SELECT * FROM ods ORDER BY source_date, country, song_rank"""))
 
+  /** The imputed ingest feeds four star branches (3 dims + fact) — left
+    * unpersisted, every branch re-reads and re-flattens the raw JSON
+    * landing zone (the multiLine files are unsplittable, so that cost
+    * does not parallelize away). Materialized once per (session,
+    * fixture-state), like a real pipeline lands its ODS before the star
+    * build.
+    */
+  private val ingestCache = new graft.engine.SessionKeyedCache[
+    org.apache.spark.sql.DataFrame]
+
+  private def filledFixture(s: org.apache.spark.sql.SparkSession) =
+    ingestCache.getOrElseUpdate(s,
+      graft.engine.SessionKeyedCache.fileFingerprint(s, fx))(
+      StarBuilder.imputePerDate(OdsBuilder.ingest(s)).persist())
+
   /** The full reference vertical from raw JSON: ingest → imputation →
     * star dims+fact → royalties mart (DAGs 2+3+4 in one plan;
     * SURVEY §7.3's minimum end-to-end slice on real raw input).
@@ -64,10 +79,11 @@ object IngestQueries {
   val e2eRoyaltiesQuery = QueryDef(
     "lastfm_e2e_royalties",
     (s, _) => {
-      val filled = StarBuilder.imputePerDate(OdsBuilder.ingest(s))
-      val fact = StarBuilder.fact(filled, StarBuilder.dimArtist(filled),
+      val filled = filledFixture(s)
+      val dimArtist = StarBuilder.dimArtist(filled)
+      val fact = StarBuilder.fact(filled, dimArtist,
         StarBuilder.dimSong(filled), StarBuilder.dimCountry(filled))
-      Marts.expectedArtistRoyaltiesByDate(fact, StarBuilder.dimArtist(filled))
+      Marts.expectedArtistRoyaltiesByDate(fact, dimArtist)
     },
     Some(odsCteSql + """,
     imp AS (
