@@ -12,6 +12,7 @@ import graft.functions.{LongArrayDot, Md5Prefix44}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
     ext.injectFunction((
       FunctionIdentifier("md5_prefix44"),
       new ExpressionInfo(classOf[Md5Prefix44].getName, "md5_prefix44"),

@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: a pure range-predicate inner join
+  * (`abs(x − y) <= W`, no equi keys) plans as BroadcastNestedLoopJoin —
+  * O(|L|·|R|) comparisons, the classic scale cliff for event-correlation
+  * joins. This rule rewrites it to the banded equi-join (the same shape
+  * `q_range_join` hand-writes): band the axis into W-sized buckets, fan
+  * the left side out to bucket ± 1 (covers the whole ± W window; any
+  * qualifying pair lands in exactly one candidate bucket), and join on
+  * bucket equality with the original predicate kept as the residual
+  * condition. Planning then picks a hash/sort-merge join keyed on the
+  * band — per-bucket work only, linear end-to-end.
+  *
+  * Scope (deliberately narrow, soundness first): INNER joins whose
+  * condition has a conjunct `abs(a − b) <= w` / `< w` on integral
+  * types with a positive literal bound, sides resolving to opposite
+  * children, and NO existing equi-join conjunct (if one exists Spark
+  * already hash-joins; extra banding would only add fan-out). The
+  * original condition is preserved verbatim, so the rewrite can never
+  * change results — only the join strategy.
+  *
+  * Why a `Rule[LogicalPlan]` (SURVEY §7.5 preference (c)): no
+  * composition of built-ins lets a USER'S naive range join avoid the
+  * nested loop — the fix has to happen to the plan, after analysis.
+  * Registered via [[graft.GraftExtensions]] `injectOptimizerRule`.
+  */
+object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Marker prefix for the injected band columns; also the fixpoint
+    * guard — a join whose condition already references a band column is
+    * our own rewrite and must not fire again.
+    */
+  private val BandCol = "__graft_band"
+
+  private def floorDiv(a: Expression, w: Long): Expression = {
+    val lit = Literal(w, LongType)
+    // Integer floor division from truncating `div`: subtract the
+    // (always non-negative) pmod first — exact for negative axes too,
+    // where a plain `div` truncates toward zero and misbands.
+    IntegralDivide(Subtract(a, Pmod(a, lit)), lit)
+  }
+
+  private def longBound(e: Expression): Option[Long] = e match {
+    case Literal(w: Long, LongType) => Some(w)
+    case Literal(w: Int, IntegerType) => Some(w.toLong)
+    case _ => None
+  }
+
+  /** `abs(a − b) <= w` (or `<`): returns (leftSideExpr, rightSideExpr, w). */
+  private def matchRange(conjunct: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Long)] = {
+    def orient(x: Expression, y: Expression): Option[(Expression, Expression)] =
+      if (x.references.subsetOf(left.outputSet) &&
+          y.references.subsetOf(right.outputSet)) Some((x, y))
+      else if (y.references.subsetOf(left.outputSet) &&
+          x.references.subsetOf(right.outputSet)) Some((y, x))
+      else None
+    def integral(e: Expression): Boolean =
+      e.dataType == LongType || e.dataType == IntegerType
+    val parts = conjunct match {
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), b) => Some((x, y, b))
+      case LessThan(Abs(Subtract(x, y, _), _), b) => Some((x, y, b))
+      case GreaterThanOrEqual(b, Abs(Subtract(x, y, _), _)) => Some((x, y, b))
+      case GreaterThan(b, Abs(Subtract(x, y, _), _)) => Some((x, y, b))
+      case _ => None
+    }
+    parts.flatMap { case (x, y, b) =>
+      for {
+        w <- longBound(b) if w > 0
+        if integral(x) && integral(y)
+        (l, r) <- orient(x, y)
+      } yield (l, r, w)
+    }
+  }
+
+  private def isEqui(conjunct: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean = conjunct match {
+    case EqualTo(a, b) => spansBoth(a, b, left, right)
+    case EqualNullSafe(a, b) => spansBoth(a, b, left, right)
+    case _ => false
+  }
+
+  private def spansBoth(a: Expression, b: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+      (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if j.resolved &&
+          !cond.references.exists(_.name.startsWith(BandCol)) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      if (conjuncts.exists(isEqui(_, left, right))) j
+      else conjuncts.flatMap(matchRange(_, left, right)).headOption match {
+        case None => j
+        case Some((lExpr, rExpr, w)) =>
+          val cast = (e: Expression) =>
+            if (e.dataType == LongType) e else Cast(e, LongType)
+          val bandL = floorDiv(cast(lExpr), w)
+          val one = Literal(1L, LongType)
+          val genAttr =
+            AttributeReference(s"${BandCol}_l", LongType, nullable = true)()
+          val fanned = Generate(
+            Explode(CreateArray(Seq(
+              Subtract(bandL, one), bandL, Add(bandL, one)))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(genAttr), child = left)
+          val bandR = Alias(floorDiv(cast(rExpr), w), s"${BandCol}_r")()
+          val keyed = Project(right.output :+ bandR, right)
+          val newJoin = Join(fanned, keyed, Inner,
+            Some(And(EqualTo(genAttr, bandR.toAttribute), cond)), hint)
+          // Restore the original output (band columns are plumbing).
+          Project(j.output, newJoin)
+      }
+  }
+}

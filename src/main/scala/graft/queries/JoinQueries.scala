@@ -93,5 +93,38 @@ object JoinQueries {
                                 AND e.ts + INTERVAL 6 HOUR
       ORDER BY error_id, click_id"""))
 
-  val all: Seq[QueryDef] = Seq(qAsofJoin, qRangeJoin)
+  /** The same range-join semantics written the NAIVE way — a bare
+    * `abs(a − b) <= W` predicate with no key at all (any error paired
+    * with any click within ±30 s, across users). Without intervention
+    * Spark plans this as a BroadcastNestedLoopJoin (O(|e|·|c|)); the
+    * [[graft.plans.BandedRangeJoin]] optimizer rule rewrites it to the
+    * banded equi-join automatically. BandedRangeJoinSpec asserts the
+    * plan shape; this query hash-checks the rewrite's results against
+    * the oracle's literal inequality join.
+    */
+  val qRangeJoinAuto = QueryDef(
+    "q_range_join_auto",
+    (s, dir) => {
+      val WindowUs = 30L * 1000000
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("us").as("e_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("us").as("c_us"))
+      errors.join(clicks, abs(col("e_us") - col("c_us")) <= lit(WindowUs))
+        .select(col("error_id"), col("click_id"),
+          (col("c_us") - col("e_us")).as("dt_us"))
+        .orderBy(col("error_id"), col("click_id"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+           c AS (SELECT event_id, ts FROM events WHERE event_type = 'click')
+      SELECT e.event_id AS error_id, c.event_id AS click_id,
+             date_diff('microsecond', e.ts, c.ts) AS dt_us
+      FROM e JOIN c
+        ON abs(date_diff('microsecond', c.ts, e.ts)) <= 30000000
+      ORDER BY error_id, click_id"""))
+
+  val all: Seq[QueryDef] = Seq(qAsofJoin, qRangeJoin, qRangeJoinAuto)
 }

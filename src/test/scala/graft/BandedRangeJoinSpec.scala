@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BandedRangeJoin optimizer rule: a naive `abs(x − y) <= W` inner
+  * join must plan as a banded equi-join (no nested loop), produce
+  * exactly the brute-force result (negative axes included), and leave
+  * joins that already have equi keys untouched.
+  */
+class BandedRangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def leftDf: DataFrame =
+    Seq((1L, -17L), (2L, -3L), (3L, 0L), (4L, 4L), (5L, 29L))
+      .toDF("lid", "x").repartition(3)
+
+  private def rightDf: DataFrame =
+    Seq((10L, -21L), (11L, -4L), (12L, 1L), (13L, 9L), (14L, 30L), (15L, 100L))
+      .toDF("rid", "y").repartition(2)
+
+  private def brute(w: Long, strict: Boolean): Set[(Long, Long)] = {
+    val l = Seq((1L, -17L), (2L, -3L), (3L, 0L), (4L, 4L), (5L, 29L))
+    val r = Seq((10L, -21L), (11L, -4L), (12L, 1L), (13L, 9L), (14L, 30L), (15L, 100L))
+    (for {
+      (lid, x) <- l; (rid, y) <- r
+      d = math.abs(x - y)
+      if (strict && d < w) || (!strict && d <= w)
+    } yield (lid, rid)).toSet
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("abs-range join is rewritten to a banded equi-join with identical results") {
+    val joined = leftDf.join(rightDf, abs(col("x") - col("y")) <= lit(5L))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("__graft_band"), s"rule did not fire:\n$optimized")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), s"still a nested loop:\n$physical")
+    assert(pairs(joined) === brute(5L, strict = false))
+  }
+
+  test("strict < bound keeps strict semantics through the rewrite") {
+    val joined = leftDf.join(rightDf, abs(col("x") - col("y")) < lit(5L))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    assert(pairs(joined) === brute(5L, strict = true))
+  }
+
+  test("a join that already has an equi key is not banded") {
+    val l = Seq((1L, 1L, 10L)).toDF("lid", "k", "x")
+    val r = Seq((2L, 1L, 12L)).toDF("rid", "k2", "y")
+    val joined = l.join(r,
+      col("k") === col("k2") && abs(col("x") - col("y")) <= lit(5L))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    assert(joined.count() === 1L)
+  }
+
+  test("outer range joins are left untouched") {
+    val joined = leftDf.join(rightDf,
+      abs(col("x") - col("y")) <= lit(5L), "left_outer")
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    // every left row matches at least once here, so outer ≡ inner result
+    assert(pairs(joined) === brute(5L, strict = false))
+  }
+}
