@@ -80,6 +80,34 @@ object ExtQueries {
       GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** A8 extension: full CUBE (all 4 grouping sets) over (type, day) with
+    * labeled subtotal rows and exact-cents money math.
+    */
+  val qCube = QueryDef(
+    "q_cube_events",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      t(s, dir, "events")
+        .select(col("event_type"), dayofmonth(col("ts")).cast("int").as("d"),
+          cents.as("cents"))
+        .cube(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("cents")).cast("double") / 100).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("d"), lit(-1)).as("d"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("event_type"), col("d"))
+    },
+    Some("""
+      SELECT coalesce(event_type, 'ALL') AS event_type,
+             coalesce(CAST(day(ts) AS INTEGER), -1) AS d,
+             count(*) AS n_events,
+             CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS DOUBLE) / 100 AS sum_value
+      FROM events
+      GROUP BY CUBE(event_type, CAST(day(ts) AS INTEGER))
+      ORDER BY event_type, d"""))
+
   /** F-surface extension: calendar-part extraction + grouped counts. */
   val qDateParts = QueryDef(
     "q_date_parts",
@@ -292,7 +320,7 @@ object ExtQueries {
       GROUP BY user_id % 10
       ORDER BY cohort"""))
 
-  val all: Seq[QueryDef] = Seq(qSimhashPairs, qRollup, qDateParts,
+  val all: Seq[QueryDef] = Seq(qSimhashPairs, qRollup, qCube, qDateParts,
     qSessionWindows, qStatsVariance, qCollectSorted, qPercentiles,
     qRunningTotal, qLagDelta, qPivot)
 }

@@ -71,4 +71,17 @@ object GraftStreaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"))
+
+  /** Streaming exact dedup — the continuous counterpart of
+    * `q_dedup_exact` / the ODS `ON CONFLICT DO NOTHING` key: first
+    * arrival per key is emitted, replays/duplicates are dropped. The
+    * 100 TB property is the `WithinWatermark` variant: key state is
+    * EVICTED once the watermark passes it, so state is O(keys per
+    * watermark horizon), not O(stream history) — a plain streaming
+    * `dropDuplicates` would grow without bound.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      eventTimeCol: String = "ts", watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

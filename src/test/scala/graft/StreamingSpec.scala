@@ -82,4 +82,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.toSeq === Seq((2L, 3.0)), "late event must not reopen the window")
     q.stop()
   }
+
+  test("watermarked streaming dedup emits first arrival and drops replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val events = in.toDF().toDF("ts", "event_id", "payload")
+    val out = GraftStreaming.dedupStream(events, Seq("event_id"),
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // key 1 twice in one batch, key 2 once
+    in.addData((t("2024-05-01 10:00:00"), 1L, "first"),
+      (t("2024-05-01 10:00:30"), 1L, "dup-same-batch"),
+      (t("2024-05-01 10:01:00"), 2L, "first"))
+    q.processAllAvailable()
+    // key 1 again in a LATER batch, still within the watermark horizon
+    in.addData((t("2024-05-01 10:02:00"), 1L, "dup-cross-batch"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup")
+      .select("event_id", "payload").as[(Long, String)].collect().toSet
+    assert(rows === Set((1L, "first"), (2L, "first")))
+    q.stop()
+  }
 }
