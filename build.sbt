@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked run's stdout through unprefixed: the bench/verify
+// harness parses the single JSON result line, and sbt's default
+// LoggedOutput wraps every line in "[info] " (BENCH_r1-r3 all show
+// parsed:null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
