@@ -114,7 +114,9 @@ object Pipeline {
       if (hadPrevious && !fs.rename(old, target))
         throw new java.io.IOException(
           s"dim swap failed AND restore failed — recover manually from $old")
-      throw new java.io.IOException(s"dim swap failed: $tmp -> $target (previous restored)")
+      throw new java.io.IOException(s"dim swap failed: $tmp -> $target " +
+        (if (hadPrevious) "(previous restored)"
+         else "(no previous table; re-run to rebuild)"))
     }
     if (fs.exists(target)) fs.delete(old, true)
     spark.read.parquet(path)

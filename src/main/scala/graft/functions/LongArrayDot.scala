@@ -56,14 +56,16 @@ case class LongArrayDot(left: Expression, right: Expression)
 
 object LongArrayDot {
 
-  /** Tight loop over the shorter length; exact 64-bit integer math
-    * (callers keep |x| ≤ 1e6-quantized unit vectors, far below overflow).
-    * A null element makes the whole product null — the same answer the
-    * equivalent `aggregate(zip_with(...))` chain gives, so swapping the
-    * native expression in never changes results on nullable arrays.
+  /** Tight loop; exact 64-bit integer math (callers keep |x| ≤
+    * 1e6-quantized unit vectors, far below overflow). Null is returned
+    * exactly when the `aggregate(zip_with(...))` chain returns null — on
+    * any null element, and on a length mismatch (zip_with pads the short
+    * side with null, nulling the whole sum) — so swapping the native
+    * expression in never changes results.
     */
   def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {

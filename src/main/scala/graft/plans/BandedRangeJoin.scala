@@ -18,12 +18,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * band — per-bucket work only, linear end-to-end.
   *
   * Scope (deliberately narrow, soundness first): INNER joins whose
-  * condition has a conjunct `abs(a − b) <= w` / `< w` on integral
-  * types with a positive literal bound, sides resolving to opposite
-  * children, and NO existing equi-join conjunct (if one exists Spark
-  * already hash-joins; extra banding would only add fan-out). The
-  * original condition is preserved verbatim, so the rewrite can never
-  * change results — only the join strategy.
+  * condition is deterministic and has a conjunct `abs(a − b) <= w` /
+  * `< w` on integral types with a positive literal bound, sides
+  * resolving to opposite children, and NO existing equi-join conjunct
+  * (if one exists Spark already hash-joins; extra banding would only
+  * add fan-out). The original condition is preserved verbatim, so the
+  * rewrite can never change results — only the join strategy.
+  *
+  * Extreme-value caveat: banding arithmetic is overflow-safe for every
+  * long (floor division is computed as truncating `div` plus a
+  * remainder-sign correction, never `a − pmod(a, w)`, which underflows
+  * near Long.MinValue). The one residual divergence from the
+  * nested-loop plan: with ANSI off, a pair whose `a − b` WRAPS 64-bit
+  * arithmetic into `[−w, w]` (axis values straddling ±2^63, e.g.
+  * a=Long.MaxValue, b=Long.MinValue) "qualifies" under the original
+  * predicate's wrapped math but lands w⁻¹·2^64 bands apart, so the
+  * banded plan drops it. Such pairs are ANSI-off artifacts, not range
+  * matches; Int axes (cast to long) can never produce them.
   *
   * Why a `Rule[LogicalPlan]` (SURVEY §7.5 preference (c)): no
   * composition of built-ins lets a USER'S naive range join avoid the
@@ -40,10 +51,18 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private def floorDiv(a: Expression, w: Long): Expression = {
     val lit = Literal(w, LongType)
-    // Integer floor division from truncating `div`: subtract the
-    // (always non-negative) pmod first — exact for negative axes too,
-    // where a plain `div` truncates toward zero and misbands.
-    IntegralDivide(Subtract(a, Pmod(a, lit)), lit)
+    // Integer floor division from truncating `div` plus a correction
+    // when the remainder is negative (a < 0, not on a band boundary) —
+    // a plain `div` truncates toward zero and misbands negative axes.
+    // Written this way (not `(a − pmod(a, w)) div w`) because the
+    // subtract form underflows for a within w of Long.MinValue; here
+    // div and % never overflow for w > 0, and the band domain
+    // [MinValue div w − 1, MaxValue div w] keeps the ±1 fan-out in
+    // range for every w ≥ 2 (w = 1 bands are the axis itself; see the
+    // extreme-value caveat above).
+    val q = IntegralDivide(a, lit)
+    If(LessThan(Remainder(a, lit), Literal(0L, LongType)),
+      Subtract(q, Literal(1L, LongType)), q)
   }
 
   private def longBound(e: Expression): Option[Long] = e match {
@@ -93,7 +112,7 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved &&
+        if j.resolved && cond.deterministic &&
           !cond.references.exists(_.name.startsWith(BandCol)) =>
       val conjuncts = splitConjunctivePredicates(cond)
       if (conjuncts.exists(isEqui(_, left, right))) j

@@ -58,6 +58,36 @@ class BandedRangeJoinSpec extends AnyFunSuite {
     assert(joined.count() === 1L)
   }
 
+  test("axes near Long.MinValue band without overflow (no dropped pairs)") {
+    val lo = Long.MinValue
+    val l = Seq((1L, lo), (2L, lo + 3L), (3L, lo + 100L)).toDF("lid", "x")
+    val r = Seq((10L, lo + 1L), (11L, lo + 7L), (12L, lo + 95L)).toDF("rid", "y")
+    val joined = l.join(r, abs(col("x") - col("y")) <= lit(5L))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    // brute force without the abs(x−y) subtract (it would wrap here):
+    // qualifying pairs by exact BigInt distance
+    val expected = for {
+      (lid, x) <- Seq((1L, lo), (2L, lo + 3L), (3L, lo + 100L))
+      (rid, y) <- Seq((10L, lo + 1L), (11L, lo + 7L), (12L, lo + 95L))
+      if (BigInt(x) - BigInt(y)).abs <= 5
+    } yield (lid, rid)
+    assert(pairs(joined) === expected.toSet)
+  }
+
+  test("nondeterministic join conditions never reach the rule") {
+    // The analyzer rejects nondeterministic join conditions before any
+    // optimizer rule runs — the rule's cond.deterministic guard is
+    // defense-in-depth (e.g. against future analyzer relaxations), not
+    // reachable through the public API. This pins the analyzer contract
+    // the guard backstops.
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      leftDf.join(rightDf,
+        abs(col("x") - col("y")) <= lit(5L) && rand(7) >= lit(0.0))
+        .queryExecution.optimizedPlan
+    }
+    assert(err.getMessage.contains("INVALID_NON_DETERMINISTIC_EXPRESSIONS"))
+  }
+
   test("outer range joins are left untouched") {
     val joined = leftDf.join(rightDf,
       abs(col("x") - col("y")) <= lit(5L), "left_outer")

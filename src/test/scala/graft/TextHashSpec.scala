@@ -69,6 +69,18 @@ class TextHashSpec extends AnyFunSuite {
     assert(rows(1).getLong(0) === 11L && rows(1).getLong(1) === 11L)
   }
 
+  test("long_array_dot nulls out on length mismatch, matching the HOF chain") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      (Seq(1L, 2L), Seq(4L, 5L, 6L)))
+      .toDF("a", "b")
+      .select(
+        graft.functions.LongArrayDot(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("hof"))
+    df.collect().foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("registered functions reject wrong arity with a clear analysis error") {
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT md5_prefix44()").collect()
