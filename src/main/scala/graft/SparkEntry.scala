@@ -15,7 +15,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     Relational.all ++ ChartQueries.all ++ IngestQueries.all ++
       DocQueries.all ++ VectorQueries.all ++ StreamQueries.all ++
-      MiscQueries.all ++ ExtQueries.all ++ JoinQueries.all ++ ScaleQueries.all
+      MiscQueries.all ++ ExtQueries.all ++ JoinQueries.all ++
+      ScaleQueries.all ++ AnalyticQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The raw-JSON end-to-end royalties mart exercises the whole reference

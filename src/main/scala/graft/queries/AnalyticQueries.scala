@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.functions.TextFunctions
+
+/** Round-4 analytic surface: grouping sets, the full window-ranking
+  * function family, full-outer joins, correlated subqueries (spark.sql
+  * entry point), deterministic stratified sampling, banded edit-distance
+  * near-dup verification, and forward-fill imputation — each with a
+  * bit-exact DuckDB oracle.
+  *
+  * Scale notes are per-query; the common theme: every plan is a
+  * hash-partitioned aggregate/join or a windowed scan partitioned by a
+  * data-scaled key — no global single-partition funnels, no driver-side
+  * loops, no cartesian products.
+  */
+object AnalyticQueries {
+
+  /** GROUPING SETS with grouping_id — the multi-granularity rollup shape
+    * (finer than `rollup`/`cube`, which q_rollup_revenue/q_cube_events
+    * already cover). One shuffle on the grouping keys; Spark expands the
+    * sets map-side (Expand operator), so partial aggregation still
+    * applies before the exchange.
+    */
+  val qGroupingSets = QueryDef(
+    "q_grouping_sets",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          sum(QueryDef.dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag, l_linestatus"""))
+
+  /** The ranking-function family over a partitioned, totally-ordered
+    * window: ntile, percent_rank, cume_dist, first/last/nth_value.
+    * The order key (c_acctbal, c_custkey) is total, so ties cannot make
+    * peer-dependent functions nondeterministic, and the explicit ROWS
+    * frame on the value functions pins identical frame semantics in both
+    * engines. percent_rank/cume_dist are exact small-integer ratios —
+    * bit-identical doubles. Partitioned by mktsegment: parallel across
+    * segments, single pass per partition.
+    */
+  val qWindowRankFns = QueryDef(
+    "q_window_rank_fns",
+    (s, dir) => {
+      val rankW = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val frameW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(rankW).cast("long").as("quartile"),
+          percent_rank().over(rankW).as("pct_rank"),
+          cume_dist().over(rankW).as("cume"),
+          first_value(col("c_custkey")).over(frameW).as("seg_first"),
+          last_value(col("c_custkey")).over(frameW).as("running_last"),
+          nth_value(col("c_custkey"), 2).over(frameW).as("seg_second"))
+        .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume,
+             first_value(c_custkey) OVER wf AS seg_first,
+             last_value(c_custkey) OVER wf AS running_last,
+             nth_value(c_custkey, 2) OVER wf AS seg_second
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+             wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY c_mktsegment, c_acctbal, c_custkey"""))
+
+  /** FULL OUTER join — demand-side vs supply-side per-nation rollups
+    * where either side may be absent (suppliers exist in few nations at
+    * small SF). Keys are coalesced so the output key is total. Both
+    * inputs pre-aggregate before the join (count per nationkey), so the
+    * join is tiny regardless of fact scale — aggregate-then-join, never
+    * join-then-aggregate.
+    */
+  val qFullOuter = QueryDef(
+    "q_full_outer",
+    (s, dir) => {
+      val custs = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val supps = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+      custs.join(supps, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""
+      SELECT COALESCE(c.nk, s.nk2) AS nationkey,
+             COALESCE(c.n_cust, 0) AS n_cust,
+             COALESCE(s.n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+            FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT s_nationkey AS nk2, count(*) AS n_supp
+                       FROM supplier GROUP BY 1) s
+        ON c.nk = s.nk2
+      ORDER BY nationkey"""))
+
+  /** Correlated scalar subquery + EXISTS through the spark.sql entry
+    * point (the API surface a reference user's ad-hoc SQL hits):
+    * per-nation top-balance customers that have at least one order.
+    * Catalyst decorrelates both subqueries into aggregate + semi joins —
+    * no per-row re-execution, unlike the reference's row-at-a-time
+    * Python. Doubles are compared, never aggregated, so the oracle
+    * hash-matches.
+    */
+  val qCorrelatedSubquery = QueryDef(
+    "q_correlated_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        FROM customer_v c
+        WHERE c.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer_v c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c.c_custkey""")
+    },
+    Some("""
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        AND EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c.c_custkey"""))
+
+  /** Deterministic stratified sampling — the training-data curation
+    * primitive (downsample over-represented strata without a seed-drift
+    * hazard between runs). Membership is a pure function of the row key
+    * (44-bit md5 bucket mod 100 vs a per-stratum rate), so the sample is
+    * reproducible across engines, runs, and cluster sizes — no
+    * `TABLESAMPLE`/`rand()` nondeterminism — and embarrassingly parallel
+    * (a codegen'd filter over the scan, no shuffle at all).
+    */
+  val qSampleStratified = QueryDef(
+    "q_sample_stratified",
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("bucket",
+        pmod(TextFunctions.h44(concat(lit("smp|"), col("doc_id").cast("string"))),
+          lit(100L)))
+      .filter(col("bucket") <
+        when(col("lang") === "en", lit(30L)).otherwise(lit(10L)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang, ${TextFunctions.h44Sql("'smp|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+      WHERE ${TextFunctions.h44Sql("'smp|' || CAST(doc_id AS VARCHAR)")} % 100 <
+            CASE WHEN lang = 'en' THEN 30 ELSE 10 END
+      ORDER BY doc_id"""))
+
+  /** Edit-distance near-dup verification over banded candidate pairs:
+    * same-lang docs within ±2 chars of each other, Levenshtein on a
+    * fixed 40-char prefix. This is the "verify" stage of a dedup
+    * pipeline — at 100 TB the candidate set comes from MinHash-LSH
+    * buckets (q_dedup_minhash), never from an all-pairs join; here the
+    * equi key (lang) plus the length band bounds candidates the same
+    * way, and the O(len²) DP runs on a constant-size prefix so per-pair
+    * cost is bounded.
+    */
+  val qEditDistance = QueryDef(
+    "q_edit_distance",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          substring(col("text"), 1, 40).as("pfx"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("n_chars").as("a_len"), col("pfx").as("a_pfx"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("lang2"),
+        col("n_chars").as("b_len"), col("pfx").as("b_pfx"))
+      a.join(b, col("lang") === col("lang2") &&
+          col("a_id") < col("b_id") &&
+          abs(col("a_len") - col("b_len")) <= lit(2L))
+        .select(col("a_id"), col("b_id"), col("lang"),
+          levenshtein(col("a_pfx"), col("b_pfx")).cast("long").as("dist"))
+        .filter(col("dist") <= 27)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+             CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS dist
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 2
+      WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 27
+      ORDER BY a_id, b_id"""),
+    bench = false)
+
+  /** Forward-fill imputation (time-series gap fill): carry each user's
+    * last purchase value forward across subsequent events —
+    * `last(..., ignoreNulls)` over a running ROWS frame, the standard
+    * Spark idiom for LOCF. Partitioned by user: scales with user count,
+    * one sort per user partition, no global window.
+    */
+  val qForwardFill = QueryDef(
+    "q_forward_fill",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("last_purchase",
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("last_purchase"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase
+      FROM events
+      ORDER BY user_id, ts, event_id"""))
+
+  val all: Seq[QueryDef] = Seq(qGroupingSets, qWindowRankFns, qFullOuter,
+    qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill)
+}
