@@ -45,5 +45,33 @@ object StreamQueries {
       GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
-  val all: Seq[QueryDef] = Seq(qWindowHourly, qWindowSliding)
+  /** Batch registration of the stream-stream interval join
+    * ([[GraftStreaming.clickAttribution]]): purchases left-outer joined
+    * to the same user's clicks within the 10-minute lookback, rolled up
+    * to a per-purchase click count. The plan is the scale shape you
+    * want: equi key (user_id) drives a hash join, the time band is a
+    * residual predicate — never a nested loop.
+    */
+  val qClickAttribution = QueryDef(
+    "q_click_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      GraftStreaming.clickAttribution(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+        .groupBy(col("p_id"), col("p_user"), col("p_ts"))
+        .agg(count(col("c_id")).as("n_clicks"))
+        .orderBy(col("p_id"))
+    },
+    Some("""
+      SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+             count(c.event_id) AS n_clicks
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+      GROUP BY 1, 2, 3 ORDER BY p_id"""))
+
+  val all: Seq[QueryDef] = Seq(qWindowHourly, qWindowSliding,
+    qClickAttribution)
 }

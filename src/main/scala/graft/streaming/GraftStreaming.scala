@@ -84,4 +84,31 @@ object GraftStreaming {
       eventTimeCol: String = "ts", watermark: String = "30 minutes"): DataFrame =
     events.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream LEFT OUTER interval join: each purchase attributed
+    * the same user's clicks in the `lookback` window ending at the
+    * purchase. The time-bound condition plus both-side watermarks is
+    * exactly what makes an outer stream-stream join FEASIBLE: Spark can
+    * prove when a purchase can no longer match (its watermark passes
+    * p_ts) and emit the null-padded row, and can evict click state older
+    * than the lookback horizon — state is O(events per horizon), not
+    * O(stream history). Runs identically in batch (watermarks are
+    * no-ops) — `q_click_attribution` hash-checks the join semantics
+    * against DuckDB.
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col("event_id").as("c_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+  }
 }

@@ -83,6 +83,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream outer interval join matches and null-pads after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    def ev(in: MemoryStream[(Long, Long, Timestamp)]) =
+      in.toDF().toDF("event_id", "user_id", "ts")
+    val out = GraftStreaming.clickAttribution(ev(pIn), ev(cIn),
+      lookback = "10 minutes", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 7: click 4 min before the purchase (in lookback);
+    // user 8: purchase with NO click in lookback (click 20 min earlier)
+    cIn.addData((100L, 7L, t("2024-05-01 10:00:00")),
+      (101L, 8L, t("2024-05-01 09:40:00")))
+    pIn.addData((200L, 7L, t("2024-05-01 10:04:00")),
+      (201L, 8L, t("2024-05-01 10:00:00")))
+    q.processAllAvailable()
+    // inner match emits without waiting for the watermark
+    val matched = spark.table("attr").filter(col("p_id") === 200L)
+      .select("c_id").as[Long].collect()
+    assert(matched.toSeq === Seq(100L))
+
+    // advance BOTH watermarks far past user 8's purchase -> Spark can
+    // prove no future click can match it and emits the null-padded row
+    cIn.addData((110L, 99L, t("2024-05-01 12:00:00")))
+    pIn.addData((210L, 99L, t("2024-05-01 12:00:00")))
+    q.processAllAvailable()
+    val unmatched = spark.table("attr").filter(col("p_id") === 201L)
+      .select("c_id").collect()
+    assert(unmatched.length === 1 && unmatched.head.isNullAt(0),
+      "watermark-expired purchase must emit exactly one null-padded row")
+    q.stop()
+  }
+
   test("watermarked streaming dedup emits first arrival and drops replays") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
