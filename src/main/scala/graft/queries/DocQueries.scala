@@ -626,8 +626,108 @@ object DocQueries {
         FROM c)
       WHERE rk <= 5 ORDER BY lang, rk"""))
 
+  /** Overlapping fixed-size character chunking — the tokenizer-prep
+    * step of every training pipeline (long doc → stride-150 windows of
+    * 200 chars). One Generate per doc, chunk count linear in doc length;
+    * no shuffle at all — chunking is a map-side op whatever the corpus
+    * size. Chunk ids are (doc_id, chunk_idx), deterministic for
+    * downstream joins.
+    */
+  val qDocChunks = QueryDef(
+    "q_doc_chunks",
+    (s, dir) => docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, cast(floor((length(text) - 1) / 150) as int))"))
+          .as("chunk_idx"), col("text"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr("substr(text, chunk_idx * 150 + 1, 200)").as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")).cast("long"))
+      .drop("text")
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      SELECT doc_id, chunk_idx,
+             substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200) AS chunk,
+             CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_chars
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(0, (length(text) - 1) // 150 + 1)) AS chunk_idx
+        FROM documents WHERE length(text) > 0)
+      ORDER BY doc_id, chunk_idx"""))
+
+  /** Per-document repetition ratio (top-bigram share of all bigrams) —
+    * the Gopher-style repetitiousness filter: boilerplate and generated
+    * spam score high, natural text low. Shuffles (doc_id, bigram) pairs
+    * once; both aggregations are partial-final hash aggregates keyed by
+    * doc, so the op scales with corpus size, not vocabulary.
+    */
+  val qRepetition = QueryDef(
+    "q_repetition",
+    (s, dir) => {
+      val bigrams = docs(s, dir)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("bigram"))
+      bigrams.groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total_bigrams"))
+        .select(col("doc_id"), col("top_cnt"),
+          col("total_bigrams").cast("long").as("total_bigrams"),
+          (col("top_cnt").cast("double") / col("total_bigrams")).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1]
+                               for i in range(1, len(ws))]) AS bigram
+        FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+        WHERE len(ws) >= 2),
+      c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY doc_id, bigram)
+      SELECT doc_id, max(cnt) AS top_cnt,
+             CAST(sum(cnt) AS BIGINT) AS total_bigrams,
+             CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS rep_ratio
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Canonical-document election per near-dup group: highest quality
+    * score wins, lowest doc_id breaks ties (exact dups share identical
+    * scores). The alternative corpus-clean policy — q_corpus_clean keeps
+    * the group MINIMUM id; real curation keeps the BEST copy. Window is
+    * partitioned by dup_group (data-scaled key, no global funnel).
+    */
+  val qCanonicalDocs = QueryDef(
+    "q_canonical_docs",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dup_group"))
+        .orderBy(col("score").desc, col("doc_id"))
+      dupGroups(d)
+        .join(scoredQuality(d).select(col("doc_id"), col("score")), Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("dup_group"))))
+        .filter(col("rk") === 1)
+        .select(col("dup_group"), col("doc_id").as("canonical_doc"),
+          col("score").as("canonical_score"), col("n_members"))
+        .orderBy(col("dup_group"))
+    },
+    Some(dupGroupsCte + "," + qualityCteBody + """
+      SELECT dup_group, doc_id AS canonical_doc, score AS canonical_score,
+             n_members
+      FROM (
+        SELECT g.dup_group, g.doc_id, q.score,
+               row_number() OVER (PARTITION BY g.dup_group
+                                  ORDER BY q.score DESC, g.doc_id) AS rk,
+               count(*) OVER (PARTITION BY g.dup_group) AS n_members
+        FROM groups g JOIN scoredq q ON q.doc_id = g.doc_id)
+      WHERE rk = 1 ORDER BY dup_group"""),
+    bench = false)
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qContainment, qTextStats,
     qTokenCount, qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf,
-    qNgramFreq)
+    qNgramFreq, qDocChunks, qRepetition, qCanonicalDocs)
 }
