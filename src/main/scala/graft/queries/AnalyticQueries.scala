@@ -241,6 +241,45 @@ object AnalyticQueries {
       FROM events
       ORDER BY user_id, ts, event_id"""))
 
+  /** UNPIVOT (wide → long reshape) — the inverse of q_pivot: part
+    * measures melt into (attr, val) rows via the native Unpivot plan
+    * node (one Expand, no shuffle), not a hand-rolled union of selects.
+    */
+  val qUnpivot = QueryDef(
+    "q_unpivot",
+    (s, dir) => t(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "attr", "val")
+      .orderBy(col("p_partkey"), col("attr")),
+    Some("""
+      SELECT p_partkey, attr, val FROM (
+        UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+                        p_retailprice FROM part)
+        ON p_size, p_retailprice INTO NAME attr VALUE val)
+      ORDER BY p_partkey, attr"""))
+
+  /** Histogram binning in plain integer arithmetic (DuckDB 1.0 has no
+    * width_bucket): 5-unit quantity bins with explicit bounds-clamping.
+    * The canonical distribution-profiling rollup — one partial/final
+    * aggregate over the scan, bin count constant.
+    */
+  val qHistogram = QueryDef(
+    "q_histogram",
+    (s, dir) => t(s, dir, "lineitem")
+      .select((floor(col("l_quantity") / 5).cast("long")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", (col("bin") * 5).cast("double"))
+      .select(col("bin"), col("bin_lo"), col("n"))
+      .orderBy(col("bin")),
+    Some("""
+      SELECT bin, CAST(bin * 5 AS DOUBLE) AS bin_lo, count(*) AS n
+      FROM (SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bin FROM lineitem)
+      GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[QueryDef] = Seq(qGroupingSets, qWindowRankFns, qFullOuter,
-    qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill)
+    qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill,
+    qUnpivot, qHistogram)
 }
