@@ -180,20 +180,44 @@ object VectorQueries {
     */
   private val IvfCentroids = 16
 
+  /** Corpus → nearest-seed-centroid assignment (vec_id, v, n2, cent_id)
+    * — shared by the IVF probe and the centroid-update step.
+    */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    val base = quantized(s, dir)
+    val cent = base.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    base.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id"),
+        cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
+      .withColumn("rk", row_number().over(assignW))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id"))
+  }
+
+  /** SQL mirror of [[ivfAssigned]] — CTE chain ending in
+    * `assigned(vec_id, v, n2, cent_id)`. No leading WITH.
+    */
+  private val ivfAssignedSql: String = s"""
+      base AS ($quantizedSql),
+      n AS (SELECT vec_id, v, $n2Sql AS n2 FROM base),
+      cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n
+               WHERE vec_id < $IvfCentroids),
+      assigned AS (
+        SELECT vec_id, v, n2, cent_id FROM (
+          SELECT n.vec_id, n.v, n.n2, cent.cent_id,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   ${cosineSql(dotSql("n.v", "cent.cv"), "n.n2", "cent.cn2")} DESC,
+                   cent.cent_id) AS rk
+          FROM n, cent)
+        WHERE rk = 1)"""
+
   val qAnnIvfTopk = QueryDef(
     "q_ann_ivf_topk",
     (s, dir) => {
-      val base = quantized(s, dir)
-      val cent = base.filter(col("vec_id") < IvfCentroids)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
-      val assignW = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = base.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("n2"), col("cent_id"),
-          cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")).as("ccos"))
-        .withColumn("rk", row_number().over(assignW))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("n2"), col("cent_id"))
+      val assigned = ivfAssigned(s, dir)
       val qs = assigned.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("n2").as("qn2"), col("cent_id"))
@@ -209,18 +233,7 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rk"))
     },
     Some(s"""
-      WITH base AS ($quantizedSql),
-      n AS (SELECT vec_id, v, $n2Sql AS n2 FROM base),
-      cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n
-               WHERE vec_id < $IvfCentroids),
-      assigned AS (
-        SELECT vec_id, v, n2, cent_id FROM (
-          SELECT n.vec_id, n.v, n.n2, cent.cent_id,
-                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                   ${cosineSql(dotSql("n.v", "cent.cv"), "n.n2", "cent.cn2")} DESC,
-                   cent.cent_id) AS rk
-          FROM n, cent)
-        WHERE rk = 1),
+      WITH $ivfAssignedSql,
       q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cent_id
             FROM assigned WHERE vec_id < $NQueries),
       scored AS (
@@ -262,6 +275,41 @@ object VectorQueries {
       WHERE ${cosineSql(dotSql("a.v", "b.v"), "a.n2", "b.n2")} >= 0.3
       ORDER BY vec_a, vec_b"""))
 
+  /** One Lloyd iteration of IVF/k-means centroid training: element-wise
+    * sum + count per cell via the typed [[graft.functions.VectorSumAgg]]
+    * UDAF, final means as exact-int/int division in double. The shuffle
+    * carries ONE packed array per (cell, partition) — map-side combine,
+    * no 64× dimension explosion (the built-in route the oracle mirrors).
+    * Output is flattened to (cent_id, dim) rows only for the tiny
+    * 16×64 result.
+    */
+  val qIvfCentroids = QueryDef(
+    "q_ivf_centroids",
+    (s, dir) => ivfAssigned(s, dir)
+      .groupBy(col("cent_id"))
+      .agg(graft.functions.VectorSumAgg(col("v")).as("sv"),
+        count(lit(1)).as("n_members"))
+      .select(col("cent_id"), col("n_members"),
+        posexplode(col("sv")).as(Seq("pos", "sum_q")))
+      .select(col("cent_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("sum_q"), col("n_members"),
+        (col("sum_q").cast("double") / col("n_members")).as("mean_q"))
+      .orderBy(col("cent_id"), col("dim")),
+    Some(s"""
+      WITH $ivfAssignedSql,
+      flat AS (
+        SELECT cent_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+               unnest(v) AS val
+        FROM assigned),
+      cells AS (SELECT cent_id, count(*) AS n_members
+                FROM assigned GROUP BY cent_id)
+      SELECT f.cent_id, f.dim, CAST(sum(f.val) AS BIGINT) AS sum_q,
+             c.n_members,
+             CAST(CAST(sum(f.val) AS BIGINT) AS DOUBLE) / c.n_members AS mean_q
+      FROM flat f JOIN cells c USING (cent_id)
+      GROUP BY f.cent_id, f.dim, c.n_members
+      ORDER BY cent_id, dim"""))
+
   val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qAnnIvfTopk,
-    qEmbeddingNeardup)
+    qEmbeddingNeardup, qIvfCentroids)
 }
