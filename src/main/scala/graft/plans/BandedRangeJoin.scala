@@ -49,7 +49,7 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     */
   private val BandCol = "__graft_band"
 
-  private def floorDiv(a: Expression, w: Long): Expression = {
+  private[graft] def floorDiv(a: Expression, w: Long): Expression = {
     val lit = Literal(w, LongType)
     // Integer floor division from truncating `div` plus a correction
     // when the remainder is negative (a < 0, not on a band boundary) —
