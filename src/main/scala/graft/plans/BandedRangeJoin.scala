@@ -26,15 +26,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * rewrite can never change results — only the join strategy.
   *
   * Extreme-value caveat: banding arithmetic is overflow-safe for every
-  * long (floor division is computed as truncating `div` plus a
-  * remainder-sign correction, never `a − pmod(a, w)`, which underflows
-  * near Long.MinValue). The one residual divergence from the
-  * nested-loop plan: with ANSI off, a pair whose `a − b` WRAPS 64-bit
-  * arithmetic into `[−w, w]` (axis values straddling ±2^63, e.g.
-  * a=Long.MaxValue, b=Long.MinValue) "qualifies" under the original
-  * predicate's wrapped math but lands w⁻¹·2^64 bands apart, so the
-  * banded plan drops it. Such pairs are ANSI-off artifacts, not range
-  * matches; Int axes (cast to long) can never produce them.
+  * long and every matched w ≥ 2 (floor division is computed as
+  * truncating `div` plus a remainder-sign correction, never
+  * `a − pmod(a, w)`, which underflows near Long.MinValue; the band
+  * domain [MinValue div w − 1, MaxValue div w] keeps the ±1 fan-out in
+  * Long range). w = 1 is deliberately not matched — there the band
+  * equals the axis value and the fan-out itself could overflow.
+  * Under Spark 4's default ANSI mode (which every session this repo
+  * creates runs), a pair whose `a − b` overflows 64-bit arithmetic
+  * (axis values straddling ±2^63) raises ARITHMETIC_OVERFLOW in BOTH
+  * the nested-loop and the banded plan — the residual predicate is the
+  * original condition — so the rewrite introduces no new failure mode
+  * and drops no ANSI-mode match. Int axes (cast to long) can never
+  * overflow the subtraction at all.
   *
   * Why a `Rule[LogicalPlan]` (SURVEY §7.5 preference (c)): no
   * composition of built-ins lets a USER'S naive range join avoid the
@@ -91,7 +95,12 @@ object BandedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
     parts.flatMap { case (x, y, b) =>
       for {
-        w <- longBound(b) if w > 0
+        // w ≥ 2 only: at w = 1 the band IS the axis value, so the ±1
+        // fan-out arithmetic (bandL ± 1) can overflow Long at the axis
+        // extremes — under ANSI mode the rewritten plan would raise on
+        // inputs the nested-loop plan executes fine. Banding also buys
+        // nothing at w = 1 (three candidate buckets to find |a−b| ≤ 1).
+        w <- longBound(b) if w > 1
         if integral(x) && integral(y)
         (l, r) <- orient(x, y)
       } yield (l, r, w)

@@ -254,10 +254,10 @@ object AnalyticQueries {
         Array(col("p_size"), col("p_retailprice")), "attr", "val")
       .orderBy(col("p_partkey"), col("attr")),
     Some("""
-      SELECT p_partkey, attr, val FROM (
-        UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
-                        p_retailprice FROM part)
-        ON p_size, p_retailprice INTO NAME attr VALUE val)
+      SELECT p_partkey, attr, val
+      FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+                   p_retailprice FROM part)
+           UNPIVOT INCLUDE NULLS (val FOR attr IN (p_size, p_retailprice))
       ORDER BY p_partkey, attr"""))
 
   /** Histogram binning in plain integer arithmetic (DuckDB 1.0 has no

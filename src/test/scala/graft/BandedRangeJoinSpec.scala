@@ -74,6 +74,16 @@ class BandedRangeJoinSpec extends AnyFunSuite {
     assert(pairs(joined) === expected.toSet)
   }
 
+  test("w = 1 is not banded (fan-out would overflow at axis extremes) yet still runs") {
+    val l = Seq((1L, Long.MaxValue), (2L, 0L)).toDF("lid", "x")
+    val r = Seq((10L, Long.MaxValue - 1L), (11L, 1L)).toDF("rid", "y")
+    val joined = l.join(r, abs(col("x") - col("y")) <= lit(1L))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_band"))
+    // the nested-loop plan handles the extreme axis fine; the rewrite
+    // would have raised ARITHMETIC_OVERFLOW building band+1 under ANSI
+    assert(pairs(joined) === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("nondeterministic join conditions never reach the rule") {
     // The analyzer rejects nondeterministic join conditions before any
     // optimizer rule runs — the rule's cond.deterministic guard is
