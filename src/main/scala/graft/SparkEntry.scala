@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++ ChartQueries.all ++ IngestQueries.all ++
       DocQueries.all ++ VectorQueries.all ++ StreamQueries.all ++
       MiscQueries.all ++ ExtQueries.all ++ JoinQueries.all ++
-      ScaleQueries.all ++ AnalyticQueries.all ++ EventQueries.all
+      ScaleQueries.all ++ AnalyticQueries.all ++ EventQueries.all ++
+      WarehouseQueries.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The raw-JSON end-to-end royalties mart exercises the whole reference

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.functions.TextFunctions._
+
+/** Training-data curation operators the DocQueries dedup/quality family
+  * doesn't cover: eval-set decontamination, PII redaction, and
+  * deterministic weighted sampling (builder brief / SURVEY §7.6).
+  */
+object CurationQueries {
+
+  /** Benchmark decontamination: flag training documents sharing word
+    * n-grams with a held-out eval set — the standard pre-training hygiene
+    * pass (eval here = every 97th doc, a deterministic stand-in for the
+    * benchmark corpus). Distinct trigrams per doc are hashed to 44-bit
+    * ints (md5-derived, engine-parity — see [[TextFunctions]]) and the
+    * two sides join on the hash; pairs with ≥ 2 shared trigrams are
+    * reported with their overlap count. The oracle joins on the SAME
+    * 44-bit hash, so both engines agree bit-for-bit, collisions included
+    * (at 44 bits a false shared gram needs ~4M distinct grams per pair
+    * to reach 50%; real corpora use 64-128-bit gram hashes).
+    *
+    * Scale: the eval side is tiny by construction (benchmarks are KBs,
+    * corpora are TBs) → broadcast the eval gram set; train grams stream
+    * through the hash probe with no shuffle of the corpus, and the
+    * groupBy shuffles only the surviving hit pairs.
+    */
+  val qDecontaminate = QueryDef(
+    "q_decontaminate",
+    (s, dir) => {
+      val N = 3
+      val docs = t(s, dir, "documents")
+      val grams = docs
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= N)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("ws")) - (N - 1)),
+            i => array_join(slice(col("ws"), i, lit(N)), " ")))).as("gram"))
+        .select(col("doc_id"), h44(col("gram")).as("gh"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .withColumnRenamed("doc_id", "eval_id")
+      val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)
+        .withColumnRenamed("doc_id", "train_id")
+      trainGrams.join(broadcast(evalGrams), Seq("gh"))
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(countDistinct(col("gh")).as("shared_ngrams"))
+        .filter(col("shared_ngrams") >= 2)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]))
+               AS gram
+        FROM w WHERE len(ws) >= 3),
+      h AS (SELECT doc_id, ${h44Sql("gram")} AS gh FROM g)
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             count(DISTINCT t.gh) AS shared_ngrams
+      FROM h t JOIN h e ON t.gh = e.gh
+      WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+      GROUP BY 1, 2 HAVING count(DISTINCT t.gh) >= 2
+      ORDER BY train_id, eval_id"""))
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII redaction: regex-scrub emails and phone numbers from document
+    * text, reporting per-doc redaction counts and an md5 of the scrubbed
+    * text (md5 is the engine-parity witness that the full redacted string
+    * is identical; shipping whole scrubbed corpora through the oracle
+    * diff would be the same check, slower). The synthetic corpus contains
+    * no PII, so a deterministic contact line is appended per doc first —
+    * the redaction then provably fires on every row. Patterns stay in the
+    * regex subset Java and RE2 treat identically (char classes + bounded
+    * repetition, no alternation/backtracking).
+    *
+    * Scale: pure per-row string work — codegen'd regexp_replace, no
+    * shuffle at all until the output sort, which a real pipeline wouldn't
+    * have (it writes back partition-wise).
+    */
+  val qPiiRedact = QueryDef(
+    "q_pii_redact",
+    (s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(".")).as("txt"))
+      withPii.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS txt
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt, '$EmailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS BIGINT) AS n_phones,
+             md5(regexp_replace(regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+      FROM p ORDER BY doc_id"""))
+
+  /** Deterministic weighted Bernoulli sampling: accept each doc with
+    * probability proportional to its length (p = min(1, n_chars/1000)),
+    * decided by comparing a 20-bit md5-derived uniform draw against the
+    * weight IN PURE INTEGER MATH — `u * 1000 < n_chars * 2^20` — so both
+    * engines make the identical accept/reject call on every row (no
+    * float pow/ln, which are not bit-portable). Seeded by a tagged key
+    * (`wsmp|doc_id`), so re-runs and engines agree, and changing the tag
+    * re-draws the sample. This is the curriculum/quality-weighting
+    * primitive: swap n_chars for any integer quality score.
+    *
+    * Scale: stateless per-row predicate — embarrassingly parallel,
+    * pushes through any partitioning, no coordination (vs reservoir
+    * sampling, which needs a global pass).
+    */
+  val qWeightedSample = QueryDef(
+    "q_weighted_sample",
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("u20",
+        pmod(h44(concat(lit("wsmp|"), col("doc_id").cast("string"))),
+          lit(1L << 20)))
+      .filter(col("u20") * 1000 < col("n_chars") * (1L << 20))
+      .select(col("doc_id"), col("n_chars"), col("u20"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, n_chars, u20 FROM (
+        SELECT doc_id, n_chars,
+               ${h44Sql("'wsmp|' || CAST(doc_id AS VARCHAR)")} % ${1L << 20} AS u20
+        FROM documents)
+      WHERE u20 * 1000 < n_chars * ${1L << 20}
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(qDecontaminate, qPiiRedact, qWeightedSample)
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.queries.QueryDef.dec
+
+/** Warehouse-lifecycle operators beyond the reference's star build: SCD
+  * Type-2 dimension versioning, a declarative data-quality audit,
+  * time-range window frames, and a manual bloom-filter runtime filter —
+  * the operations a production warehouse team layers on top of the
+  * reference's ODS→DDS→DM pipeline (SURVEY §7.6 extension surface).
+  */
+object WarehouseQueries {
+
+  /** SCD Type 2: version a mutating attribute from a change log. The
+    * reference's dims are Type 1 (latest value wins, `ON CONFLICT DO
+    * NOTHING`); Type 2 is the standard upgrade — each attribute change
+    * opens a new (valid_from, valid_to] version row, the live version has
+    * valid_to NULL. Here the change log is the `events` purchase stream
+    * per user, collapsed to actual value changes (consecutive duplicates
+    * carry no new version) with lag(), then versioned with row_number()
+    * and closed with lead().
+    *
+    * Scale: two window passes over the same (user_id; ts, event_id)
+    * ordering — one shuffle total, per-user partitions, no global sort.
+    * Monetary values travel as exact integer cents (QueryDef discipline).
+    */
+  val qScd2 = QueryDef(
+    "q_scd2",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val log = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          cents.as("attr_cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changed = log
+        .withColumn("prev", lag(col("attr_cents"), 1).over(w))
+        .filter(col("prev").isNull || col("attr_cents") =!= col("prev"))
+      changed
+        .withColumn("version", row_number().over(w).cast("bigint"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"),
+          (col("attr_cents").cast("double") / 100).as("attr"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS attr_cents
+        FROM events WHERE event_type = 'purchase'),
+      changed AS (
+        SELECT user_id, event_id, ts, attr_cents FROM (
+          SELECT *, lag(attr_cents) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM log)
+        WHERE prev IS NULL OR attr_cents <> prev)
+      SELECT user_id,
+             row_number() OVER w AS version,
+             CAST(attr_cents AS DOUBLE) / 100 AS attr,
+             ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             lead(ts) OVER w IS NULL AS is_current
+      FROM changed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
+
+  /** Time-range window frame: per-event rolling 1-hour lookback
+    * (count + sum) per user via RANGE BETWEEN on exact epoch
+    * microseconds — the window shape q_window_sliding's groupBy-window
+    * cannot express (that one buckets; this one is per-row, frame
+    * boundaries at value distance, ties = peers in both engines).
+    */
+  val qWindowRangeFrame = QueryDef(
+    "q_window_range_frame",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val base = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), cents.as("cents"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      base
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(col("cents")).over(w).cast("double") / 100)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_1h"), col("sum_1h"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             count(*) OVER w AS n_1h,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  OVER w AS DOUBLE) / 100 AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_us, event_id"""))
+
+  /** Declarative data-quality audit: the expectation checks a warehouse
+    * runs before promoting a load (the reference's analogue is its UNIQUE
+    * constraints and FK references, `ddl_ods.sql:23`, `ddl_dds.sql:26-31`
+    * — enforced by Postgres, absent on a lake). One aggregate pass over
+    * lineitem computes the row-level checks as conditional sums plus a
+    * multi-column distinct (duplicate business keys); one anti-join
+    * counts referential orphans; the single-row results unpivot into the
+    * (check, violations) report. Scale: one scan + one shuffle-free
+    * broadcast-anti-join — audit cost is one pass regardless of how many
+    * row-level checks ride along.
+    */
+  val qDqAudit = QueryDef(
+    "q_dq_audit",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val viol = (c: org.apache.spark.sql.Column) =>
+        sum(when(c, 1L).otherwise(0L))
+      val rowChecks = li.agg(
+        count(lit(1)).as("total"),
+        viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("qty_out_of_range"),
+        viol(col("l_extendedprice") <= 0).as("price_not_positive"),
+        viol(col("l_discount") < 0 || col("l_discount") > 1).as("discount_out_of_range"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("dup_business_key"))
+      val orphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_orderkey"))
+      rowChecks.crossJoin(orphans)
+        .unpivot(Array(col("total")),
+          Array(col("dup_business_key"), col("discount_out_of_range"),
+            col("orphan_orderkey"), col("price_not_positive"),
+            col("qty_out_of_range")),
+          "check_name", "violations")
+        .select(col("check_name"), col("violations"), col("total"),
+          (col("violations") === 0L).as("pass"))
+        .orderBy(col("check_name"))
+    },
+    Some("""
+      WITH agg AS (
+        SELECT count(*) AS total,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS price_not_positive,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_business_key
+        FROM lineitem),
+      orph AS (
+        SELECT count(*) AS orphan_orderkey FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+      SELECT check_name, violations, total, violations = 0 AS pass FROM (
+        SELECT 'dup_business_key' AS check_name, dup_business_key AS violations, total FROM agg
+        UNION ALL SELECT 'discount_out_of_range', discount_out_of_range, total FROM agg
+        UNION ALL SELECT 'orphan_orderkey', orphan_orderkey, total FROM agg, orph
+        UNION ALL SELECT 'price_not_positive', price_not_positive, total FROM agg
+        UNION ALL SELECT 'qty_out_of_range', qty_out_of_range, total FROM agg)
+      ORDER BY check_name"""))
+
+  /** Manual bloom-filter runtime filter: build a bloom over the dim-side
+    * join keys (suppliers of one nation), pre-filter the fact scan with
+    * `mightContain`, then run the real join — the join removes the
+    * bloom's false positives, so results are EXACTLY the plain join's
+    * (which is the oracle). Spark's own `injectRuntimeFilter` does this
+    * automatically inside one query when thresholds allow; the
+    * library-level variant shown here is the tool when the filter must
+    * cross stages or jobs (e.g. built once, applied to many fact scans),
+    * which is where the 100 TB win lives: the bloom ships as a few KB
+    * broadcast and drops non-matching fact rows at the scan, before any
+    * shuffle. The bloom membership probe is the one deliberate UDF in
+    * this repo — `BloomFilter.mightContainLong` has no Column-expression
+    * form; it sits behind a pushed-down scan filter, not in a per-row
+    * transform chain.
+    */
+  val qBloomPrune = QueryDef(
+    "q_bloom_prune",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      // stat.bloomFilter NPEs on an empty input (null aggregation buffer);
+      // an empty dim admits no fact rows, so the pre-filter is `false`.
+      val might =
+        if (sup.isEmpty) lit(false)
+        else {
+          val bloom = sup.stat.bloomFilter("s_suppkey", 1000L, 0.01)
+          udf((k: Long) => bloom.mightContainLong(k)).apply(col("l_suppkey"))
+        }
+      val price = dec(col("l_extendedprice"))
+      val omd = (lit(BigDecimal(1)) - dec(col("l_discount"))).cast("decimal(4,2)")
+      t(s, dir, "lineitem")
+        .filter(might)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((price * omd).cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, s_name, count(*) AS n_items,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY s_suppkey, s_name
+      ORDER BY s_suppkey"""))
+
+  val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Authored edge cases for the curation operators: decontamination
+  * thresholding, PII redaction byte-exactness, weighted-sample
+  * determinism and weight semantics.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curation-spec").toString
+    rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("decontaminate reports pairs with >= 2 shared trigrams only") {
+    val dir = docsDir(Seq(
+      // doc 0: eval (0 % 97 == 0)
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      // doc 1: shares trigrams "the quick brown", "quick brown fox" -> reported
+      (1L, "see the quick brown fox run"),
+      // doc 2: shares exactly one trigram ("over the lazy") -> filtered out
+      (2L, "falling over the lazy afternoon haze today"),
+      // doc 3: disjoint vocabulary -> no candidate pair at all
+      (3L, "completely unrelated words appear here instead now")))
+    val got = graft.queries.CurationQueries.qDecontaminate.run(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((1L, 0L, 2L)))
+  }
+
+  test("pii redaction counts and redacted text are byte-exact") {
+    val dir = docsDir(Seq(
+      (0L, "plain text with no contact info"),
+      // an email already in the body -> 2 emails after the appended one
+      (1L, "reach me at alice@test.org for details")))
+    val got = graft.queries.CurationQueries.qPiiRedact.run(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    val expected0 = md5hex(
+      "plain text with no contact info Contact <EMAIL> or <PHONE>.")
+    val expected1 = md5hex(
+      "reach me at <EMAIL> for details Contact <EMAIL> or <PHONE>.")
+    assert(got(0L) === ((1L, 1L, expected0)))
+    assert(got(1L) === ((2L, 1L, expected1)))
+  }
+
+  test("weighted sample accepts every doc at weight >= cap and is deterministic") {
+    // n_chars = text.length; build one doc far above the 1000-char cap
+    // (p = 1, must always be accepted) and many tiny ones (p small).
+    val big = (10L, "x" * 2000)
+    val small = (0L until 50L).filter(_ != 10L).map(i => (i, s"tiny doc $i"))
+    val dir = docsDir(small :+ big)
+    val run1 = graft.queries.CurationQueries.qWeightedSample.run(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    val run2 = graft.queries.CurationQueries.qWeightedSample.run(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    assert(run1 === run2)
+    assert(run1.exists(_._1 == 10L), "p=1 doc must always be sampled")
+    // accept decision must match the integer predicate exactly
+    run1.foreach { case (_, nChars, u20) =>
+      assert(u20 * 1000 < nChars * (1L << 20))
+    }
+  }
+}
