@@ -279,7 +279,76 @@ object AnalyticQueries {
       FROM (SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bin FROM lineitem)
       GROUP BY bin ORDER BY bin"""))
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — "top-2
+    * customers per nation" written the way an analyst writes it.
+    * Catalyst decorrelates the per-row subquery into
+    * WindowGroupLimit → row_number window → equi-join: the lateral
+    * NEVER re-executes per outer row (the reference's Python-loop
+    * analogue), and WindowGroupLimit keeps only k rows per key on the
+    * map side BEFORE the shuffle — the same physical shape as the
+    * hand-written q_topk_per_group, derived automatically from the
+    * declarative form.
+    */
+  val qLateralTopk = QueryDef(
+    "q_lateral_topk",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT n_name, t.c_name, t.c_acctbal
+        FROM nation_v,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_v
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n_name, c_acctbal DESC, c_name""")
+    },
+    Some("""
+      SELECT n_name, t.c_name, t.c_acctbal
+      FROM nation,
+      LATERAL (SELECT c_name, c_acctbal FROM customer
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n_name, c_acctbal DESC, c_name"""))
+
+  /** Incremental re-aggregation: merge persisted daily partials into a
+    * monthly rollup WITHOUT touching raw events — the pre-aggregation
+    * pattern every large warehouse runs (aggregate once per day, merge
+    * partials for any coarser grain). Sums and counts are algebraic so
+    * they merge exactly; the monthly average is re-derived from merged
+    * sum/count — never an average of averages. At 100 TB the daily
+    * layer is what's stored; the monthly merge reads 30 pre-aggregated
+    * rows per (day, type), not 30 days of raw events.
+    */
+  val qRollupMerge = QueryDef(
+    "q_rollup_merge",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(sum(cents).as("cents"), count(lit(1)).as("n"))
+      daily
+        .groupBy(date_trunc("month", col("day")).cast("date").as("month"),
+          col("event_type"))
+        .agg((sum(col("cents")).cast("double") / 100).as("sum_value"),
+          sum(col("n")).as("n_events"),
+          (sum(col("cents")).cast("double") / sum(col("n")) / 100).as("avg_value"))
+        .orderBy(col("month"), col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month, event_type,
+             CAST(SUM(cents) AS DOUBLE) / 100 AS sum_value,
+             -- DuckDB SUM(BIGINT) widens to HUGEINT; pin the driver-visible type
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS DOUBLE) / CAST(SUM(n) AS BIGINT) / 100 AS avg_value
+      FROM daily GROUP BY 1, 2
+      ORDER BY month, event_type"""))
+
   val all: Seq[QueryDef] = Seq(qGroupingSets, qWindowRankFns, qFullOuter,
     qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill,
-    qUnpivot, qHistogram)
+    qUnpivot, qHistogram, qLateralTopk, qRollupMerge)
 }

@@ -93,6 +93,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected dynamic partition pruning in:\n$p")
   }
 
+  test("scd2: both window passes share one hash shuffle on user_id") {
+    val p = formatted(graft.queries.WarehouseQueries.qScd2.run(spark, dir))
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1,
+      s"expected exactly 1 hash exchange feeding both windows, got $hashExchanges:\n$p")
+  }
+
+  test("decontaminate: the eval gram set is broadcast, the corpus side is not shuffled before the join") {
+    val p = finalPlan(graft.queries.CurationQueries.qDecontaminate.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+  }
+
+  test("bloom prune: the nation filter is pushed to the scan and the dim joins broadcast") {
+    val p = finalPlan(graft.queries.WarehouseQueries.qBloomPrune.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    val f = formatted(graft.queries.WarehouseQueries.qBloomPrune.run(spark, dir))
+    assert(f.contains("EqualTo(n_name,NATION_3)"), s"nation filter not pushed:\n$f")
+  }
+
+  test("lateral top-k decorrelates to a map-side WindowGroupLimit, not per-row re-execution") {
+    val p = graft.queries.AnalyticQueries.qLateralTopk.run(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$p")
+    assert(!p.contains("LateralJoin"), s"lateral not decorrelated:\n$p")
+  }
+
   test("no plan in the registry contains a cartesian product (except the bounded validators)") {
     // q_ngram_jaccard: explicit bounded all-pairs validator.
     // q_dedup_groups / q_corpus_clean: iterative — run() executes the
