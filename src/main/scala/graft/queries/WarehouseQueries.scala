@@ -102,31 +102,36 @@ object WarehouseQueries {
   /** Declarative data-quality audit: the expectation checks a warehouse
     * runs before promoting a load (the reference's analogue is its UNIQUE
     * constraints and FK references, `ddl_ods.sql:23`, `ddl_dds.sql:26-31`
-    * — enforced by Postgres, absent on a lake). One aggregate pass over
-    * lineitem computes the row-level checks as conditional sums plus a
-    * multi-column distinct (duplicate business keys); one anti-join
-    * counts referential orphans; the single-row results unpivot into the
-    * (check, violations) report. Scale: one scan + one shuffle-free
-    * broadcast-anti-join — audit cost is one pass regardless of how many
-    * row-level checks ride along.
+    * — enforced by Postgres, absent on a lake). ONE pass over lineitem
+    * computes every check: row-level expectations as conditional sums, a
+    * multi-column distinct for duplicate business keys, and referential
+    * orphans as a broadcast LEFT join against the pruned single-column
+    * orders key whose misses are counted in the same aggregate — no
+    * second fact scan, no separate anti-join. The single-row result
+    * unpivots into the (check, violations) report. Scale: audit cost is
+    * one fact scan + one KB-sized broadcast regardless of how many
+    * checks ride along.
     */
   val qDqAudit = QueryDef(
     "q_dq_audit",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val ord = t(s, dir, "orders")
+      val ordKeys = t(s, dir, "orders")
+        .select(col("o_orderkey")).distinct()
+        .withColumn("__ord_ok", lit(1))
       val viol = (c: org.apache.spark.sql.Column) =>
         sum(when(c, 1L).otherwise(0L))
-      val rowChecks = li.agg(
-        count(lit(1)).as("total"),
-        viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("qty_out_of_range"),
-        viol(col("l_extendedprice") <= 0).as("price_not_positive"),
-        viol(col("l_discount") < 0 || col("l_discount") > 1).as("discount_out_of_range"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
-          .as("dup_business_key"))
-      val orphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("orphan_orderkey"))
-      rowChecks.crossJoin(orphans)
+      val rowChecks = li
+        .join(broadcast(ordKeys), li("l_orderkey") === ordKeys("o_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("total"),
+          viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("qty_out_of_range"),
+          viol(col("l_extendedprice") <= 0).as("price_not_positive"),
+          viol(col("l_discount") < 0 || col("l_discount") > 1).as("discount_out_of_range"),
+          (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+            .as("dup_business_key"),
+          viol(col("__ord_ok").isNull).as("orphan_orderkey"))
+      rowChecks
         .unpivot(Array(col("total")),
           Array(col("dup_business_key"), col("discount_out_of_range"),
             col("orphan_orderkey"), col("price_not_positive"),
