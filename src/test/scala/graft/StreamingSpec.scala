@@ -142,4 +142,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Set((1L, "first"), (2L, "first")))
     q.stop()
   }
+
+  test("transformWithState keyed dedup drops in-batch and cross-batch replays") {
+    import graft.streaming.KeyedStateDedup
+    import graft.streaming.KeyedStateDedup.KeyedEvent
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider switch to this query and restore the session default after.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Timestamp, Double)]
+      val events = in.toDS()
+        .map { case (k, ts, p) => KeyedEvent(k, ts, p) }
+      val q = KeyedStateDedup.dedup(events, retentionMinutes = 10)
+        .writeStream.format("memory").queryName("tws_dedup")
+        .outputMode("append").start()
+
+      def t(s: String) = Timestamp.valueOf(s)
+      in.addData(("a", t("2024-05-01 10:00:00"), 1.0),
+        ("a", t("2024-05-01 10:00:10"), 2.0), // in-batch replay: dropped
+        ("b", t("2024-05-01 10:00:20"), 3.0))
+      q.processAllAvailable()
+      in.addData(("a", t("2024-05-01 10:05:00"), 4.0), // cross-batch replay
+        ("c", t("2024-05-01 10:06:00"), 5.0))
+      q.processAllAvailable()
+      // d advances the max event time; the watermark itself moves to
+      // 10:30 only AFTER this batch completes (watermarks lag one batch)
+      in.addData(("d", t("2024-05-01 10:30:00"), 6.0))
+      q.processAllAvailable()
+      // e's batch runs with watermark 10:30 -> a/b/c eviction timers
+      // (first-seen + 10 min) fire during it
+      in.addData(("e", t("2024-05-01 10:32:00"), 8.0))
+      q.processAllAvailable()
+      // 'a' is forgotten -> re-admitted as a fresh first arrival
+      in.addData(("a", t("2024-05-01 10:33:00"), 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_dedup")
+        .select("key", "payload").as[(String, Double)].collect().toSet
+      assert(rows === Set(("a", 1.0), ("b", 3.0), ("c", 5.0),
+        ("d", 6.0), ("e", 8.0), ("a", 7.0)))
+      q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
