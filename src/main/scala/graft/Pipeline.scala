@@ -83,6 +83,34 @@ object Pipeline {
       Seq("date", "artist_name"), "date")
   }
 
+  /** Catch-up driver: run every landed date the warehouse hasn't ingested
+    * yet, oldest first (dims must grow in day order for stable ids — the
+    * reference's `catchup=False` simply loses missed days;
+    * `ExternalTaskSensor` ordering is call order here). "Done" is read
+    * from the ODS partition DIRECTORY NAMES (`source_date=...`) — a file
+    * listing, not a data scan, so backfill planning is O(days), not
+    * O(rows). Each day goes through [[runDaily]], whose writes are all
+    * idempotent upserts — re-running a backfill is a no-op. Returns the
+    * dates actually run.
+    */
+  def backfill(spark: SparkSession, landingRoot: String,
+      warehouse: String): Seq[String] = {
+    val datePat = "\\d{4}-\\d{2}-\\d{2}".r
+    def ls(path: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    }
+    val landed = ls(landingRoot).filter(datePat.matches(_))
+    val done = ls(odsPath(warehouse))
+      .filter(_.startsWith("source_date="))
+      .map(_.stripPrefix("source_date="))
+    val todo = (landed.toSet -- done.toSet).toSeq.sorted
+    todo.foreach(runDaily(spark, landingRoot, warehouse, _))
+    todo
+  }
+
   /** Read-extend-rewrite of a dim table with a STAGED overwrite: the new
     * table is fully materialized in a sibling dir before the old one is
     * replaced (a lazy overwrite would delete the very files its plan

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -96,6 +96,95 @@ object OdsBuilder {
   /** Full ingest: landing dir → deduped ODS rows. */
   def ingest(spark: SparkSession, root: String = fixtureRoot): DataFrame =
     toOds(readRaw(spark, root))
+
+  // ---- checked ingest (corrupt-input quarantine) --------------------------
+
+  /** Good rows + quarantined rejects. `quarantine` schema:
+    * (src_file, reason, detail).
+    */
+  final case class CheckedIngest(ods: DataFrame, quarantine: DataFrame)
+
+  private val rawSchemaWithCorrupt: StructType =
+    rawSchema.add(StructField("_corrupt_record", StringType))
+
+  /** Production-grade ingest: malformed inputs are ROUTED, not fatal.
+    * The reference crashes the whole task on the first bad document or
+    * non-numeric field (`int(track['duration'])`,
+    * `transformed_from_s3_to_pg.py:38-40` — one poison file kills the
+    * day); a 100 TB feed WILL contain poison. Two quarantine tiers:
+    *
+    *  - file-level: PERMISSIVE JSON read routes undecodable/mis-shaped
+    *    documents to `_corrupt_record` instead of failing the scan;
+    *  - row-level: the three numeric casts run as `try_cast` (ANSI-safe;
+    *    a plain cast under Spark 4's default ANSI mode would throw), and
+    *    a track whose rank/name is missing or whose present numeric
+    *    field does not parse is quarantined with a reason.
+    *
+    * The raw frame is cached for the two consumers (good/bad split) —
+    * one scan, and Spark disallows plans that read ONLY the corrupt
+    * column from a fresh file scan. Callers that keep the session alive
+    * should `unpersist` via the returned frames' lineage root when done.
+    */
+  def ingestChecked(spark: SparkSession,
+      root: String = fixtureRoot): CheckedIngest = {
+    // src_file must be derived BEFORE the cache: input_file_name() is a
+    // property of the file scan and evaluates to '' for rows replayed
+    // from an InMemoryRelation.
+    val raw = spark.read.option("multiLine", value = true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(rawSchemaWithCorrupt)
+      .json(s"$root/*/*.json")
+      .withColumn("src_file", url_decode(input_file_name()))
+      .cache()
+
+    val fileQuarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("src_file"), lit("malformed_json").as("reason"),
+        substring(col("_corrupt_record"), 1, 200).as("detail"))
+
+    val parsed = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+      .withColumn("country",
+        regexp_extract(col("src_file"), "([^/]+)_\\d{4}-\\d{2}-\\d{2}\\.json$", 1))
+      .withColumn("source_date",
+        to_date(regexp_extract(col("src_file"), "_(\\d{4}-\\d{2}-\\d{2})\\.json$", 1)))
+      .select(col("src_file"), col("country"), col("source_date"),
+        posexplode(col("tracks.track")).as(Seq("pos", "t")))
+      .select(col("src_file"), col("country"), col("source_date"), col("pos"),
+        col("t.name").as("song_name"),
+        col("t.artist.name").as("artist_name"),
+        col("t.duration").as("duration_raw"),
+        col("t.listeners").as("listeners_raw"),
+        col("t.`@attr`.rank").as("rank_raw"))
+      .withColumn("duration_sec", expr("try_cast(duration_raw AS INT)"))
+      .withColumn("listeners_count", expr("try_cast(listeners_raw AS INT)"))
+      .withColumn("song_rank", expr("try_cast(rank_raw AS INT)"))
+
+    // a present-but-unparseable numeric, or a missing mandatory field,
+    // rejects the ROW (not the file, not the day)
+    val badNum = (raw: Column, cast: Column) => raw.isNotNull && cast.isNull
+    val rowBad =
+      col("song_rank").isNull || col("song_name").isNull ||
+        badNum(col("duration_raw"), col("duration_sec")) ||
+        badNum(col("listeners_raw"), col("listeners_count"))
+    val rowQuarantine = parsed.filter(rowBad)
+      .select(col("src_file"), lit("bad_track_row").as("reason"),
+        to_json(struct(col("pos"), col("song_name"), col("rank_raw"),
+          col("duration_raw"), col("listeners_raw"))).as("detail"))
+
+    val w = Window
+      .partitionBy(col("song_rank"), col("source_date"), col("country"))
+      .orderBy(col("pos"))
+    val good = parsed.filter(!rowBad)
+      .select(col("song_name"), col("artist_name"), col("duration_sec"),
+        col("listeners_count"), col("song_rank"), col("source_date"),
+        col("country"), col("pos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("pos", "rn")
+
+    CheckedIngest(good, fileQuarantine.unionByName(rowQuarantine))
+  }
 
   /** Typed variant for library consumers (`Dataset[OdsRow]`, §1.3
     * contract) — same plan, compile-time column safety at the boundary.

@@ -106,5 +106,22 @@ object IngestQueries {
     GROUP BY date, artist_name
     ORDER BY date, royalties DESC, artist_name"""))
 
-  val all: Seq[QueryDef] = Seq(ingestQuery, e2eRoyaltiesQuery)
+  /** The quarantine-capable ingest ([[OdsBuilder.ingestChecked]]) on a
+    * CLEAN feed must be indistinguishable from the strict path — same
+    * oracle as `lastfm_ingest`. The try_cast row-routing and PERMISSIVE
+    * corrupt-record handling may only ever REMOVE poison rows, never
+    * change clean ones; the poison-input behavior itself is unit-tested
+    * (OdsBuilderSpec) where the oracle can't follow (DuckDB's read_json
+    * has no per-file corrupt-record routing).
+    */
+  val ingestCheckedQuery = QueryDef(
+    "lastfm_ingest_checked",
+    (s, _) => OdsBuilder.ingestChecked(s).ods
+      .orderBy(col("source_date"), col("country"), col("song_rank")),
+    Some(odsCteSql + """
+      SELECT * FROM ods ORDER BY source_date, country, song_rank"""),
+    bench = false)
+
+  val all: Seq[QueryDef] = Seq(ingestQuery, e2eRoyaltiesQuery,
+    ingestCheckedQuery)
 }

@@ -61,4 +61,36 @@ class OdsBuilderSpec extends AnyFunSuite {
       .collect().toMap
     assert(top.keySet === Set("Russian Federation", "United States", "Kazakhstan"))
   }
+
+  test("checked ingest quarantines poison files and unparseable rows, keeps the rest") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-quarantine").toString
+    val day = java.nio.file.Paths.get(root, "2024-06-01")
+    java.nio.file.Files.createDirectories(day)
+    def doc(tracks: String) =
+      s"""{\n    "tracks": {\n        "track": [\n$tracks\n        ]\n    }\n}"""
+    def track(name: String, rank: String, dur: String) =
+      s"""{"name": "$name", "duration": "$dur", "listeners": "100",
+         |"artist": {"name": "A"}, "@attr": {"rank": "$rank"}}""".stripMargin
+    // good file: 2 clean tracks
+    java.nio.file.Files.writeString(day.resolve("GoodLand_2024-06-01.json"),
+      doc(track("s1", "1", "100") + ",\n" + track("s2", "2", "200")))
+    // poison file: truncated JSON — must not kill the read
+    java.nio.file.Files.writeString(day.resolve("BadLand_2024-06-01.json"),
+      """{ "tracks": { "track": [ {"name": "x", """)
+    // mixed file: one clean track, one with a non-numeric duration
+    java.nio.file.Files.writeString(day.resolve("MixedLand_2024-06-01.json"),
+      doc(track("ok", "1", "300") + ",\n" + track("broken", "2", "3m20s")))
+
+    val res = OdsBuilder.ingestChecked(spark, root)
+    val good = res.ods.select("country", "song_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(good === Set(("GoodLand", "s1"), ("GoodLand", "s2"),
+      ("MixedLand", "ok")))
+    val q = res.quarantine.select("reason", "src_file")
+      .collect().map(r => (r.getString(0),
+        r.getString(1).split('/').last)).toSet
+    assert(q === Set(("malformed_json", "BadLand_2024-06-01.json"),
+      ("bad_track_row", "MixedLand_2024-06-01.json")))
+  }
 }

@@ -61,4 +61,18 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, String, Double)].collect().toSet
     assert(incremental === fullRebuild)
   }
+
+  test("backfill runs exactly the missing dates, oldest first, and is then a no-op") {
+    val wh2 = Files.createTempDirectory("graft-wh-backfill").toString
+    // seed only the SECOND date; backfill must then pick up the first
+    Pipeline.runDaily(spark, landing, wh2, "2024-05-02")
+    val ran = Pipeline.backfill(spark, landing, wh2)
+    assert(ran === Seq("2024-05-01"))
+    assert(spark.read.parquet(Pipeline.odsPath(wh2)).count() === 66)
+    // warehouse now matches the in-order build (same marts, same rows)
+    val royalties = spark.read.parquet(Pipeline.martRoyaltiesPath(wh2)).count()
+    assert(royalties === spark.read.parquet(Pipeline.martRoyaltiesPath(wh)).count())
+    // fully caught up -> nothing to do
+    assert(Pipeline.backfill(spark, landing, wh2) === Seq.empty)
+  }
 }
