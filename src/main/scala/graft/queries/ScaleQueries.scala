@@ -63,5 +63,27 @@ object ScaleQueries {
       .orderBy(col("event_type")),
     None)
 
-  val all: Seq[QueryDef] = Seq(qSaltedJoin, qApproxDistinct)
+  /** KLL-style quantile sketch (`percentile_approx`, relative-accuracy
+    * parameter 10000) next to the exact percentile — the companion of
+    * q_approx_distinct for the second classic sketch a 100 TB pipeline
+    * needs (fixed-memory, mergeable across partitions; an exact
+    * percentile needs a full sort or all values in memory per group).
+    * Spark's sketch is not bit-reproducible in DuckDB → rows-only driver
+    * check; the error bound is asserted in ScaleSpec.
+    */
+  val qApproxQuantiles = QueryDef(
+    "q_approx_quantiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("approx_p99"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.99)").as("exact_p99"))
+      .orderBy(col("l_returnflag")),
+    None)
+
+  val all: Seq[QueryDef] = Seq(qSaltedJoin, qApproxDistinct, qApproxQuantiles)
 }
