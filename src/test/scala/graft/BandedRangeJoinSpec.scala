@@ -98,6 +98,33 @@ class BandedRangeJoinSpec extends AnyFunSuite {
     assert(err.getMessage.contains("INVALID_NON_DETERMINISTIC_EXPRESSIONS"))
   }
 
+  test("randomized sweep: rewrite matches brute force for varied widths and axis ranges") {
+    val rnd = new scala.util.Random(0xba4dL)
+    // one axis regime per trial: mixing min- and max-edge values in one
+    // dataset makes abs(x − y) itself overflow under ANSI — BOTH plans
+    // raise there (see the rule scaladoc), so such pairs aren't
+    // comparable against a BigInt brute force
+    for (w <- Seq(2L, 3L, 7L, 41L); regime <- 0 until 3) {
+      def axis(): Long = regime match {
+        case 0 => rnd.nextLong() % (3 * w) // dense cluster around 0
+        case 1 => Long.MinValue + math.abs(rnd.nextLong() % (4 * w))
+        case 2 => Long.MaxValue - math.abs(rnd.nextLong() % (4 * w))
+      }
+      val l = (1L to 12L).map(i => (i, axis()))
+      val r = (20L to 34L).map(i => (i, axis()))
+      val joined = l.toDF("lid", "x").repartition(3)
+        .join(r.toDF("rid", "y").repartition(2),
+          abs(col("x") - col("y")) <= lit(w))
+      assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+        s"rule did not fire for w=$w regime=$regime")
+      val expected = (for {
+        (lid, x) <- l; (rid, y) <- r
+        if (BigInt(x) - BigInt(y)).abs <= w
+      } yield (lid, rid)).toSet
+      assert(pairs(joined) === expected, s"mismatch at w=$w regime=$regime")
+    }
+  }
+
   test("outer range joins are left untouched") {
     val joined = leftDf.join(rightDf,
       abs(col("x") - col("y")) <= lit(5L), "left_outer")

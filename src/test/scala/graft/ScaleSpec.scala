@@ -92,7 +92,7 @@ class ScaleSpec extends AnyFunSuite {
       .as[(Double, Double, Double, Double)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (a50, e50, a99, e99) =>
-      // accuracy 10000 → rank error ~1/10000; prices span ~[900, 90k],
+      // accuracy 1000 → rank error ~1/1000; prices span ~[900, 90k],
       // a loose 2% value tolerance is far above the sketch's bound
       assert(math.abs(a50 - e50) / e50 <= 0.02, s"p50 $a50 vs $e50")
       assert(math.abs(a99 - e99) / e99 <= 0.02, s"p99 $a99 vs $e99")
