@@ -78,12 +78,16 @@ object ScaleQueries {
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
-          .as("approx_p99"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        expr("percentile(l_extendedprice, 0.99)").as("exact_p99"))
+        // one sketch / one exact value-map buffer each for BOTH
+        // quantiles (two scalar percentile calls would build two)
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.99)), lit(1000)).as("ap"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("ep"))
+      .select(col("l_returnflag"),
+        element_at(col("ap"), 1).as("approx_p50"),
+        element_at(col("ap"), 2).as("approx_p99"),
+        element_at(col("ep"), 1).as("exact_p50"),
+        element_at(col("ep"), 2).as("exact_p99"))
       .orderBy(col("l_returnflag")),
     None)
 
