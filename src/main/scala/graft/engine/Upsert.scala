@@ -44,10 +44,28 @@ object Upsert {
   def upsertParquet(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String]): Long = {
     val toAppend =
-      if (tableExists(spark, path))
-        newRows(incoming, spark.read.parquet(path), keys)
-      else incoming
+      if (tableExists(spark, path)) {
+        val existing = spark.read.parquet(path)
+        requireSameColumns(incoming, existing, path)
+        newRows(incoming, existing, keys)
+      } else incoming
     stagedAppend(spark, path, toAppend, None)
+  }
+
+  /** Schema drift is REJECTED, not absorbed: parquet appends with a
+    * different column set leave a table whose read-back schema depends
+    * on which file's footer the reader samples (mergeSchema is off by
+    * default) — silent nondeterminism. The warehouse contract (§1.3) is
+    * a fixed schema per table; widen it with an explicit migration, not
+    * an append. Column ORDER may differ (parquet resolves by name).
+    */
+  private def requireSameColumns(incoming: DataFrame, existing: DataFrame,
+      path: String): Unit = {
+    val in = incoming.columns.toSet
+    val ex = existing.columns.toSet
+    require(in == ex,
+      s"schema drift on upsert into $path: incoming has ${in.diff(ex).toSeq.sorted.mkString("[", ",", "]")} " +
+        s"not in the table, table has ${ex.diff(in).toSeq.sorted.mkString("[", ",", "]")} not incoming")
   }
 
   /** Date-partitioned variant (S7): `partitionBy(dateCol)` makes every
@@ -68,8 +86,9 @@ object Upsert {
         // Existing side pruned to the dates present in this batch — at
         // scale this is the difference between scanning one day and the
         // whole history.
-        val existing = spark.read.parquet(path)
-          .join(dates, Seq(dateCol), "left_semi")
+        val table = spark.read.parquet(path)
+        requireSameColumns(incoming, table, path)
+        val existing = table.join(dates, Seq(dateCol), "left_semi")
         newRows(incoming, existing, keys)
       } else incoming
     stagedAppend(spark, path, toAppend, Some(dateCol))

@@ -144,5 +144,38 @@ object CurationQueries {
       WHERE u20 * 1000 < n_chars * ${1L << 20}
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qDecontaminate, qPiiRedact, qWeightedSample)
+  /** Exact vocabulary heavy hitters: tokens above a relative frequency
+    * threshold (≥ 0.5% of all tokens) — the stopword/boilerplate
+    * discovery pass a corpus pipeline runs before quality scoring. The
+    * threshold is relative, so the corpus total rides along as a
+    * broadcast scalar and the comparison stays in integer math
+    * (`n * 200 >= n_total`). Scale: one (token) shuffle with map-side
+    * combine; the total is a second map-side partial over the same scan.
+    * The sketch alternative (count-min / Misra-Gries) trades exactness
+    * for one pass when even the token groupBy is too large; at this
+    * threshold (≤ 200 survivors by construction) the exact path is the
+    * right default.
+    */
+  val qHeavyHitters = QueryDef(
+    "q_heavy_hitters",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("tok"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") * 200 >= col("n_total"))
+        .orderBy(col("n").desc, col("tok"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT unnest(${wordsSql("text")}) AS tok FROM documents),
+      tot AS (SELECT count(*) AS n_total FROM toks)
+      SELECT tok, count(*) AS n, (SELECT n_total FROM tot) AS n_total
+      FROM toks GROUP BY tok
+      HAVING count(*) * 200 >= (SELECT n_total FROM tot)
+      ORDER BY n DESC, tok"""))
+
+  val all: Seq[QueryDef] = Seq(qDecontaminate, qPiiRedact, qWeightedSample,
+    qHeavyHitters)
 }

@@ -66,6 +66,30 @@ class UpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("schema drift is rejected loudly; column reorder is accepted") {
+    val path = tmp()
+    val batch = Seq((1, d1, "US")).toDF("rank", "source_date", "country")
+    Upsert.upsertPartitioned(spark, path, batch,
+      Seq("rank", "source_date", "country"), "source_date")
+    // a new column must not slip into the table via append (read-back
+    // schema would depend on which file footer the reader samples)
+    val widened = Seq((2, d1, "US", "extra"))
+      .toDF("rank", "source_date", "country", "surprise")
+    val err = intercept[IllegalArgumentException] {
+      Upsert.upsertPartitioned(spark, path, widened,
+        Seq("rank", "source_date", "country"), "source_date")
+    }
+    assert(err.getMessage.contains("schema drift"))
+    assert(err.getMessage.contains("surprise"))
+    // same columns in a different order resolve by name and append fine
+    val reordered = Seq(("GB", 3, d1)).toDF("country", "rank", "source_date")
+    assert(Upsert.upsertPartitioned(spark, path, reordered,
+      Seq("rank", "source_date", "country"), "source_date") === 1)
+    val back = spark.read.parquet(path)
+      .select("rank", "country").as[(Int, String)].collect().toSet
+    assert(back === Set((1, "US"), (3, "GB")))
+  }
+
   test("ingest -> ODS upsert replay is a no-op end to end") {
     val path = tmp()
     val ods = graft.ingest.OdsBuilder.ingest(spark)
