@@ -83,29 +83,38 @@ object Pipeline {
       Seq("date", "artist_name"), "date")
   }
 
-  /** Catch-up driver: run every landed date the warehouse hasn't ingested
-    * yet, oldest first (dims must grow in day order for stable ids — the
-    * reference's `catchup=False` simply loses missed days;
+  /** Catch-up driver: run every landed date the warehouse hasn't FULLY
+    * processed yet, oldest first (dims must grow in day order for stable
+    * ids — the reference's `catchup=False` simply loses missed days;
     * `ExternalTaskSensor` ordering is call order here). "Done" is read
-    * from the ODS partition DIRECTORY NAMES (`source_date=...`) — a file
-    * listing, not a data scan, so backfill planning is O(days), not
-    * O(rows). Each day goes through [[runDaily]], whose writes are all
-    * idempotent upserts — re-running a backfill is a no-op. Returns the
+    * from the partition DIRECTORY NAMES of the royalties mart — the LAST
+    * table [[runDaily]] writes — so a run that crashed partway (ODS
+    * landed, star/marts missing) is correctly re-run, not skipped;
+    * every write is an idempotent upsert, so the repair replays safely.
+    * Planning is a file listing, O(days), not a data scan. Landed dirs
+    * with no JSON files yet (created-but-unwritten drops) are skipped
+    * this round instead of aborting the whole catch-up. Returns the
     * dates actually run.
     */
   def backfill(spark: SparkSession, landingRoot: String,
       warehouse: String): Seq[String] = {
     val datePat = "\\d{4}-\\d{2}-\\d{2}".r
+    val conf = spark.sparkContext.hadoopConfiguration
     def ls(path: String): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
     }
-    val landed = ls(landingRoot).filter(datePat.matches(_))
-    val done = ls(odsPath(warehouse))
-      .filter(_.startsWith("source_date="))
-      .map(_.stripPrefix("source_date="))
+    def hasJson(date: String): Boolean = {
+      val g = new org.apache.hadoop.fs.Path(s"$landingRoot/$date/*.json")
+      val fs = g.getFileSystem(conf)
+      Option(fs.globStatus(g)).exists(_.nonEmpty)
+    }
+    val landed = ls(landingRoot).filter(datePat.matches(_)).filter(hasJson)
+    val done = ls(martRoyaltiesPath(warehouse))
+      .filter(_.startsWith("date="))
+      .map(_.stripPrefix("date="))
     val todo = (landed.toSet -- done.toSet).toSeq.sorted
     todo.foreach(runDaily(spark, landingRoot, warehouse, _))
     todo

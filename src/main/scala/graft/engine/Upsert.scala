@@ -53,19 +53,27 @@ object Upsert {
   }
 
   /** Schema drift is REJECTED, not absorbed: parquet appends with a
-    * different column set leave a table whose read-back schema depends
-    * on which file's footer the reader samples (mergeSchema is off by
-    * default) — silent nondeterminism. The warehouse contract (§1.3) is
-    * a fixed schema per table; widen it with an explicit migration, not
-    * an append. Column ORDER may differ (parquet resolves by name).
+    * different column set OR different column types leave a table whose
+    * read-back schema depends on which file's footer the reader samples
+    * (mergeSchema is off by default) — silent nondeterminism. The
+    * warehouse contract (§1.3) is a fixed schema per table; widen it
+    * with an explicit migration, not an append. Column ORDER may differ
+    * (parquet resolves by name) and nullability may differ (a
+    * file-level property, not a footer conflict).
     */
   private def requireSameColumns(incoming: DataFrame, existing: DataFrame,
       path: String): Unit = {
-    val in = incoming.columns.toSet
-    val ex = existing.columns.toSet
-    require(in == ex,
-      s"schema drift on upsert into $path: incoming has ${in.diff(ex).toSeq.sorted.mkString("[", ",", "]")} " +
-        s"not in the table, table has ${ex.diff(in).toSeq.sorted.mkString("[", ",", "]")} not incoming")
+    val in = incoming.schema.map(f => f.name -> f.dataType).toMap
+    val ex = existing.schema.map(f => f.name -> f.dataType).toMap
+    val onlyIn = (in.keySet -- ex.keySet).toSeq.sorted
+    val onlyEx = (ex.keySet -- in.keySet).toSeq.sorted
+    require(onlyIn.isEmpty && onlyEx.isEmpty,
+      s"schema drift on upsert into $path: incoming has ${onlyIn.mkString("[", ",", "]")} " +
+        s"not in the table, table has ${onlyEx.mkString("[", ",", "]")} not incoming")
+    val retyped = in.keySet.filter(k => in(k) != ex(k)).toSeq.sorted
+      .map(k => s"$k: ${in(k).simpleString} vs table ${ex(k).simpleString}")
+    require(retyped.isEmpty,
+      s"schema drift on upsert into $path: column types differ — ${retyped.mkString("; ")}")
   }
 
   /** Date-partitioned variant (S7): `partitionBy(dateCol)` makes every

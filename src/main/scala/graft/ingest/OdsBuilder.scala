@@ -120,29 +120,47 @@ object OdsBuilder {
     *    a track whose rank/name is missing or whose present numeric
     *    field does not parse is quarantined with a reason.
     *
-    * The raw frame is cached for the two consumers (good/bad split) —
-    * one scan, and Spark disallows plans that read ONLY the corrupt
-    * column from a fresh file scan. Callers that keep the session alive
-    * should `unpersist` via the returned frames' lineage root when done.
+    * A structurally-valid document WITHOUT a `tracks.track` array (the
+    * live API's error payload shape, e.g. rate-limit responses) is also
+    * quarantined — a plain inner explode would silently drop the whole
+    * country-day with an empty quarantine, defeating its monitoring
+    * purpose.
+    *
+    * The raw day is materialized ONCE via an eager `localCheckpoint`
+    * (one scan for the good/bad split): Spark rejects raw-JSON-scan
+    * plans whose only referenced column is the internal corrupt record
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN — and Catalyst's isNotNull
+    * constraint propagation folds away any decoy data-column reference),
+    * so the quarantine side cannot run against the file scan directly.
+    * Unlike `cache()`, the checkpoint is per-call (a later call with new
+    * files landed never plan-matches a stale entry) and its blocks are
+    * released by the ContextCleaner when the frames are collected —
+    * no session-lifetime leak. `src_file` is derived inside the scan
+    * projection — input_file_name() is a property of the file scan and
+    * would be '' after materialization.
     */
   def ingestChecked(spark: SparkSession,
       root: String = fixtureRoot): CheckedIngest = {
-    // src_file must be derived BEFORE the cache: input_file_name() is a
-    // property of the file scan and evaluates to '' for rows replayed
-    // from an InMemoryRelation.
     val raw = spark.read.option("multiLine", value = true)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(rawSchemaWithCorrupt)
       .json(s"$root/*/*.json")
       .withColumn("src_file", url_decode(input_file_name()))
-      .cache()
+      .localCheckpoint()
 
     val fileQuarantine = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("src_file"), lit("malformed_json").as("reason"),
         substring(col("_corrupt_record"), 1, 200).as("detail"))
 
-    val parsed = raw.filter(col("_corrupt_record").isNull)
+    // valid JSON, wrong shape: no tracks.track array to flatten
+    val shapeQuarantine = raw
+      .filter(col("_corrupt_record").isNull && col("tracks.track").isNull)
+      .select(col("src_file"), lit("missing_tracks").as("reason"),
+        lit("document has no tracks.track array").as("detail"))
+
+    val parsed = raw
+      .filter(col("_corrupt_record").isNull && col("tracks.track").isNotNull)
       .drop("_corrupt_record")
       .withColumn("country",
         regexp_extract(col("src_file"), "([^/]+)_\\d{4}-\\d{2}-\\d{2}\\.json$", 1))
@@ -183,7 +201,8 @@ object OdsBuilder {
       .filter(col("rn") === 1)
       .drop("pos", "rn")
 
-    CheckedIngest(good, fileQuarantine.unionByName(rowQuarantine))
+    CheckedIngest(good,
+      fileQuarantine.unionByName(shapeQuarantine).unionByName(rowQuarantine))
   }
 
   /** Typed variant for library consumers (`Dataset[OdsRow]`, §1.3

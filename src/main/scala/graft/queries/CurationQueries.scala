@@ -149,20 +149,23 @@ object CurationQueries {
     * discovery pass a corpus pipeline runs before quality scoring. The
     * threshold is relative, so the corpus total rides along as a
     * broadcast scalar and the comparison stays in integer math
-    * (`n * 200 >= n_total`). Scale: one (token) shuffle with map-side
-    * combine; the total is a second map-side partial over the same scan.
-    * The sketch alternative (count-min / Misra-Gries) trades exactness
-    * for one pass when even the token groupBy is too large; at this
+    * (`n * 200 >= n_total`). Scale: the token groupBy is one shuffle
+    * with map-side combine; the total is a separate SHUFFLE-FREE pass
+    * (sum of per-doc token counts — no explode, a scalar per scan task),
+    * so the corpus text is tokenized twice but shuffled once. The
+    * sketch alternative (count-min / Misra-Gries) trades exactness for
+    * one pass when even the token groupBy is too large; at this
     * threshold (≤ 200 survivors by construction) the exact path is the
     * right default.
     */
   val qHeavyHitters = QueryDef(
     "q_heavy_hitters",
     (s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(explode(words(col("text"))).as("tok"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
-      toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val docs = t(s, dir, "documents")
+      val total = docs
+        .agg(sum(size(words(col("text"))).cast("bigint")).as("n_total"))
+      docs.select(explode(words(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(total))
         .filter(col("n") * 200 >= col("n_total"))
         .orderBy(col("n").desc, col("tok"))

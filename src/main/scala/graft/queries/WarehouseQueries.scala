@@ -121,6 +121,13 @@ object WarehouseQueries {
         .withColumn("__ord_ok", lit(1))
       val viol = (c: org.apache.spark.sql.Column) =>
         sum(when(c, 1L).otherwise(0L))
+      // dup counting is scoped to rows whose key is FULLY non-null on
+      // both engines: Spark's countDistinct skips any-NULL tuples while
+      // DuckDB's count(DISTINCT (a,b)) counts them, so the minuend must
+      // count the same non-null-key population (a NULL key is its own
+      // violation class, not a duplicate)
+      val keyNonNull =
+        col("l_orderkey").isNotNull && col("l_linenumber").isNotNull
       val rowChecks = li
         .join(broadcast(ordKeys), li("l_orderkey") === ordKeys("o_orderkey"), "left")
         .agg(
@@ -128,7 +135,7 @@ object WarehouseQueries {
           viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("qty_out_of_range"),
           viol(col("l_extendedprice") <= 0).as("price_not_positive"),
           viol(col("l_discount") < 0 || col("l_discount") > 1).as("discount_out_of_range"),
-          (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          (viol(keyNonNull) - countDistinct(col("l_orderkey"), col("l_linenumber")))
             .as("dup_business_key"),
           viol(col("__ord_ok").isNull).as("orphan_orderkey"))
       rowChecks
@@ -150,7 +157,14 @@ object WarehouseQueries {
                              THEN 1 ELSE 0 END) AS BIGINT) AS price_not_positive,
                CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
                              THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
-               count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_business_key
+               -- scoped to fully non-null keys, matching Spark's
+               -- countDistinct null-tuple semantics
+               CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                                        AND l_linenumber IS NOT NULL
+                                       THEN (l_orderkey, l_linenumber) END)
+                 AS dup_business_key
         FROM lineitem),
       orph AS (
         SELECT count(*) AS orphan_orderkey FROM lineitem l
@@ -182,16 +196,24 @@ object WarehouseQueries {
   val qBloomPrune = QueryDef(
     "q_bloom_prune",
     (s, dir) => {
-      val sup = t(s, dir, "supplier")
+      // The dim is broadcast-small BY CONSTRUCTION (one nation's
+      // suppliers), so collect it once and derive all three consumers —
+      // emptiness check, bloom build, broadcast join input — from that
+      // single evaluation instead of re-running the dim subplan per use.
+      // (stat.bloomFilter would also NPE on an empty input.)
+      import s.implicits._
+      val supRows = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"))
-      // stat.bloomFilter NPEs on an empty input (null aggregation buffer);
-      // an empty dim admits no fact rows, so the pre-filter is `false`.
+        .as[(Long, String)].collect()
+      val sup = supRows.toSeq.toDF("s_suppkey", "s_name")
       val might =
-        if (sup.isEmpty) lit(false)
+        if (supRows.isEmpty) lit(false)
         else {
-          val bloom = sup.stat.bloomFilter("s_suppkey", 1000L, 0.01)
+          val bloom = org.apache.spark.util.sketch.BloomFilter.create(
+            math.max(supRows.length.toLong, 64L), 0.01)
+          supRows.foreach { case (k, _) => bloom.putLong(k) }
           udf((k: Long) => bloom.mightContainLong(k)).apply(col("l_suppkey"))
         }
       val price = dec(col("l_extendedprice"))

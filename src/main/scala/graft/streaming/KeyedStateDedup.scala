@@ -51,11 +51,15 @@ object KeyedStateDedup {
     override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
         timerValues: TimerValues): Iterator[KeyedEvent] = {
       // rows: every record for this key in the micro-batch. A known key
-      // drops them all; a new key emits exactly the first arrival
-      // (batch-internal replays dropped too) and schedules its eviction.
+      // drops them all; a new key emits exactly one record and schedules
+      // its eviction. "First" is the EVENT-TIME minimum (payload as a
+      // total-order tiebreak), not iterator arrival order — arrival
+      // order depends on shuffle interleaving across source partitions,
+      // and both the emitted row and the eviction anchor must be
+      // replay-deterministic.
       if (seen.exists() || !rows.hasNext) Iterator.empty
       else {
-        val first = rows.next()
+        val first = rows.minBy(e => (e.ts.getTime, e.payload))
         seen.update(true)
         getHandle.registerTimer(first.ts.getTime + retentionMs)
         Iterator.single(first)

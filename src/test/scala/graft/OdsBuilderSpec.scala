@@ -81,6 +81,9 @@ class OdsBuilderSpec extends AnyFunSuite {
     // mixed file: one clean track, one with a non-numeric duration
     java.nio.file.Files.writeString(day.resolve("MixedLand_2024-06-01.json"),
       doc(track("ok", "1", "300") + ",\n" + track("broken", "2", "3m20s")))
+    // valid JSON, wrong shape: the live API's error payload
+    java.nio.file.Files.writeString(day.resolve("ErrLand_2024-06-01.json"),
+      """{ "error": 29, "message": "Rate limit exceeded" }""")
 
     val res = OdsBuilder.ingestChecked(spark, root)
     val good = res.ods.select("country", "song_name")
@@ -91,6 +94,7 @@ class OdsBuilderSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0),
         r.getString(1).split('/').last)).toSet
     assert(q === Set(("malformed_json", "BadLand_2024-06-01.json"),
-      ("bad_track_row", "MixedLand_2024-06-01.json")))
+      ("bad_track_row", "MixedLand_2024-06-01.json"),
+      ("missing_tracks", "ErrLand_2024-06-01.json")))
   }
 }

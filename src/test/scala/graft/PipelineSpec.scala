@@ -75,4 +75,36 @@ class PipelineSpec extends AnyFunSuite {
     // fully caught up -> nothing to do
     assert(Pipeline.backfill(spark, landing, wh2) === Seq.empty)
   }
+
+  test("backfill repairs a day that crashed after ODS but before the marts") {
+    val wh3 = Files.createTempDirectory("graft-wh-repair").toString
+    Pipeline.runDaily(spark, landing, wh3, "2024-05-01")
+    Pipeline.runDaily(spark, landing, wh3, "2024-05-02")
+    // simulate a crash mid-run: day 2's marts vanish but its ODS stays
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(Pipeline.martRoyaltiesPath(wh3), Pipeline.martAvgPath(wh3),
+      Pipeline.martAppearancesPath(wh3)).foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$m/date=2024-05-02"), true)
+    }
+    // done-marker is the LAST-written table, so the day is re-run
+    assert(Pipeline.backfill(spark, landing, wh3) === Seq("2024-05-02"))
+    assert(spark.read.parquet(Pipeline.martRoyaltiesPath(wh3))
+      .filter(col("date") === "2024-05-02").count() > 0)
+    // ODS replay inside the repair appended nothing new
+    assert(spark.read.parquet(Pipeline.odsPath(wh3)).count() === 66)
+  }
+
+  test("backfill skips a landed date dir that has no files yet") {
+    val wh4 = Files.createTempDirectory("graft-wh-empty").toString
+    val land2 = Files.createTempDirectory("graft-landing-empty").toString
+    // copy one real day, plus one created-but-unwritten drop dir
+    val src = java.nio.file.Paths.get(landing, "2024-05-01")
+    val dst = java.nio.file.Paths.get(land2, "2024-05-01")
+    Files.createDirectories(dst)
+    java.nio.file.Files.list(src).forEach(f =>
+      java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)))
+    Files.createDirectories(java.nio.file.Paths.get(land2, "2024-05-03"))
+    assert(Pipeline.backfill(spark, land2, wh4) === Seq("2024-05-01"))
+  }
 }

@@ -105,11 +105,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
   }
 
-  test("bloom prune: the nation filter is pushed to the scan and the dim joins broadcast") {
-    val p = finalPlan(graft.queries.WarehouseQueries.qBloomPrune.run(spark, dir))
+  test("bloom prune: dim broadcast, bloom probe filtering the fact scan") {
+    // the dim subplan resolves ONCE at query construction (collected —
+    // it is broadcast-small by design), so the final plan is just
+    // fact scan -> bloom-UDF filter -> broadcast join -> aggregate
+    val df = graft.queries.WarehouseQueries.qBloomPrune.run(spark, dir)
+    val p = finalPlan(df)
     assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
-    val f = formatted(graft.queries.WarehouseQueries.qBloomPrune.run(spark, dir))
-    assert(f.contains("EqualTo(n_name,NATION_3)"), s"nation filter not pushed:\n$f")
+    val f = formatted(df)
+    assert(f.contains("UDF"), s"bloom probe filter missing:\n$f")
+    assert(f.contains("PushedFilters: [IsNotNull(l_suppkey)]"),
+      s"suppkey null filter not pushed to the fact scan:\n$f")
   }
 
   test("lateral top-k decorrelates to a map-side WindowGroupLimit, not per-row re-execution") {

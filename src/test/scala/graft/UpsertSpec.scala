@@ -81,6 +81,15 @@ class UpsertSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("schema drift"))
     assert(err.getMessage.contains("surprise"))
+    // same names but a retyped column is drift too (mixed parquet
+    // footers would make the read-back type nondeterministic)
+    val retyped = Seq(("2", d1, "US")).toDF("rank", "source_date", "country")
+    val terr = intercept[IllegalArgumentException] {
+      Upsert.upsertPartitioned(spark, path, retyped,
+        Seq("rank", "source_date", "country"), "source_date")
+    }
+    assert(terr.getMessage.contains("types differ"))
+    assert(terr.getMessage.contains("rank"))
     // same columns in a different order resolve by name and append fine
     val reordered = Seq(("GB", 3, d1)).toDF("country", "rank", "source_date")
     assert(Upsert.upsertPartitioned(spark, path, reordered,
