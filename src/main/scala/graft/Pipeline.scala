@@ -34,17 +34,36 @@ object Pipeline {
   def martAvgPath(wh: String) = s"$wh/dm_avg_song_duration_by_country"
   def martAppearancesPath(wh: String) = s"$wh/dm_artist_appearances_by_date"
   def martRoyaltiesPath(wh: String) = s"$wh/dm_expected_artist_royalties_by_date"
+  def quarantinePath(wh: String) = s"$wh/ingest_quarantine"
 
   /** Run one day end-to-end. `landingRoot` holds
     * `{date}/{country}_{date}.json` raw files ([[ingest.RawFeed.land]]).
+    *
+    * `checked = true` runs the poison-tolerant ingest
+    * ([[OdsBuilder.ingestChecked]]): malformed/mis-shaped documents and
+    * unparseable tracks land in the `ingest_quarantine` table
+    * (src_file, reason, detail, quarantined_on) instead of failing the
+    * day; on a clean feed the two modes produce identical ODS rows
+    * (`lastfm_ingest_checked` oracle). The quarantine write is an
+    * idempotent per-day overwrite — replays don't duplicate reject rows.
     */
   def runDaily(spark: SparkSession, landingRoot: String, warehouse: String,
-      date: String): Unit = {
+      date: String, checked: Boolean = false): Unit = {
     // 1. ingest ONLY the day's prefix (the reference's date-scoped key
     //    listing, `transformed_from_s3_to_pg.py:22-25`) → idempotent ODS
-    val day = OdsBuilder.toOds(
-      spark.read.option("multiLine", value = true).schema(OdsBuilder.rawSchema)
-        .json(s"$landingRoot/$date/*.json"))
+    val day =
+      if (!checked)
+        OdsBuilder.toOds(
+          spark.read.option("multiLine", value = true).schema(OdsBuilder.rawSchema)
+            .json(s"$landingRoot/$date/*.json"))
+      else {
+        val res = OdsBuilder.ingestChecked(spark, landingRoot, s"$date/*.json")
+        res.quarantine
+          .withColumn("quarantined_on", lit(date).cast("date"))
+          .write.mode("overwrite")
+          .parquet(s"${quarantinePath(warehouse)}/day=$date")
+        res.ods
+      }
     Upsert.upsertPartitioned(spark, odsPath(warehouse), day, OdsKeys, "source_date")
 
     // 2. the day's warehouse rows (post-dedup) → imputation (per-date, so

@@ -139,13 +139,13 @@ object OdsBuilder {
     * projection — input_file_name() is a property of the file scan and
     * would be '' after materialization.
     */
-  def ingestChecked(spark: SparkSession,
-      root: String = fixtureRoot): CheckedIngest = {
+  def ingestChecked(spark: SparkSession, root: String = fixtureRoot,
+      glob: String = "*/*.json"): CheckedIngest = {
     val raw = spark.read.option("multiLine", value = true)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(rawSchemaWithCorrupt)
-      .json(s"$root/*/*.json")
+      .json(s"$root/$glob")
       .withColumn("src_file", url_decode(input_file_name()))
       .localCheckpoint()
 

@@ -95,6 +95,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(Pipeline.odsPath(wh3)).count() === 66)
   }
 
+  test("checked runDaily survives a poison file and persists the quarantine") {
+    val wh5 = Files.createTempDirectory("graft-wh-checked").toString
+    val land5 = Files.createTempDirectory("graft-landing-poison").toString
+    val src = java.nio.file.Paths.get(landing, "2024-05-01")
+    val dst = java.nio.file.Paths.get(land5, "2024-05-01")
+    Files.createDirectories(dst)
+    java.nio.file.Files.list(src).forEach(f =>
+      java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)))
+    // poison lands next to the real files
+    java.nio.file.Files.writeString(
+      dst.resolve("Atlantis_2024-05-01.json"), """{ "tracks": { "track": [""")
+    // strict mode dies on this feed (PERMISSIVE is off); checked survives
+    Pipeline.runDaily(spark, land5, wh5, "2024-05-01", checked = true)
+    assert(spark.read.parquet(Pipeline.odsPath(wh5)).count() === 33)
+    val q = spark.read.parquet(s"${Pipeline.quarantinePath(wh5)}/day=2024-05-01")
+      .select("reason").as[String].collect().toList
+    assert(q === List("malformed_json"))
+    // replay: same warehouse, no duplicated quarantine rows
+    Pipeline.runDaily(spark, land5, wh5, "2024-05-01", checked = true)
+    assert(spark.read.parquet(s"${Pipeline.quarantinePath(wh5)}/day=2024-05-01")
+      .count() === 1)
+    assert(spark.read.parquet(Pipeline.odsPath(wh5)).count() === 33)
+  }
+
   test("backfill skips a landed date dir that has no files yet") {
     val wh4 = Files.createTempDirectory("graft-wh-empty").toString
     val land2 = Files.createTempDirectory("graft-landing-empty").toString
