@@ -102,6 +102,52 @@ object Upsert {
     stagedAppend(spark, path, toAppend, Some(dateCol))
   }
 
+  /** SCD Type-1 merge: `ON CONFLICT DO UPDATE` semantics — incoming
+    * rows REPLACE existing rows with the same natural key; unmatched
+    * existing rows survive. The reference only ever needs DO NOTHING
+    * (its feed is append-only per key), but a warehouse restatement
+    * needs both conflict policies; the Type-2 (versioning) shape is the
+    * `q_scd2` query.
+    *
+    * Implementation: only the date partitions present in `incoming` are
+    * rewritten (existing-minus-matching ∪ incoming, staged then swapped
+    * per partition), so merge cost is O(touched partitions), not
+    * O(table). Idempotent: replaying the same batch rewrites the same
+    * partitions to the same content. Single-writer, like everything in
+    * this module.
+    */
+  def mergePartitioned(spark: SparkSession, path: String, incoming: DataFrame,
+      keys: Seq[String], dateCol: String): Long = {
+    require(keys.contains(dateCol),
+      s"partitioned merge requires the date column '$dateCol' in the key $keys")
+    if (!tableExists(spark, path)) return stagedAppend(spark, path, incoming, Some(dateCol))
+    val table = spark.read.parquet(path)
+    requireSameColumns(incoming, table, path)
+    val dates = incoming.select(col(dateCol)).distinct()
+    val touched = table.join(dates, Seq(dateCol), "left_semi")
+    val kept = newRows(touched, incoming, keys) // existing rows NOT replaced
+    val merged = kept.unionByName(incoming.select(table.columns.map(col): _*))
+    // stage the merged partitions, then swap them in one-by-one
+    val stagingPath = s"$path.__merge_staging"
+    merged.write.mode("overwrite").partitionBy(dateCol).parquet(stagingPath)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val stagedParts = fs.listStatus(new org.apache.hadoop.fs.Path(stagingPath))
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(s"$dateCol="))
+      stagedParts.foreach { part =>
+        val target = new org.apache.hadoop.fs.Path(path, part.getName)
+        fs.delete(target, true)
+        if (!fs.rename(part, target))
+          throw new java.io.IOException(s"merge swap failed: $part -> $target")
+      }
+      incoming.count()
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+    }
+  }
+
   /** Materialize the delta to a STAGING DIRECTORY, then append from that.
     * The delta's plan reads the target it is about to write; a cache
     * (`persist` + `count`) is NOT a barrier — a lost cached partition

@@ -99,6 +99,28 @@ class UpsertSpec extends AnyFunSuite {
     assert(back === Set((1, "US"), (3, "GB")))
   }
 
+  test("scd1 merge replaces matched keys, keeps the rest, touches only its dates") {
+    val path = tmp()
+    val d2 = java.sql.Date.valueOf("2024-05-02")
+    val base = Seq((1, d1, "US", 100), (2, d1, "US", 200), (1, d2, "US", 300))
+      .toDF("rank", "source_date", "country", "listeners")
+    Upsert.upsertPartitioned(spark, path, base,
+      Seq("rank", "source_date", "country"), "source_date")
+    // update rank 1 on day 1, insert rank 3 on day 1; day 2 untouched
+    val delta = Seq((1, d1, "US", 111), (3, d1, "US", 333))
+      .toDF("rank", "source_date", "country", "listeners")
+    val keys = Seq("rank", "source_date", "country")
+    assert(Upsert.mergePartitioned(spark, path, delta, keys, "source_date") === 2)
+    def snapshot() = spark.read.parquet(path)
+      .select("rank", "source_date", "listeners")
+      .as[(Int, java.sql.Date, Int)].collect().toSet
+    val expected = Set((1, d1, 111), (2, d1, 200), (3, d1, 333), (1, d2, 300))
+    assert(snapshot() === expected)
+    // replaying the same merge is a no-op on content
+    Upsert.mergePartitioned(spark, path, delta, keys, "source_date")
+    assert(snapshot() === expected)
+  }
+
   test("ingest -> ODS upsert replay is a no-op end to end") {
     val path = tmp()
     val ods = graft.ingest.OdsBuilder.ingest(spark)
