@@ -42,10 +42,11 @@ object Pipeline {
     * `checked = true` runs the poison-tolerant ingest
     * ([[OdsBuilder.ingestChecked]]): malformed/mis-shaped documents and
     * unparseable tracks land in the `ingest_quarantine` table
-    * (src_file, reason, detail, quarantined_on) instead of failing the
-    * day; on a clean feed the two modes produce identical ODS rows
-    * (`lastfm_ingest_checked` oracle). The quarantine write is an
-    * idempotent per-day overwrite — replays don't duplicate reject rows.
+    * (src_file, reason, detail; the day lives in the `day=` partition
+    * dir) instead of failing the day; on a clean feed the two modes
+    * produce identical ODS rows (`lastfm_ingest_checked` oracle). The
+    * quarantine write is an idempotent per-day overwrite — replays
+    * don't duplicate reject rows.
     */
   def runDaily(spark: SparkSession, landingRoot: String, warehouse: String,
       date: String, checked: Boolean = false): Unit = {
@@ -58,9 +59,9 @@ object Pipeline {
             .json(s"$landingRoot/$date/*.json"))
       else {
         val res = OdsBuilder.ingestChecked(spark, landingRoot, s"$date/*.json")
-        res.quarantine
-          .withColumn("quarantined_on", lit(date).cast("date"))
-          .write.mode("overwrite")
+        // the day is carried by the partition dir alone — a column too
+        // would put the same fact under two names on read-back
+        res.quarantine.write.mode("overwrite")
           .parquet(s"${quarantinePath(warehouse)}/day=$date")
         res.ods
       }
@@ -112,11 +113,14 @@ object Pipeline {
     * every write is an idempotent upsert, so the repair replays safely.
     * Planning is a file listing, O(days), not a data scan. Landed dirs
     * with no JSON files yet (created-but-unwritten drops) are skipped
-    * this round instead of aborting the whole catch-up. Returns the
+    * this round instead of aborting the whole catch-up. `checked`
+    * passes through to [[runDaily]] — unattended catch-up is exactly
+    * where poison shows up, so routing it to quarantine instead of
+    * aborting every later date is usually what you want. Returns the
     * dates actually run.
     */
   def backfill(spark: SparkSession, landingRoot: String,
-      warehouse: String): Seq[String] = {
+      warehouse: String, checked: Boolean = false): Seq[String] = {
     val datePat = "\\d{4}-\\d{2}-\\d{2}".r
     val conf = spark.sparkContext.hadoopConfiguration
     def ls(path: String): Seq[String] = {
@@ -135,7 +139,7 @@ object Pipeline {
       .filter(_.startsWith("date="))
       .map(_.stripPrefix("date="))
     val todo = (landed.toSet -- done.toSet).toSeq.sorted
-    todo.foreach(runDaily(spark, landingRoot, warehouse, _))
+    todo.foreach(runDaily(spark, landingRoot, warehouse, _, checked))
     todo
   }
 

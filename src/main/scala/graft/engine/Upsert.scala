@@ -112,22 +112,40 @@ object Upsert {
     * Implementation: only the date partitions present in `incoming` are
     * rewritten (existing-minus-matching ∪ incoming, staged then swapped
     * per partition), so merge cost is O(touched partitions), not
-    * O(table). Idempotent: replaying the same batch rewrites the same
-    * partitions to the same content. Single-writer, like everything in
-    * this module.
+    * O(table). Each swap parks the previous partition aside and restores
+    * it if the swap fails — no window where a partition's surviving rows
+    * exist only in a dir a failure path deletes. Duplicate natural keys
+    * WITHIN `incoming` are rejected up front (Postgres DO UPDATE raises
+    * "cannot affect row a second time"; silently writing both copies
+    * would break the table's unique-key contract). Idempotent: replaying
+    * the same batch rewrites the same partitions to the same content.
+    * Single-writer, like everything in this module. Returns the number
+    * of incoming rows merged (counted before any target mutation — the
+    * incoming plan may read the target table itself).
     */
   def mergePartitioned(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String], dateCol: String): Long = {
     require(keys.contains(dateCol),
       s"partitioned merge requires the date column '$dateCol' in the key $keys")
-    if (!tableExists(spark, path)) return stagedAppend(spark, path, incoming, Some(dateCol))
+    // pre-mutation guards: both run against an untouched target
+    val nIncoming = incoming.count()
+    val dupKeys = incoming.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"merge into $path: incoming affects the key ${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
+    if (!tableExists(spark, path)) {
+      stagedAppend(spark, path, incoming, Some(dateCol))
+      return nIncoming
+    }
     val table = spark.read.parquet(path)
     requireSameColumns(incoming, table, path)
-    val dates = incoming.select(col(dateCol)).distinct()
-    val touched = table.join(dates, Seq(dateCol), "left_semi")
+    // null-safe date match: a NULL-date incoming row must pull the
+    // existing NULL partition into `kept`, or its surviving rows would
+    // be overwritten by the __HIVE_DEFAULT_PARTITION__ swap below
+    val dates = incoming.select(col(dateCol).as("__m_date")).distinct()
+    val touched = table.join(dates, col(dateCol) <=> col("__m_date"), "left_semi")
     val kept = newRows(touched, incoming, keys) // existing rows NOT replaced
     val merged = kept.unionByName(incoming.select(table.columns.map(col): _*))
-    // stage the merged partitions, then swap them in one-by-one
     val stagingPath = s"$path.__merge_staging"
     merged.write.mode("overwrite").partitionBy(dateCol).parquet(stagingPath)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -138,11 +156,22 @@ object Upsert {
         .filter(_.getName.startsWith(s"$dateCol="))
       stagedParts.foreach { part =>
         val target = new org.apache.hadoop.fs.Path(path, part.getName)
-        fs.delete(target, true)
-        if (!fs.rename(part, target))
-          throw new java.io.IOException(s"merge swap failed: $part -> $target")
+        val old = new org.apache.hadoop.fs.Path(path, part.getName + ".__old")
+        fs.delete(old, true)
+        val hadPrevious = fs.exists(target)
+        if (hadPrevious && !fs.rename(target, old))
+          throw new java.io.IOException(
+            s"merge swap failed: $target -> $old (target intact)")
+        if (!fs.rename(part, target)) {
+          if (hadPrevious && !fs.rename(old, target))
+            throw new java.io.IOException(
+              s"merge swap failed AND restore failed — recover manually from $old")
+          throw new java.io.IOException(s"merge swap failed: $part -> $target " +
+            (if (hadPrevious) "(previous restored)" else "(partition absent; re-run)"))
+        }
+        fs.delete(old, true)
       }
-      incoming.count()
+      nIncoming
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
     }

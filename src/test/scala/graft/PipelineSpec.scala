@@ -117,6 +117,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${Pipeline.quarantinePath(wh5)}/day=2024-05-01")
       .count() === 1)
     assert(spark.read.parquet(Pipeline.odsPath(wh5)).count() === 33)
+    // unattended catch-up with the same poison: checked backfill routes
+    // it instead of aborting (fresh warehouse, both days from landing)
+    val day2src = java.nio.file.Paths.get(landing, "2024-05-02")
+    val day2dst = java.nio.file.Paths.get(land5, "2024-05-02")
+    Files.createDirectories(day2dst)
+    java.nio.file.Files.list(day2src).forEach(f =>
+      java.nio.file.Files.copy(f, day2dst.resolve(f.getFileName.toString)))
+    val wh6 = Files.createTempDirectory("graft-wh-checked-bf").toString
+    assert(Pipeline.backfill(spark, land5, wh6, checked = true) ===
+      Seq("2024-05-01", "2024-05-02"))
+    assert(spark.read.parquet(Pipeline.odsPath(wh6)).count() === 66)
   }
 
   test("backfill skips a landed date dir that has no files yet") {

@@ -119,6 +119,15 @@ class UpsertSpec extends AnyFunSuite {
     // replaying the same merge is a no-op on content
     Upsert.mergePartitioned(spark, path, delta, keys, "source_date")
     assert(snapshot() === expected)
+    // a batch affecting one key twice is rejected up front (Postgres
+    // DO UPDATE semantics), leaving the table untouched
+    val doubled = Seq((1, d1, "US", 1), (1, d1, "US", 2))
+      .toDF("rank", "source_date", "country", "listeners")
+    val err = intercept[IllegalArgumentException] {
+      Upsert.mergePartitioned(spark, path, doubled, keys, "source_date")
+    }
+    assert(err.getMessage.contains("more than once"))
+    assert(snapshot() === expected)
   }
 
   test("ingest -> ODS upsert replay is a no-op end to end") {
