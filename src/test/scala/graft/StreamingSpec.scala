@@ -185,11 +185,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows === Set(("a", 1.0), ("b", 3.0), ("c", 5.0),
         ("d", 6.0), ("e", 8.0), ("a", 7.0)))
       q.stop()
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
+    } finally restoreProvider(prior)
+  }
+
+  test("burst detector flags only keys crossing the in-window threshold") {
+    import graft.streaming.BurstDetector
+    import graft.streaming.BurstDetector.KeyedTick
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Timestamp)]
+      val q = BurstDetector.detect(
+        in.toDS().map { case (k, ts) => KeyedTick(k, ts) },
+        windowMinutes = 5, threshold = 3)
+        .writeStream.format("memory").queryName("bursts")
+        .outputMode("append").start()
+      def t(s: String) = Timestamp.valueOf(s)
+      // bot: 3 events inside 5 min; human: 2 spread events
+      in.addData(("bot", t("2024-05-01 10:00:00")),
+        ("bot", t("2024-05-01 10:01:00")),
+        ("human", t("2024-05-01 10:00:30")))
+      q.processAllAvailable()
+      in.addData(("bot", t("2024-05-01 10:03:00")),
+        ("human", t("2024-05-01 10:20:00")))
+      q.processAllAvailable()
+      // bot again much later: the old window has aged out -> no burst
+      in.addData(("bot", t("2024-05-01 11:00:00")))
+      q.processAllAvailable()
+      val bursts = spark.table("bursts")
+        .select("key", "n_events").as[(String, Long)].collect().toList
+      assert(bursts === List(("bot", 3L)))
+      q.stop()
+    } finally restoreProvider(prior)
+  }
+
+  private def restoreProvider(prior: Option[String]): Unit = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
     }
   }
 }
