@@ -238,5 +238,35 @@ object WarehouseQueries {
       GROUP BY s_suppkey, s_name
       ORDER BY s_suppkey"""))
 
-  val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune)
+  /** Batch twin of [[graft.streaming.BurstDetector]] — per-user peak
+    * 1-hour event rate with a threshold gate, built on the same
+    * range-frame window as q_window_range_frame. Like
+    * q_click_attribution for the stream-stream join, this registration
+    * hash-checks the burst SEMANTICS against the oracle; the streaming
+    * form adds only state/eviction mechanics (StreamingSpec).
+    */
+  val qBurstEvents = QueryDef(
+    "q_burst_events",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("n_1h")).as("peak_1h"))
+        .filter(col("peak_1h") >= 5)
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, max(n_1h) AS peak_1h FROM (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+        FROM events)
+      GROUP BY user_id HAVING max(n_1h) >= 5
+      ORDER BY user_id"""))
+
+  val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
+    qBurstEvents)
 }
