@@ -348,7 +348,78 @@ object AnalyticQueries {
       FROM daily GROUP BY 1, 2
       ORDER BY month, event_type"""))
 
+  /** Winsorization (percentile outlier clamp): per (returnflag,
+    * linestatus) group, prices are clamped to the [p05, p95] band before
+    * re-aggregation — the standard robust-stats move before training-data
+    * statistics. The bounds are DISCRETE rank statistics computed in pure
+    * integer math (value at rank ceil(0.05·n) / ceil(0.95·n) of the
+    * sorted cents), not interpolated quantiles: rank extraction keeps
+    * every intermediate a BIGINT, so the clamped sum is exact and
+    * hash-stable under any partial-aggregation order (an interpolated
+    * bound would inject an order-sensitive double into the sum).
+    *
+    * Shape: one windowed rank pass partitioned by the 6-value group key,
+    * a 6-row bounds table broadcast back onto the fact, one final hash
+    * aggregate. At 100 TB the window partitions by a low-cardinality key
+    * — if the groups themselves were huge and skewed, the rank pass
+    * would switch to the two-phase count+offset scheme StarBuilder uses
+    * for surrogate ids.
+    */
+  val qWinsorize = QueryDef(
+    "q_winsorize",
+    (s, dir) => {
+      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), cents.as("cents"))
+      val grp = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("cents"))
+      // row_number over ties is nondeterministic, but the VALUE at a
+      // given rank is unique — ties share the same cents.
+      val ranked = li.withColumn("rn", row_number().over(w).cast("long"))
+      val bounds = ranked.join(grp, Seq("l_returnflag", "l_linestatus"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          min(when(col("rn") === call_function("div", col("n") * 5 + 99, lit(100L)),
+            col("cents"))).as("lo"),
+          min(when(col("rn") === call_function("div", col("n") * 95 + 99, lit(100L)),
+            col("cents"))).as("hi"))
+      val clamped = least(greatest(col("cents"), col("lo")), col("hi"))
+      li.join(broadcast(bounds), Seq("l_returnflag", "l_linestatus"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(clamped).cast("double") / 100).as("sum_winsorized"),
+          (min(col("lo")).cast("double") / 100).as("winsor_lo"),
+          (min(col("hi")).cast("double") / 100).as("winsor_hi"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM lineitem),
+      g AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM li GROUP BY 1, 2),
+      r AS (SELECT l_returnflag, l_linestatus, cents,
+                   CAST(row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                           ORDER BY cents) AS BIGINT) AS rn
+            FROM li),
+      b AS (SELECT r.l_returnflag, r.l_linestatus,
+                   min(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo,
+                   min(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi
+            FROM r JOIN g USING (l_returnflag, l_linestatus)
+            GROUP BY 1, 2)
+      SELECT li.l_returnflag, li.l_linestatus,
+             count(*) AS n_rows,
+             CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS DOUBLE) / 100 AS sum_winsorized,
+             CAST(min(lo) AS DOUBLE) / 100 AS winsor_lo,
+             CAST(min(hi) AS DOUBLE) / 100 AS winsor_hi
+      FROM li JOIN b USING (l_returnflag, l_linestatus)
+      GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Seq[QueryDef] = Seq(qGroupingSets, qWindowRankFns, qFullOuter,
     qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill,
-    qUnpivot, qHistogram, qLateralTopk, qRollupMerge)
+    qUnpivot, qHistogram, qLateralTopk, qRollupMerge, qWinsorize)
 }

@@ -105,6 +105,26 @@ object MiscQueries {
         WHERE n_bytes > 0)
       ORDER BY doc_id, frame_idx"""))
 
+  /** Columnar-format breadth beyond parquet: the same ODS rows pushed
+    * through an ORC write/read cycle (Spark's second built-in columnar
+    * format — predicate pushdown, column pruning, and splittable stripes
+    * all hold, so a user with an ORC-based lake gets the same engine).
+    * Same oracle as lastfm_ingest: the format hop must be lossless.
+    */
+  val qOrcRoundtrip = QueryDef(
+    "q_orc_roundtrip",
+    (s, _) => {
+      // Session-scoped path, same reasoning as the CSV round trip.
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_orc_roundtrip_${s.sparkContext.applicationId}"
+      val ods = OdsBuilder.ingest(s)
+      ods.write.mode("overwrite").orc(path)
+      s.read.schema(ods.schema).orc(path)
+        .orderBy(col("source_date"), col("country"), col("song_rank"))
+    },
+    IngestQueries.ingestQuery.oracle,
+    bench = false)
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qToJson, qMultimodalMeta,
-    qMultimodalFrames)
+    qMultimodalFrames, qOrcRoundtrip)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables.t
+import graft.functions.TextFunctions.h44
 
 /** Scale-technique operators: salting for skewed joins and sketch-based
   * distinct counting — the knobs a 100 TB pipeline reaches for when AQE
@@ -91,5 +92,66 @@ object ScaleQueries {
       .orderBy(col("l_returnflag")),
     None)
 
-  val all: Seq[QueryDef] = Seq(qSaltedJoin, qApproxDistinct, qApproxQuantiles)
+  /** Count-min sketch depth (independent hash rows) and width (buckets
+    * per row). 64 buckets is deliberately NARROW for the testdata's 150
+    * users so bucket collisions actually occur and the min-over-rows
+    * recovery is exercised, not vacuous.
+    */
+  private val CmDepth = 4
+  private val CmWidth = 64L
+
+  /** Count-min sketch expressed in pure relational algebra — the third
+    * classic sketch (after HLL and the quantile sketch), and the only
+    * one here that is EXACTLY reproducible in SQL, so unlike
+    * q_approx_distinct/q_approx_quantiles it gets a full hash-checked
+    * oracle. Build: every event lands in [[CmDepth]] (row, bucket)
+    * cells keyed by independent md5-derived hashes; the sketch is the
+    * d×w cell-count table — fixed memory, mergeable by cell-wise sum
+    * across partitions/days, which is the whole 100 TB story (the
+    * groupBy collapses map-side to ≤ d·w rows per task). Probe:
+    * estimate(u) = min over rows of the u-bucket cell — always ≥ the
+    * true count, overcounting only on collisions. Output keeps the
+    * exact count next to the estimate so the driver hash pins both the
+    * sketch arithmetic and the CM guarantee.
+    */
+  val qCountMin = QueryDef(
+    "q_countmin_est",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val rows = explode(sequence(lit(0L), lit(CmDepth - 1L))).as("r")
+      def bucket(u: org.apache.spark.sql.Column) =
+        h44(concat(col("r").cast("string"), lit(":"), u.cast("string"))) % CmWidth
+      val cells = ev.select(col("user_id"), rows)
+        .select(col("r"), bucket(col("user_id")).as("bucket"))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell_n"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      val probes = exact.select(col("user_id"), col("exact_n"), rows)
+        .select(col("user_id"), col("exact_n"), col("r"),
+          bucket(col("user_id")).as("bucket"))
+      probes.join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("user_id"), col("exact_n"))
+        .agg(min(col("cell_n")).as("est_n"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+        .limit(50)
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id FROM events),
+      rs AS (SELECT unnest(range($CmDepth)) AS r),
+      cells AS (
+        SELECT r,
+               CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 11)) AS BIGINT) % $CmWidth AS bucket,
+               count(*) AS cell_n
+        FROM ev CROSS JOIN rs GROUP BY 1, 2),
+      exact AS (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY 1),
+      probes AS (
+        SELECT e.user_id, e.exact_n, rs.r,
+               CAST(('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 11)) AS BIGINT) % $CmWidth AS bucket
+        FROM exact e CROSS JOIN rs)
+      SELECT p.user_id, p.exact_n, min(c.cell_n) AS est_n
+      FROM probes p JOIN cells c USING (r, bucket)
+      GROUP BY p.user_id, p.exact_n
+      ORDER BY p.exact_n DESC, p.user_id LIMIT 50"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qSaltedJoin, qApproxDistinct, qApproxQuantiles, qCountMin)
 }

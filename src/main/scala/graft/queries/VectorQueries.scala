@@ -310,6 +310,61 @@ object VectorQueries {
       GROUP BY f.cent_id, f.dim, c.n_members
       ORDER BY cent_id, dim"""))
 
+  /** Int8 max-abs quantization of the embedding column — the standard
+    * 4× memory/IO cut before an ANN index is built at corpus scale
+    * (float32 → int8 per dimension, one scale per vector). All in exact
+    * integer math over the 1e6-quantized components: q_i = sign(x_i) ·
+    * (|x_i|·127 div amax) with truncating division — identical on both
+    * engines for non-negative operands — and the reconstruction error
+    * |127·x_i − q_i·amax| stays a BIGINT until the single final
+    * division, so the output hash pins the whole quantize/dequantize
+    * round trip, not a float approximation of it.
+    *
+    * Shape: posexplode → per-vector hash aggregate (amax) → join back on
+    * vec_id → final hash aggregate. Two shuffles, both keyed on the
+    * data-scaled vec_id — embarrassingly parallel at 100 TB. (A
+    * higher-order-function formulation would avoid the explode shuffle
+    * but drops out of whole-stage codegen — measured 4× slower on array
+    * math here; see SURVEY §7.5.)
+    */
+  val qEmbedQuantize = QueryDef(
+    "q_embed_quantize",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"),
+          floor(col("x").cast("double") * 1e6).cast("bigint").as("a"))
+      val g = base.groupBy(col("vec_id"))
+        .agg(max(abs(col("a"))).as("amax"), count(lit(1)).as("n_dims"))
+      val q = (when(col("a") < 0, -1L).otherwise(1L) *
+        call_function("div", abs(col("a")) * 127, greatest(col("amax"), lit(1L))))
+        .as("q")
+      base.join(g, Seq("vec_id"))
+        .select(col("vec_id"), col("a"), col("amax"), col("n_dims"), q)
+        .groupBy(col("vec_id"))
+        .agg(max(col("n_dims")).as("n_dims"),
+          min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+          (sum(abs(col("a") * 127 - col("q") * col("amax"))).cast("double") /
+            (lit(127000000.0) * max(col("n_dims")).cast("double")))
+            .as("mean_abs_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS a
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)),
+      g AS (SELECT vec_id, max(abs(a)) AS amax, count(*) AS n_dims
+            FROM base GROUP BY 1),
+      j AS (SELECT b.vec_id, a, amax, n_dims,
+                   (CASE WHEN a < 0 THEN -1 ELSE 1 END)
+                     * ((abs(a) * 127) // greatest(amax, 1)) AS q
+            FROM base b JOIN g USING (vec_id))
+      SELECT vec_id, max(n_dims) AS n_dims,
+             min(q) AS q_min, max(q) AS q_max,
+             CAST(CAST(SUM(abs(a * 127 - q * amax)) AS BIGINT) AS DOUBLE)
+               / (127000000.0 * CAST(max(n_dims) AS DOUBLE)) AS mean_abs_err
+      FROM j GROUP BY vec_id ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qAnnIvfTopk,
-    qEmbeddingNeardup, qIvfCentroids)
+    qEmbeddingNeardup, qIvfCentroids, qEmbedQuantize)
 }

@@ -267,6 +267,93 @@ object WarehouseQueries {
       GROUP BY user_id HAVING max(n_1h) >= 5
       ORDER BY user_id"""))
 
+  /** Incremental view maintenance by the counting algorithm: a daily
+    * (event_type, day) mart is kept current under a delta batch holding
+    * both INSERTS (mult = +1) and RETRACTIONS (mult = −1) — the delta
+    * shape a CDC feed or a late-data correction emits. The old
+    * aggregate state is folded in as (key, n, cents) rows, the delta as
+    * (key, ±1, ±cents); one hash aggregate merges them and rows whose
+    * support count drops to zero disappear — the view never touches the
+    * base fact again. q_rollup_merge is the insert-only cousin; this is
+    * the general form with deletes.
+    *
+    * Scale: cost is |state| + |delta|, never |fact| — the point of IVM
+    * at 100 TB. The merge is one shuffle keyed by the mart key, and the
+    * state side arrives pre-aggregated (one row per key).
+    *
+    * The synthetic split: base = events with event_id % 10 ≠ 0 (the
+    * already-loaded fact), inserts = the % 10 = 0 remainder, retractions
+    * = base rows with event_id % 7 = 0 (a correction recalling them).
+    */
+  val qIvmCounting = QueryDef(
+    "q_ivm_counting",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"), to_date(col("ts")).as("day"),
+        (dec(col("value")) * 100).cast("bigint").as("cents"))
+      val base = ev.filter(pmod(col("event_id"), lit(10L)) =!= 0)
+      val state = base.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val inserts = ev.filter(pmod(col("event_id"), lit(10L)) === 0)
+        .select(col("event_type"), col("day"),
+          lit(1L).as("n"), col("cents"))
+      val retractions = base.filter(pmod(col("event_id"), lit(7L)) === 0)
+        .select(col("event_type"), col("day"),
+          lit(-1L).as("n"), (-col("cents")).as("cents"))
+      state.select(col("event_type"), col("day"), col("n"), col("cents"))
+        .unionAll(inserts).unionAll(retractions)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n_events"),
+          (sum(col("cents")).cast("double") / 100).as("sum_value"))
+        .filter(col("n_events") > 0)
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      state AS (
+        SELECT event_type, day, count(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM ev WHERE event_id % 10 <> 0 GROUP BY 1, 2),
+      delta AS (
+        SELECT event_type, day, CAST(1 AS BIGINT) AS n, cents
+        FROM ev WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT event_type, day, CAST(-1 AS BIGINT) AS n, -cents
+        FROM ev WHERE event_id % 10 <> 0 AND event_id % 7 = 0)
+      SELECT event_type, day,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS DOUBLE) / 100 AS sum_value
+      FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+      GROUP BY 1, 2 HAVING SUM(n) > 0
+      ORDER BY event_type, day"""))
+
+  /** The Morton (Z-order) clustering code itself, hash-checked: the
+    * interleave of the low 16 bits of (l_partkey, l_suppkey) — the sort
+    * key [[graft.engine.ZOrder.clusteredWrite]] lays files out by. Both
+    * engines evaluate the SAME generated shift/mask expression
+    * ([[graft.engine.ZOrder.zValueSql]] is built from the identical
+    * loop), so the oracle pins the bit math; the file-skipping effect of
+    * the layout is asserted in ZOrderSpec (clustered scan reads a
+    * fraction of the rows a linearly-sorted layout does for a 2-D box).
+    */
+  val qZorderCluster = QueryDef(
+    "q_zorder_cluster",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        graft.engine.ZOrder.zValue(
+          col("l_partkey").cast("long"), col("l_suppkey").cast("long"))
+          .as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_partkey"))
+      .limit(50),
+    Some(s"""
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             ${graft.engine.ZOrder.zValueSql("l_partkey", "l_suppkey")} AS zval
+      FROM lineitem
+      ORDER BY zval, l_orderkey, l_partkey LIMIT 50"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
-    qBurstEvents)
+    qBurstEvents, qIvmCounting, qZorderCluster)
 }
