@@ -72,6 +72,46 @@ object StreamQueries {
        AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
       GROUP BY 1, 2, 3 ORDER BY p_id"""))
 
+  /** Batch twin of [[graft.streaming.TopTypeTracker]] (the MapState
+    * leaderboard): each user's dominant event type — argmax count with
+    * the same (count desc, type asc) tie-break the processor emits, plus
+    * the user's total volume. The streaming op's final emission per key
+    * must equal these rows (asserted in StreamingSpec); here the rollup
+    * itself is hash-checked. One shuffle to the per-(user, type) counts;
+    * the window partitions by data-scaled user_id — no global funnel.
+    */
+  val qTopEventType = QueryDef(
+    "q_top_event_type",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          row_number().over(w).as("rn"),
+          sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")))
+            .as("n_total"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"),
+          col("n").as("top_n"), col("n_total"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn,
+               CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+        FROM c)
+      SELECT user_id, event_type AS top_type, n AS top_n, n_total
+      FROM r WHERE rn = 1 ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(qWindowHourly, qWindowSliding,
-    qClickAttribution)
+    qClickAttribution, qTopEventType)
 }

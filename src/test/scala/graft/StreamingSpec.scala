@@ -222,6 +222,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally restoreProvider(prior)
   }
 
+  test("MapState top-type tracker follows count changes and evicts idle keys") {
+    import graft.streaming.TopTypeTracker
+    import graft.streaming.TopTypeTracker.TypedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, String, Timestamp)]
+      val q = TopTypeTracker.track(
+        in.toDS().map { case (k, et, ts) => TypedEvent(k, et, ts) },
+        retentionMinutes = 10)
+        .writeStream.format("memory").queryName("top_types")
+        .outputMode("append").start()
+      def t(s: String) = Timestamp.valueOf(s)
+      // a: click leads 2-1; c: 1-1 tie broken to the lex-smaller type
+      in.addData(("a", "click", t("2024-05-01 10:00:00")),
+        ("a", "click", t("2024-05-01 10:00:10")),
+        ("a", "view", t("2024-05-01 10:00:20")),
+        ("b", "view", t("2024-05-01 10:00:30")),
+        ("c", "view", t("2024-05-01 10:00:40")),
+        ("c", "click", t("2024-05-01 10:00:50")))
+      q.processAllAvailable()
+      // a: view overtakes click 3-2 across batches
+      in.addData(("a", "view", t("2024-05-01 10:05:00")),
+        ("a", "view", t("2024-05-01 10:05:10")))
+      q.processAllAvailable()
+      // d advances max event time; watermark moves after the batch ends
+      in.addData(("d", "view", t("2024-05-01 10:40:00")))
+      q.processAllAvailable()
+      // e's batch runs with watermark 10:40 -> idle timers for a/b/c fire
+      in.addData(("e", "view", t("2024-05-01 10:42:00")))
+      q.processAllAvailable()
+      // a returns after eviction: counters restart from zero
+      in.addData(("a", "purchase", t("2024-05-01 10:43:00")))
+      q.processAllAvailable()
+      val rows = spark.table("top_types")
+        .as[(String, String, Long, Long)].collect().toList
+      val expected = List(
+        ("a", "click", 2L, 3L), ("b", "view", 1L, 1L), ("c", "click", 1L, 2L),
+        ("a", "view", 3L, 5L), ("d", "view", 1L, 1L), ("e", "view", 1L, 1L),
+        ("a", "purchase", 1L, 1L))
+      assert(rows.sorted === expected.sorted)
+      q.stop()
+    } finally restoreProvider(prior)
+  }
+
   private def restoreProvider(prior: Option[String]): Unit = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     prior match {
