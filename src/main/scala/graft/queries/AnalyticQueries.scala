@@ -358,12 +358,14 @@ object AnalyticQueries {
     * hash-stable under any partial-aggregation order (an interpolated
     * bound would inject an order-sensitive double into the sum).
     *
-    * Shape: one windowed rank pass partitioned by the 6-value group key,
-    * a 6-row bounds table broadcast back onto the fact, one final hash
-    * aggregate. At 100 TB the window partitions by a low-cardinality key
-    * — if the groups themselves were huge and skewed, the rank pass
-    * would switch to the two-phase count+offset scheme StarBuilder uses
-    * for surrogate ids.
+    * Shape: the fact first collapses to DISTINCT (group, cents) rows
+    * with multiplicities (a map-side-combining hash aggregate), so the
+    * rank window — necessarily partitioned by the 6-value group key —
+    * sorts only the distinct price values per group, not the fact
+    * itself; value-at-rank is then "smallest value whose cumulative
+    * count reaches the rank". A 6-row bounds table broadcasts back onto
+    * the fact for one final hash aggregate. At 100 TB the window input
+    * stays |distinct prices|, orders of magnitude below |fact|.
     */
   val qWinsorize = QueryDef(
     "q_winsorize",
@@ -372,19 +374,23 @@ object AnalyticQueries {
         .cast("bigint")
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"), cents.as("cents"))
-      val grp = li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"))
+      val byValue = li.groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("cents")).agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
         .orderBy(col("cents"))
-      // row_number over ties is nondeterministic, but the VALUE at a
-      // given rank is unique — ties share the same cents.
-      val ranked = li.withColumn("rn", row_number().over(w).cast("long"))
-      val bounds = ranked.join(grp, Seq("l_returnflag", "l_linestatus"))
+      // cumulative multiplicity = rank of the value's LAST occurrence;
+      // no ties (cents is distinct within the group), so the frame is
+      // exact
+      val cum = byValue
+        .withColumn("cum_n", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag"), col("l_linestatus"))))
+      val bounds = cum
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          min(when(col("rn") === call_function("div", col("n") * 5 + 99, lit(100L)),
+          min(when(col("cum_n") >= call_function("div", col("n") * 5 + 99, lit(100L)),
             col("cents"))).as("lo"),
-          min(when(col("rn") === call_function("div", col("n") * 95 + 99, lit(100L)),
+          min(when(col("cum_n") >= call_function("div", col("n") * 95 + 99, lit(100L)),
             col("cents"))).as("hi"))
       val clamped = least(greatest(col("cents"), col("lo")), col("hi"))
       li.join(broadcast(bounds), Seq("l_returnflag", "l_linestatus"))

@@ -179,6 +179,113 @@ object CurationQueries {
       HAVING count(*) * 200 >= (SELECT n_total FROM tot)
       ORDER BY n DESC, tok"""))
 
+  /** Hash-blocking geometry for [[qNegativeSample]] (declared before the
+    * QueryDef vals that capture them at object-init time).
+    */
+  private val NegBuckets = 32L
+  private val NegK = 2
+
+  /** Deterministic train/val/test split — the assignment every training
+    * corpus needs, done the only way that survives re-runs and corpus
+    * growth: a pure hash of the stable document id (80/10/10 on
+    * h44(doc_id) mod 100), never a random() that reshuffles documents
+    * between splits on every execution. Reported as per-(lang, split)
+    * counts with the split's share of the language — the leakage audit
+    * a data team reads before training. Per-row hash + one hash
+    * aggregate; embarrassingly parallel at any scale.
+    */
+  val qDatasetSplit = QueryDef(
+    "q_dataset_split",
+    (s, dir) => {
+      val h = h44(col("doc_id").cast("string")) % 100
+      val split = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+      t(s, dir, "documents")
+        .select(col("lang"), split.as("split"), col("n_chars"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("lang_share",
+          col("n_docs").cast("double") /
+            sum(col("n_docs")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11)) AS BIGINT) % 100 AS h
+        FROM documents),
+      g AS (
+        SELECT lang,
+               CASE WHEN h < 80 THEN 'train'
+                    WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM d GROUP BY 1, 2)
+      SELECT lang, split, n_docs, n_chars,
+             CAST(n_docs AS DOUBLE) /
+               CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_share
+      FROM g ORDER BY lang, split"""))
+
+  /** Contrastive negative sampling with hash blocking: K pseudo-random
+    * negatives per document, fully deterministic — the pair-mining step
+    * of an embedding/reranker training pipeline. Every document lands
+    * in one of [[NegBuckets]] hash buckets and gets a stable in-bucket
+    * rank; each (doc, k) probe hashes to a target bucket and a position
+    * inside it, and the member at that position is the negative
+    * (self-picks filtered). Work is O(K·n) with NO quadratic pair
+    * enumeration — the classic all-pairs trap — and every join is
+    * equi-keyed on (bucket, rank): hash joins end to end, the bucket
+    * count is the only broadcast.
+    */
+  val qNegativeSample = QueryDef(
+    "q_negative_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val bucketed = docs.select(col("doc_id"),
+        (h44(col("doc_id").cast("string")) % NegBuckets).as("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val members = bucketed
+        .withColumn("rnk", row_number().over(w).cast("long") - 1)
+      val sizes = members.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bucket_n"))
+      val probes = docs
+        .crossJoin(s.range(1, NegK + 1).select(col("id").as("k")))
+        .select(col("doc_id"), col("k"),
+          (h44(concat(col("doc_id").cast("string"), lit("#"),
+            col("k").cast("string"))) % NegBuckets).as("bucket"),
+          h44(concat(lit("pos:"), col("doc_id").cast("string"), lit("#"),
+            col("k").cast("string"))).as("ph"))
+        .join(broadcast(sizes), Seq("bucket"))
+        .select(col("doc_id"), col("k"), col("bucket"),
+          (col("ph") % col("bucket_n")).as("rnk"))
+      probes.join(members.select(col("bucket"), col("rnk"),
+          col("doc_id").as("neg_id")), Seq("bucket", "rnk"))
+        .filter(col("neg_id") =!= col("doc_id"))
+        .select(col("doc_id"), col("k"), col("neg_id"))
+        .orderBy(col("doc_id"), col("k"))
+    },
+    Some(s"""
+      WITH docs AS (SELECT doc_id FROM documents),
+      members AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11)) AS BIGINT) % $NegBuckets AS bucket,
+               CAST(row_number() OVER (
+                 PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11)) AS BIGINT) % $NegBuckets
+                 ORDER BY doc_id) AS BIGINT) - 1 AS rnk
+        FROM docs),
+      sizes AS (SELECT bucket, count(*) AS bucket_n FROM members GROUP BY 1),
+      probes AS (
+        SELECT d.doc_id, ks.k,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(ks.k AS VARCHAR)), 1, 11)) AS BIGINT) % $NegBuckets AS bucket,
+               CAST(('0x' || substr(md5('pos:' || CAST(d.doc_id AS VARCHAR) || '#' || CAST(ks.k AS VARCHAR)), 1, 11)) AS BIGINT) AS ph
+        FROM docs d CROSS JOIN (SELECT unnest(range(1, ${NegK + 1})) AS k) ks)
+      SELECT p.doc_id, p.k, m.doc_id AS neg_id
+      FROM (SELECT doc_id, k, bucket, ph % s.bucket_n AS rnk
+            FROM probes JOIN sizes s USING (bucket)) p
+      JOIN members m USING (bucket, rnk)
+      WHERE m.doc_id <> p.doc_id
+      ORDER BY p.doc_id, p.k"""))
+
   val all: Seq[QueryDef] = Seq(qDecontaminate, qPiiRedact, qWeightedSample,
-    qHeavyHitters)
+    qHeavyHitters, qDatasetSplit, qNegativeSample)
 }
