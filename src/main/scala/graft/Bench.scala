@@ -30,10 +30,14 @@ object Bench {
     * the LLM-pipeline headliners.
     */
   private val priority = Seq(
-    "lastfm_e2e_royalties", "q1_pricing_summary", "q3_top_revenue",
-    "q5_local_supplier", "q7_volume_shipping", "q10_returned_items",
-    "q13_order_distribution", "q14_promo_share", "q18_large_volume",
-    "q19_discounted_revenue", "lastfm_ingest", "lastfm_ods",
+    "lastfm_e2e_royalties", "q1_pricing_summary", "q2_min_cost_supplier",
+    "q3_top_revenue", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q12_priority_lines", "q13_order_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_qty",
+    "q18_large_volume", "q19_discounted_revenue", "q20_excess_supply",
+    "q21_waiting_supplier", "q22_global_sales", "lastfm_ingest", "lastfm_ods",
     "lastfm_fact", "lastfm_dm_royalties", "q_cosine_topk",
     "q_ann_ivf_topk", "q_ann_lsh_topk", "q_dedup_exact",
     "q_dedup_simhash", "q_embedding_neardup", "q_lang_id",

@@ -17,7 +17,8 @@ object SparkEntry {
       DocQueries.all ++ VectorQueries.all ++ StreamQueries.all ++
       MiscQueries.all ++ ExtQueries.all ++ JoinQueries.all ++
       ScaleQueries.all ++ AnalyticQueries.all ++ EventQueries.all ++
-      WarehouseQueries.all ++ CurationQueries.all ++ RelationalMore.all
+      WarehouseQueries.all ++ CurationQueries.all ++ RelationalMore.all ++
+      TpchFull.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The raw-JSON end-to-end royalties mart exercises the whole reference

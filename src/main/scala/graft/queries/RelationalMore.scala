@@ -7,10 +7,10 @@ import graft.queries.QueryDef.dec
 /** Classic TPC-H join/aggregate shapes beyond q1/q3/q5 — the relational
   * patterns a warehouse user actually reuses (volume shipping between
   * two markets, returned-item ranking, customer distribution, promo
-  * share, large-volume orders, multi-branch OR predicates), adapted to
-  * the columns this testdata carries (no partsupp/commitdate/phone, so
-  * Q9/Q12/Q21/Q22 have no faithful restatement here). Exact-decimal
-  * money discipline throughout (QueryDef scaladoc).
+  * share, large-volume orders, multi-branch OR predicates). The
+  * remaining 13 shapes live in `TpchFull` (column adaptations noted
+  * there), completing the 22-query suite. Exact-decimal money
+  * discipline throughout (QueryDef scaladoc).
   */
 object RelationalMore {
 
