@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables.t
@@ -425,7 +426,121 @@ object AnalyticQueries {
       FROM li JOIN b USING (l_returnflag, l_linestatus)
       GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Exact covariance/correlation per group, computed from algebraic
+    * moment sums (n, Σx, Σy, Σxy, Σx², Σy²) held in exact decimals —
+    * the mergeable map-side form (each partial is six numbers).
+    * `covar_pop`/`corr` built-ins sum doubles in partition order and
+    * would NOT hash-match.
+    *
+    * Hash-exactness: the cancellation-prone difference `n·Σxy − Σx·Σy`
+    * is computed IN DECIMAL (casting the two big products to double
+    * first loses different ULPs per engine — DuckDB double-rounds its
+    * int128→double conversion), and every value that does convert to
+    * double is small enough (< 2^53 in scaled units) to convert
+    * exactly. That bounds the pairs: cov over (quantity, price), corr
+    * over (quantity, discount) — a price-variance term would exceed
+    * the exact-double range.
+    */
+  val qCovariance = QueryDef(
+    "q_covariance",
+    (s, dir) => {
+      val q = QueryDef.dec(col("l_quantity"))
+      val p = QueryDef.dec(col("l_extendedprice"))
+      val d = QueryDef.dec(col("l_discount"))
+      def d324(c: Column) = c.cast("decimal(32,4)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("decimal(12,0)").as("n"),
+          sum(q).cast("decimal(19,2)").as("sq"),
+          sum(p).cast("decimal(19,2)").as("sp"),
+          sum(d).cast("decimal(19,2)").as("sd"),
+          sum((q * q).cast("decimal(18,4)")).cast("decimal(19,4)").as("sqq"),
+          sum((d * d).cast("decimal(18,4)")).cast("decimal(19,4)").as("sdd"),
+          sum((q * p).cast("decimal(28,4)")).cast("decimal(26,4)").as("sqp"),
+          sum((q * d).cast("decimal(18,4)")).cast("decimal(19,4)").as("sqd"))
+        .select(
+          col("l_returnflag"),
+          col("n").cast("bigint").as("n"),
+          ((d324(col("n") * col("sqp")) - d324(col("sq") * col("sp")))
+            .cast("double") / (col("n") * col("n")).cast("double"))
+            .as("cov_qty_price"),
+          ((d324(col("n") * col("sqd")) - d324(col("sq") * col("sd")))
+            .cast("double") /
+            sqrt((d324(col("n") * col("sqq")) - d324(col("sq") * col("sq")))
+              .cast("double") *
+              (d324(col("n") * col("sdd")) - d324(col("sd") * col("sd")))
+                .cast("double"))).as("corr_qty_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH m AS (
+        -- widths ≥ 19 force DuckDB's int128 multiply path (an 18-digit
+        -- pair multiplies in int64 and overflows); every product below
+        -- stays within the 38-digit combined-width limit
+        SELECT l_returnflag,
+               CAST(count(*) AS DECIMAL(12,0)) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sp,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS sd,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+                    AS DECIMAL(19,4)) AS sqq,
+               CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+                    AS DECIMAL(19,4)) AS sdd,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+                    AS DECIMAL(26,4)) AS sqp,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+                    AS DECIMAL(19,4)) AS sqd
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             CAST(CAST(n * sqp AS DECIMAL(32,4)) -
+                  CAST(sq * sp AS DECIMAL(32,4)) AS DOUBLE)
+               / CAST(n * n AS DOUBLE) AS cov_qty_price,
+             CAST(CAST(n * sqd AS DECIMAL(32,4)) -
+                  CAST(sq * sd AS DECIMAL(32,4)) AS DOUBLE) /
+               sqrt(CAST(CAST(n * sqq AS DECIMAL(32,4)) -
+                         CAST(sq * sq AS DECIMAL(32,4)) AS DOUBLE) *
+                    CAST(CAST(n * sdd AS DECIMAL(32,4)) -
+                         CAST(sd * sd AS DECIMAL(32,4)) AS DOUBLE))
+               AS corr_qty_disc
+      FROM m ORDER BY l_returnflag"""))
+
+  /** Equi-depth (equal-count) histogram via NTILE over a fully
+    * deterministic total order — the complement of q_histogram's
+    * equi-width binning. Verification form: the global NTILE sorts one
+    * partition; the 100 TB path derives cut points from the quantile
+    * sketch (q_approx_quantiles) and bins with a scan-only CASE.
+    */
+  val qHistogramEquidepth = QueryDef(
+    "q_histogram_equidepth",
+    (s, dir) => {
+      val order = Window.orderBy(
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(10).over(order).cast("bigint"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      SELECT bucket, count(*) AS n_rows,
+             min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM (SELECT l_extendedprice,
+                   CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                        l_linenumber) AS BIGINT) AS bucket
+            FROM lineitem)
+      GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[QueryDef] = Seq(qGroupingSets, qWindowRankFns, qFullOuter,
     qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill,
-    qUnpivot, qHistogram, qLateralTopk, qRollupMerge, qWinsorize)
+    qUnpivot, qHistogram, qLateralTopk, qRollupMerge, qWinsorize,
+    qCovariance, qHistogramEquidepth)
 }

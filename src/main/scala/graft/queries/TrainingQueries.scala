@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.functions.TextFunctions._
+
+/** Training-batch assembly operators over `documents` — the steps that
+  * sit between a curated corpus and a training run: sequence packing,
+  * domain-mixture reweighting, and cross-document duplication scoring.
+  * No reference analogue (extension surface, SURVEY §7.6).
+  */
+object TrainingQueries {
+
+  /** Concat-and-chunk sequence packing: documents are laid out in
+    * deterministic doc_id order and cut into fixed-capacity training
+    * bins; each document is assigned to the bin where it STARTS
+    * (`floor(cum_before / capacity)`), so bins can overflow by at most
+    * one document tail — the accounting a packing loader needs.
+    *
+    * Scale: the running cumsum is a single unpartitioned window here
+    * (verification form). At 100 TB the same math runs per shard:
+    * partition by a layout key (e.g. source), pack within shards, and
+    * offset bin ids by a per-shard scan — the two-phase pattern
+    * `StarBuilder.withSurrogateId` already implements.
+    */
+  val qSeqPack = QueryDef(
+    "q_seq_pack",
+    (s, dir) => {
+      val cap = 512L
+      val byId = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(words(col("text"))).cast("bigint").as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(byId))
+        .withColumn("bin", call_function("div", col("cum") - col("tokens"), lit(cap)))
+        .groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          greatest(sum(col("tokens")) - cap, lit(0L)).as("overflow_tokens"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS tokens
+        FROM documents),
+      laid AS (
+        SELECT doc_id, tokens,
+               SUM(tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks)
+      SELECT CAST((cum - tokens) // 512 AS BIGINT) AS bin,
+             count(*) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             CAST(greatest(SUM(tokens) - 512, 0) AS BIGINT) AS overflow_tokens
+      FROM laid GROUP BY 1 ORDER BY bin"""))
+
+  /** Domain-mixture reweighting: per-language sampling weight that
+    * flattens the corpus to a uniform language mixture —
+    * `weight = (total / n_langs) / cnt`, computed as ONE double
+    * division of exact integers (identical IEEE result on both
+    * engines). `oversample` flags groups that would need repetition
+    * (weight > 1), the signal a data loader acts on.
+    */
+  val qMixtureWeights = QueryDef(
+    "q_mixture_weights",
+    (s, dir) => {
+      val perLang = t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val totals = perLang.agg(
+        sum(col("cnt")).as("total"), count(lit(1)).as("n_langs"))
+      perLang.crossJoin(broadcast(totals))
+        .select(
+          col("lang"), col("cnt"),
+          (col("total").cast("double") / (col("n_langs") * col("cnt")).cast("double"))
+            .as("weight"),
+          (col("total") < col("n_langs") * col("cnt")).as("downsampled"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH per_lang AS (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      totals AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_langs FROM per_lang)
+      SELECT lang, cnt,
+             CAST(total AS DOUBLE) / CAST(n_langs * cnt AS DOUBLE) AS weight,
+             total < n_langs * cnt AS downsampled
+      FROM per_lang CROSS JOIN totals ORDER BY lang"""))
+
+  /** Cross-document duplication score: for each document, the share of
+    * its distinct 8-word shingles that also occur in at least one OTHER
+    * document. This is the fuzzy-overlap audit a dedup pipeline runs
+    * AFTER exact dedup — high scores mean templated/boilerplate content
+    * that MinHash may keep (SURVEY §7.6).
+    *
+    * Scale: shuffles on the 44-bit shingle hash only (document
+    * frequency is a plain groupBy); per-doc rollup joins doc→shingle
+    * back to the df table. Never all-pairs, never moves text twice.
+    */
+  val qCrossdocOverlap = QueryDef(
+    "q_crossdoc_overlap",
+    (s, dir) => {
+      val N = 8
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= N)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("ws")) - (N - 1)),
+            i => array_join(slice(col("ws"), i, lit(N)), " ")))).as("gram"))
+        .select(col("doc_id"), h44(col("gram")).as("gh"))
+      val df = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      grams.join(df, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("dup_share",
+          col("n_shared").cast("double") / col("n_shingles").cast("double"))
+        .filter(col("n_shared") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws)-6)]))
+               AS gram
+        FROM w WHERE len(ws) >= 8),
+      h AS (SELECT doc_id, ${h44Sql("gram")} AS gh FROM g),
+      df AS (SELECT gh, count(DISTINCT doc_id) AS df FROM h GROUP BY gh)
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_share
+      FROM h JOIN df USING (gh)
+      GROUP BY doc_id
+      HAVING SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) > 0
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(qSeqPack, qMixtureWeights, qCrossdocOverlap)
+}
