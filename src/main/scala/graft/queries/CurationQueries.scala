@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables.t
 import graft.functions.TextFunctions._
@@ -286,6 +287,40 @@ object CurationQueries {
       WHERE m.doc_id <> p.doc_id
       ORDER BY p.doc_id, p.k"""))
 
+  /** Deterministic exact-k sample per group (reservoir-sampling
+    * semantics, reproducible): order each language's documents by an
+    * md5 draw keyed on doc_id and keep the first 5 — every doc equally
+    * likely under the hash, identical picks on every run and engine.
+    * Complements [[qWeightedSample]] (Bernoulli, expected-size) and
+    * qDatasetSplit (disjoint shares) with the exact-cardinality form.
+    *
+    * Scale: `row_number() <= k` over (group, hash) is planned as
+    * WindowGroupLimit — Spark keeps a k-row heap per group on the map
+    * side, so the shuffle carries ~k rows per group, not the corpus.
+    */
+  val qReservoirSample = QueryDef(
+    "q_reservoir_sample",
+    (s, dir) => {
+      val drawn = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          md5(concat(lit("rsv:"), col("doc_id").cast("string"))).as("draw"))
+      drawn
+        .withColumn("pick", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("draw"), col("doc_id"))))
+        .filter(col("pick") <= 5)
+        .select(col("lang"), col("pick").cast("long").as("pick"), col("doc_id"))
+        .orderBy(col("lang"), col("pick"))
+    },
+    Some("""
+      SELECT lang, CAST(pick AS BIGINT) AS pick, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS pick
+        FROM documents)
+      WHERE pick <= 5 ORDER BY lang, pick"""))
+
   val all: Seq[QueryDef] = Seq(qDecontaminate, qPiiRedact, qWeightedSample,
-    qHeavyHitters, qDatasetSplit, qNegativeSample)
+    qHeavyHitters, qDatasetSplit, qNegativeSample, qReservoirSample)
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables.t
 
@@ -90,5 +92,122 @@ object EventQueries {
       FROM ev e JOIN cohorts c ON c.user_id = e.user_id
       GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qRetention)
+  /** Dense-spine gap fill: per-user hourly activity counts on a gapless
+    * hour grid from the user's first to last active hour, missing hours
+    * filled with 0 — the regularization step before any fixed-step
+    * time-series model. The spine is generated DISTRIBUTED, per user:
+    * `sequence(h0, h1)` + `explode` runs on the executors, bounded by
+    * the observed span (users < 20 keeps the demo output small; the
+    * shape is per-key either way).
+    *
+    * Scale: no driver-side calendar loop, no cross join against a global
+    * spine — each user's grid explodes next to its own bounds row, and
+    * the left join back to the hourly counts is keyed on the same
+    * (user_id, hour_id) the aggregate just shuffled by.
+    */
+  val qGapFill = QueryDef(
+    "q_gap_fill",
+    (s, dir) => {
+      val hr = t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"),
+          call_function("div", unix_micros(col("ts")), lit(3600000000L))
+            .as("hour_id"))
+      val hourly = hr.groupBy(col("user_id"), col("hour_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = hourly.groupBy(col("user_id"))
+        .agg(min(col("hour_id")).as("h0"), max(col("hour_id")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+      spine.join(hourly, Seq("user_id", "hour_id"), "left")
+        .select(col("user_id"), col("hour_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("hour_id"))
+    },
+    Some("""
+      WITH hr AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id
+        FROM events WHERE user_id < 20),
+      hourly AS (
+        SELECT user_id, hour_id, count(*) AS n_events
+        FROM hr GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id, unnest(generate_series(min(hour_id), max(hour_id)))
+                 AS hour_id
+        FROM hourly GROUP BY user_id)
+      SELECT s.user_id, s.hour_id, COALESCE(h.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN hourly h USING (user_id, hour_id)
+      ORDER BY user_id, hour_id"""))
+
+  /** Robust per-type outlier audit: median / MAD (median absolute
+    * deviation) with the |x − med| > 3·MAD rule — the outlier gate that,
+    * unlike mean/stddev, is not dragged by the outliers it is hunting.
+    *
+    * Hash-match discipline: values travel as exact integer cents and
+    * both medians are DISCRETE order statistics — the element at
+    * row_number (n+1)/2 of the per-type sort (lower median, pure
+    * integer selection) — so no engine-specific quantile interpolation
+    * ever runs; every output column is BIGINT.
+    *
+    * Scale: two rank windows and the final aggregate all partition by
+    * event_type — one shuffle key end to end. Window input is the event
+    * set itself; for a 100 TB stream the same statistic comes from the
+    * q_winsorize route (rank stats over DISTINCT values + counts),
+    * which this query deliberately complements with the simpler
+    * exact-per-row form.
+    */
+  val qMadOutliers = QueryDef(
+    "q_mad_outliers",
+    (s, dir) => {
+      val v = t(s, dir, "events")
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      val byType = Window.partitionBy(col("event_type"))
+      def lowerMedian(d: DataFrame, c: String, out: String): DataFrame = d
+        .withColumn("rn", row_number().over(byType.orderBy(col(c))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .filter(col("rn") === call_function("div", col("n") + 1, lit(2L)))
+        .select(col("event_type"), col(c).as(out))
+      val med = lowerMedian(v, "cents", "med_cents")
+      val dev = v.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("cents") - col("med_cents")).as("ad"))
+      val mad = lowerMedian(dev, "ad", "mad_cents")
+      dev.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"), col("med_cents"), col("mad_cents"))
+        .agg(sum(when(col("ad") > lit(3L) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"),
+          max(col("ad")).as("max_abs_dev"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      med AS (
+        SELECT event_type, cents AS med_cents FROM (
+          SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM v)
+        WHERE rn = (n + 1) // 2),
+      dev AS (
+        SELECT v.event_type, abs(v.cents - m.med_cents) AS ad
+        FROM v JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, ad AS mad_cents FROM (
+          SELECT event_type, ad,
+                 row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM dev)
+        WHERE rn = (n + 1) // 2)
+      SELECT d.event_type, m.med_cents, a.mad_cents,
+             CAST(sum(CASE WHEN d.ad > 3 * a.mad_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+             max(d.ad) AS max_abs_dev
+      FROM dev d JOIN med m USING (event_type) JOIN mad a USING (event_type)
+      GROUP BY 1, 2, 3 ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(qFunnel, qRetention, qGapFill, qMadOutliers)
 }

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables.t
+import graft.functions.TextFunctions._
+
+/** Full-text retrieval operators over the `documents` corpus: inverted
+  * index construction and BM25 relevance scoring — the search half of a
+  * training-data pipeline (corpus exploration, quality-biased sampling,
+  * retrieval-augmented filtering). The reference has no text-search
+  * surface; this is extension coverage per the builder brief (SURVEY
+  * §7.6), built as plain shuffled aggregates — no driver-side index.
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** Terms the BM25 query scores — fixed so the oracle can mirror them. */
+  private val QueryTerms = Seq("join", "vector", "spark")
+
+  /** Inverted index: per term, document frequency, total term frequency,
+    * and the first 10 postings (doc_ids ascending).
+    *
+    * Scale: the posting list is truncated BEFORE collection — a
+    * `row_number() <= 10` per term runs as WindowGroupLimit (partial
+    * top-k map-side), so a stop-word's million-document posting list
+    * never materializes in one task; only ≤ 10 rows per term reach the
+    * `collect_list`. df/total_tf are plain partial/final hash aggregates.
+    */
+  val qInvertedIndex = QueryDef(
+    "q_inverted_index",
+    (s, dir) => {
+      val cnt = docs(s, dir)
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val stats = cnt.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      val postings = cnt
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .groupBy(col("term"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      stats.join(postings, Seq("term")).orderBy(col("term"))
+    },
+    Some(s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(${wordsSql("text")}) AS term FROM documents),
+      cnt AS (
+        SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2),
+      stats AS (
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM cnt GROUP BY 1),
+      ranked AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM cnt),
+      postings AS (
+        SELECT term, list_sort(list(doc_id)) AS postings
+        FROM ranked WHERE rn <= 10 GROUP BY 1)
+      SELECT s.term, s.df, s.total_tf, p.postings
+      FROM stats s JOIN postings p USING (term) ORDER BY term"""))
+
+  /** BM25 scoring of a fixed 3-term query against every document, in
+    * pure integer arithmetic (hash-match discipline, QueryDef scaladoc).
+    *
+    * The standard BM25 with k1 = 1.2 = 6/5 and b = 0.75 = 3/4 has a
+    * rational tf-saturation component; multiplying through by the corpus
+    * token total T (avgdl = T/N) gives
+    *   tf_part = 44·tf·T / (20·tf·T + 6·T + 18·dl·N).
+    * The idf factor is replaced by its log-argument — the Robertson
+    * odds ratio (N − df + ½)/(df + ½) = (2N − 2df + 1)/(2df + 1) —
+    * which is strictly monotone in df, so per-term ranking order is
+    * identical to log-idf BM25 while staying exactly representable:
+    * one correctly-rounded int→double division at the end is the only
+    * float op, making Spark and DuckDB agree bit-for-bit (a log() would
+    * not: libm results differ in the last ulp across engines).
+    *
+    * int64 headroom: num = 44·tf·T·(2N−2df+1). At sf1 (N ≈ 5·10⁴,
+    * T ≈ 3·10⁶, tf ≤ 10²) num ≈ 10³·10⁶·10⁵ = 10¹⁴ ≪ 2⁶³; the terms
+    * would overflow ANSI-loudly, not silently, at ~10⁴× that corpus —
+    * at which point the factors should move to decimal.
+    *
+    * Scale: tf/df/dl are hash aggregates over (doc, term) pairs already
+    * filtered to the query's terms — the corpus is scanned once and only
+    * matching postings shuffle; df and the corpus totals are broadcast
+    * scalars. Never a cartesian of docs × vocabulary.
+    */
+  val qBm25 = QueryDef(
+    "q_bm25",
+    (s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), words(col("text")).as("ws"))
+      val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val corpus = dl.agg(sum(col("dl")).as("t_len"), count(lit(1)).as("n_docs"))
+      val tf = toks
+        .select(col("doc_id"), explode(col("ws")).as("term"))
+        .filter(col("term").isin(QueryTerms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val num = lit(44L) * col("tf") * col("t_len") *
+        (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+      val den = (lit(20L) * col("tf") * col("t_len") + lit(6L) * col("t_len") +
+        lit(18L) * col("dl") * col("n_docs")) *
+        (lit(2L) * col("df") + lit(1L))
+      tf.join(dl, Seq("doc_id"))
+        .join(broadcast(dfc), Seq("term"))
+        .crossJoin(broadcast(corpus))
+        .select(col("term"), col("doc_id"), col("tf"),
+          (num.cast("double") / den).as("bm25_odds"))
+        .orderBy(col("term"), col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+      dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+      corpus AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS t_len, count(*) AS n_docs FROM dl),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        WHERE term IN (${QueryTerms.map(q => s"'$q'").mkString(", ")})
+        GROUP BY 1, 2),
+      dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT t.term, t.doc_id, t.tf,
+             CAST(44 * t.tf * c.t_len * (2 * c.n_docs - 2 * d.df + 1) AS DOUBLE)
+               / ((20 * t.tf * c.t_len + 6 * c.t_len + 18 * l.dl * c.n_docs)
+                  * (2 * d.df + 1)) AS bm25_odds
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfc d USING (term), corpus c
+      ORDER BY term, doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(qInvertedIndex, qBm25)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Authored edge cases for the retrieval + robust-stats operators:
+  * BM25 ordering semantics, posting-list truncation, spine denseness,
+  * MAD outlier gating, exact-k sampling — the properties the DuckDB
+  * hash check asserts only in bulk.
+  */
+class SearchQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-search-spec").toString
+    rows.map { case (id, text, lang) =>
+      (id, text, lang, "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def eventsDir(
+      rows: Seq[(Long, Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-search-spec-ev").toString
+    rows.toDF("event_id", "tts", "user_id", "event_type", "value")
+      .withColumn("ts", expr("unix_micros(tts) * 1000L")).drop("tts")
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("bm25 score rises with tf and falls with df at fixed length") {
+    // All docs the same length; "vector" appears in 1 doc, "join" in 3.
+    val dir = docsDir(Seq(
+      (0L, "join alpha beta gamma delta epsilon", "en"),
+      (1L, "join join beta gamma delta epsilon", "en"),
+      (2L, "join vector beta gamma delta epsilon", "en"),
+      (3L, "zeta eta theta iota kappa lambda", "en")))
+    val got = graft.queries.SearchQueries.qBm25.run(spark, dir)
+      .select("term", "doc_id", "bm25_odds").as[(String, Long, Double)]
+      .collect().map { case (t, d, s) => (t, d) -> s }.toMap
+    // tf monotonicity: doc 1 has tf=2 for "join", docs 0/2 have tf=1.
+    assert(got(("join", 1L)) > got(("join", 0L)))
+    // rarity: "vector" (df=1) outscores "join" (df=3) at equal tf/len.
+    assert(got(("vector", 2L)) > got(("join", 2L)))
+    // absent docs don't appear
+    assert(!got.contains(("join", 3L)))
+  }
+
+  test("inverted index truncates postings at 10 but df/total_tf stay exact") {
+    // "join" in 12 docs (ids 0..11), twice in doc 0 -> df=12, tf=13.
+    val dir = docsDir((0L to 11L).map(i =>
+      (i, if (i == 0) "join join filler" else "join filler", "en")))
+    val row = graft.queries.SearchQueries.qInvertedIndex.run(spark, dir)
+      .filter(col("term") === "join")
+      .as[(String, Long, Long, Seq[Long])].collect().head
+    assert(row._2 === 12L)
+    assert(row._3 === 13L)
+    assert(row._4 === (0L to 9L))
+  }
+
+  test("inverted index and reservoir sample plan map-side WindowGroupLimit") {
+    val dir = docsDir(Seq((0L, "join alpha", "en"), (1L, "join beta", "fr")))
+    for (q <- Seq(graft.queries.SearchQueries.qInvertedIndex,
+        graft.queries.CurationQueries.qReservoirSample)) {
+      val p = q.run(spark, dir).queryExecution.optimizedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"${q.name}: no WindowGroupLimit in:\n$p")
+    }
+  }
+
+  test("gap fill densifies each user's span and zero-fills silent hours") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val dir = eventsDir(Seq(
+      // user 1: active hours 10 and 13 -> spine 10,11,12,13 with 0s between
+      (1L, t("2024-05-01 10:15:00"), 1L, "click", 1.0),
+      (2L, t("2024-05-01 10:45:00"), 1L, "click", 1.0),
+      (3L, t("2024-05-01 13:05:00"), 1L, "view", 1.0),
+      // user 2: single hour -> one-row spine
+      (4L, t("2024-05-01 09:00:00"), 2L, "click", 1.0),
+      // user 25: outside the user_id < 20 demo scope
+      (5L, t("2024-05-01 09:00:00"), 25L, "click", 1.0)))
+    val got = graft.queries.EventQueries.qGapFill.run(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    val byUser = got.groupBy(_._1)
+    assert(byUser(1L).map(_._3) === List(2L, 0L, 0L, 1L))
+    assert(byUser(1L).map(_._2) === (byUser(1L).head._2 to
+      byUser(1L).head._2 + 3).toList)
+    assert(byUser(2L).map(_._3) === List(1L))
+    assert(!byUser.contains(25L))
+  }
+
+  test("mad outliers: discrete lower median, 3-MAD gate, robust to the outlier itself") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // values 1,2,3,4,100: lower median 3.00, deviations 2,1,0,1,97 ->
+    // MAD (lower median of 0,1,1,2,97) = 1 -> outliers: |v-3| > 3 -> 100 only.
+    val dir = eventsDir(Seq(
+      (1L, t("2024-05-01 10:00:00"), 1L, "buy", 1.0),
+      (2L, t("2024-05-01 10:01:00"), 1L, "buy", 2.0),
+      (3L, t("2024-05-01 10:02:00"), 1L, "buy", 3.0),
+      (4L, t("2024-05-01 10:03:00"), 1L, "buy", 4.0),
+      (5L, t("2024-05-01 10:04:00"), 1L, "buy", 100.0)))
+    val got = graft.queries.EventQueries.qMadOutliers.run(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got === (("buy", 300L, 100L, 1L, 9700L)))
+  }
+
+  test("reservoir sample returns exactly min(k, group size) rows, deterministically") {
+    val dir = docsDir(
+      (0L to 19L).map(i => (i, s"doc number $i", "en")) ++
+        Seq((100L, "lone french doc", "fr")))
+    val q = graft.queries.CurationQueries.qReservoirSample
+    val first = q.run(spark, dir).as[(String, Long, Long)].collect().toList
+    val again = q.run(spark, dir).as[(String, Long, Long)].collect().toList
+    assert(first === again)
+    assert(first.count(_._1 == "en") === 5)
+    assert(first.filter(_._1 == "fr") === List(("fr", 1L, 100L)))
+    assert(first.filter(_._1 == "en").map(_._2) === (1L to 5L).toList)
+  }
+}
