@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables.t
@@ -209,5 +209,106 @@ object EventQueries {
       FROM dev d JOIN med m USING (event_type) JOIN mad a USING (event_type)
       GROUP BY 1, 2, 3 ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qRetention, qGapFill, qMadOutliers)
+  /** Welch two-sample t-test on purchase value, variants assigned by
+    * user hash parity — the experimentation readout (is B's mean spend
+    * different from A's?) as one single-pass conditional aggregate:
+    * per-variant n / Σcents / Σcents² collapse map-side; the statistic
+    * is assembled from the six numbers on one row.
+    *
+    * Hash-exactness (q_covariance discipline): the cancellation-prone
+    * `n·Q − S²` stays in decimal and converts to double while still
+    * exact (< 2⁵³ scaled: n²σ² ≈ 2.4·10¹⁵ at sf0.1; an sf1 run would
+    * need the decimal-division route). Everything after conversion is
+    * correctly-rounded double ops (± × ÷ sqrt are IEEE-exact given
+    * identical inputs), so Spark and DuckDB agree bit-for-bit even on
+    * the Welch–Satterthwaite degrees of freedom.
+    *
+    * Scale: one scan, one row out — the partial aggregates are six
+    * numbers per partition, mergeable forever (day-over-day CUPED-style
+    * accumulation would reuse the identical partials).
+    */
+  val qAbTtest = QueryDef(
+    "q_ab_ttest",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+      val isB = col("user_id") % 2 === 1
+      def side(b: Boolean, c: Column) =
+        sum(when(col("b") === lit(b), c).otherwise(lit(0L)))
+      val agg = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(isB.as("b"), cents.as("cents"))
+        .agg(
+          side(false, lit(1L)).cast("decimal(12,0)").as("n1"),
+          side(true, lit(1L)).cast("decimal(12,0)").as("n2"),
+          side(false, col("cents")).cast("decimal(19,0)").as("s1"),
+          side(true, col("cents")).cast("decimal(19,0)").as("s2"),
+          side(false, col("cents") * col("cents")).cast("decimal(19,0)").as("q1"),
+          side(true, col("cents") * col("cents")).cast("decimal(19,0)").as("q2"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      def meanOf(sc: String, nc: String) =
+        col(sc).cast("double") / col(nc).cast("double") / 100
+      def varOverN(nc: String, sc: String, qc: String) =
+        (d38(col(nc) * col(qc)) - d38(col(sc) * col(sc))).cast("double") /
+          (col(nc) * (col(nc) - 1)).cast("double") / col(nc).cast("double")
+      agg.select(
+        col("n1").cast("bigint").as("n_a"), col("n2").cast("bigint").as("n_b"),
+        meanOf("s1", "n1").as("mean_a"), meanOf("s2", "n2").as("mean_b"),
+        (meanOf("s1", "n1") - meanOf("s2", "n2")).as("mean_diff"),
+        // t in cents units: the ×100 turns the dollar mean-diff back
+        // into cents to match the cents² variance
+        ((meanOf("s1", "n1") - meanOf("s2", "n2")) * 100 /
+          sqrt(varOverN("n1", "s1", "q1") + varOverN("n2", "s2", "q2")))
+          .as("t_welch"),
+        (pow(varOverN("n1", "s1", "q1") + varOverN("n2", "s2", "q2"), 2) /
+          (pow(varOverN("n1", "s1", "q1"), 2) / (col("n1").cast("double") - 1) +
+            pow(varOverN("n2", "s2", "q2"), 2) / (col("n2").cast("double") - 1)))
+          .as("df_welch"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id % 2 = 1 AS b,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      m AS (
+        SELECT
+          CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS DECIMAL(12,0)) AS n1,
+          CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS DECIMAL(12,0)) AS n2,
+          CAST(SUM(CASE WHEN NOT b THEN cents ELSE 0 END) AS DECIMAL(19,0)) AS s1,
+          CAST(SUM(CASE WHEN b THEN cents ELSE 0 END) AS DECIMAL(19,0)) AS s2,
+          CAST(SUM(CASE WHEN NOT b THEN cents * cents ELSE 0 END) AS DECIMAL(19,0)) AS q1,
+          CAST(SUM(CASE WHEN b THEN cents * cents ELSE 0 END) AS DECIMAL(19,0)) AS q2
+        FROM v)
+      SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100 AS mean_a,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100 AS mean_b,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100 -
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100 AS mean_diff,
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100 -
+              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100) * 100 /
+               sqrt(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
+                         CAST(s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) +
+                    CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
+                         CAST(s2 * s2 AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))
+               AS t_welch,
+             pow(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
+                      CAST(s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) +
+                 CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
+                      CAST(s2 * s2 AS DECIMAL(38,0)) AS DOUBLE)
+                   / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE), 2) /
+               (pow(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
+                         CAST(s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE), 2)
+                  / (CAST(n1 AS DOUBLE) - 1) +
+                pow(CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
+                         CAST(s2 * s2 AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE), 2)
+                  / (CAST(n2 AS DOUBLE) - 1)) AS df_welch
+      FROM m"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest)
 }

@@ -33,6 +33,28 @@ object MiscQueries {
     IngestQueries.ingestQuery.oracle,
     bench = false)
 
+  /** S2 (line-JSON variant): ODS rows → newline-delimited JSON → read
+    * back with the declared schema. The reference lands raw JSON as one
+    * pretty-printed document per (country, date)
+    * (`raw_from_api_to_s3.py:47-54`) — human-auditable but unsplittable
+    * (README "Known limitations"); JSONL is the shape the same landing
+    * zone takes at scale: splittable, schema-stable, append-friendly.
+    * Same losslessness contract and oracle as the CSV hop.
+    */
+  val qJsonlRoundtrip = QueryDef(
+    "q_jsonl_roundtrip",
+    (s, _) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_jsonl_roundtrip_${s.sparkContext.applicationId}"
+      OdsBuilder.ingest(s)
+        .select(CsvTables.odsCsvSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .write.mode("overwrite").json(path)
+      s.read.schema(CsvTables.odsCsvSchema).json(path)
+        .orderBy(col("source_date"), col("country"), col("song_rank"))
+    },
+    IngestQueries.ingestQuery.oracle,
+    bench = false)
+
   /** F7+F5+F9: reconstruct the reference's S3 key
     * (`top_100/raw/{date}/{country}_{date}.json`,
     * `raw_from_api_to_s3.py:47`) and a JSON payload per chart row.
@@ -125,6 +147,6 @@ object MiscQueries {
     IngestQueries.ingestQuery.oracle,
     bench = false)
 
-  val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qToJson, qMultimodalMeta,
-    qMultimodalFrames, qOrcRoundtrip)
+  val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonlRoundtrip, qToJson,
+    qMultimodalMeta, qMultimodalFrames, qOrcRoundtrip)
 }

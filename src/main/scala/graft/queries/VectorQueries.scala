@@ -365,6 +365,71 @@ object VectorQueries {
                / (127000000.0 * CAST(max(n_dims) AS DOUBLE)) AS mean_abs_err
       FROM j GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** Product-quantization code assignment: the 64-dim vector splits
+    * into M = 4 subspaces of 16 dims; per subspace a K = 8 codebook
+    * (deterministic init: the subvectors of vec_id 0..7, the standard
+    * seeding before Lloyd refinement — q_ivf_centroids is the
+    * refinement step) and each vector's subvector maps to its nearest
+    * centroid by EXACT integer L2, via ‖a−b‖² = n²(a) + n²(b) − 2·a·b
+    * with the codegen'd [[graft.functions.LongArrayDot]]. Output is the
+    * (vec_id, subspace, code) assignment plus its distortion — 4 codes
+    * ≈ 4 bytes per vector, the 64× compression an IVF-PQ index stores.
+    *
+    * Scale: the codebook is M·K tiny rows → broadcast; assignment is
+    * one scan of the corpus with K distance evaluations per subspace
+    * (a map-side loop, no shuffle of the vectors); the argmin is a
+    * WindowGroupLimit-shaped rank-1 filter keyed on the vector itself.
+    * Ties break on code — deterministic on both engines.
+    */
+  val qPqCodes = QueryDef(
+    "q_pq_codes",
+    (s, dir) => {
+      val M = 4
+      val Sub = Dim / M
+      val base = quantized(s, dir)
+      val subs = base.select(col("vec_id"),
+        explode(array((0 until M).map(m => struct(lit(m.toLong).as("m"),
+          slice(col("v"), m * Sub + 1, Sub).as("sub"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+        .withColumn("sn2", dot(col("sub"), col("sub")))
+      val cents = subs.filter(col("vec_id") < 8)
+        .select(col("m"), col("vec_id").as("code"), col("sub").as("csub"),
+          col("sn2").as("cn2"))
+      subs.join(broadcast(cents), Seq("m"))
+        .withColumn("d2",
+          col("sn2") + col("cn2") - lit(2L) * dot(col("sub"), col("csub")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("d2"), col("code"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"), col("d2"))
+        .orderBy(col("vec_id"), col("m"))
+    },
+    Some(s"""
+      WITH base AS ($quantizedSql),
+      subs AS (
+        SELECT vec_id, m,
+               list_slice(v, m * ${Dim / 4} + 1, (m + 1) * ${Dim / 4}) AS sub
+        FROM base, (SELECT unnest([0, 1, 2, 3]) AS m)),
+      n AS (
+        SELECT vec_id, CAST(m AS BIGINT) AS m, sub,
+               CAST(list_sum([x * x for x in sub]) AS BIGINT) AS sn2
+        FROM subs),
+      cents AS (
+        SELECT m, vec_id AS code, sub AS csub, sn2 AS cn2
+        FROM n WHERE vec_id < 8),
+      scored AS (
+        SELECT s.vec_id, s.m, c.code,
+               s.sn2 + c.cn2 - 2 * ${dotSql("s.sub", "c.csub")} AS d2
+        FROM n s JOIN cents c USING (m)),
+      ranked AS (
+        SELECT vec_id, m, code, d2,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, code) AS rn
+        FROM scored)
+      SELECT vec_id, m, code, d2 FROM ranked WHERE rn = 1
+      ORDER BY vec_id, m"""))
+
   val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qAnnIvfTopk,
-    qEmbeddingNeardup, qIvfCentroids, qEmbedQuantize)
+    qEmbeddingNeardup, qIvfCentroids, qEmbedQuantize, qPqCodes)
 }

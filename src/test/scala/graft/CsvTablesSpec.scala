@@ -27,4 +27,14 @@ class CsvTablesSpec extends AnyFunSuite {
     assert(back.groupBy(key.map(back.col): _*).count()
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
   }
+
+  test("ODS rows survive the JSONL hop losslessly (q_jsonl_roundtrip contract)") {
+    val ods = graft.ingest.OdsBuilder.ingest(spark)
+    val back = graft.queries.MiscQueries.qJsonlRoundtrip.run(spark, "")
+    assert(back.schema === CsvTables.odsCsvSchema)
+    val a = ods.select(CsvTables.odsCsvSchema.fieldNames.toIndexedSeq.map(ods.col): _*)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val b = back.collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(a === b)
+  }
 }

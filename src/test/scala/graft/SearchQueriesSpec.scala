@@ -111,6 +111,50 @@ class SearchQueriesSpec extends AnyFunSuite {
     assert(got === (("buy", 300L, 100L, 1L, 9700L)))
   }
 
+  test("welch t-test matches the hand computation on authored variants") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // A (even user_id): 10.00, 12.00 -> mean 1100c, s² = 20000c²
+    // B (odd user_id):  20.00, 22.00 -> mean 2100c, s² = 20000c²
+    // t = -1000 / sqrt(10000 + 10000) = -7.0710678…, df = 2
+    val dir = eventsDir(Seq(
+      (1L, t("2024-05-01 10:00:00"), 2L, "purchase", 10.0),
+      (2L, t("2024-05-01 10:01:00"), 4L, "purchase", 12.0),
+      (3L, t("2024-05-01 10:02:00"), 1L, "purchase", 20.0),
+      (4L, t("2024-05-01 10:03:00"), 3L, "purchase", 22.0),
+      (5L, t("2024-05-01 10:04:00"), 1L, "click", 999.0)))
+    val r = graft.queries.EventQueries.qAbTtest.run(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect().head
+    assert(r._1 === 2L && r._2 === 2L)
+    assert(r._3 === 11.0 && r._4 === 21.0 && r._5 === -10.0)
+    assert(math.abs(r._6 - (-1000.0 / math.sqrt(20000.0))) < 1e-12)
+    assert(math.abs(r._7 - 2.0) < 1e-12)
+  }
+
+  test("pq codes: centroid vectors code to themselves with zero distortion") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-search-spec-emb").toString
+    // 10 unit-ish vectors, dim 64; vec 9 duplicates centroid 3 exactly.
+    val vecs = (0L to 9L).map { i =>
+      val src = if (i == 9L) 3L else i
+      (i, (0 until 64).map(j =>
+        (((src * 64 + j) % 13).toFloat - 6.0f) / 10.0f).toArray, 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.VectorQueries.qPqCodes.run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    // every centroid subvector is its own nearest centroid, d2 = 0
+    for (c <- 0L to 7L; m <- 0L to 3L) {
+      val row = got.find(r => r._1 == c && r._2 == m).get
+      assert(row._3 === c, s"centroid $c subspace $m coded to ${row._3}")
+      assert(row._4 === 0L)
+    }
+    // the duplicate of centroid 3 codes to 3 with zero distortion
+    assert(got.filter(_._1 == 9L).map(r => (r._3, r._4)).toSet === Set((3L, 0L)))
+    // 10 vectors × 4 subspaces, exactly one code each
+    assert(got.length === 40)
+  }
+
   test("reservoir sample returns exactly min(k, group size) rows, deterministically") {
     val dir = docsDir(
       (0L to 19L).map(i => (i, s"doc number $i", "en")) ++
