@@ -111,4 +111,23 @@ object GraftStreaming {
         col("c_ts") <= col("p_ts"),
       "left_outer")
   }
+
+  /** Stream-static dim enrichment — the streaming restatement of the
+    * J2-J4 mart joins: an unbounded event stream LEFT-joined against a
+    * bounded dimension. Stateless by construction (the static side is
+    * finite, so no watermark and no join state accumulate); per
+    * micro-batch it plans as the same broadcast hash join the batch
+    * marts use.
+    *
+    * Dim-freshness contract: a file-backed static side snapshots its
+    * file listing when the query is PLANNED — an in-place overwrite
+    * under a running query is a FILE_NOT_EXIST race, not a swap. Under
+    * this engine's AvailableNow daily cadence each day's invocation is
+    * a fresh plan, so the StarBuilder dim swap lands between runs:
+    * fact stream state (checkpoint) carries over, the dim is re-read —
+    * the slowly-changing-dim story without a transactional source.
+    */
+  def dimEnrich(events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
 }

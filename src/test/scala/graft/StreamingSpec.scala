@@ -119,6 +119,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-static enrichment is stateless and sees a dim swap on the next run") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = tmp("dim").resolve("dim_country").toString
+    Seq((1L, "Italy")).toDF("country_id", "country_name")
+      .write.mode("overwrite").parquet(dimDir)
+
+    val in = MemoryStream[(Long, Long)]
+    def start(name: String) = GraftStreaming.dimEnrich(
+      in.toDF().toDF("event_id", "country_id"),
+      spark.read.parquet(dimDir), Seq("country_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    val q1 = start("enrich1")
+    in.addData((10L, 1L), (11L, 2L))
+    q1.processAllAvailable()
+    val run1 = spark.table("enrich1")
+      .select("event_id", "country_name").as[(Long, Option[String])]
+      .collect().toMap
+    assert(run1(10L) === Some("Italy"))
+    assert(run1(11L) === None, "unknown dim key must left-join to null")
+    q1.stop()
+
+    // the daily-cadence dim swap: next invocation re-plans and re-reads
+    // the static side; the stream source position carries on
+    Seq((1L, "Italy"), (2L, "Ghana")).toDF("country_id", "country_name")
+      .write.mode("overwrite").parquet(dimDir)
+    val q2 = start("enrich2")
+    in.addData((12L, 2L))
+    q2.processAllAvailable()
+    val run2 = spark.table("enrich2").filter(col("event_id") === 12L)
+      .select("country_name").as[String].collect()
+    assert(run2.toSeq === Seq("Ghana"))
+    q2.stop()
+  }
+
   test("watermarked streaming dedup emits first arrival and drops replays") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
