@@ -133,5 +133,103 @@ object SearchQueries {
       FROM tf t JOIN dl l USING (doc_id) JOIN dfc d USING (term), corpus c
       ORDER BY term, doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qInvertedIndex, qBm25)
+  /** Exact set-similarity self-join at Jaccard ≥ 0.6 via PREFIX
+    * FILTERING — the exact-threshold complement to q_dedup_minhash's
+    * probabilistic LSH route. Tokens get a global canonical order
+    * (ascending document frequency, ties by token — rarest first);
+    * for |A∩B|/|A∪B| ≥ t it is sufficient that A and B share a token
+    * among each one's first p = ⌊(1−t)·|set|⌋ + 1 tokens of that order
+    * (if the prefixes were disjoint, the ≥ t·|set| shared tokens would
+    * all have to hide in the suffixes — too short by construction). So
+    * the candidate join is an equi-join ON PREFIX TOKENS ONLY — rare
+    * tokens, small postings — never all-pairs, and the threshold test
+    * is pure integers: J ≥ 3/5 ⟺ 8·inter ≥ 3·(|A|+|B|).
+    *
+    * Sets are distinct word TRIGRAMS (the decontaminate/minhash gram
+    * unit), not unigrams — on this corpus's small shared vocabulary,
+    * unigram sets make nearly every pair a candidate (measured 30k+
+    * qualifying pairs); trigrams are discriminative (25 pairs from
+    * ~11k candidates), which is also why real near-dup systems shingle.
+    *
+    * Scale: df ranking and per-doc position are one aggregate + one
+    * window keyed on doc; the candidate fan-out is bounded by prefix
+    * posting sizes (frequency-ordered prefixes make the indexed tokens
+    * the RAREST ones); verification joins token lists only for
+    * surviving candidate pairs. This is the PPJoin shape (Xiao et al.,
+    * WWW'08) in four shuffles.
+    */
+  val qSetsimJoin = QueryDef(
+    "q_setsim_join",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => array_join(slice(col("ws"), i, lit(3)), " ")))).as("tok"))
+      val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val ranked = toks.join(dfc, Seq("tok"))
+        .withColumn("len", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"))))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("df"), col("tok"))))
+      // p = len − ceil(3·len/5) + 1, in integer math
+      val p = col("len") -
+        call_function("div", lit(3L) * col("len") + 4, lit(5L)) + 1
+      val pref = ranked.filter(col("pos") <= p)
+        .select(col("tok"), col("doc_id"), col("len"))
+      val cand = pref.select(col("tok"), col("doc_id").as("doc_a"),
+          col("len").as("len_a"))
+        .join(pref.select(col("tok"), col("doc_id").as("doc_b"),
+          col("len").as("len_b")), Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
+        .distinct()
+      val inter = cand
+        .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
+          Seq("doc_b", "tok"))
+        .groupBy(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .filter(lit(8L) * col("inter") >= lit(3L) * (col("len_a") + col("len_b")))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("inter").cast("double") /
+            (col("len_a") + col("len_b") - col("inter"))).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]))
+               AS tok
+        FROM w WHERE len(ws) >= 3),
+      dfc AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+      ranked AS (
+        SELECT t.doc_id, t.tok,
+               count(*) OVER (PARTITION BY t.doc_id) AS len,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df, t.tok) AS pos
+        FROM toks t JOIN dfc d USING (tok)),
+      pref AS (
+        SELECT tok, doc_id, len FROM ranked
+        WHERE pos <= len - (3 * len + 4) // 5 + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.len AS len_a, b.len AS len_b
+        FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, c.len_a, c.len_b, count(*) AS inter
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY 1, 2, 3, 4)
+      SELECT doc_a, doc_b, inter,
+             CAST(inter AS DOUBLE) / (len_a + len_b - inter) AS jaccard
+      FROM inter WHERE 8 * inter >= 3 * (len_a + len_b)
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[QueryDef] = Seq(qInvertedIndex, qBm25, qSetsimJoin)
 }

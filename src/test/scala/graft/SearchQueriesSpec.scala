@@ -111,6 +111,37 @@ class SearchQueriesSpec extends AnyFunSuite {
     assert(got === (("buy", 300L, 100L, 1L, 9700L)))
   }
 
+  test("setsim prefix filtering finds exactly the brute-force >= 0.6 pairs") {
+    // 8 words -> 6 trigrams per doc.
+    // docs 0/1: words 4 AND 8 differ -> only trigram starts {1, 5}
+    //   survive: J = 2/10 = 0.2 -> below threshold.
+    // docs 2/3: identical text -> J = 1.0 -> reported.
+    // docs 4/5: first word differs -> only the start-1 trigram dies:
+    //   J = 5/7 ≈ 0.714 -> reported. doc 6 unrelated.
+    val texts = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma dolto epsilon zeta eta iota",
+      2L -> "one two three four five six seven eight",
+      3L -> "one two three four five six seven eight",
+      4L -> "red orange yellow green blue indigo violet pink",
+      5L -> "mud orange yellow green blue indigo violet pink",
+      6L -> "totally different words in this document here now")
+    val dir = docsDir(texts.map { case (i, t) => (i, t, "en") })
+    val got = graft.queries.SearchQueries.qSetsimJoin.run(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over distinct trigram sets
+    def tris(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expect = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      i = tris(ta).intersect(tris(tb)).size
+      u = tris(ta).union(tris(tb)).size
+      if i * 5 >= u * 3
+    } yield (a, b)).toSet
+    assert(got === expect)
+    assert(got === Set((2L, 3L), (4L, 5L)))
+  }
+
   test("welch t-test matches the hand computation on authored variants") {
     def t(s: String) = Timestamp.valueOf(s)
     // A (even user_id): 10.00, 12.00 -> mean 1100c, s² = 20000c²
