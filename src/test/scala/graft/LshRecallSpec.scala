@@ -50,4 +50,28 @@ class LshRecallSpec extends AnyFunSuite {
     // sizable overlap shows the buckets preserve cosine structure.
     assert(overlap >= 0.1)
   }
+
+  test("prefix-filtered setsim join equals brute-force trigram Jaccard >= 0.6") {
+    // Unlike LSH (recall floor), prefix filtering is EXACT — the check
+    // is set equality against an all-pairs computation on the corpus.
+    val tri = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - 2),
+          i => array_join(slice(col("ws"), i, lit(3)), " "))).as("ts"))
+    val a = tri.select(col("doc_id").as("doc_a"), col("ts").as("ta"))
+    val b = tri.select(col("doc_id").as("doc_b"), col("ts").as("tb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("i"),
+        size(array_union(col("ta"), col("tb"))).cast("long").as("u"))
+      .filter(col("i") * 5 >= col("u") * 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = graft.queries.SearchQueries.qSetsimJoin.run(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture corpus should contain near-dup pairs")
+    assert(got === brute)
+  }
 }
