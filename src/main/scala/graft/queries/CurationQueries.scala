@@ -35,9 +35,8 @@ object CurationQueries {
       val grams = docs
         .select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= N)
-        .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), size(col("ws")) - (N - 1)),
-            i => array_join(slice(col("ws"), i, lit(N)), " ")))).as("gram"))
+        .select(col("doc_id"), explode(
+          graft.functions.WordShingles(col("ws"), N)).as("gram"))
         .select(col("doc_id"), h44(col("gram")).as("gh"))
       val evalGrams = grams.filter(col("doc_id") % 97 === 0)
         .withColumnRenamed("doc_id", "eval_id")

@@ -180,9 +180,8 @@ object SearchQueries {
       docs(s, dir)
         .select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), array_distinct(
-          transform(sequence(lit(1), size(col("ws")) - 2),
-            i => array_join(slice(col("ws"), i, lit(3)), " "))).as("ts"))
+        .select(col("doc_id"),
+          graft.functions.WordShingles(col("ws"), 3).as("ts"))
         .persist())
 
   val qSetsimJoin = QueryDef(

@@ -109,9 +109,8 @@ object TrainingQueries {
       val grams = t(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= N)
-        .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), size(col("ws")) - (N - 1)),
-            i => array_join(slice(col("ws"), i, lit(N)), " ")))).as("gram"))
+        .select(col("doc_id"), explode(
+          graft.functions.WordShingles(col("ws"), N)).as("gram"))
         .select(col("doc_id"), h44(col("gram")).as("gh"))
       val df = grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("df"))

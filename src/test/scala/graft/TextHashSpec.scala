@@ -107,4 +107,28 @@ class TextHashSpec extends AnyFunSuite {
       .select(TextFunctions.h44(col("s"))).as[Long].collect().head
     assert(engine === Md5Prefix44.hash("plane_0_dim_0".getBytes("UTF-8")))
   }
+
+  test("native word_shingles equals the HOF chain, order included") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ffff", "gg", "hij")
+    val cases: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("solo"), Seq("x", "y"), Seq("x", "y", "z"),
+        Seq("r", "r", "r", "r", "r")) ++
+        (0 until 200).map(_ =>
+          (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size))))
+    for (n <- Seq(2, 3, 8)) {
+      // call sites guard size(ws) >= n before the HOF chain (slice
+      // errors on a descending sequence otherwise); mirror that here
+      val hof = when(size(col("ws")) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+      val df = cases.toDF("ws").select(
+        graft.functions.WordShingles(col("ws"), n).as("native"),
+        hof.as("hof"))
+      assert(df.filter(not(col("native") <=> col("hof"))).count() === 0,
+        s"mismatch at n=$n")
+    }
+  }
 }
