@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{LongArrayDot, Md5Prefix44}
+import graft.functions.{LongArrayDot, Md5Prefix44, WordShingles}
 
 /** Session extensions — the documented registration path for the
   * engine's native expressions (set
-  * `spark.sql.extensions=graft.GraftExtensions`). Makes `md5_prefix44`
-  * and `long_array_dot` available to SQL text as well as the Column API.
+  * `spark.sql.extensions=graft.GraftExtensions`). Makes `md5_prefix44`,
+  * `long_array_dot`, and `word_shingles` available to SQL text as well
+  * as the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -30,6 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw org.apache.spark.sql.graftshim.Shims
             .wrongNumArgs("long_array_dot", 2, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(ws, n) =>
+          val width = n match {
+            case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+            case _ => throw new IllegalArgumentException(
+              "word_shingles requires a literal integer width")
+          }
+          WordShingles(ws, width)
+        case other =>
+          throw org.apache.spark.sql.graftshim.Shims
+            .wrongNumArgs("word_shingles", 2, other.size)
       }))
   }
 }

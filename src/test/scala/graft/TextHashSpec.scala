@@ -108,6 +108,13 @@ class TextHashSpec extends AnyFunSuite {
     assert(engine === Md5Prefix44.hash("plane_0_dim_0".getBytes("UTF-8")))
   }
 
+  test("word_shingles is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT word_shingles(array('a','b','c','b','c'), 2) AS s")
+      .as[Seq[String]].collect().head
+    assert(r === Seq("a b", "b c", "c b"))
+  }
+
   test("native word_shingles equals the HOF chain, order included") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("a", "bb", "ccc", "dd", "e", "ffff", "gg", "hij")
