@@ -31,5 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench session executes 120+ plans on local[32]
+  // with session-cached leaves — at 8g the tail queries pay GC, not
+  // compute (observed 0.6s->3.2s swings on re-runs). Host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
