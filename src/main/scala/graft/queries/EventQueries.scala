@@ -309,6 +309,85 @@ object EventQueries {
                   / (CAST(n2 AS DOUBLE) - 1)) AS df_welch
       FROM m"""))
 
+  /** Time-series similarity search (EDBT'19-shaped): top-3 most similar
+    * users by squared L2 distance between hourly activity vectors —
+    * computed SPARSE. Each user's series is the (hour_id → count) map;
+    * with zero-filled grids, ‖a−b‖² = n²(a) + n²(b) − 2·a·b and absent
+    * hours contribute nothing, so the dot product is an equi-join of
+    * the two users' nonzero hours — the series are never densified.
+    *
+    * Candidate semantics (the sparse-similarity contract): only
+    * CO-ACTIVE pairs (≥ 1 shared nonzero hour) are scored — a pair
+    * with disjoint activity shares no coordinate and is no candidate,
+    * exactly as in sparse ANN. Restricted to user_id < 100 to keep the
+    * demo output small; the shape is per-bucket either way.
+    *
+    * Scale: the join key is the hour bucket — fan-out per bucket is
+    * (active users that hour)², which is the inverted-index cost every
+    * sparse-similarity system pays; at 100 TB the bucket is sharded
+    * (hour × user-hash salt) and heavy-hitter hours cap their posting
+    * fan-out, same as the LSH band discipline. All arithmetic is exact
+    * integer counts until the final d2 (itself a BIGINT).
+    */
+  val qTsSimilarity = QueryDef(
+    "q_ts_similarity",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .select(col("user_id"),
+          call_function("div", unix_micros(col("ts")), lit(3600000000L))
+            .as("hour_id"))
+        .groupBy(col("user_id"), col("hour_id"))
+        .agg(count(lit(1)).as("n"))
+      val n2 = hourly.groupBy(col("user_id"))
+        .agg(sum(col("n") * col("n")).as("n2"))
+      val dot = hourly.select(col("hour_id"), col("user_id").as("ua"),
+          col("n").as("na"))
+        .join(hourly.select(col("hour_id"), col("user_id").as("ub"),
+          col("n").as("nb")), Seq("hour_id"))
+        .filter(col("ua") =!= col("ub"))
+        .groupBy(col("ua"), col("ub"))
+        .agg(sum(col("na") * col("nb")).as("dot"))
+      dot
+        .join(broadcast(n2.select(col("user_id").as("ua"), col("n2").as("n2a"))),
+          Seq("ua"))
+        .join(broadcast(n2.select(col("user_id").as("ub"), col("n2").as("n2b"))),
+          Seq("ub"))
+        .select(col("ua").as("user_id"), col("ub").as("neighbor_id"),
+          (col("n2a") + col("n2b") - lit(2L) * col("dot")).as("d2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("d2"), col("neighbor_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("rank"), col("neighbor_id"), col("d2"))
+        .orderBy(col("user_id"), col("rank"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+               count(*) AS n
+        FROM events WHERE user_id < 100 GROUP BY 1, 2),
+      n2 AS (
+        SELECT user_id, CAST(sum(n * n) AS BIGINT) AS n2
+        FROM hourly GROUP BY 1),
+      dot AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(sum(a.n * b.n) AS BIGINT) AS dot
+        FROM hourly a JOIN hourly b
+          ON a.hour_id = b.hour_id AND a.user_id <> b.user_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT d.ua AS user_id, d.ub AS neighbor_id,
+               na.n2 + nb.n2 - 2 * d.dot AS d2
+        FROM dot d JOIN n2 na ON na.user_id = d.ua
+                   JOIN n2 nb ON nb.user_id = d.ub)
+      SELECT user_id, rank, neighbor_id, d2 FROM (
+        SELECT user_id, neighbor_id, d2,
+               CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY d2, neighbor_id) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 3 ORDER BY user_id, rank"""))
+
   val all: Seq[QueryDef] =
-    Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest)
+    Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest, qTsSimilarity)
 }

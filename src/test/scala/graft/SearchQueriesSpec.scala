@@ -186,6 +186,31 @@ class SearchQueriesSpec extends AnyFunSuite {
     assert(got.length === 40)
   }
 
+  test("ts similarity ranks the identical series first and skips disjoint pairs") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // users 1 and 2: identical hourly vectors -> d2 = 0, mutual rank 1.
+    // user 3: same hours, different counts -> d2 > 0 vs both.
+    // user 4: active ONLY in a disjoint hour -> shares no coordinate
+    //   with anyone, so it is no candidate and appears nowhere.
+    val base = Seq(
+      (1L, "2024-05-01 10:05:00"), (2L, "2024-05-01 10:10:00"),
+      (3L, "2024-05-01 10:20:00"))
+    val rows =
+      base.zipWithIndex.map { case ((u, ts), i) =>
+        ((i + 1).toLong, t(ts), u, "click", 1.0) } ++ Seq(
+        (10L, t("2024-05-01 11:00:00"), 3L, "click", 1.0),
+        (11L, t("2024-05-01 23:00:00"), 4L, "click", 1.0))
+    val got = graft.queries.EventQueries.qTsSimilarity
+      .run(spark, eventsDir(rows))
+      .as[(Long, Long, Long, Long)].collect().toList
+    val top = got.filter(_._2 == 1L).map(r => r._1 -> (r._3, r._4)).toMap
+    assert(top(1L) === ((2L, 0L)))
+    assert(top(2L) === ((1L, 0L)))
+    // user 3: vector (10h:1, 11h:1); vs user 1 (10h:1): d2 = 2+1-2 = 1
+    assert(top(3L) === ((1L, 1L)))
+    assert(!got.exists(r => r._1 == 4L || r._3 == 4L))
+  }
+
   test("reservoir sample returns exactly min(k, group size) rows, deterministically") {
     val dir = docsDir(
       (0L to 19L).map(i => (i, s"doc number $i", "en")) ++
