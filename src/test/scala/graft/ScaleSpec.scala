@@ -74,6 +74,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() === 50)
   }
 
+  test("AQE splits a skewed join partition at runtime (the salting complement)") {
+    // One hot key owns ~90% of the probe side. With skew-join enabled
+    // and a sort-merge join forced, AQE must mark the hot partition
+    // skewed and split it — the runtime answer to the same problem
+    // q_salted_join solves statically.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+      val fact = spark.range(0, 200000)
+        .select(
+          when(col("id") % 10 < 9, 0L).otherwise(col("id") % 1000).as("k"),
+          lpad(col("id").cast("string"), 100, "x").as("payload"))
+      val dim = spark.range(0, 1000)
+        .select(col("id").as("k"), col("id").cast("string").as("attr"))
+      // global aggregate: a keyed aggregate downstream would REUSE the
+      // join's hash partitioning, and AQE declines to split a skewed
+      // partition when the split would break a required distribution
+      val joined = fact.join(dim, Seq("k"))
+        .agg(sum(length(col("payload"))).as("bytes"))
+      // execute THIS queryExecution (count() would plan its own), then
+      // read the AQE final plan off it
+      assert(joined.collect().head.getLong(0) === 200000L * 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition skewed:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("HLL++ estimate stays within its configured error bound") {
     import spark.implicits._
     val rows = graft.queries.ScaleQueries.qApproxDistinct.run(spark, dir)
