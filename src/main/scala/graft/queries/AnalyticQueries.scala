@@ -539,7 +539,51 @@ object AnalyticQueries {
             FROM lineitem)
       GROUP BY bucket ORDER BY bucket"""))
 
-  val all: Seq[QueryDef] = Seq(qGroupingSets, qWindowRankFns, qFullOuter,
+  /** Percent-of-total contribution: each nation's revenue share within
+    * its region — the window-over-aggregate report every BI tool calls
+    * "% of parent". Revenue reduces to exact cents FIRST (one hash
+    * aggregate over the fact), the window then runs over the 25-row
+    * aggregate, partitioned by region — window input is |nations|,
+    * never |lineitem|. Share is the single final int→double division.
+    */
+  val qPctOfTotal = QueryDef(
+    "q_pct_of_total",
+    (s, dir) => {
+      val cents = (QueryDef.dec(col("l_extendedprice")) * 100).cast("bigint")
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(cents).as("cents"))
+      rev
+        .withColumn("region_cents", sum(col("cents")).over(
+          Window.partitionBy(col("r_name"))))
+        .select(col("r_name"), col("n_name"),
+          (col("cents").cast("double") / 100).as("revenue"),
+          (col("cents").cast("double") / col("region_cents")).as("share"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2)
+      SELECT r_name, n_name,
+             CAST(cents AS DOUBLE) / 100 AS revenue,
+             CAST(cents AS DOUBLE) /
+               CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+      FROM rev ORDER BY r_name, n_name"""))
+
+  val all: Seq[QueryDef] = Seq(qPctOfTotal, qGroupingSets, qWindowRankFns, qFullOuter,
     qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill,
     qUnpivot, qHistogram, qLateralTopk, qRollupMerge, qWinsorize,
     qCovariance, qHistogramEquidepth)

@@ -320,6 +320,31 @@ object CurationQueries {
         FROM documents)
       WHERE pick <= 5 ORDER BY lang, pick"""))
 
+  /** k-anonymity audit (k = 5) — the structural half of the privacy
+    * pass next to [[qPiiRedact]]'s content half: group documents by
+    * their quasi-identifier tuple (lang, source, length decile) and
+    * report equivalence classes smaller than k, whose members are
+    * re-identifiable by attribute combination alone. One hash
+    * aggregate + HAVING; at corpus scale this is the same partial/final
+    * shape as any rollup, and the violating classes (the output) are
+    * small by definition.
+    */
+  val qKAnonymity = QueryDef(
+    "q_k_anonymity",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        call_function("div", col("n_chars"), lit(100L)).as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < 5)
+      .orderBy(col("lang"), col("source"), col("len_bucket")),
+    Some("""
+      SELECT lang, source, n_chars // 100 AS len_bucket,
+             count(*) AS class_size
+      FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5
+      ORDER BY lang, source, len_bucket"""))
+
   val all: Seq[QueryDef] = Seq(qDecontaminate, qPiiRedact, qWeightedSample,
-    qHeavyHitters, qDatasetSplit, qNegativeSample, qReservoirSample)
+    qHeavyHitters, qDatasetSplit, qNegativeSample, qReservoirSample,
+    qKAnonymity)
 }
