@@ -62,7 +62,11 @@ object DocQueries {
     * recall test exercises against exact Jaccard ground truth. Input: any
     * DataFrame with (doc_id, text).
     */
-  private[graft] def minhashCandidates(d: DataFrame): DataFrame = {
+  /** (doc_id, sig, m, bkey) LSH band rows for any (doc_id, text) input —
+    * the shared index unit of the batch pair-finder and the incremental
+    * [[graft.engine.DedupGate]].
+    */
+  private[graft] def minhashBands(d: DataFrame): DataFrame = {
     val sig = d.select(col("doc_id"),
       minhashSig(array_distinct(words(col("text")))).as("sig"))
     val bandStructs = (0 until MinhashBands).map { m =>
@@ -70,10 +74,14 @@ object DocQueries {
         md5(array_join(transform(slice(col("sig"), m * MinhashRows + 1, MinhashRows),
           x => x.cast("string")), ",")).as("bkey"))
     }
-    val bands = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
       explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("sig"),
         col("band.m").as("m"), col("band.bkey").as("bkey"))
+  }
+
+  private[graft] def minhashCandidates(d: DataFrame): DataFrame = {
+    val bands = minhashBands(d)
     val a = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_a"),
       col("sig").as("sa"))
     val b = bands.select(col("m"), col("bkey"), col("doc_id").as("doc_b"),
