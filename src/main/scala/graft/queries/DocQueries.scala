@@ -734,8 +734,65 @@ object DocQueries {
       WHERE rk = 1 ORDER BY dup_group"""),
     bench = false)
 
+  /** Rare-token ratio — the corpus-statistics quality signal the
+    * per-document heuristics (q_quality_score) cannot see: the share of
+    * a document's tokens whose corpus document-frequency is below 10%
+    * of the corpus. High rare-ratio docs are jargon/gibberish/OOV-heavy
+    * — the cheap stand-in for a perplexity filter that needs no model.
+    * (On this synthetic 31-word vocabulary only 'dup' qualifies as rare
+    * — the OPERATOR is the deliverable, as with q_lang_id.)
+    *
+    * All thresholding is integer (`doc_freq * 10 < n_docs`); the one
+    * double appears in the final ratio division, identical in both
+    * engines.
+    *
+    * Scale: tokens are pre-aggregated to (doc_id, token, n) with
+    * map-side combine BEFORE any join, so the shuffle carries distinct
+    * pairs, not the raw token stream; document frequency reuses that
+    * same pair relation. The DF join is vocabulary-keyed — by Zipf the
+    * pair relation is dominated by common tokens, but the join key
+    * cardinality is the vocabulary, and AQE's skew split handles the
+    * head tokens. n_docs is a broadcast scalar.
+    */
+  val qRareTokenRatio = QueryDef(
+    "q_rare_token_ratio",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val total = d.agg(count(lit(1)).as("n_docs"))
+      val perDoc = d
+        .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      val dfreq = perDoc.groupBy(col("tok"))
+        .agg(count(lit(1)).as("doc_freq"))
+      perDoc.join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(when(col("doc_freq") * 10 < col("n_docs"), col("n"))
+            .otherwise(0L)).as("n_rare"))
+        .withColumn("rare_ratio",
+          col("n_rare").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH pd AS (
+        SELECT doc_id, tok, count(*) AS n
+        FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS tok FROM documents)
+        GROUP BY 1, 2),
+      dfq AS (SELECT tok, count(*) AS doc_freq FROM pd GROUP BY tok),
+      tot AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN doc_freq * 10 < (SELECT n_docs FROM tot)
+                           THEN n ELSE 0 END) AS BIGINT) AS n_rare,
+             CAST(SUM(CASE WHEN doc_freq * 10 < (SELECT n_docs FROM tot)
+                           THEN n ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(n) AS BIGINT) AS rare_ratio
+      FROM pd JOIN dfq USING (tok)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qContainment, qTextStats,
     qTokenCount, qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf,
-    qNgramFreq, qDocChunks, qRepetition, qCanonicalDocs)
+    qNgramFreq, qDocChunks, qRepetition, qCanonicalDocs, qRareTokenRatio)
 }

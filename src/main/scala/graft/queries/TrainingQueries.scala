@@ -144,5 +144,93 @@ object TrainingQueries {
       HAVING SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(qSeqPack, qMixtureWeights, qCrossdocOverlap)
+  /** Tokenizer-vocabulary construction by coverage cutoff: rank tokens
+    * by corpus frequency and keep the prefix that covers 90% of total
+    * token mass — the standard vocab-size selection step before
+    * tokenizer training. The cutoff test is pure integer arithmetic
+    * (`(cum − freq) * 10 < total * 9`: a token is kept iff the mass
+    * BEFORE it is under 90%), so the boundary token is included exactly
+    * as a cumulative-distribution textbook would.
+    *
+    * Scale: the corpus collapses to a vocabulary-sized frequency table
+    * in the first (map-side combined) aggregate; the ordered cumsum
+    * then runs over the VOCAB, not the corpus. Here that is a single
+    * window; for a 10M-type vocabulary the same math becomes a
+    * range-partitioned sort + two-phase per-partition cumsum with
+    * broadcast offsets — the `StarBuilder.withSurrogateId` pattern.
+    */
+  val qVocabCoverage = QueryDef(
+    "q_vocab_coverage",
+    (s, dir) => {
+      val freqs = t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val total = freqs.agg(sum(col("freq")).as("total"))
+      val w = Window.orderBy(col("freq").desc, col("tok"))
+      freqs
+        .withColumn("vocab_rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("freq")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .filter((col("cum") - col("freq")) * 10 < col("total") * 9)
+        .select(col("vocab_rank"), col("tok"), col("freq"),
+          (col("cum").cast("double") / col("total")).as("cum_share"))
+        .orderBy(col("vocab_rank"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(${wordsSql("text")}) AS tok FROM documents)
+        GROUP BY tok),
+      tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+      r AS (
+        SELECT tok, freq,
+               row_number() OVER (ORDER BY freq DESC, tok) AS vocab_rank,
+               CAST(SUM(freq) OVER (ORDER BY freq DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM f)
+      SELECT vocab_rank, tok, freq,
+             CAST(cum AS DOUBLE) / (SELECT total FROM tot) AS cum_share
+      FROM r
+      WHERE (cum - freq) * 10 < (SELECT total FROM tot) * 9
+      ORDER BY vocab_rank"""))
+
+  /** BPE merge-candidate statistics: adjacent character-pair counts
+    * over the corpus, weighted by word frequency — the inner loop of
+    * byte-pair-encoding tokenizer training (the highest-count pair is
+    * the next merge). The pivotal scale property is that pairs are
+    * derived from the VOCABULARY (distinct words × their corpus
+    * frequency), never by re-walking the token stream: one corpus scan
+    * builds the word-frequency table, and every merge iteration after
+    * that is O(|vocab|) — exactly how production BPE trainers stay
+    * tractable on TB corpora.
+    */
+  val qBpePairs = QueryDef(
+    "q_bpe_pairs",
+    (s, dir) => {
+      val wordFreq = t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      wordFreq
+        .filter(length(col("w")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("pair"))
+    },
+    Some(s"""
+      WITH wf AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(${wordsSql("text")}) AS w FROM documents)
+        GROUP BY w),
+      p AS (
+        SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair,
+               freq
+        FROM wf WHERE len(w) >= 2)
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_freq
+      FROM p GROUP BY pair ORDER BY pair_freq DESC, pair"""))
+
+  val all: Seq[QueryDef] = Seq(qSeqPack, qMixtureWeights, qCrossdocOverlap,
+    qVocabCoverage, qBpePairs)
 }
