@@ -344,7 +344,54 @@ object CurationQueries {
       FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5
       ORDER BY lang, source, len_bucket"""))
 
+  /** Leakage-proof train/val/test split: q_dataset_split hashes the
+    * document id, which still leaks NEAR-duplicates across splits —
+    * a val doc whose 95%-identical twin sits in train contaminates
+    * every eval number. The fix every serious corpus pipeline ships:
+    * split by the DUP-GROUP representative (the MinHash-LSH connected
+    * component from q_dedup_groups; singletons represent themselves),
+    * so an entire near-dup family co-travels by construction.
+    * CurationSpec proves zero cross-split dup edges — and that the
+    * naive id-hash split does leak on this corpus.
+    *
+    * Scale: the group labels come from the banded-LSH label propagation
+    * (never all-pairs); the assignment itself is a left join against a
+    * labels table that only contains DUPLICATED docs (≪ corpus), then a
+    * pure per-row hash — embarrassingly parallel.
+    */
+  val qSplitLeakproof = QueryDef(
+    "q_split_leakproof",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val assign = d.select(col("doc_id"))
+        .join(DocQueries.dupGroups(d), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_group"), col("doc_id")).as("gk"))
+      val h = h44(col("gk").cast("string")) % 100
+      assign
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("gk")).as("n_groups"))
+        .orderBy(col("split"))
+    },
+    Some(DocQueries.dupGroupsCte + """,
+      assign AS (
+        SELECT d.doc_id, COALESCE(g.dup_group, d.doc_id) AS gk
+        FROM documents d LEFT JOIN groups g ON g.doc_id = d.doc_id),
+      sp AS (
+        SELECT doc_id, gk,
+               CAST(('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 11)) AS BIGINT)
+                 % 100 AS h
+        FROM assign)
+      SELECT CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs, count(DISTINCT gk) AS n_groups
+      FROM sp GROUP BY 1 ORDER BY split"""),
+    bench = false)
+
   val all: Seq[QueryDef] = Seq(qDecontaminate, qPiiRedact, qWeightedSample,
     qHeavyHitters, qDatasetSplit, qNegativeSample, qReservoirSample,
-    qKAnonymity)
+    qKAnonymity, qSplitLeakproof)
 }

@@ -224,7 +224,7 @@ object DocQueries {
     * connected-components fixpoint, ending in `groups(doc_id,
     * dup_group)` — shared by the group and corpus-clean oracles.
     */
-  private lazy val dupGroupsCte: String = minhashScoredCte + s""",
+  private[graft] lazy val dupGroupsCte: String = minhashScoredCte + s""",
       hits AS (SELECT doc_a, doc_b FROM scored WHERE matches >= ${MinhashK - 1}),
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM hits
                 UNION SELECT doc_b, doc_a FROM hits),

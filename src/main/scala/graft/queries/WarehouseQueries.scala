@@ -354,6 +354,66 @@ object WarehouseQueries {
       FROM lineitem
       ORDER BY zval, l_orderkey, l_partkey LIMIT 50"""))
 
+  /** CDC snapshot diff: derive an insert/update/delete changelog from
+    * two full table snapshots — the change-capture primitive for
+    * warehouses whose upstream can only hand over complete extracts
+    * (the reference's daily full-feed pattern). The two snapshots are
+    * simulated deterministically from `orders` (keys ≡7 mod 10 are new
+    * in B, ≡3 deleted, ≡5 repriced); the diff itself is the operator:
+    * full outer join on the key, rows classified by null-side and
+    * value inequality, unchanged rows dropped. Money travels as exact
+    * integer cents (QueryDef discipline).
+    *
+    * Scale: one key-shuffle (sort-merge full outer) over key+compared
+    * columns only — the payload never moves. With both snapshots
+    * bucketed by key (engine/Bucketing) the diff is zero-shuffle; the
+    * changelog then feeds `Upsert.mergePartitioned` instead of a full
+    * rewrite.
+    */
+  val qSnapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), cents.as("cents"))
+      val snapA = base.filter(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey"), col("cents").as("old_cents"))
+      val snapB = base.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"),
+          (col("cents") + when(col("o_orderkey") % 10 === 5, 100L)
+            .otherwise(0L)).as("new_cents"))
+      snapA.join(snapB, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_cents").isNull, "insert")
+            .when(col("new_cents").isNull, "delete")
+            .when(col("old_cents") =!= col("new_cents"), "update"))
+        .filter(col("change_type").isNotNull)
+        .select(col("o_orderkey"), col("change_type"),
+          col("old_cents"), col("new_cents"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      sa AS (SELECT o_orderkey, cents AS old_cents FROM base
+             WHERE o_orderkey % 10 <> 7),
+      sb AS (SELECT o_orderkey,
+                    cents + CASE WHEN o_orderkey % 10 = 5 THEN 100 ELSE 0 END
+                      AS new_cents
+             FROM base WHERE o_orderkey % 10 <> 3)
+      SELECT o_orderkey,
+             CASE WHEN old_cents IS NULL THEN 'insert'
+                  WHEN new_cents IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             old_cents, new_cents
+      FROM sa FULL OUTER JOIN sb USING (o_orderkey)
+      WHERE old_cents IS NULL OR new_cents IS NULL
+         OR old_cents <> new_cents
+      ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
-    qBurstEvents, qIvmCounting, qZorderCluster)
+    qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff)
 }

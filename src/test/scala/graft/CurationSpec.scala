@@ -72,4 +72,37 @@ class CurationSpec extends AnyFunSuite {
       assert(u20 * 1000 < nChars * (1L << 20))
     }
   }
+
+  test("leakproof split co-assigns every near-dup pair; naive id split leaks") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.queries.DocQueries.minhashCandidates(d)
+      .filter(col("matches") >= MinhashK - 1)
+      .select(col("doc_a"), col("doc_b"))
+    assert(pairs.count() > 0, "corpus must contain near-dup pairs")
+
+    def split(key: Column): Column = {
+      val h = h44(key.cast("string")) % 100
+      when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    }
+    def leaks(assign: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+
+    val grouped = d.select(col("doc_id"))
+      .join(graft.queries.DocQueries.dupGroups(d), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        split(coalesce(col("dup_group"), col("doc_id"))).as("split"))
+    assert(leaks(grouped) === 0L,
+      "groupwise split must never place a near-dup pair across splits")
+
+    val naive = d.select(col("doc_id"), split(col("doc_id")).as("split"))
+    assert(leaks(naive) > 0L,
+      "the id-hash split leaks near-dups on this corpus (the operator's point)")
+  }
 }
