@@ -388,6 +388,154 @@ object EventQueries {
         FROM scored)
       WHERE rank <= 3 ORDER BY user_id, rank"""))
 
+  /** Rolling active-user counts: exact DAU and trailing-7-day WAU per
+    * observed day — the engagement headline every event warehouse
+    * computes. The trailing window is NOT a window function over the
+    * stream: the stream first collapses to DISTINCT (day, user) pairs,
+    * then each pair fans out to the ≤ 7 target days it contributes to
+    * (explode of a 7-element sequence) and a plain hash aggregate
+    * counts distinct users per target day.
+    *
+    * Scale: the fan-out factor is the window length on the DISTINCT
+    * day-user relation (≪ raw events), every stage is keyed on day —
+    * no global sort, no per-day self-joins. The approximate companion
+    * at very long windows is the mergeable-sketch route
+    * (q_approx_distinct); this is the exact form.
+    */
+  val qRollingDau = QueryDef(
+    "q_rolling_dau",
+    (s, dir) => {
+      val du = t(s, dir, "events")
+        .select(call_function("div", unix_micros(col("ts")),
+          lit(86400000000L)).as("day_id"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy(col("day_id"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val spine = du.select(col("day_id")).distinct()
+      val wau = du
+        .select(explode(sequence(col("day_id"), col("day_id") + 6))
+          .as("day_id"), col("user_id"))
+        .join(spine, Seq("day_id"))
+        .groupBy(col("day_id"))
+        .agg(countDistinct(col("user_id")).as("wau7"))
+      dau.join(wau, Seq("day_id")).orderBy(col("day_id"))
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id, user_id
+        FROM events),
+      spine AS (SELECT DISTINCT day_id FROM du),
+      dau AS (SELECT day_id, count(DISTINCT user_id) AS dau
+              FROM du GROUP BY 1),
+      contrib AS (
+        SELECT unnest(generate_series(day_id, day_id + 6)) AS day_id, user_id
+        FROM du),
+      wau AS (
+        SELECT c.day_id, count(DISTINCT c.user_id) AS wau7
+        FROM contrib c JOIN spine s USING (day_id) GROUP BY 1)
+      SELECT day_id, dau, wau7 FROM dau JOIN wau USING (day_id)
+      ORDER BY day_id"""))
+
+  /** Bitwise behavior segmentation: each (user, day) collapses to one
+    * integer bitmask (one bit per event type seen that day) via the
+    * `bit_or` aggregate, and the corpus rolls up to segment sizes — the
+    * compact audience-segmentation encoding (a 64-type vocabulary fits
+    * one BIGINT per key, set-intersection becomes bitwise AND
+    * downstream). Day-scoped because over the full month every user
+    * hits every type (one 31-mask row — no check signal); daily masks
+    * exercise all 31 combinations.
+    *
+    * Scale: one map-side-combinable aggregate per (user, day), one tiny
+    * rollup over ≤ 2^|types| masks; no joins, no windows, and the
+    * per-key state is 8 bytes regardless of event volume.
+    */
+  val qUserSegments = QueryDef(
+    "q_user_segments",
+    (s, dir) => {
+      val bit = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "error", 2L)
+        .when(col("event_type") === "purchase", 4L)
+        .when(col("event_type") === "signup", 8L)
+        .when(col("event_type") === "view", 16L)
+        .otherwise(0L)
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          call_function("div", unix_micros(col("ts")), lit(86400000000L))
+            .as("day_id"))
+        .agg(call_function("bit_or", bit).as("segment_mask"))
+        .groupBy(col("segment_mask"))
+        .agg(count(lit(1)).as("n_user_days"))
+        .orderBy(col("segment_mask"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day_id,
+               bit_or(CASE event_type
+                 WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                 WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                 WHEN 'view' THEN 16 ELSE 0 END) AS segment_mask
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(segment_mask AS BIGINT) AS segment_mask,
+             count(*) AS n_user_days
+      FROM m GROUP BY 1 ORDER BY segment_mask"""))
+
+  /** Peak concurrency per day — the classic interval sweep: each event
+    * opens a 10-minute [start, end) interval; intervals are clipped to
+    * day boundaries, each endpoint becomes a ±1 delta, and the per-day
+    * running sum's maximum is the day's peak simultaneous load. Ends
+    * sort before starts at the same instant (half-open semantics), and
+    * the daily MAX is invariant to tie order within equal (t, Δ) runs,
+    * so the result is engine-deterministic without global tie-breaks.
+    *
+    * Scale: the sweep partitions by day — per-day sorts of 2×|events
+    * that day|, never a global ordering; the midnight clip is an
+    * explode to at most 2 segments per interval.
+    */
+  val qPeakConcurrency = QueryDef(
+    "q_peak_concurrency",
+    (s, dir) => {
+      val day = 86400000000L
+      val iv = t(s, dir, "events")
+        .select(unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 600000000L).as("e"))
+      val seg = iv
+        .select(explode(sequence(call_function("div", col("s"), lit(day)),
+          call_function("div", col("e") - 1, lit(day)))).as("day_id"),
+          col("s"), col("e"))
+        .select(col("day_id"),
+          greatest(col("s"), col("day_id") * day).as("s"),
+          least(col("e"), (col("day_id") + 1) * day).as("e"))
+      val pts = seg.select(col("day_id"), col("s").as("t"), lit(1L).as("d"))
+        .unionAll(seg.select(col("day_id"), col("e").as("t"),
+          lit(-1L).as("d")))
+      val w = Window.partitionBy(col("day_id")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("c", sum(col("d")).over(w))
+        .groupBy(col("day_id")).agg(max(col("c")).as("peak_concurrency"))
+        .orderBy(col("day_id"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e FROM events),
+      seg AS (
+        SELECT unnest(generate_series(s // 86400000000, (e - 1) // 86400000000))
+                 AS day_id, s, e
+        FROM iv),
+      seg2 AS (
+        SELECT day_id, GREATEST(s, day_id * 86400000000) AS s,
+               LEAST(e, (day_id + 1) * 86400000000) AS e
+        FROM seg),
+      pts AS (
+        SELECT day_id, s AS t, 1 AS d FROM seg2
+        UNION ALL SELECT day_id, e, -1 FROM seg2),
+      run AS (
+        SELECT day_id, SUM(d) OVER (PARTITION BY day_id ORDER BY t, d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM pts)
+      SELECT day_id, CAST(MAX(c) AS BIGINT) AS peak_concurrency
+      FROM run GROUP BY day_id ORDER BY day_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest, qTsSimilarity)
+    Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest, qTsSimilarity,
+      qRollingDau, qUserSegments, qPeakConcurrency)
 }
