@@ -535,7 +535,97 @@ object EventQueries {
       SELECT day_id, CAST(MAX(c) AS BIGINT) AS peak_concurrency
       FROM run GROUP BY day_id ORDER BY day_id"""))
 
+  /** Event-type transition matrix: per-user consecutive event bigrams
+    * (lead over the user's timeline) counted corpus-wide, with each
+    * from-type row normalized to transition probabilities — the
+    * first-order Markov model behind next-action prediction and
+    * anomaly scoring. Counts are exact BIGINT; the one double is the
+    * final row-normalizing division (sum window over the 5×5 matrix,
+    * not the stream).
+    *
+    * Scale: a single (user_id; ts) window pass — one shuffle — then a
+    * hash aggregate to the |types|² matrix; normalization runs on the
+    * matrix itself.
+    */
+  val qEventTransitions = QueryDef(
+    "q_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH bi AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS to_type
+        FROM events),
+      m AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM bi WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+      FROM m ORDER BY from_type, to_type"""))
+
+  /** Top opening paths: each user's first three events (by time)
+    * assembled into an ordered path string, counted across the corpus
+    * — the "how do sessions start" report. The per-user sequence is
+    * one rank window + three conditional MINs (no collect_list whose
+    * order the aggregate would not guarantee), so the path is
+    * deterministic by construction.
+    *
+    * Scale: rank window and aggregate both partition by user_id — one
+    * shuffle; WindowGroupLimit prunes each user to 3 rows map-side
+    * before the shuffle (same plan shape PlanSpec asserts for
+    * q_lateral_topk).
+    */
+  val qTopPaths = QueryDef(
+    "q_top_paths",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val step = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      step.groupBy(col("user_id"))
+        .agg(min(when(col("rn") === 1, col("event_type"))).as("s1"),
+          min(when(col("rn") === 2, col("event_type"))).as("s2"),
+          min(when(col("rn") === 3, col("event_type"))).as("s3"))
+        .filter(col("s3").isNotNull)
+        .select(concat_ws(" > ", col("s1"), col("s2"), col("s3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT user_id,
+               min(CASE WHEN rn = 1 THEN event_type END) AS s1,
+               min(CASE WHEN rn = 2 THEN event_type END) AS s2,
+               min(CASE WHEN rn = 3 THEN event_type END) AS s3
+        FROM r WHERE rn <= 3 GROUP BY user_id)
+      SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path, count(*) AS n_users
+      FROM p WHERE s3 IS NOT NULL
+      GROUP BY 1 ORDER BY n_users DESC, path"""))
+
   val all: Seq[QueryDef] =
     Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest, qTsSimilarity,
-      qRollingDau, qUserSegments, qPeakConcurrency)
+      qRollingDau, qUserSegments, qPeakConcurrency, qEventTransitions,
+      qTopPaths)
 }
