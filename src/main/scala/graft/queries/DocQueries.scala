@@ -791,8 +791,37 @@ object DocQueries {
       FROM pd JOIN dfq USING (tok)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Boilerplate template detection: documents sharing an identical
+    * 40-character opening are template instances (scraped headers,
+    * license preambles, mirrored navigation) — the complement of
+    * whole-document dedup that catches families exact AND near-dup
+    * hashing both miss when the tails diverge. Grouping is by md5 of
+    * the prefix, so only a 16-byte key ever shuffles, never the text.
+    *
+    * Scale: one hash aggregate on the prefix digest; members are
+    * summarized (count + id range), not collected — no per-group list
+    * state.
+    */
+  val qTemplatePrefix = QueryDef(
+    "q_template_prefix",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        md5(substring(col("text"), 1, 40)).as("prefix_md5"))
+      .groupBy(col("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("prefix_md5")),
+    Some("""
+      SELECT md5(substr(text, 1, 40)) AS prefix_md5, count(*) AS n_docs,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM documents GROUP BY 1 HAVING count(*) > 1
+      ORDER BY prefix_md5"""))
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qContainment, qTextStats,
     qTokenCount, qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf,
-    qNgramFreq, qDocChunks, qRepetition, qCanonicalDocs, qRareTokenRatio)
+    qNgramFreq, qDocChunks, qRepetition, qCanonicalDocs, qRareTokenRatio,
+    qTemplatePrefix)
 }

@@ -624,8 +624,127 @@ object EventQueries {
       FROM p WHERE s3 IS NOT NULL
       GROUP BY 1 ORDER BY n_users DESC, path"""))
 
+  /** Position-based multi-touch attribution: every purchase's value is
+    * credited across the user's clicks in the trailing 7 days —
+    * 40% to the first touch, 40% to the last, 20% split across the
+    * middles (the standard U-shaped model). Credit is exact integer
+    * cents with floor division and ALL rounding slack assigned to the
+    * last touch, so per-conversion credit sums to the purchase value
+    * bit-exactly (single-touch conversions take 100%).
+    *
+    * Scale: the touch join is equi-keyed on user_id with the time
+    * window as residual — per-user work only; ranking and counting
+    * share one conversion-keyed window partitioning (one shuffle).
+    * Credit math is per-row arithmetic.
+    */
+  val qMultitouch = QueryDef(
+    "q_multitouch",
+    (s, dir) => {
+      val weekUs = 604800000000L
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val ev = t(s, dir, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          unix_micros(col("ts")).as("pts"), cents.as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("cts"))
+      val touches = conv.join(clicks, Seq("user_id"))
+        .filter(col("cts") >= col("pts") - weekUs && col("cts") < col("pts"))
+      val byConv = Window.partitionBy(col("conv_id"))
+      val ranked = touches
+        .withColumn("rn", row_number()
+          .over(byConv.orderBy(col("cts"), col("click_id"))).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(byConv))
+      val d = (a: Column, b: Column) => call_function("div", a, b)
+      val firstC = when(col("cnt") === 1, col("cents"))
+        .otherwise(d(col("cents") * 40, lit(100L)))
+      val midC = d(d(col("cents") * 20, lit(100L)), col("cnt") - 2)
+      val credit = when(col("rn") === 1, firstC)
+        .when(col("rn") === col("cnt"), col("cents") - firstC -
+          when(col("cnt") > 2, midC * (col("cnt") - 2)).otherwise(0L))
+        .otherwise(midC)
+      ranked.select(col("user_id"), col("conv_id"), col("click_id"),
+        col("rn"), col("cnt"), credit.as("credit_cents"))
+        .orderBy(col("conv_id"), col("rn"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id AS conv_id, epoch_us(ts) AS pts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
+        FROM events WHERE event_type = 'click'),
+      tch AS (
+        SELECT p.user_id, p.conv_id, p.cents, c.click_id, c.cts
+        FROM p JOIN c USING (user_id)
+        WHERE c.cts >= p.pts - 604800000000 AND c.cts < p.pts),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY conv_id
+                    ORDER BY cts, click_id) AS rn,
+               count(*) OVER (PARTITION BY conv_id) AS cnt
+        FROM tch)
+      SELECT user_id, conv_id, click_id, rn, cnt,
+             CASE WHEN rn = 1 THEN
+                    CASE WHEN cnt = 1 THEN cents ELSE cents * 40 // 100 END
+                  WHEN rn = cnt THEN cents - (cents * 40 // 100)
+                    - CASE WHEN cnt > 2
+                           THEN (cents * 20 // 100 // (cnt - 2)) * (cnt - 2)
+                           ELSE 0 END
+                  ELSE cents * 20 // 100 // (cnt - 2) END AS credit_cents
+      FROM r ORDER BY conv_id, rn"""))
+
+  /** Cohort lifetime value: users grouped by their signup week, revenue
+    * tracked per week-of-age — the money-weighted counterpart of
+    * q_retention's activity matrix (cohort curves are how growth teams
+    * read payback). Revenue is exact integer cents; buyers are exact
+    * distinct counts.
+    *
+    * Scale: two user-keyed aggregates joined on user_id (AQE reuses the
+    * partitioning), then a matrix-sized rollup — the stream is never
+    * windowed or sorted globally.
+    */
+  val qCohortLtv = QueryDef(
+    "q_cohort_ltv",
+    (s, dir) => {
+      val weekUs = 604800000000L
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val ev = t(s, dir, "events")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"))
+        .select(col("user_id"),
+          call_function("div", col("t0"), lit(weekUs)).as("cohort_week"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          call_function("div", unix_micros(col("ts")), lit(weekUs)).as("wk"),
+          cents.as("cents"))
+      purch.join(cohort, Seq("user_id"))
+        .filter(col("wk") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("age_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_buyers"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("cohort_week"), col("age_weeks"))
+    },
+    Some("""
+      WITH cohort AS (
+        SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      purch AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase')
+      SELECT cohort_week, wk - cohort_week AS age_weeks,
+             count(DISTINCT user_id) AS n_buyers,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM purch JOIN cohort USING (user_id)
+      WHERE wk >= cohort_week
+      GROUP BY 1, 2 ORDER BY cohort_week, age_weeks"""))
+
   val all: Seq[QueryDef] =
     Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest, qTsSimilarity,
       qRollingDau, qUserSegments, qPeakConcurrency, qEventTransitions,
-      qTopPaths)
+      qTopPaths, qMultitouch, qCohortLtv)
 }

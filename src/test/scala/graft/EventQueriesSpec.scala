@@ -81,4 +81,26 @@ class EventQueriesSpec extends AnyFunSuite {
       (4L, 0L, 151L), (4L, 1L, 1L),
       (5L, 0L, 200L), (5L, 1L, 200L), (5L, 2L, 100L)))
   }
+
+  test("multitouch credit sums to the purchase value per conversion") {
+    // Real testdata: every conversion's credited cents must equal its
+    // exact purchase cents (the remainder-to-last-touch invariant), and
+    // singles take 100%.
+    val dir = "/root/testdata/sf0.001"
+    val touches = graft.queries.EventQueries.qMultitouch.run(spark, dir)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val conv = graft.engine.Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), cents.as("cents"))
+    val mismatched = touches.groupBy(col("conv_id"))
+      .agg(sum(col("credit_cents")).as("credited"))
+      .join(conv, Seq("conv_id"))
+      .filter(col("credited") =!= col("cents"))
+      .count()
+    assert(mismatched === 0L, "credit must conserve the purchase value")
+    val singles = touches.filter(col("cnt") === 1)
+      .join(conv, Seq("conv_id"))
+      .filter(col("credit_cents") =!= col("cents")).count()
+    assert(singles === 0L, "single-touch conversions take 100%")
+  }
 }
