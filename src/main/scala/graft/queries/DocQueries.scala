@@ -819,9 +819,62 @@ object DocQueries {
       FROM documents GROUP BY 1 HAVING count(*) > 1
       ORDER BY prefix_md5"""))
 
+  /** Token co-occurrence lift (collocation mining): for every token
+    * pair, how much more often they share a document than independence
+    * predicts — `lift = n_ab·N / (n_a·n_b)` — the log-free core of PMI
+    * and the signal behind phrase detection and related-term mining.
+    * Counts are exact document frequencies; the single double is the
+    * final lift division of two BIGINT products.
+    *
+    * Scale: pairs come from a doc-keyed self-join of the DISTINCT
+    * (doc, token) relation — quadratic only in per-document distinct
+    * tokens (bounded by doc length), aggregating straight into the
+    * vocabulary² matrix. At corpus scale the standard cutoffs apply
+    * first (drop DF-1 tokens, cap per-doc distinct tokens) — both are
+    * pre-filters on the pair source, not post-hoc.
+    */
+  val qCooccurrence = QueryDef(
+    "q_cooccurrence",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val total = d.agg(count(lit(1)).as("n_docs"))
+      val dt = d.select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("tok"))
+      val nx = dt.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val pairs = dt.as("a")
+        .join(dt.as("b"), Seq("doc_id"))
+        .filter(col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(nx.select(col("tok").as("tok_a"), col("n").as("n_a")), Seq("tok_a"))
+        .join(nx.select(col("tok").as("tok_b"), col("n").as("n_b")), Seq("tok_b"))
+        .crossJoin(broadcast(total))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("n_docs")).cast("double") /
+            (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy(col("tok_a"), col("tok_b"))
+    },
+    Some(s"""
+      WITH dt AS (
+        SELECT doc_id, unnest(list_distinct(ws)) AS tok
+        FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)),
+      nx AS (SELECT tok, count(*) AS n FROM dt GROUP BY tok),
+      tot AS (SELECT count(*) AS n_docs FROM documents),
+      p AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2)
+      SELECT tok_a, tok_b, n_ab, na.n AS n_a, nb.n AS n_b,
+             CAST(n_ab * (SELECT n_docs FROM tot) AS DOUBLE)
+               / (na.n * nb.n) AS lift
+      FROM p JOIN nx na ON na.tok = p.tok_a
+             JOIN nx nb ON nb.tok = p.tok_b
+      ORDER BY tok_a, tok_b"""))
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qContainment, qTextStats,
     qTokenCount, qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf,
     qNgramFreq, qDocChunks, qRepetition, qCanonicalDocs, qRareTokenRatio,
-    qTemplatePrefix)
+    qTemplatePrefix, qCooccurrence)
 }

@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("LateralJoin"), s"lateral not decorrelated:\n$p")
   }
 
+  test("rolling DAU/WAU plans as pure hash aggregates — no window over the stream") {
+    val p = finalPlan(graft.queries.EventQueries.qRollingDau.run(spark, dir))
+    assert(!p.contains("Window"), s"unexpected window operator in:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate in:\n$p")
+  }
+
+  test("peak-concurrency sweep windows partition by day, never globally") {
+    val p = finalPlan(graft.queries.EventQueries.qPeakConcurrency.run(spark, dir))
+    assert(p.contains("windowspecdefinition(day_id"),
+      s"sweep window not partitioned by day_id:\n$p")
+  }
+
+  test("snapshot diff is a single full-outer sort-merge join, no cartesian") {
+    val p = finalPlan(graft.queries.WarehouseQueries.qSnapshotDiff.run(spark, dir))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected full-outer sort-merge join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no plan in the registry contains a cartesian product (except the bounded validators)") {
     // q_ngram_jaccard: explicit bounded all-pairs validator.
     // q_dedup_groups / q_corpus_clean: iterative — run() executes the
