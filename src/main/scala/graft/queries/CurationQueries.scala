@@ -391,7 +391,47 @@ object CurationQueries {
       FROM sp GROUP BY 1 ORDER BY split"""),
     bench = false)
 
+  /** Cross-source score calibration by quantile normalization: a raw
+    * quality score (n_chars stands in) is meaningless across sources
+    * with different distributions — before mixing corpora, each doc's
+    * score becomes its within-source percentile, so one global
+    * threshold treats every source fairly. Rank is a row_number with a
+    * doc_id tie-break (deterministic, unlike percent_rank's tie
+    * plateaus) and the percentile is `(rk−1)/(n−1)` — two integers, one
+    * final double division, identical in both engines.
+    *
+    * Scale: one window and one count, both partitioned by source —
+    * a single shuffle keyed on the column the pipeline already
+    * partitions by.
+    */
+  val qQuantileNormalize = QueryDef(
+    "q_quantile_normalize",
+    (s, dir) => {
+      val bySource = Window.partitionBy(col("source"))
+      val w = bySource.orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(bySource))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rk") - 1).cast("double") / (col("n") - 1))
+            .as("pct_rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n = 1 THEN 0.0
+                  ELSE CAST(rk - 1 AS DOUBLE) / (n - 1) END AS pct_rank
+      FROM r ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(qDecontaminate, qPiiRedact, qWeightedSample,
     qHeavyHitters, qDatasetSplit, qNegativeSample, qReservoirSample,
-    qKAnonymity, qSplitLeakproof)
+    qKAnonymity, qSplitLeakproof, qQuantileNormalize)
 }

@@ -152,6 +152,47 @@ object ScaleQueries {
       GROUP BY p.user_id, p.exact_n
       ORDER BY p.exact_n DESC, p.user_id LIMIT 50"""))
 
+  /** Null-key skew bypass: in an outer join every null key hashes to
+    * THE SAME shuffle partition — with a null-heavy foreign key (here a
+    * third of orders, simulating unattributed traffic) one task owns
+    * the entire null population while the rest idle. The standard fix,
+    * demonstrated: route null-key rows AROUND the join entirely (they
+    * can never match) and union them back with null-padded join
+    * columns. Results are exactly the plain LEFT JOIN's — the oracle IS
+    * the plain left join — the rewrite is pure physical rewiring, the
+    * null-key sibling of q_salted_join's hot-key salting.
+    */
+  val qNullSkewJoin = QueryDef(
+    "q_null_skew_join",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("cust_key"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("cust_key"), col("c_name"))
+      val matched = orders.filter(col("cust_key").isNotNull)
+        .join(cust, Seq("cust_key"), "left")
+      val bypass = orders.filter(col("cust_key").isNull)
+        .withColumn("c_name", lit(null).cast("string"))
+      matched.unionByName(bypass)
+        .groupBy(coalesce(col("c_name"), lit("<unattributed>"))
+          .as("customer"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("customer"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_custkey END AS cust_key
+        FROM orders)
+      SELECT COALESCE(c.c_name, '<unattributed>') AS customer,
+             count(*) AS n_orders
+      FROM o LEFT JOIN customer c ON o.cust_key = c.c_custkey
+      GROUP BY 1 ORDER BY customer"""))
+
   val all: Seq[QueryDef] =
-    Seq(qSaltedJoin, qApproxDistinct, qApproxQuantiles, qCountMin)
+    Seq(qSaltedJoin, qApproxDistinct, qApproxQuantiles, qCountMin,
+      qNullSkewJoin)
 }
