@@ -130,4 +130,44 @@ object GraftStreaming {
   def dimEnrich(events: DataFrame, dim: DataFrame,
       keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
+
+  /** Continuous corpus ingestion with near-dup admission: JSONL document
+    * drops stream in (AvailableNow — one call drains the arrived files),
+    * and each micro-batch passes through [[graft.engine.DedupGate]]
+    * against the already-admitted store before appending — the streaming
+    * restatement of the `ON CONFLICT DO NOTHING` contract at near-dup
+    * (MinHash-LSH) granularity. Because the gate rejects anything
+    * near-dup to the admitted corpus — including a document's own
+    * earlier copy — replays are no-ops EVEN IF THE CHECKPOINT IS LOST
+    * (StreamingSpec proves it), the same defense-in-depth the batch
+    * Upsert path gives the ODS.
+    *
+    * Scale: per batch, cost is O(drop) signatures plus a band-bucket
+    * join against the admitted side; at 100 TB the admitted BAND INDEX
+    * is what you persist and upsert (DedupGate scaladoc) rather than
+    * re-deriving it from the store, and the admitted store itself is
+    * date-partitioned. Single-writer discipline as everywhere (README).
+    */
+  def corpusDropAdmit(spark: SparkSession, dropRoot: String,
+      admittedPath: String, checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val incoming = spark.readStream.schema(docSchema).json(s"$dropRoot/*.jsonl")
+    incoming.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hPath = new org.apache.hadoop.fs.Path(admittedPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(hPath)) spark.read.schema(docSchema).parquet(admittedPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+        graft.engine.DedupGate.admit(existing, batch)
+          .write.mode("append").parquet(admittedPath)
+        ()
+      }
+      .start()
+  }
 }

@@ -313,4 +313,51 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset(providerKey)
     }
   }
+
+  test("streaming corpus drops admit only novel docs; checkpoint loss replay is a no-op") {
+    val root = Files.createTempDirectory("graft-dropadmit").toString
+    val drops = s"$root/drops"; val adm = s"$root/admitted"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(drops).mkdirs()
+    // long texts so one changed word keeps estimated Jaccard >= 11/12
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six " +
+      "seven eight nine ten eleven twelve thirteen fourteen").split(" ")
+    def text(changed: Int): String = base.zipWithIndex.map { case (w, i) =>
+      if (i < changed) s"swapped$i" else w }.mkString(" ")
+    def jsonl(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(s"$drops/$name"), rows.map {
+        case (id, tx) => s"""{"doc_id": $id, "text": "$tx"}"""
+      }.mkString("\n"))
+    def admitted(): Set[Long] =
+      spark.read.parquet(adm).select("doc_id").as[Long].collect().toSet
+
+    jsonl("drop1.jsonl", Seq(
+      1L -> text(0),
+      2L -> "completely different words entirely unrelated to the corpus body here"))
+    GraftStreaming.corpusDropAdmit(spark, drops, adm, ckpt)
+      .awaitTermination()
+    assert(admitted() === Set(1L, 2L))
+
+    jsonl("drop2.jsonl", Seq(
+      10L -> text(1), // near-dup of admitted doc 1 -> reject
+      11L -> "another genuinely novel document with its own fresh vocabulary set",
+      12L -> "another genuinely novel document with its own fresh vocabulary set"))
+    GraftStreaming.corpusDropAdmit(spark, drops, adm, ckpt)
+      .awaitTermination()
+    assert(admitted() === Set(1L, 2L, 11L),
+      "corpus near-dup and in-batch dup must both reject")
+
+    // lose the checkpoint: both drops replay, every doc is near-dup to
+    // its own admitted copy -> the gate absorbs the replay entirely
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    rmrf(new java.io.File(ckpt))
+    GraftStreaming.corpusDropAdmit(spark, drops, adm, s"$root/ckpt2")
+      .awaitTermination()
+    assert(admitted() === Set(1L, 2L, 11L),
+      "replay after checkpoint loss must admit nothing new")
+  }
 }
