@@ -583,8 +583,108 @@ object AnalyticQueries {
                CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE) AS share
       FROM rev ORDER BY r_name, n_name"""))
 
+  /** ABC (Pareto) classification: rank parts by revenue and classify
+    * into A (first 80% of cumulative revenue), B (next 15%), C (tail) —
+    * the inventory-analysis classic. Money is exact integer cents end
+    * to end; class boundaries are integer comparisons on `cum_before`
+    * (the mass STRICTLY before the part), so the boundary part lands in
+    * the class its prefix belongs to — no float thresholds anywhere.
+    * Output is the per-class rollup (n_parts, revenue, share).
+    *
+    * Scale: revenue-per-part is a map-side-combinable aggregate; the
+    * ordered cumsum runs over the PART relation (≪ lineitem). Here one
+    * window; at a billion parts the two-phase range-partitioned cumsum
+    * (`StarBuilder.withSurrogateId` pattern) replaces it.
+    */
+  val qAbcClassification = QueryDef(
+    "q_abc_classification",
+    (s, dir) => {
+      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+      val rev = t(s, dir, "lineitem")
+        .select(col("l_partkey"), cents.as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = rev.agg(sum(col("cents")).as("total"))
+      rev.withColumn("cum", sum(col("cents")).over(w))
+        .crossJoin(broadcast(total))
+        .withColumn("cls",
+          when((col("cum") - col("cents")) * 100 < col("total") * 80, "A")
+            .when((col("cum") - col("cents")) * 100 < col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"),
+          (sum(col("cents")).cast("double") / 100).as("revenue"),
+          (sum(col("cents")).cast("double") / max(col("total")))
+            .as("share"))
+        .orderBy(col("cls"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey),
+      tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+      c AS (
+        SELECT cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM rev),
+      cls AS (
+        SELECT cents,
+               CASE WHEN (cum - cents) * 100 < (SELECT total FROM tot) * 80
+                      THEN 'A'
+                    WHEN (cum - cents) * 100 < (SELECT total FROM tot) * 95
+                      THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM c)
+      SELECT cls, count(*) AS n_parts,
+             CAST(SUM(cents) AS DOUBLE) / 100 AS revenue,
+             CAST(SUM(cents) AS DOUBLE) / (SELECT total FROM tot) AS share
+      FROM cls GROUP BY cls ORDER BY cls"""))
+
+  /** Benford first-digit audit: the leading-digit distribution of order
+    * totals against Benford's expectation — the forensic-accounting
+    * screen for fabricated or systematically clipped monetary data.
+    * Digits are extracted from the exact cents integer (never from a
+    * formatted float); counts are exact, the share is one final double
+    * division. (TPC-H prices are uniform-ish, so the point here is the
+    * OPERATOR and the deviation report, not a Benford fit.)
+    *
+    * Scale: pure per-row arithmetic into a 9-row aggregate — map-side
+    * combine does all the work.
+    */
+  val qBenfordAudit = QueryDef(
+    "q_benford_audit",
+    (s, dir) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+      val total = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "orders")
+        .select(substring(cents.cast("string"), 1, 1).cast("bigint")
+          .as("lead_digit"))
+        .groupBy(col("lead_digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("lead_digit"), col("n"),
+          (col("n").cast("double") / col("n_orders")).as("share"))
+        .orderBy(col("lead_digit"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                 * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS lead_digit
+        FROM orders),
+      tot AS (SELECT count(*) AS n_orders FROM orders)
+      SELECT lead_digit, count(*) AS n,
+             CAST(count(*) AS DOUBLE) / (SELECT n_orders FROM tot) AS share
+      FROM d GROUP BY lead_digit ORDER BY lead_digit"""))
+
   val all: Seq[QueryDef] = Seq(qPctOfTotal, qGroupingSets, qWindowRankFns, qFullOuter,
     qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill,
     qUnpivot, qHistogram, qLateralTopk, qRollupMerge, qWinsorize,
-    qCovariance, qHistogramEquidepth)
+    qCovariance, qHistogramEquidepth, qAbcClassification, qBenfordAudit)
 }

@@ -231,6 +231,52 @@ object TrainingQueries {
       SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_freq
       FROM p GROUP BY pair ORDER BY pair_freq DESC, pair"""))
 
+  /** Deterministic span-corruption plan (T5-style masking prep): every
+    * document gets mask spans of 3 tokens starting every 20 tokens at a
+    * per-document hash phase — ~15% corruption, non-overlapping by
+    * construction, and bit-reproducible across runs and engines (the
+    * property a training pipeline needs so restarts and replicas mask
+    * identically). Emits (doc, span_start, masked_span).
+    *
+    * Scale: one doc-keyed window supplies both lookahead tokens; span
+    * selection is per-row modular arithmetic on the position — no
+    * rejection sampling, no driver-side randomness.
+    */
+  val qMaskSpans = QueryDef(
+    "q_mask_spans",
+    (s, dir) => {
+      val stride = 20
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "tok")
+        .select(col("doc_id"), col("pos0").cast("long").as("pos"), col("tok"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val phase = h44(col("doc_id").cast("string")) % stride
+      toks
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .filter(pmod(col("pos"), lit(stride.toLong)) === phase &&
+          col("t2").isNotNull)
+        .select(col("doc_id"), col("pos").as("span_start"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("masked_span"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, unnest(ws) AS tok,
+               CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos
+        FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)),
+      led AS (
+        SELECT doc_id, pos, tok,
+               lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+        FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      SELECT doc_id, pos AS span_start,
+             tok || ' ' || t1 || ' ' || t2 AS masked_span
+      FROM led
+      WHERE pos % 20 = ${h44Sql("CAST(doc_id AS VARCHAR)")} % 20
+        AND t2 IS NOT NULL
+      ORDER BY doc_id, span_start"""))
+
   val all: Seq[QueryDef] = Seq(qSeqPack, qMixtureWeights, qCrossdocOverlap,
-    qVocabCoverage, qBpePairs)
+    qVocabCoverage, qBpePairs, qMaskSpans)
 }
