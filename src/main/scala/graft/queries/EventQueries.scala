@@ -743,8 +743,55 @@ object EventQueries {
       WHERE wk >= cohort_week
       GROUP BY 1, 2 ORDER BY cohort_week, age_weeks"""))
 
+  /** Weekly churn: users active in week w but silent in week w+1 — the
+    * retention matrix's inverse, reported as per-week churned/retained
+    * counts with the churn rate. Built from the DISTINCT (week, user)
+    * relation with a self anti-join shifted by one week (no windows
+    * over the stream, no per-user state).
+    *
+    * Scale: the distinct relation is ≪ the stream; both the join and
+    * the rollup key on week — partitions scale out with history. The
+    * last observed week has no lookahead and is excluded (its churn is
+    * undefined, not zero).
+    */
+  val qChurn = QueryDef(
+    "q_churn",
+    (s, dir) => {
+      val wu = t(s, dir, "events")
+        .select(call_function("div", unix_micros(col("ts")),
+          lit(604800000000L)).as("wk"), col("user_id"))
+        .distinct()
+      val next = wu.select((col("wk") - 1).as("wk"),
+        col("user_id"), lit(1L).as("active_next"))
+      val lastWk = wu.agg(max(col("wk")).as("last_wk"))
+      wu.join(next, Seq("wk", "user_id"), "left")
+        .crossJoin(broadcast(lastWk))
+        .filter(col("wk") < col("last_wk"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("active_next").isNull, 1L).otherwise(0L))
+            .as("n_churned"))
+        .withColumn("churn_rate",
+          col("n_churned").cast("double") / col("n_active"))
+        .orderBy(col("wk"))
+    },
+    Some("""
+      WITH wu AS (
+        SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id
+        FROM events),
+      lastwk AS (SELECT max(wk) AS last_wk FROM wu)
+      SELECT a.wk, count(*) AS n_active,
+             CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_churned,
+             CAST(SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) AS churn_rate
+      FROM wu a LEFT JOIN wu b
+        ON b.wk = a.wk + 1 AND b.user_id = a.user_id
+      WHERE a.wk < (SELECT last_wk FROM lastwk)
+      GROUP BY a.wk ORDER BY a.wk"""))
+
   val all: Seq[QueryDef] =
     Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest, qTsSimilarity,
       qRollingDau, qUserSegments, qPeakConcurrency, qEventTransitions,
-      qTopPaths, qMultitouch, qCohortLtv)
+      qTopPaths, qMultitouch, qCohortLtv, qChurn)
 }

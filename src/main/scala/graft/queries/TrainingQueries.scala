@@ -277,6 +277,112 @@ object TrainingQueries {
         AND t2 IS NOT NULL
       ORDER BY doc_id, span_start"""))
 
+  /** OOV audit — applying the q_vocab_coverage vocabulary back to the
+    * corpus: per source, what share of token occurrences falls outside
+    * the 90%-mass vocab. This is the acceptance check run after
+    * choosing a tokenizer vocabulary (a source with a high OOV share
+    * will fragment into bytes and train badly). Counts exact; one
+    * final double division.
+    *
+    * Scale: the vocab is by construction small enough to broadcast
+    * (it IS the head of the frequency distribution); the token stream
+    * is pre-aggregated to (source, token, n) with map-side combine
+    * before the probe, so the broadcast join touches vocabulary-sized
+    * relations, not the stream.
+    */
+  val qOovAudit = QueryDef(
+    "q_oov_audit",
+    (s, dir) => {
+      val freqs = t(s, dir, "documents")
+        .select(explode(words(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val total = freqs.agg(sum(col("freq")).as("total"))
+      val w = Window.orderBy(col("freq").desc, col("tok"))
+      val vocab = freqs
+        .withColumn("cum", sum(col("freq")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .filter((col("cum") - col("freq")) * 10 < col("total") * 9)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      val bySource = t(s, dir, "documents")
+        .select(col("source"), explode(words(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      bySource.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+            .as("n_oov"))
+        .withColumn("oov_share",
+          col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(${wordsSql("text")}) AS tok FROM documents)
+        GROUP BY tok),
+      tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+      r AS (
+        SELECT tok, freq,
+               CAST(SUM(freq) OVER (ORDER BY freq DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum
+        FROM f),
+      vocab AS (
+        SELECT tok FROM r
+        WHERE (cum - freq) * 10 < (SELECT total FROM tot) * 9),
+      st AS (
+        SELECT source, tok, count(*) AS n
+        FROM (SELECT source, unnest(${wordsSql("text")}) AS tok
+              FROM documents)
+        GROUP BY 1, 2)
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(n) AS BIGINT) AS oov_share
+      FROM st LEFT JOIN vocab v USING (tok)
+      GROUP BY source ORDER BY source"""))
+
+  /** Gini concentration of document mass across sources — the
+    * inequality number a corpus-mixing plan starts from (one source
+    * owning most of the mass is a diversity risk q_mixture_weights then
+    * corrects). Computed from the sorted-rank identity
+    * `G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)` entirely in BIGINT
+    * (ranks and char counts), one double division at the end.
+    *
+    * Scale: the corpus collapses to per-source mass first; the rank
+    * window runs over the SOURCE relation (tiny). The same identity at
+    * a million groups uses the two-phase cumsum pattern.
+    */
+  val qSourceGini = QueryDef(
+    "q_source_gini",
+    (s, dir) => {
+      val mass = t(s, dir, "documents")
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
+      val w = Window.orderBy(col("x"), col("source"))
+      mass.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("n"), col("sx"),
+          ((col("six") * 2 - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx"))).as("gini"))
+    },
+    Some("""
+      WITH mass AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS x
+        FROM documents GROUP BY source),
+      rk AS (
+        SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM mass),
+      agg AS (
+        SELECT count(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(i * x) AS BIGINT) AS six
+        FROM rk)
+      SELECT n, sx,
+             CAST(six * 2 - (n + 1) * sx AS DOUBLE) / (n * sx) AS gini
+      FROM agg"""))
+
   val all: Seq[QueryDef] = Seq(qSeqPack, qMixtureWeights, qCrossdocOverlap,
-    qVocabCoverage, qBpePairs, qMaskSpans)
+    qVocabCoverage, qBpePairs, qMaskSpans, qOovAudit, qSourceGini)
 }
