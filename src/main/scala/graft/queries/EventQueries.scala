@@ -790,8 +790,64 @@ object EventQueries {
       WHERE a.wk < (SELECT last_wk FROM lastwk)
       GROUP BY a.wk ORDER BY a.wk"""))
 
+  /** RFM segmentation: every purchasing user scored 1–5 on Recency
+    * (last purchase day), Frequency (purchase count), and Monetary
+    * (exact cents), segments = score triples with user counts — the
+    * standard customer-base map. Quintiles are rank-based integers
+    * (`(rk−1)·5 div n + 1` with a user_id tie-break), so no float
+    * percentile and no ntile tie nondeterminism exists anywhere.
+    *
+    * Scale: one purchase aggregate keyed by user, then three rank
+    * windows over the USER relation (≪ events; the two-phase
+    * range-partitioned rank replaces them at extreme cardinality), and
+    * a ≤125-cell rollup.
+    */
+  val qRfmSegments = QueryDef(
+    "q_rfm_segments",
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val per = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(call_function("div", unix_micros(col("ts")),
+          lit(86400000000L))).as("last_day"),
+          count(lit(1)).as("freq"), sum(cents).as("monetary"))
+      def score(c: Column): Column = {
+        val rk = row_number()
+          .over(Window.orderBy(c, col("user_id"))).cast("long")
+        call_function("div", (rk - 1) * 5,
+          count(lit(1)).over(Window.partitionBy())) + 1
+      }
+      per
+        .withColumn("r_score", score(col("last_day")))
+        .withColumn("f_score", score(col("freq")))
+        .withColumn("m_score", score(col("monetary")))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT user_id,
+               max(epoch_us(ts) // 86400000000) AS last_day,
+               count(*) AS freq,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      scored AS (
+        SELECT (row_number() OVER (ORDER BY last_day, user_id) - 1) * 5
+                 // (count(*) OVER ()) + 1 AS r_score,
+               (row_number() OVER (ORDER BY freq, user_id) - 1) * 5
+                 // (count(*) OVER ()) + 1 AS f_score,
+               (row_number() OVER (ORDER BY monetary, user_id) - 1) * 5
+                 // (count(*) OVER ()) + 1 AS m_score
+        FROM per)
+      SELECT r_score, f_score, m_score, count(*) AS n_users
+      FROM scored GROUP BY 1, 2, 3
+      ORDER BY r_score, f_score, m_score"""))
+
   val all: Seq[QueryDef] =
     Seq(qFunnel, qRetention, qGapFill, qMadOutliers, qAbTtest, qTsSimilarity,
       qRollingDau, qUserSegments, qPeakConcurrency, qEventTransitions,
-      qTopPaths, qMultitouch, qCohortLtv, qChurn)
+      qTopPaths, qMultitouch, qCohortLtv, qChurn, qRfmSegments)
 }
