@@ -655,21 +655,21 @@ object AnalyticQueries {
     * OPERATOR and the deviation report, not a Benford fit.)
     *
     * Scale: pure per-row arithmetic into a 9-row aggregate — map-side
-    * combine does all the work.
+    * combine does all the work; the denominator is the window-sum of
+    * the 9-row result, never a second scan.
     */
   val qBenfordAudit = QueryDef(
     "q_benford_audit",
     (s, dir) => {
       val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
-      val total = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
       t(s, dir, "orders")
         .select(substring(cents.cast("string"), 1, 1).cast("bigint")
           .as("lead_digit"))
         .groupBy(col("lead_digit")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
         .select(col("lead_digit"), col("n"),
-          (col("n").cast("double") / col("n_orders")).as("share"))
+          (col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy())).as("share"))
         .orderBy(col("lead_digit"))
     },
     Some("""
@@ -678,10 +678,10 @@ object AnalyticQueries {
                  * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
                AS lead_digit
         FROM orders),
-      tot AS (SELECT count(*) AS n_orders FROM orders)
-      SELECT lead_digit, count(*) AS n,
-             CAST(count(*) AS DOUBLE) / (SELECT n_orders FROM tot) AS share
-      FROM d GROUP BY lead_digit ORDER BY lead_digit"""))
+      g AS (SELECT lead_digit, count(*) AS n FROM d GROUP BY lead_digit)
+      SELECT lead_digit, n,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS share
+      FROM g ORDER BY lead_digit"""))
 
   val all: Seq[QueryDef] = Seq(qPctOfTotal, qGroupingSets, qWindowRankFns, qFullOuter,
     qCorrelatedSubquery, qSampleStratified, qEditDistance, qForwardFill,

@@ -627,10 +627,12 @@ object EventQueries {
   /** Position-based multi-touch attribution: every purchase's value is
     * credited across the user's clicks in the trailing 7 days —
     * 40% to the first touch, 40% to the last, 20% split across the
-    * middles (the standard U-shaped model). Credit is exact integer
+    * middles (the standard U-shaped model; with no middles the 20%
+    * redistributes equally, so two-touch journeys split 50/50 and
+    * single-touch conversions take 100%). Credit is exact integer
     * cents with floor division and ALL rounding slack assigned to the
     * last touch, so per-conversion credit sums to the purchase value
-    * bit-exactly (single-touch conversions take 100%).
+    * bit-exactly.
     *
     * Scale: the touch join is equi-keyed on user_id with the time
     * window as residual — per-user work only; ranking and counting
@@ -658,6 +660,7 @@ object EventQueries {
         .withColumn("cnt", count(lit(1)).over(byConv))
       val d = (a: Column, b: Column) => call_function("div", a, b)
       val firstC = when(col("cnt") === 1, col("cents"))
+        .when(col("cnt") === 2, d(col("cents") * 50, lit(100L)))
         .otherwise(d(col("cents") * 40, lit(100L)))
       val midC = d(d(col("cents") * 20, lit(100L)), col("cnt") - 2)
       val credit = when(col("rn") === 1, firstC)
@@ -687,8 +690,12 @@ object EventQueries {
         FROM tch)
       SELECT user_id, conv_id, click_id, rn, cnt,
              CASE WHEN rn = 1 THEN
-                    CASE WHEN cnt = 1 THEN cents ELSE cents * 40 // 100 END
-                  WHEN rn = cnt THEN cents - (cents * 40 // 100)
+                    CASE WHEN cnt = 1 THEN cents
+                         WHEN cnt = 2 THEN cents * 50 // 100
+                         ELSE cents * 40 // 100 END
+                  WHEN rn = cnt THEN cents
+                    - CASE WHEN cnt = 2 THEN cents * 50 // 100
+                           ELSE cents * 40 // 100 END
                     - CASE WHEN cnt > 2
                            THEN (cents * 20 // 100 // (cnt - 2)) * (cnt - 2)
                            ELSE 0 END

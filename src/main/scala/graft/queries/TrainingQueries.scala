@@ -293,9 +293,13 @@ object TrainingQueries {
   val qOovAudit = QueryDef(
     "q_oov_audit",
     (s, dir) => {
-      val freqs = t(s, dir, "documents")
-        .select(explode(words(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      // single corpus scan: global frequencies are the per-source
+      // aggregate re-rolled, not a second explode of the stream
+      val bySource = t(s, dir, "documents")
+        .select(col("source"), explode(words(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      val freqs = bySource.groupBy(col("tok"))
+        .agg(sum(col("n")).as("freq"))
       val total = freqs.agg(sum(col("freq")).as("total"))
       val w = Window.orderBy(col("freq").desc, col("tok"))
       val vocab = freqs
@@ -304,9 +308,6 @@ object TrainingQueries {
         .crossJoin(broadcast(total))
         .filter((col("cum") - col("freq")) * 10 < col("total") * 9)
         .select(col("tok"), lit(1L).as("in_vocab"))
-      val bySource = t(s, dir, "documents")
-        .select(col("source"), explode(words(col("text"))).as("tok"))
-        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
       bySource.join(broadcast(vocab), Seq("tok"), "left")
         .groupBy(col("source"))
         .agg(sum(col("n")).as("n_tokens"),
@@ -317,10 +318,13 @@ object TrainingQueries {
         .orderBy(col("source"))
     },
     Some(s"""
-      WITH f AS (
-        SELECT tok, count(*) AS freq
-        FROM (SELECT unnest(${wordsSql("text")}) AS tok FROM documents)
-        GROUP BY tok),
+      WITH st AS (
+        SELECT source, tok, count(*) AS n
+        FROM (SELECT source, unnest(${wordsSql("text")}) AS tok
+              FROM documents)
+        GROUP BY 1, 2),
+      f AS (
+        SELECT tok, CAST(SUM(n) AS BIGINT) AS freq FROM st GROUP BY tok),
       tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
       r AS (
         SELECT tok, freq,
@@ -330,12 +334,7 @@ object TrainingQueries {
         FROM f),
       vocab AS (
         SELECT tok FROM r
-        WHERE (cum - freq) * 10 < (SELECT total FROM tot) * 9),
-      st AS (
-        SELECT source, tok, count(*) AS n
-        FROM (SELECT source, unnest(${wordsSql("text")}) AS tok
-              FROM documents)
-        GROUP BY 1, 2)
+        WHERE (cum - freq) * 10 < (SELECT total FROM tot) * 9)
       SELECT source,
              CAST(SUM(n) AS BIGINT) AS n_tokens,
              CAST(SUM(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT)

@@ -102,5 +102,13 @@ class EventQueriesSpec extends AnyFunSuite {
       .join(conv, Seq("conv_id"))
       .filter(col("credit_cents") =!= col("cents")).count()
     assert(singles === 0L, "single-touch conversions take 100%")
+    // two-touch journeys split 50/50 (floor to the first, slack to the
+    // last) — the U-model's middle 20% redistributes, it does not
+    // silently accrue to the last touch
+    val lopsided = touches.filter(col("cnt") === 2 && col("rn") === 1)
+      .join(conv, Seq("conv_id"))
+      .filter(col("credit_cents") =!=
+        call_function("div", col("cents") * 50, lit(100L))).count()
+    assert(lopsided === 0L, "two-touch first credit must be half")
   }
 }

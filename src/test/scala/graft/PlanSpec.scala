@@ -146,12 +146,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("no plan in the registry contains a cartesian product (except the bounded validators)") {
     // q_ngram_jaccard: explicit bounded all-pairs validator.
-    // q_dedup_groups / q_corpus_clean: iterative — run() executes the
-    // label-propagation loop eagerly and returns a checkpointed leaf, so
-    // plan inspection both costs a full run and sees no joins; their
-    // candidate-join shape is already swept via q_dedup_minhash.
+    // q_dedup_groups / q_corpus_clean / q_split_leakproof: iterative —
+    // run() executes the label-propagation loop eagerly and returns a
+    // checkpointed leaf, so plan inspection both costs a full run and
+    // sees no joins; their candidate-join shape is already swept via
+    // q_dedup_minhash.
     val allowed = Set("q_ngram_jaccard", "q_containment",
-      "q_dedup_groups", "q_corpus_clean")
+      "q_dedup_groups", "q_corpus_clean", "q_split_leakproof")
     SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val p = q.run(spark, dir).queryExecution.sparkPlan.toString
       assert(!p.contains("CartesianProduct"),
