@@ -88,4 +88,25 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(got === want)
   }
+
+  test("mask spans never overlap and are reproducible across runs") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.TrainingQueries.qMaskSpans
+    val run1 = q.run(spark, dir)
+      .select("doc_id", "span_start").as[(Long, Long)].collect().sorted
+    assert(run1.nonEmpty)
+    // stride-20 phase starts with span length 3: consecutive starts in
+    // a doc must be >= 20 apart (non-overlap is by construction; this
+    // pins it against future stride/span edits)
+    run1.groupBy(_._1).values.foreach { spans =>
+      val starts = spans.map(_._2).sorted
+      starts.sliding(2).foreach {
+        case Array(a, b) => assert(b - a >= 20L)
+        case _ =>
+      }
+    }
+    val run2 = q.run(spark, dir)
+      .select("doc_id", "span_start").as[(Long, Long)].collect().sorted
+    assert(run1 === run2, "masking plan must be bit-reproducible")
+  }
 }
