@@ -414,6 +414,51 @@ object WarehouseQueries {
          OR old_cents <> new_cents
       ORDER BY o_orderkey"""))
 
+  /** Feed-completeness audit: for every expected reporter (user) and
+    * every observed day, detect the missing check-ins — the operational
+    * twin of the reference's daily-drop contract ("did each country's
+    * file land today?"), generalized to any (reporter, period) grid.
+    * Reported as per-reporter missing-day counts with the first hole;
+    * fully-present reporters produce no row (the report is the
+    * exceptions, not the grid).
+    *
+    * Scale: the expected grid is a cross of two BOUNDED dimensions
+    * (reporters × recent days) — broadcast nested-loop by construction,
+    * never fact-sized — and the anti-join keys on the same (reporter,
+    * day) pair the distinct aggregate just produced. The fact stream
+    * collapses to that distinct relation first.
+    */
+  val qFeedGaps = QueryDef(
+    "q_feed_gaps",
+    (s, dir) => {
+      val seen = t(s, dir, "events")
+        .filter(col("user_id") < 30)
+        .select(col("user_id"),
+          call_function("div", unix_micros(col("ts")), lit(86400000000L))
+            .as("day_id"))
+        .distinct()
+      val users = seen.select(col("user_id")).distinct()
+      val days = seen.select(col("day_id")).distinct()
+      users.crossJoin(broadcast(days))
+        .join(seen, Seq("user_id", "day_id"), "left_anti")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_missing_days"),
+          min(col("day_id")).as("first_missing_day"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id
+        FROM events WHERE user_id < 30),
+      u AS (SELECT DISTINCT user_id FROM d),
+      dy AS (SELECT DISTINCT day_id FROM d),
+      gaps AS (
+        SELECT u.user_id, dy.day_id FROM u, dy
+        EXCEPT SELECT user_id, day_id FROM d)
+      SELECT user_id, count(*) AS n_missing_days,
+             min(day_id) AS first_missing_day
+      FROM gaps GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
-    qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff)
+    qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps)
 }
