@@ -320,7 +320,48 @@ object ExtQueries {
       GROUP BY user_id % 10
       ORDER BY cohort"""))
 
+  /** Order-to-ship latency SLA: per order priority, the p50/p95/max of
+    * days between order placement and line shipment — the fulfillment
+    * percentile report a supply chain reads daily. Day lags are exact
+    * integers from calendar-date differences; the percentiles ride the
+    * same exact-integer `percentile`/`quantile_cont` parity as
+    * q_percentiles.
+    *
+    * Scale: the one join is fact-to-fact but equi-keyed on orderkey —
+    * with both tables bucketed by orderkey (engine/Bucketing) it is
+    * exchange-free; only (key, priority, two dates) travel.
+    */
+  val qShipLatency = QueryDef(
+    "q_ship_latency",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("od"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          to_date(col("l_shipdate")).as("sd"))
+      l.join(o, Seq("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("sd"), col("od")).cast("long").as("lag_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("percentile(lag_days, 0.5d)").as("p50_days"),
+          expr("percentile(lag_days, 0.95d)").as("p95_days"),
+          max(col("lag_days")).as("max_days"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_lines,
+             quantile_cont(lag_days, 0.5) AS p50_days,
+             quantile_cont(lag_days, 0.95) AS p95_days,
+             max(lag_days) AS max_days
+      FROM (SELECT o.o_orderpriority,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] = Seq(qSimhashPairs, qRollup, qCube, qDateParts,
     qSessionWindows, qStatsVariance, qCollectSorted, qPercentiles,
-    qRunningTotal, qLagDelta, qPivot)
+    qRunningTotal, qLagDelta, qPivot, qShipLatency)
 }
