@@ -846,13 +846,17 @@ object DocQueries {
         .filter(col("a.tok") < col("b.tok"))
         .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
         .agg(count(lit(1)).as("n_ab"))
+      // lift factors as DECIMAL(38,0): count × corpus-size products
+      // overflow 64 bits at web scale under ANSI; both engines round to
+      // double once from the same exact integers
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
       pairs
         .join(nx.select(col("tok").as("tok_a"), col("n").as("n_a")), Seq("tok_a"))
         .join(nx.select(col("tok").as("tok_b"), col("n").as("n_b")), Seq("tok_b"))
         .crossJoin(broadcast(total))
         .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
-          ((col("n_ab") * col("n_docs")).cast("double") /
-            (col("n_a") * col("n_b"))).as("lift"))
+          ((d38(col("n_ab")) * d38(col("n_docs"))).cast("double") /
+            (d38(col("n_a")) * d38(col("n_b"))).cast("double")).as("lift"))
         .orderBy(col("tok_a"), col("tok_b"))
     },
     Some(s"""
@@ -866,8 +870,8 @@ object DocQueries {
         FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
         GROUP BY 1, 2)
       SELECT tok_a, tok_b, n_ab, na.n AS n_a, nb.n AS n_b,
-             CAST(n_ab * (SELECT n_docs FROM tot) AS DOUBLE)
-               / (na.n * nb.n) AS lift
+             CAST(CAST(n_ab AS HUGEINT) * (SELECT n_docs FROM tot) AS DOUBLE)
+               / CAST(CAST(na.n AS HUGEINT) * nb.n AS DOUBLE) AS lift
       FROM p JOIN nx na ON na.tok = p.tok_a
              JOIN nx nb ON nb.tok = p.tok_b
       ORDER BY tok_a, tok_b"""))

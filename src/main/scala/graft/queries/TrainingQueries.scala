@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables.t
@@ -353,7 +354,11 @@ object TrainingQueries {
     *
     * Scale: the corpus collapses to per-source mass first; the rank
     * window runs over the SOURCE relation (tiny). The same identity at
-    * a million groups uses the two-phase cumsum pattern.
+    * a million groups uses the two-phase cumsum pattern. The Σ i·xᵢ
+    * moment travels as DECIMAL(38,0) on the Spark side — rank × mass
+    * exceeds 64 bits long before the char masses themselves do — and
+    * DuckDB's HUGEINT keeps the oracle exact; both sides round to
+    * double once, from the same exact integers.
     */
   val qSourceGini = QueryDef(
     "q_source_gini",
@@ -361,12 +366,14 @@ object TrainingQueries {
       val mass = t(s, dir, "documents")
         .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
       val w = Window.orderBy(col("x"), col("source"))
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
       mass.withColumn("i", row_number().over(w).cast("long"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("i") * col("x")).as("six"))
+          sum(d38(col("i")) * d38(col("x"))).as("six"))
         .select(col("n"), col("sx"),
-          ((col("six") * 2 - (col("n") + 1) * col("sx")).cast("double") /
-            (col("n") * col("sx"))).as("gini"))
+          ((d38(col("six")) * 2 - d38(col("n") + 1) * d38(col("sx")))
+            .cast("double") /
+            (d38(col("n")) * d38(col("sx"))).cast("double")).as("gini"))
     },
     Some("""
       WITH mass AS (
@@ -376,10 +383,11 @@ object TrainingQueries {
         SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM mass),
       agg AS (
         SELECT count(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(i * x) AS BIGINT) AS six
+               SUM(i * x) AS six
         FROM rk)
       SELECT n, sx,
-             CAST(six * 2 - (n + 1) * sx AS DOUBLE) / (n * sx) AS gini
+             CAST(six * 2 - (n + 1) * sx AS DOUBLE)
+               / CAST(n * sx AS DOUBLE) AS gini
       FROM agg"""))
 
   val all: Seq[QueryDef] = Seq(qSeqPack, qMixtureWeights, qCrossdocOverlap,
