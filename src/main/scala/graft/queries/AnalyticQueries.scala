@@ -607,11 +607,16 @@ object AnalyticQueries {
       val w = Window.orderBy(col("cents").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val total = rev.agg(sum(col("cents")).as("total"))
+      // boundary products in DECIMAL(38,0): cum×100 exceeds Long range
+      // once total revenue passes ~9e16 cents (ANSI would raise)
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
       rev.withColumn("cum", sum(col("cents")).over(w))
         .crossJoin(broadcast(total))
         .withColumn("cls",
-          when((col("cum") - col("cents")) * 100 < col("total") * 80, "A")
-            .when((col("cum") - col("cents")) * 100 < col("total") * 95, "B")
+          when(d38(col("cum") - col("cents")) * 100 <
+            d38(col("total")) * 80, "A")
+            .when(d38(col("cum") - col("cents")) * 100 <
+              d38(col("total")) * 95, "B")
             .otherwise("C"))
         .groupBy(col("cls"))
         .agg(count(lit(1)).as("n_parts"),
@@ -635,9 +640,11 @@ object AnalyticQueries {
         FROM rev),
       cls AS (
         SELECT cents,
-               CASE WHEN (cum - cents) * 100 < (SELECT total FROM tot) * 80
+               CASE WHEN CAST(cum - cents AS HUGEINT) * 100
+                      < CAST((SELECT total FROM tot) AS HUGEINT) * 80
                       THEN 'A'
-                    WHEN (cum - cents) * 100 < (SELECT total FROM tot) * 95
+                    WHEN CAST(cum - cents AS HUGEINT) * 100
+                      < CAST((SELECT total FROM tot) AS HUGEINT) * 95
                       THEN 'B'
                     ELSE 'C' END AS cls
         FROM c)
