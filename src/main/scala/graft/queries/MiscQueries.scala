@@ -147,6 +147,41 @@ object MiscQueries {
     IngestQueries.ingestQuery.oracle,
     bench = false)
 
+  /** S2 (raw-text variant), completing the source matrix (parquet /
+    * CSV / JSON / JSONL / ORC / text): documents → one tab-framed line
+    * each via the text sink → read back with the line reader and
+    * re-parsed. The identity oracle reads the same rows from parquet:
+    * any framing or encoding loss breaks the md5. Lossless here because
+    * the corpus text is newline/tab-free (checked by the parse filter —
+    * a frame that split would drop its row and fail the row count);
+    * binary-unsafe payloads belong in parquet/ORC, which is the point
+    * this query documents.
+    *
+    * Scale: the text source is splittable by line, so reader
+    * parallelism follows HDFS splits; the md5 witness keeps the oracle
+    * diff payload-free (same trick as q_pii_redact).
+    */
+  val qTextRoundtrip = QueryDef(
+    "q_text_roundtrip",
+    (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_text_roundtrip_${s.sparkContext.applicationId}"
+      t(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id").cast("string"), col("text"))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\t", 2).as("parts"))
+        .filter(size(col("parts")) === 2)
+        .select(col("parts").getItem(0).cast("bigint").as("doc_id"),
+          md5(col("parts").getItem(1)).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id"""),
+    bench = false)
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonlRoundtrip, qToJson,
-    qMultimodalMeta, qMultimodalFrames, qOrcRoundtrip)
+    qMultimodalMeta, qMultimodalFrames, qOrcRoundtrip, qTextRoundtrip)
 }
