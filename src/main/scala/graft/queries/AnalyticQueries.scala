@@ -511,18 +511,24 @@ object AnalyticQueries {
 
   /** Equi-depth (equal-count) histogram via NTILE over a fully
     * deterministic total order — the complement of q_histogram's
-    * equi-width binning. Verification form: the global NTILE sorts one
-    * partition; the 100 TB path derives cut points from the quantile
-    * sketch (q_approx_quantiles) and bins with a scan-only CASE.
+    * equi-width binning. The NTILE runs as
+    * [[graft.engine.DistributedRank]]: a range-partitioned sort over
+    * the fact plus per-partition offset scans, so no single task ever
+    * holds the relation (a plain `ntile().over(Window.orderBy(...))`
+    * would). An alternative 100 TB shape derives cut points from the
+    * quantile sketch (q_approx_quantiles) and bins with a scan-only
+    * CASE — approximate bucket counts where this one is exact.
     */
   val qHistogramEquidepth = QueryDef(
     "q_histogram_equidepth",
     (s, dir) => {
-      val order = Window.orderBy(
+      val keys = Seq(
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
-        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(10).over(order).cast("bigint"))
+      val binned = graft.engine.DistributedRank.ntile(
+        t(s, dir, "lineitem")
+          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        keys, 10, "bucket")
+      binned
         .groupBy(col("bucket"))
         .agg(
           count(lit(1)).as("n_rows"),
@@ -592,9 +598,11 @@ object AnalyticQueries {
     * Output is the per-class rollup (n_parts, revenue, share).
     *
     * Scale: revenue-per-part is a map-side-combinable aggregate; the
-    * ordered cumsum runs over the PART relation (≪ lineitem). Here one
-    * window; at a billion parts the two-phase range-partitioned cumsum
-    * (`StarBuilder.withSurrogateId` pattern) replaces it.
+    * ordered cumsum is [[graft.engine.DistributedRank]] (two-phase
+    * range-partitioned, no single-task window even at a billion
+    * parts), and the grand total falls out of its phase-1 stats as a
+    * literal — the per-part aggregate is evaluated ONCE (the previous
+    * `crossJoin(broadcast(rev.agg(...)))` form evaluated it twice).
     */
   val qAbcClassification = QueryDef(
     "q_abc_classification",
@@ -604,14 +612,13 @@ object AnalyticQueries {
       val rev = t(s, dir, "lineitem")
         .select(col("l_partkey"), cents.as("cents"))
         .groupBy(col("l_partkey")).agg(sum(col("cents")).as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val total = rev.agg(sum(col("cents")).as("total"))
       // boundary products in DECIMAL(38,0): cum×100 exceeds Long range
       // once total revenue passes ~9e16 cents (ANSI would raise)
       val d38 = (c: Column) => c.cast("decimal(38,0)")
-      rev.withColumn("cum", sum(col("cents")).over(w))
-        .crossJoin(broadcast(total))
+      graft.engine.DistributedRank(rev,
+        Seq(col("cents").desc, col("l_partkey")),
+        graft.engine.DistributedRank.Spec(valueCol = Some("cents"),
+          cumCol = Some("cum"), totalCol = Some("total")))
         .withColumn("cls",
           when(d38(col("cum") - col("cents")) * 100 <
             d38(col("total")) * 80, "A")

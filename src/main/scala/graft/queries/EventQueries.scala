@@ -804,10 +804,11 @@ object EventQueries {
     * (`(rk−1)·5 div n + 1` with a user_id tie-break), so no float
     * percentile and no ntile tie nondeterminism exists anywhere.
     *
-    * Scale: one purchase aggregate keyed by user, then three rank
-    * windows over the USER relation (≪ events; the two-phase
-    * range-partitioned rank replaces them at extreme cardinality), and
-    * a ≤125-cell rollup.
+    * Scale: one purchase aggregate keyed by user, then three
+    * [[graft.engine.DistributedRank]] passes over the USER relation
+    * (≪ events) — each a range-partitioned sort, never a single-task
+    * global window, with the user count attached from phase-1 stats —
+    * and a ≤125-cell rollup.
     */
   val qRfmSegments = QueryDef(
     "q_rfm_segments",
@@ -819,16 +820,19 @@ object EventQueries {
         .agg(max(call_function("div", unix_micros(col("ts")),
           lit(86400000000L))).as("last_day"),
           count(lit(1)).as("freq"), sum(cents).as("monetary"))
-      def score(c: Column): Column = {
-        val rk = row_number()
-          .over(Window.orderBy(c, col("user_id"))).cast("long")
-        call_function("div", (rk - 1) * 5,
-          count(lit(1)).over(Window.partitionBy())) + 1
-      }
-      per
-        .withColumn("r_score", score(col("last_day")))
-        .withColumn("f_score", score(col("freq")))
-        .withColumn("m_score", score(col("monetary")))
+      def score(df: org.apache.spark.sql.DataFrame, c: Column,
+          out: String): org.apache.spark.sql.DataFrame =
+        graft.engine.DistributedRank(df, Seq(c, col("user_id")),
+          graft.engine.DistributedRank.Spec(rankCol = Some("__rk"),
+            countCol = Some("__n")))
+          .withColumn(out,
+            call_function("div", (col("__rk") - 1) * 5, col("__n")) + 1)
+          .drop("__rk", "__n")
+      val scored = score(score(score(per,
+        col("last_day"), "r_score"),
+        col("freq"), "f_score"),
+        col("monetary"), "m_score")
+      scored
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))

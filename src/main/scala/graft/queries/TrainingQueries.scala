@@ -19,21 +19,22 @@ object TrainingQueries {
     * (`floor(cum_before / capacity)`), so bins can overflow by at most
     * one document tail — the accounting a packing loader needs.
     *
-    * Scale: the running cumsum is a single unpartitioned window here
-    * (verification form). At 100 TB the same math runs per shard:
-    * partition by a layout key (e.g. source), pack within shards, and
-    * offset bin ids by a per-shard scan — the two-phase pattern
-    * `StarBuilder.withSurrogateId` already implements.
+    * Scale: the running cumsum is [[graft.engine.DistributedRank]] —
+    * a range-partitioned sort by doc_id plus per-partition offset
+    * scans, so the corpus-wide layout never passes through one task
+    * (the previous form was a single unpartitioned window). A sharded
+    * layout (pack within source, offset bins per shard) would relax
+    * the total order if even the range sort ever bound.
     */
   val qSeqPack = QueryDef(
     "q_seq_pack",
     (s, dir) => {
       val cap = 512L
-      val byId = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select(col("doc_id"), size(words(col("text"))).cast("bigint").as("tokens"))
-        .withColumn("cum", sum(col("tokens")).over(byId))
+      graft.engine.DistributedRank.cumsum(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(words(col("text"))).cast("bigint").as("tokens")),
+        Seq(col("doc_id")), "tokens", "cum")
         .withColumn("bin", call_function("div", col("cum") - col("tokens"), lit(cap)))
         .groupBy(col("bin"))
         .agg(
@@ -154,11 +155,11 @@ object TrainingQueries {
     * as a cumulative-distribution textbook would.
     *
     * Scale: the corpus collapses to a vocabulary-sized frequency table
-    * in the first (map-side combined) aggregate; the ordered cumsum
-    * then runs over the VOCAB, not the corpus. Here that is a single
-    * window; for a 10M-type vocabulary the same math becomes a
-    * range-partitioned sort + two-phase per-partition cumsum with
-    * broadcast offsets — the `StarBuilder.withSurrogateId` pattern.
+    * in the first (map-side combined) aggregate; the ordered
+    * rank+cumsum is then [[graft.engine.DistributedRank]] over the
+    * VOCAB — range-partitioned even at a 10M-type vocabulary, and the
+    * token-mass total falls out of its phase-1 stats (no second
+    * evaluation of the frequency aggregate).
     */
   val qVocabCoverage = QueryDef(
     "q_vocab_coverage",
@@ -166,13 +167,11 @@ object TrainingQueries {
       val freqs = t(s, dir, "documents")
         .select(explode(words(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      val total = freqs.agg(sum(col("freq")).as("total"))
-      val w = Window.orderBy(col("freq").desc, col("tok"))
-      freqs
-        .withColumn("vocab_rank", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("freq")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .crossJoin(broadcast(total))
+      graft.engine.DistributedRank(freqs,
+        Seq(col("freq").desc, col("tok")),
+        graft.engine.DistributedRank.Spec(rankCol = Some("vocab_rank"),
+          valueCol = Some("freq"), cumCol = Some("cum"),
+          totalCol = Some("total")))
         .filter((col("cum") - col("freq")) * 10 < col("total") * 9)
         .select(col("vocab_rank"), col("tok"), col("freq"),
           (col("cum").cast("double") / col("total")).as("cum_share"))
@@ -301,12 +300,12 @@ object TrainingQueries {
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
       val freqs = bySource.groupBy(col("tok"))
         .agg(sum(col("n")).as("freq"))
-      val total = freqs.agg(sum(col("freq")).as("total"))
-      val w = Window.orderBy(col("freq").desc, col("tok"))
-      val vocab = freqs
-        .withColumn("cum", sum(col("freq")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .crossJoin(broadcast(total))
+      // vocab cutoff via DistributedRank: range-partitioned cumsum,
+      // total attached from phase 1 (no crossJoin re-evaluation)
+      val vocab = graft.engine.DistributedRank(freqs,
+        Seq(col("freq").desc, col("tok")),
+        graft.engine.DistributedRank.Spec(valueCol = Some("freq"),
+          cumCol = Some("cum"), totalCol = Some("total")))
         .filter((col("cum") - col("freq")) * 10 < col("total") * 9)
         .select(col("tok"), lit(1L).as("in_vocab"))
       bySource.join(broadcast(vocab), Seq("tok"), "left")
@@ -352,22 +351,23 @@ object TrainingQueries {
     * `G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)` entirely in BIGINT
     * (ranks and char counts), one double division at the end.
     *
-    * Scale: the corpus collapses to per-source mass first; the rank
-    * window runs over the SOURCE relation (tiny). The same identity at
-    * a million groups uses the two-phase cumsum pattern. The Σ i·xᵢ
+    * Scale: the corpus collapses to per-source mass first; the rank is
+    * [[graft.engine.DistributedRank]] over the SOURCE relation — tiny
+    * here, range-partitioned at a million groups. The Σ i·xᵢ
     * moment travels as DECIMAL(38,0) on the Spark side — rank × mass
     * exceeds 64 bits long before the char masses themselves do — and
-    * DuckDB's HUGEINT keeps the oracle exact; both sides round to
-    * double once, from the same exact integers.
+    * the oracle casts the rank to HUGEINT before the product for the
+    * same headroom; both sides round to double once, from the same
+    * exact integers.
     */
   val qSourceGini = QueryDef(
     "q_source_gini",
     (s, dir) => {
       val mass = t(s, dir, "documents")
         .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
-      val w = Window.orderBy(col("x"), col("source"))
       val d38 = (c: Column) => c.cast("decimal(38,0)")
-      mass.withColumn("i", row_number().over(w).cast("long"))
+      graft.engine.DistributedRank.rank(mass,
+        Seq(col("x"), col("source")), "i")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(d38(col("i")) * d38(col("x"))).as("six"))
         .select(col("n"), col("sx"),
@@ -383,7 +383,7 @@ object TrainingQueries {
         SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM mass),
       agg AS (
         SELECT count(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-               SUM(i * x) AS six
+               SUM(CAST(i AS HUGEINT) * x) AS six
         FROM rk)
       SELECT n, sx,
              CAST(six * 2 - (n + 1) * sx AS DOUBLE)

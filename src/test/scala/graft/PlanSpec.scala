@@ -144,6 +144,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("no plan in the registry contains an unpartitioned WindowExec over unbounded input") {
+    // A WindowExec with an empty partition spec funnels its whole input
+    // through ONE task — the canonical scale-killer. Global rank/cumsum/
+    // ntile run through engine.DistributedRank instead (two-phase
+    // range-partitioned). Allowed exception: q_benford_audit's share
+    // denominator, a global window over a ≤9-row digit aggregate.
+    // Iterative/bounded-validator queries are skipped as in the
+    // cartesian gate below.
+    val skip = Set("q_ngram_jaccard", "q_containment",
+      "q_dedup_groups", "q_corpus_clean", "q_split_leakproof")
+    val boundedInput = Set("q_benford_audit")
+    SparkEntry.registry
+      .filterNot(q => skip(q.name) || boundedInput(q.name)).foreach { q =>
+        val plan = q.run(spark, dir).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"${q.name} plans an unpartitioned window:\n${bad.mkString("\n")}")
+      }
+  }
+
   test("no plan in the registry contains a cartesian product (except the bounded validators)") {
     // q_ngram_jaccard: explicit bounded all-pairs validator.
     // q_dedup_groups / q_corpus_clean / q_split_leakproof: iterative —
