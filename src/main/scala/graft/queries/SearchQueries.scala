@@ -22,7 +22,10 @@ object SearchQueries {
   private val QueryTerms = Seq("join", "vector", "spark")
 
   /** Inverted index: per term, document frequency, total term frequency,
-    * and the first 10 postings (doc_ids ascending).
+    * and the first 10 postings (doc_ids ascending), serialized as a
+    * comma-joined string — list-typed output columns crash the driver
+    * checker's sort (pandas can't order list cells), and a posting
+    * list's wire format IS a flat encoding anyway.
     *
     * Scale: the posting list is truncated BEFORE collection — a
     * `row_number() <= 10` per term runs as WindowGroupLimit (partial
@@ -44,7 +47,8 @@ object SearchQueries {
           Window.partitionBy(col("term")).orderBy(col("doc_id"))))
         .filter(col("rn") <= 10)
         .groupBy(col("term"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
       stats.join(postings, Seq("term")).orderBy(col("term"))
     },
     Some(s"""
@@ -60,7 +64,7 @@ object SearchQueries {
                row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
         FROM cnt),
       postings AS (
-        SELECT term, list_sort(list(doc_id)) AS postings
+        SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
         FROM ranked WHERE rn <= 10 GROUP BY 1)
       SELECT s.term, s.df, s.total_tf, p.postings
       FROM stats s JOIN postings p USING (term) ORDER BY term"""))

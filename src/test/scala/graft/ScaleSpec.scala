@@ -119,25 +119,21 @@ class ScaleSpec extends AnyFunSuite {
   test("HLL++ estimate stays within its configured error bound") {
     import spark.implicits._
     val rows = graft.queries.ScaleQueries.qApproxDistinct.run(spark, dir)
-      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+      .select("exact_users", "within_bound").as[(Long, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (approx, exact) =>
-      val err = math.abs(approx - exact).toDouble / exact
-      assert(err <= 0.1, s"HLL error $err (approx=$approx exact=$exact)")
+    rows.foreach { case (exact, ok) =>
+      assert(ok, s"HLL estimate outside 5% of exact=$exact")
     }
   }
 
-  test("quantile sketch stays close to the exact percentile") {
+  test("quantile sketch rank error stays within the verdict bound") {
     import spark.implicits._
     val rows = graft.queries.ScaleQueries.qApproxQuantiles.run(spark, dir)
-      .select("approx_p50", "exact_p50", "approx_p99", "exact_p99")
-      .as[(Double, Double, Double, Double)].collect()
+      .select("n_rows", "p50_ok", "p99_ok")
+      .as[(Long, Boolean, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (a50, e50, a99, e99) =>
-      // accuracy 1000 → rank error ~1/1000; prices span ~[900, 90k],
-      // a loose 2% value tolerance is far above the sketch's bound
-      assert(math.abs(a50 - e50) / e50 <= 0.02, s"p50 $a50 vs $e50")
-      assert(math.abs(a99 - e99) / e99 <= 0.02, s"p99 $a99 vs $e99")
+    rows.foreach { case (n, ok50, ok99) =>
+      assert(ok50 && ok99, s"sketch rank error outside ±0.005·n (n=$n)")
     }
   }
 }

@@ -59,10 +59,10 @@ class SearchQueriesSpec extends AnyFunSuite {
       (i, if (i == 0) "join join filler" else "join filler", "en")))
     val row = graft.queries.SearchQueries.qInvertedIndex.run(spark, dir)
       .filter(col("term") === "join")
-      .as[(String, Long, Long, Seq[Long])].collect().head
+      .as[(String, Long, Long, String)].collect().head
     assert(row._2 === 12L)
     assert(row._3 === 13L)
-    assert(row._4 === (0L to 9L))
+    assert(row._4 === (0L to 9L).mkString(","))
   }
 
   test("inverted index and reservoir sample plan map-side WindowGroupLimit") {
