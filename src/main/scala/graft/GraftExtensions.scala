@@ -9,11 +9,49 @@ import graft.functions.{LongArrayDot, Md5Prefix44, WordShingles}
   * engine's native expressions (set
   * `spark.sql.extensions=graft.GraftExtensions`). Makes `md5_prefix44`,
   * `long_array_dot`, and `word_shingles` available to SQL text as well
-  * as the Column API.
+  * as the Column API, and exposes Spark's own bloom-filter expression
+  * pair (`bloom_filter_agg` / `might_contain`) — the exact expressions
+  * `InjectRuntimeFilter` plants, which Spark builds in but does not
+  * register for SQL. Registering them lets a pipeline build a filter
+  * ONCE and apply it across stages or jobs (the cross-query runtime
+  * filter the optimizer can't infer), fully executor-side and
+  * codegen'd — no UDF, no driver-side key list.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n, b)
+        case other =>
+          throw org.apache.spark.sql.graftshim.Shims
+            .wrongNumArgs("bloom_filter_agg", 1, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(bf, v) =>
+          org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(bf, v)
+        case other =>
+          throw org.apache.spark.sql.graftshim.Shims
+            .wrongNumArgs("might_contain", 2, other.size)
+      }))
     ext.injectFunction((
       FunctionIdentifier("md5_prefix44"),
       new ExpressionInfo(classOf[Md5Prefix44].getName, "md5_prefix44"),

@@ -180,51 +180,50 @@ object WarehouseQueries {
 
   /** Manual bloom-filter runtime filter: build a bloom over the dim-side
     * join keys (suppliers of one nation), pre-filter the fact scan with
-    * `mightContain`, then run the real join — the join removes the
-    * bloom's false positives, so results are EXACTLY the plain join's
-    * (which is the oracle). Spark's own `injectRuntimeFilter` does this
-    * automatically inside one query when thresholds allow; the
-    * library-level variant shown here is the tool when the filter must
-    * cross stages or jobs (e.g. built once, applied to many fact scans),
-    * which is where the 100 TB win lives: the bloom ships as a few KB
-    * broadcast and drops non-matching fact rows at the scan, before any
-    * shuffle. The bloom membership probe is the one deliberate UDF in
-    * this repo — `BloomFilter.mightContainLong` has no Column-expression
-    * form; it sits behind a pushed-down scan filter, not in a per-row
-    * transform chain.
+    * it, then run the real join — the join removes the bloom's false
+    * positives, so results are EXACTLY the plain join's (which is the
+    * oracle). Spark's own `InjectRuntimeFilter` does this automatically
+    * inside one query when thresholds allow; the library-level variant
+    * shown here is the tool when the filter must cross stages or jobs
+    * (built once, applied to many fact scans), which is where the
+    * 100 TB win lives: the bloom ships as a few KB and drops
+    * non-matching fact rows before any shuffle.
+    *
+    * The build and probe are Spark's OWN expressions —
+    * `bloom_filter_agg` / `might_contain`, registered for SQL by
+    * [[graft.GraftExtensions]] — so the filter aggregates executor-side
+    * (partial blooms merged, only the KB sketch crosses the wire as a
+    * scalar-subquery result) and the probe is native and codegen'd.
+    * No UDF, no driver-side key list; an empty dim yields a NULL bloom,
+    * `might_contain` returns NULL, and the WHERE drops every row —
+    * exactly the empty join result.
     */
   val qBloomPrune = QueryDef(
     "q_bloom_prune",
     (s, dir) => {
-      // The dim is broadcast-small BY CONSTRUCTION (one nation's
-      // suppliers), so collect it once and derive all three consumers —
-      // emptiness check, bloom build, broadcast join input — from that
-      // single evaluation instead of re-running the dim subplan per use.
-      // (stat.bloomFilter would also NPE on an empty input.)
-      import s.implicits._
-      val supRows = t(s, dir, "supplier")
-        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_name"))
-        .as[(Long, String)].collect()
-      val sup = supRows.toSeq.toDF("s_suppkey", "s_name")
-      val might =
-        if (supRows.isEmpty) lit(false)
-        else {
-          val bloom = org.apache.spark.util.sketch.BloomFilter.create(
-            math.max(supRows.length.toLong, 64L), 0.01)
-          supRows.foreach { case (k, _) => bloom.putLong(k) }
-          udf((k: Long) => bloom.mightContainLong(k)).apply(col("l_suppkey"))
-        }
-      val price = dec(col("l_extendedprice"))
-      val omd = (lit(BigDecimal(1)) - dec(col("l_discount"))).cast("decimal(4,2)")
-      t(s, dir, "lineitem")
-        .filter(might)
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_suppkey"), col("s_name"))
-        .agg(count(lit(1)).as("n_items"),
-          sum((price * omd).cast("decimal(18,4)")).cast("double").as("revenue"))
-        .orderBy(col("s_suppkey"))
+      t(s, dir, "supplier").createOrReplaceTempView("graft_bp_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("graft_bp_nation")
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_bp_lineitem")
+      s.sql("""
+        WITH sup AS (
+          SELECT s_suppkey, s_name
+          FROM graft_bp_supplier
+          JOIN graft_bp_nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'),
+        bloom AS (
+          SELECT bloom_filter_agg(xxhash64(s_suppkey), 65536L) AS bf
+          FROM sup)
+        SELECT /*+ BROADCAST(sup) */ s_suppkey, s_name,
+               count(*) AS n_items,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - CAST(l_discount AS DECIMAL(18,2))
+                         AS DECIMAL(4,2))
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM graft_bp_lineitem
+        JOIN sup ON l_suppkey = s_suppkey
+        WHERE might_contain((SELECT bf FROM bloom), xxhash64(l_suppkey))
+        GROUP BY s_suppkey, s_name
+        ORDER BY s_suppkey""")
     },
     Some("""
       SELECT s_suppkey, s_name, count(*) AS n_items,

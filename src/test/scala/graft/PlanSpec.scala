@@ -105,15 +105,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
   }
 
-  test("bloom prune: dim broadcast, bloom probe filtering the fact scan") {
-    // the dim subplan resolves ONCE at query construction (collected —
-    // it is broadcast-small by design), so the final plan is just
-    // fact scan -> bloom-UDF filter -> broadcast join -> aggregate
+  test("bloom prune: dim broadcast, native might_contain probe filtering the fact scan") {
+    // build and probe are Spark's own bloom expressions (registered by
+    // GraftExtensions): the bloom aggregates executor-side and reaches
+    // the probe as a scalar-subquery result — no UDF, no driver key list
     val df = graft.queries.WarehouseQueries.qBloomPrune.run(spark, dir)
     val p = finalPlan(df)
     assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
     val f = formatted(df)
-    assert(f.contains("UDF"), s"bloom probe filter missing:\n$f")
+    assert(f.contains("might_contain"), s"bloom probe filter missing:\n$f")
+    assert(!f.contains("UDF"), s"bloom probe still a UDF:\n$f")
     assert(f.contains("PushedFilters: [IsNotNull(l_suppkey)]"),
       s"suppkey null filter not pushed to the fact scan:\n$f")
   }
