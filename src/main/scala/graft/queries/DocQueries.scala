@@ -146,18 +146,23 @@ object DocQueries {
     * in at least one near-dup pair; dup_group = component min doc_id.
     */
   /** [[dupGroups]] result cached per (session, canonicalized input
-    * plan) — both q_dedup_groups and q_corpus_clean need it and the
-    * propagation loop is the expensive part. The CANONICALIZED plan
-    * normalizes expression ids (a fresh `spark.read` per call mints new
-    * ones), so identical inputs actually hit; callers over mutable
-    * tables should re-read after appends/compactions so the relation's
-    * file listing (part of the canonical plan) changes the key.
+    * plan, input files) — both q_dedup_groups and q_corpus_clean need
+    * it and the propagation loop is the expensive part. The
+    * CANONICALIZED plan normalizes expression ids (a fresh
+    * `spark.read` per call mints new ones), so identical inputs
+    * actually hit — but its `toString` also erases the scan LOCATION,
+    * so two same-schema corpora would collide on plan text alone (a
+    * collision test in CurationSpec caught exactly that). The key
+    * therefore also carries the concrete input-file listing, which
+    * doubles as the append/compaction fingerprint: a rewritten table
+    * mints new part files and misses instead of serving stale groups.
     */
   private val groupsCache = new graft.engine.SessionKeyedCache[DataFrame]
 
   private[graft] def dupGroups(d: DataFrame): DataFrame =
     groupsCache.getOrElseUpdate(d.sparkSession,
-      d.queryExecution.analyzed.canonicalized.toString)(dupGroupsUncached(d))
+      d.queryExecution.analyzed.canonicalized.toString +
+        d.inputFiles.sorted.mkString("|"))(dupGroupsUncached(d))
 
   private def dupGroupsUncached(d: DataFrame): DataFrame = {
     val pairs = minhashCandidates(d)

@@ -12,6 +12,34 @@ import graft.sources.CsvTables
   */
 object MiscQueries {
 
+  /** Temp sink for the format round trips. Session-scoped path
+    * (concurrent sessions must not race on one shared dir — overwrite
+    * mode would delete a sibling run's files mid-read); the write runs
+    * ONCE per (session, path) — re-planning the query (e.g. the
+    * PlanSpec registry sweep) must not re-execute the write side
+    * effect — and the directory is removed at JVM exit, so repeated
+    * applications don't accumulate corpus-sized copies under tmpdir.
+    */
+  private val sinkOnce = new graft.engine.SessionKeyedCache[Unit]
+
+  private def tempSink(s: org.apache.spark.sql.SparkSession, tag: String)(
+      write: String => Unit): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_${tag}_${s.sparkContext.applicationId}"
+    sinkOnce.getOrElseUpdate(s, path) {
+      write(path)
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(new java.io.File(path))))
+    }
+    path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** S5+S6: ODS rows → `;`-delimited CSV with header → read back with the
     * declared schema. The oracle checks the round trip is lossless by
     * recomputing the same ODS straight from the raw JSON: any
@@ -20,12 +48,8 @@ object MiscQueries {
   val qCsvRoundtrip = QueryDef(
     "q_csv_roundtrip",
     (s, _) => {
-      // Session-scoped path: concurrent sessions must not race on one
-      // shared dir (overwrite mode would delete a sibling run's files
-      // mid-read); within a session the path is stable so re-runs reuse it.
-      val path = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_csv_roundtrip_${s.sparkContext.applicationId}"
-      CsvTables.writeOdsCsv(OdsBuilder.ingest(s), path)
+      val path = tempSink(s, "csv_roundtrip")(p =>
+        CsvTables.writeOdsCsv(OdsBuilder.ingest(s), p))
       CsvTables.readOdsCsv(s, path)
         .orderBy(col("source_date"), col("country"), col("song_rank"))
     },
@@ -44,11 +68,10 @@ object MiscQueries {
   val qJsonlRoundtrip = QueryDef(
     "q_jsonl_roundtrip",
     (s, _) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_jsonl_roundtrip_${s.sparkContext.applicationId}"
-      OdsBuilder.ingest(s)
-        .select(CsvTables.odsCsvSchema.fieldNames.toIndexedSeq.map(col): _*)
-        .write.mode("overwrite").json(path)
+      val path = tempSink(s, "jsonl_roundtrip")(p =>
+        OdsBuilder.ingest(s)
+          .select(CsvTables.odsCsvSchema.fieldNames.toIndexedSeq.map(col): _*)
+          .write.mode("overwrite").json(p))
       s.read.schema(CsvTables.odsCsvSchema).json(path)
         .orderBy(col("source_date"), col("country"), col("song_rank"))
     },
@@ -136,11 +159,9 @@ object MiscQueries {
   val qOrcRoundtrip = QueryDef(
     "q_orc_roundtrip",
     (s, _) => {
-      // Session-scoped path, same reasoning as the CSV round trip.
-      val path = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_orc_roundtrip_${s.sparkContext.applicationId}"
       val ods = OdsBuilder.ingest(s)
-      ods.write.mode("overwrite").orc(path)
+      val path = tempSink(s, "orc_roundtrip")(p =>
+        ods.write.mode("overwrite").orc(p))
       s.read.schema(ods.schema).orc(path)
         .orderBy(col("source_date"), col("country"), col("song_rank"))
     },
@@ -164,12 +185,14 @@ object MiscQueries {
   val qTextRoundtrip = QueryDef(
     "q_text_roundtrip",
     (s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_text_roundtrip_${s.sparkContext.applicationId}"
-      t(s, dir, "documents")
-        .select(concat_ws("\t", col("doc_id").cast("string"), col("text"))
-          .as("value"))
-        .write.mode("overwrite").text(path)
+      // unlike the fixture-driven ODS round trips, the payload here is
+      // dir-dependent — the sink key (and path) must carry the corpus
+      val path = tempSink(s,
+        s"text_roundtrip_${Integer.toHexString(dir.hashCode)}")(p =>
+        t(s, dir, "documents")
+          .select(concat_ws("\t", col("doc_id").cast("string"), col("text"))
+            .as("value"))
+          .write.mode("overwrite").text(p))
       s.read.text(path)
         .select(split(col("value"), "\t", 2).as("parts"))
         .filter(size(col("parts")) === 2)

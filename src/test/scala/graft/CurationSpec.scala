@@ -105,4 +105,25 @@ class CurationSpec extends AnyFunSuite {
     assert(leaks(naive) > 0L,
       "the id-hash split leaks near-dups on this corpus (the operator's point)")
   }
+
+  test("dup-groups cache: two different corpora in one session never collide") {
+    import org.apache.spark.sql.functions.col
+    // Same schema, same row count, different content — if the cache
+    // keyed on anything weaker than the canonicalized input plan (or
+    // normalized away the file listing), corpus B would be served
+    // corpus A's components.
+    val longA = Array.fill(40)("alpha shared phrase tokens").mkString(" ")
+    val longB = Array.fill(40)("beta other corpus wording").mkString(" ")
+    val dirA = docsDir(Seq(
+      (0L, longA), (1L, longA), (2L, "unrelated filler words only")))
+    val dirB = docsDir(Seq(
+      (5L, longB), (6L, longB), (7L, "more unrelated filler text")))
+    def groups(dir: String): Set[(Long, Long)] =
+      graft.queries.DocQueries.dupGroups(
+        spark.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("dup_group"))
+        .as[(Long, Long)].collect().toSet
+    assert(groups(dirA) === Set((0L, 0L), (1L, 0L)))
+    assert(groups(dirB) === Set((5L, 5L), (6L, 5L)))
+  }
 }
