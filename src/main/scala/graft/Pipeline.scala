@@ -103,6 +103,29 @@ object Pipeline {
       Seq("date", "artist_name"), "date")
   }
 
+  /** Optional relational landing for the day's marts — the reference's
+    * Postgres contract (`transformed_from_s3_to_pg.py:143-152`) behind
+    * any JDBC url ([[engine.JdbcSink]]). Parquet stays the system of
+    * record; this publishes the three date-scoped mart slices out to a
+    * row store (BI/serving), idempotently per date — replaying a day
+    * replaces its rows instead of duplicating them (the reference's raw
+    * INSERTs duplicate on re-run; SURVEY §7.4.5).
+    */
+  def publishMartsJdbc(spark: SparkSession, warehouse: String, url: String,
+      date: String,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val d = java.sql.Date.valueOf(date)
+    Seq(
+      martAvgPath(warehouse) -> "dm_avg_song_duration_by_country",
+      martAppearancesPath(warehouse) -> "dm_artist_appearances_by_date",
+      martRoyaltiesPath(warehouse) -> "dm_expected_artist_royalties_by_date")
+      .foreach { case (path, table) =>
+        val slice = spark.read.parquet(path)
+          .filter(col("date") === lit(date).cast("date"))
+        graft.engine.JdbcSink.publishMart(slice, url, table, "date", d, props)
+      }
+  }
+
   /** Catch-up driver: run every landed date the warehouse hasn't FULLY
     * processed yet, oldest first (dims must grow in day order for stable
     * ids — the reference's `catchup=False` simply loses missed days;

@@ -22,12 +22,19 @@ object RawFeed {
   val defaultCountries: Seq[String] =
     Seq("Russian Federation", "United States", "Kazakhstan")
 
+  /** Endpoint per `raw_from_api_to_s3.py:21` — overridable so the
+    * integration test can point the REAL transport at a local stub
+    * server (the zero-egress harness never reaches the live host).
+    */
+  val defaultBase = "https://ws.audioscrobbler.com/2.0/"
+
   /** Request URL shape per `raw_from_api_to_s3.py:21-44` (method,
     * country, limit=100, json format).
     */
-  def requestUrl(country: String, apiKey: String): String = {
+  def requestUrl(country: String, apiKey: String,
+      base: String = defaultBase): String = {
     val c = java.net.URLEncoder.encode(country, "UTF-8")
-    "https://ws.audioscrobbler.com/2.0/?method=geo.gettoptracks" +
+    s"$base?method=geo.gettoptracks" +
       s"&country=$c&limit=100&api_key=$apiKey&format=json"
   }
 
@@ -54,11 +61,12 @@ object RawFeed {
     * overwrites in place (`replace=True`, `raw_from_api_to_s3.py:54`).
     */
   def land(fetch: Fetch, apiKey: String, root: String, date: String,
-      countries: Seq[String] = defaultCountries): Seq[Path] = {
+      countries: Seq[String] = defaultCountries,
+      base: String = defaultBase): Seq[Path] = {
     val dir = Paths.get(root, date)
     Files.createDirectories(dir)
     countries.map { c =>
-      val body = fetch(requestUrl(c, apiKey))
+      val body = fetch(requestUrl(c, apiKey, base))
       Files.writeString(dir.resolve(s"${c}_$date.json"), body)
     }
   }
