@@ -31,8 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the bench session executes 120+ plans on local[32]
+  // 24g default: the bench session executes 150+ plans on local[32]
   // with session-cached leaves — at 8g the tail queries pay GC, not
-  // compute (observed 0.6s->3.2s swings on re-runs). Host has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // compute (observed 0.6s->3.2s swings on re-runs), and at 16g the
+  // suite-wide GC tax was still ~0.3s/query. Host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

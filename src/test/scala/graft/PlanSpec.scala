@@ -149,15 +149,15 @@ class PlanSpec extends AnyFunSuite {
     // A WindowExec with an empty partition spec funnels its whole input
     // through ONE task — the canonical scale-killer. Global rank/cumsum/
     // ntile run through engine.DistributedRank instead (two-phase
-    // range-partitioned). Allowed exception: q_benford_audit's share
-    // denominator, a global window over a ≤9-row digit aggregate.
+    // range-partitioned); bounded-aggregate windows (q_benford_audit's
+    // ≤9-row share denominator) carry an explicit constant partition
+    // key, so NO query in the registry is exempt from this gate.
     // Iterative/bounded-validator queries are skipped as in the
     // cartesian gate below.
     val skip = Set("q_ngram_jaccard", "q_containment",
       "q_dedup_groups", "q_corpus_clean", "q_split_leakproof")
-    val boundedInput = Set("q_benford_audit")
     SparkEntry.registry
-      .filterNot(q => skip(q.name) || boundedInput(q.name)).foreach { q =>
+      .filterNot(q => skip(q.name)).foreach { q =>
         val plan = q.run(spark, dir).queryExecution.sparkPlan
         val bad = plan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
