@@ -141,9 +141,18 @@ object Pipeline {
     * where poison shows up, so routing it to quarantine instead of
     * aborting every later date is usually what you want. Returns the
     * dates actually run.
+    *
+    * `retries` > 0 re-runs a failed date through [[graft.engine.Retry]]
+    * (the reference's 5×5-min per-task policy,
+    * `dags/raw_from_api_to_s3.py:58-62`) — safe because every write in
+    * [[runDaily]] is an idempotent upsert/overwrite; `retrySleep` is
+    * injectable for tests. Default stays 0: interactive callers usually
+    * want the failure NOW, unattended schedulers opt in.
     */
   def backfill(spark: SparkSession, landingRoot: String,
-      warehouse: String, checked: Boolean = false): Seq[String] = {
+      warehouse: String, checked: Boolean = false, retries: Int = 0,
+      retryDelayMs: Long = graft.engine.Retry.DefaultDelayMs,
+      retrySleep: Long => Unit = Thread.sleep): Seq[String] = {
     val datePat = "\\d{4}-\\d{2}-\\d{2}".r
     val conf = spark.sparkContext.hadoopConfiguration
     def ls(path: String): Seq[String] = {
@@ -162,7 +171,11 @@ object Pipeline {
       .filter(_.startsWith("date="))
       .map(_.stripPrefix("date="))
     val todo = (landed.toSet -- done.toSet).toSeq.sorted
-    todo.foreach(runDaily(spark, landingRoot, warehouse, _, checked))
+    todo.foreach { date =>
+      graft.engine.Retry.withRetries(
+        attempts = retries + 1, delayMs = retryDelayMs, sleep = retrySleep)(
+        runDaily(spark, landingRoot, warehouse, date, checked))
+    }
     todo
   }
 

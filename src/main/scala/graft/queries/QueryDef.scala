@@ -25,6 +25,18 @@ object QueryDef {
     * rounded and therefore bit-identical between Spark and DuckDB, which
     * makes the driver's value-hash comparison deterministic. Raw column
     * pass-through (no arithmetic) is always safe.
+    *
+    * Overflow discipline (review gate for every new query — the round-6
+    * Gini/lift/ABC lesson): any integer PRODUCT whose factors both scale
+    * with the data (rank×value, count×count, cum×percent) goes
+    * DECIMAL(38,0) on the Spark side and HUGEINT in the oracle FROM DAY
+    * ONE — `SUM(CAST(i AS HUGEINT) * x)`, not `SUM(i * x)`, because the
+    * per-row product overflows BIGINT before any wider accumulator sees
+    * it. Running SUMS of data-scaled values use `Math.addExact` /
+    * ANSI-mode addition so a wrap is loud, never silent. A product of
+    * one data-scaled factor and one BOUNDED factor (×100 for percent,
+    * ×weights ≤ 1e4) needs only the headroom of the bound — document
+    * the bound at the call site.
     */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 
