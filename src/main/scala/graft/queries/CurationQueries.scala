@@ -400,19 +400,33 @@ object CurationQueries {
     * plateaus) and the percentile is `(rk−1)/(n−1)` — two integers, one
     * final double division, identical in both engines.
     *
-    * Scale: one window and one count, both partitioned by source —
-    * a single shuffle keyed on the column the pipeline already
-    * partitions by.
+    * Scale: `source` has a handful of distinct values, so ranking the
+    * raw table `PARTITION BY source` would funnel the whole corpus
+    * through a few tasks — the rank is decomposed instead: a cumulative
+    * count over the per-(source, n_chars) HISTOGRAM (window input
+    * |distinct scores|, not |docs|) gives each score value its rank
+    * offset, and the doc_id tie-break ranks only WITHIN one (source,
+    * n_chars) bucket — a fine-grained, data-scaled partition key that
+    * shares its shuffle with the histogram join. No operator sees a
+    * near-global partition; the output is still one row per document.
     */
   val qQuantileNormalize = QueryDef(
     "q_quantile_normalize",
     (s, dir) => {
-      val bySource = Window.partitionBy(col("source"))
-      val w = bySource.orderBy(col("n_chars"), col("doc_id"))
-      t(s, dir, "documents")
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(bySource))
+      val bySource = Window.partitionBy(col("source"))
+      val hist = d.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before",
+          sum(col("cnt")).over(bySource.orderBy(col("n_chars"))) - col("cnt"))
+        .withColumn("n", sum(col("cnt")).over(bySource))
+        .select(col("source"), col("n_chars"), col("cum_before"), col("n"))
+      val inBucket = Window.partitionBy(col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      d.join(hist, Seq("source", "n_chars"))
+        .withColumn("rk",
+          col("cum_before") + row_number().over(inBucket).cast("long"))
         .select(col("doc_id"), col("source"), col("n_chars"),
           when(col("n") === 1, lit(0.0))
             .otherwise((col("rk") - 1).cast("double") / (col("n") - 1))

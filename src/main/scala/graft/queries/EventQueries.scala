@@ -144,17 +144,21 @@ object EventQueries {
     * unlike mean/stddev, is not dragged by the outliers it is hunting.
     *
     * Hash-match discipline: values travel as exact integer cents and
-    * both medians are DISCRETE order statistics — the element at
-    * row_number (n+1)/2 of the per-type sort (lower median, pure
-    * integer selection) — so no engine-specific quantile interpolation
-    * ever runs; every output column is BIGINT.
+    * both medians are DISCRETE order statistics — the element at sorted
+    * position (n+1)/2 of the per-type sort (lower median, pure integer
+    * selection) — so no engine-specific quantile interpolation ever
+    * runs; every output column is BIGINT.
     *
-    * Scale: two rank windows and the final aggregate all partition by
-    * event_type — one shuffle key end to end. Window input is the event
-    * set itself; for a 100 TB stream the same statistic comes from the
-    * q_winsorize route (rank stats over DISTINCT values + counts),
-    * which this query deliberately complements with the simpler
-    * exact-per-row form.
+    * Scale (the q_winsorize route): event_type has a HANDFUL of
+    * distinct values, so a fact-sized window partitioned by it is a
+    * near-global funnel — instead the fact collapses ONCE into the
+    * per-(type, cents) histogram (map-side combinable shuffle) and
+    * every order statistic after that runs over histogram-sized input:
+    * the median is the value whose cumulative count spans position
+    * (n+1)/2, deviations re-histogram the HISTOGRAM (|values| rows,
+    * not |fact|), and the outlier count is a cnt-weighted sum. The
+    * fact is scanned exactly once, and no operator after the first
+    * shuffle touches more than |distinct values| rows per type.
     */
   val qMadOutliers = QueryDef(
     "q_mad_outliers",
@@ -163,20 +167,31 @@ object EventQueries {
         .select(col("event_type"),
           (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
       val byType = Window.partitionBy(col("event_type"))
-      def lowerMedian(d: DataFrame, c: String, out: String): DataFrame = d
-        .withColumn("rn", row_number().over(byType.orderBy(col(c))))
-        .withColumn("n", count(lit(1)).over(byType))
-        .filter(col("rn") === call_function("div", col("n") + 1, lit(2L)))
-        .select(col("event_type"), col(c).as(out))
-      val med = lowerMedian(v, "cents", "med_cents")
-      val dev = v.join(broadcast(med), Seq("event_type"))
-        .select(col("event_type"), abs(col("cents") - col("med_cents")).as("ad"))
-      val mad = lowerMedian(dev, "ad", "mad_cents")
-      dev.join(broadcast(med), Seq("event_type"))
+      // lower median of a cnt-weighted histogram: the value whose
+      // cumulative count first reaches position (n+1) div 2
+      def histMedian(hist: DataFrame, c: String, out: String): DataFrame = {
+        val cum = sum(col("cnt")).over(byType.orderBy(col(c)))
+        val pos = call_function("div",
+          sum(col("cnt")).over(byType) + 1, lit(2L))
+        hist.select(col("event_type"), col(c), col("cnt"),
+          cum.as("cum"), pos.as("pos"))
+          .filter(col("cum") - col("cnt") < col("pos") &&
+            col("pos") <= col("cum"))
+          .select(col("event_type"), col(c).as(out))
+      }
+      val hist = v.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = histMedian(hist, "cents", "med_cents")
+      val devHist = hist.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"),
+          abs(col("cents") - col("med_cents")).as("ad"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val mad = histMedian(devHist, "ad", "mad_cents")
+      devHist.join(broadcast(med), Seq("event_type"))
         .join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"), col("med_cents"), col("mad_cents"))
-        .agg(sum(when(col("ad") > lit(3L) * col("mad_cents"), 1L).otherwise(0L))
-          .as("n_outliers"),
+        .agg(sum(when(col("ad") > lit(3L) * col("mad_cents"), col("cnt"))
+          .otherwise(0L)).as("n_outliers"),
           max(col("ad")).as("max_abs_dev"))
         .orderBy(col("event_type"))
     },
