@@ -359,14 +359,16 @@ object AnalyticQueries {
     * hash-stable under any partial-aggregation order (an interpolated
     * bound would inject an order-sensitive double into the sum).
     *
-    * Shape: the fact first collapses to DISTINCT (group, cents) rows
-    * with multiplicities (a map-side-combining hash aggregate), so the
-    * rank window — necessarily partitioned by the 6-value group key —
-    * sorts only the distinct price values per group, not the fact
-    * itself; value-at-rank is then "smallest value whose cumulative
-    * count reaches the rank". A 6-row bounds table broadcasts back onto
-    * the fact for one final hash aggregate. At 100 TB the window input
-    * stays |distinct prices|, orders of magnitude below |fact|.
+    * Shape: the p05/p95 bounds come from
+    * [[graft.engine.GroupedQuantiles]] — two-phase histogram
+    * refinement, where every shuffle is histogram-sized (coarse
+    * buckets, then per-value counts inside the one boundary bucket per
+    * quantile). The round-5 form ranked DISTINCT (group, cents) values,
+    * but prices are near-continuous, so |distinct values| is within a
+    * constant of |fact| — measured 2.1 s of the old 2.7 s was that
+    * distinct-shuffle+window. Now nothing fact-sized shuffles at all;
+    * the 6-row bounds table broadcasts back onto the fact for one
+    * final hash aggregate.
     */
   val qWinsorize = QueryDef(
     "q_winsorize",
@@ -375,24 +377,10 @@ object AnalyticQueries {
         .cast("bigint")
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"), cents.as("cents"))
-      val byValue = li.groupBy(col("l_returnflag"), col("l_linestatus"),
-        col("cents")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
-        .orderBy(col("cents"))
-      // cumulative multiplicity = rank of the value's LAST occurrence;
-      // no ties (cents is distinct within the group), so the frame is
-      // exact
-      val cum = byValue
-        .withColumn("cum_n", sum(col("cnt")).over(w))
-        .withColumn("n", sum(col("cnt")).over(
-          Window.partitionBy(col("l_returnflag"), col("l_linestatus"))))
-      val bounds = cum
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          min(when(col("cum_n") >= call_function("div", col("n") * 5 + 99, lit(100L)),
-            col("cents"))).as("lo"),
-          min(when(col("cum_n") >= call_function("div", col("n") * 95 + 99, lit(100L)),
-            col("cents"))).as("hi"))
+      val bounds = graft.engine.GroupedQuantiles.valueAtRanks(li,
+        Seq("l_returnflag", "l_linestatus"), "cents",
+        Seq(graft.engine.GroupedQuantiles.Q("lo", 5, 100),
+          graft.engine.GroupedQuantiles.Q("hi", 95, 100)))
       val clamped = least(greatest(col("cents"), col("lo")), col("hi"))
       li.join(broadcast(bounds), Seq("l_returnflag", "l_linestatus"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.GroupedQuantiles
+import graft.engine.GroupedQuantiles.Q
+
+/** The histogram-refinement quantiles must agree EXACTLY with the
+  * brute-force definition (sort the group, take element at rank
+  * ceil(n·num/den)) — on uniform data, heavy skew, negatives straddling
+  * bucket boundaries, and bucket widths small enough to force real
+  * multi-bucket refinement.
+  */
+class GroupedQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val qs = Seq(Q("p05", 5, 100), Q("p50", 50, 100), Q("p95", 95, 100))
+
+  private def bruteForce(rows: Seq[(String, Long)]): Map[(String, String), Long] =
+    rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.size.toLong
+      qs.map { q =>
+        val rank = (n * q.num + q.den - 1) / q.den
+        (g, q.out) -> sorted((rank - 1).toInt)
+      }
+    }
+
+  private def check(rows: Seq[(String, Long)], width: Long): Unit = {
+    val df = rows.toDF("grp", "v")
+    val got = GroupedQuantiles
+      .valueAtRanks(df, Seq("grp"), "v", qs, bucketWidth = width)
+      .collect()
+      .flatMap(r => qs.map(q => (r.getString(0), q.out) -> r.getAs[Long](q.out)))
+      .toMap
+    assert(got == bruteForce(rows))
+  }
+
+  test("matches brute force on uniform-ish data across groups") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (g <- Seq("a", "b", "c"); _ <- 1 to 500)
+      yield (g, rnd.nextLong() % 100000)
+    check(rows, 1L << 8)
+  }
+
+  test("heavy skew: one value dominating a group stays one histogram row") {
+    val rows = Seq.fill(10000)(("s", 42L)) ++
+      (1 to 300).map(i => ("s", i * 1000L)) ++
+      (1 to 100).map(i => ("t", i.toLong))
+    check(rows, 1L << 4)
+  }
+
+  test("negative values bucket correctly (arithmetic shift = floor div)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 1000).map(_ => ("n", rnd.nextLong() % 500 - 250))
+    check(rows, 1L << 3)
+  }
+
+  test("tiny width forces refinement across many buckets; ranks at edges") {
+    // n=1 group: every quantile is the single element
+    val rows = (1 to 997).map(i => ("e", i.toLong * 7)) ++ Seq(("one", 5L))
+    check(rows, 2L)
+  }
+
+  test("rejects non-power-of-two widths and bad fractions") {
+    val df = Seq(("a", 1L)).toDF("grp", "v")
+    intercept[IllegalArgumentException] {
+      GroupedQuantiles.valueAtRanks(df, Seq("grp"), "v", qs, bucketWidth = 100)
+    }
+    intercept[IllegalArgumentException] { Q("bad", 0, 100) }
+    intercept[IllegalArgumentException] { Q("bad", 101, 100) }
+  }
+}
