@@ -53,9 +53,59 @@ object GroupedQuantiles {
     */
   def valueAtRanks(df: DataFrame, groupCols: Seq[String], valueCol: String,
       qs: Seq[Q], bucketWidth: Long = 1L << 16): DataFrame = {
-    require(groupCols.nonEmpty, "need at least one group column")
     require(qs.nonEmpty, "need at least one quantile")
-    require(qs.map(_.out).distinct.size == qs.size, "duplicate out names")
+    atRanks(df, groupCols, valueCol,
+      qs.map(q => q.out -> ((n: Column) =>
+        call_function("div", n * q.num + (q.den - 1), lit(q.den)))),
+      bucketWidth)
+      .drop("__gq_n")
+  }
+
+  /** Linearly INTERPOLATED quantiles — the `percentile`/`quantile_cont`
+    * definition (`pos = p·(n−1)`, value = v⌊pos⌋ + frac·(v⌊pos⌋₊₁ −
+    * v⌊pos⌋), both indices 0-based) — computed with the same
+    * histogram-refinement passes instead of the built-in `percentile`
+    * aggregate, whose buffer is a per-group value→count map held in ONE
+    * reducer (executor-memory-bound for near-continuous measures).
+    * The position/fraction arithmetic deliberately replicates the
+    * engines' own double formula (p·(n−1), floor, v_lo + Δ·frac), so
+    * results are bit-identical to Spark `percentile` AND DuckDB
+    * `quantile_cont` on the same data. Output columns are DOUBLE.
+    */
+  def interpolated(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      probs: Seq[(String, Double)],
+      bucketWidth: Long = 1L << 16): DataFrame = {
+    require(probs.nonEmpty, "need at least one probability")
+    require(probs.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      "probabilities must be in [0, 1]")
+    // 1-based ranks of the two straddling order statistics; hi capped
+    // at n so frac = 0 degenerates to the exact element.
+    def pos(p: Double)(n: Column): Column = lit(p) * (n - 1).cast("double")
+    val ranks = probs.flatMap { case (out, p) =>
+      Seq(s"__lo_$out" -> ((n: Column) =>
+        floor(pos(p)(n)).cast("long") + 1L),
+        s"__hi_$out" -> ((n: Column) =>
+          least(floor(pos(p)(n)).cast("long") + 2L, n)))
+    }
+    val at = atRanks(df, groupCols, valueCol, ranks, bucketWidth)
+    val outCols = probs.map { case (out, p) =>
+      val fr = pos(p)(col("__gq_n")) - floor(pos(p)(col("__gq_n")))
+      (col(s"__lo_$out").cast("double") +
+        (col(s"__hi_$out") - col(s"__lo_$out")).cast("double") * fr).as(out)
+    }
+    at.select(groupCols.map(col) ++ outCols: _*)
+  }
+
+  /** Core: exact value at caller-supplied 1-based ranks (each a
+    * function of the group's row count n). Output: one row per group,
+    * `groupCols ++ rank names ++ __gq_n` (the group row count, for
+    * callers that post-process with it).
+    */
+  private def atRanks(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ranks: Seq[(String, Column => Column)],
+      bucketWidth: Long): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(ranks.map(_._1).distinct.size == ranks.size, "duplicate out names")
     require(bucketWidth >= 2 && (bucketWidth & (bucketWidth - 1)) == 0,
       s"bucketWidth must be a power of two >= 2, got $bucketWidth")
     val shift = java.lang.Long.numberOfTrailingZeros(bucketWidth)
@@ -63,28 +113,26 @@ object GroupedQuantiles {
     val v = col(valueCol)
     val byGroup = Window.partitionBy(g: _*)
 
-    // Phase 1: coarse histogram + per-quantile boundary bucket.
+    // Phase 1: coarse histogram + per-rank boundary bucket.
     val hist = df.select(g :+ shiftright(v, shift).as("__bucket"): _*)
       .groupBy((g :+ col("__bucket")): _*).agg(count(lit(1)).as("__cnt"))
       .withColumn("__cum", sum(col("__cnt")).over(byGroup.orderBy(col("__bucket"))))
       .withColumn("__n", sum(col("__cnt")).over(byGroup))
-    // rank = ceil(n*num/den) in integer math; the boundary bucket is the
-    // SMALLEST bucket whose cumulative count reaches it. min over a
-    // (bucket, before) struct picks that bucket and carries the count
-    // mass before it in the same aggregate.
-    def rank(q: Q): Column =
-      call_function("div", col("__n") * q.num + (q.den - 1), lit(q.den))
-    val boundaryCols = qs.map { q =>
-      min(when(col("__cum") >= rank(q),
+    // The boundary bucket is the SMALLEST bucket whose cumulative count
+    // reaches the rank. min over a (bucket, before) struct picks that
+    // bucket and carries the count mass before it in the same aggregate.
+    val boundaryCols = ranks.map { case (out, rankOf) =>
+      val r = rankOf(col("__n"))
+      min(when(col("__cum") >= r,
         struct(col("__bucket"), (col("__cum") - col("__cnt")).as("__before"),
-          rank(q).as("__rank")))).as(q.out)
-    }
+          r.as("__rank")))).as(out)
+    } :+ max(col("__n")).as("__gq_n")
     val perGroup = hist.groupBy(g: _*).agg(boundaryCols.head, boundaryCols.tail: _*)
-    // One row per (group, quantile): boundary bucket + rank within it.
+    // One row per (group, rank): boundary bucket + rank within it.
     val boundaries = perGroup.select(
-      g :+ explode(array(qs.map { q =>
-        struct(lit(q.out).as("__q"), col(q.out).getField("__bucket").as("__bucket"),
-          (col(q.out).getField("__rank") - col(q.out).getField("__before"))
+      g :+ explode(array(ranks.map { case (out, _) =>
+        struct(lit(out).as("__q"), col(out).getField("__bucket").as("__bucket"),
+          (col(out).getField("__rank") - col(out).getField("__before"))
             .as("__local"))
       }: _*)).as("__b"): _*)
       .select(g ++ Seq(col("__b.__q"), col("__b.__bucket"), col("__b.__local")): _*)
@@ -102,6 +150,7 @@ object GroupedQuantiles {
         col("__local") <= col("__cum"))
       .select(g ++ Seq(col("__q"), col("__v")): _*)
 
-    refined.groupBy(g: _*).pivot("__q", qs.map(_.out)).agg(first(col("__v")))
+    refined.groupBy(g: _*).pivot("__q", ranks.map(_._1)).agg(first(col("__v")))
+      .join(perGroup.select(g :+ col("__gq_n"): _*), groupCols)
   }
 }

@@ -211,19 +211,27 @@ object ExtQueries {
       FROM events WHERE user_id < 20
       GROUP BY user_id ORDER BY user_id"""))
 
-  /** Exact percentiles (sort-based, not sketched): Spark `percentile`
-    * and DuckDB `quantile_cont` share the (n-1)*p linear-interpolation
-    * definition, and on exact integer cents the doubles agree bitwise.
+  /** Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
+    * share the (n-1)*p linear-interpolation definition, and on exact
+    * integer cents the doubles agree bitwise.
+    *
+    * Scale: computed via [[graft.engine.GroupedQuantiles.interpolated]]
+    * (histogram refinement, same double formula) rather than the
+    * built-in `percentile` aggregate, whose buffer is a per-group
+    * value→count map materialized in ONE reducer — for near-continuous
+    * cents that map scales with the data, an executor-memory hazard
+    * the histogram passes never hit.
     */
   val qPercentiles = QueryDef(
     "q_percentiles",
     (s, dir) => {
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
-      t(s, dir, "events")
-        .select(col("event_type"), cents.as("c"))
-        .groupBy(col("event_type"))
-        .agg((expr("percentile(c, 0.5d)") / 100).as("p50_value"),
-          (expr("percentile(c, 0.9d)") / 100).as("p90_value"))
+      graft.engine.GroupedQuantiles.interpolated(
+        t(s, dir, "events").select(col("event_type"), cents.as("c")),
+        Seq("event_type"), "c", Seq("p50" -> 0.5, "p90" -> 0.9))
+        .select(col("event_type"),
+          (col("p50") / 100).as("p50_value"),
+          (col("p90") / 100).as("p90_value"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -325,7 +333,10 @@ object ExtQueries {
     * percentile report a supply chain reads daily. Day lags are exact
     * integers from calendar-date differences; the percentiles ride the
     * same exact-integer `percentile`/`quantile_cont` parity as
-    * q_percentiles.
+    * q_percentiles, via the same
+    * [[graft.engine.GroupedQuantiles.interpolated]] histogram passes
+    * (day lags are a bounded domain, but the histogram form costs the
+    * same and never buffers a per-group value map in one reducer).
     *
     * Scale: the one join is fact-to-fact but equi-keyed on orderkey —
     * with both tables bucketed by orderkey (engine/Bucketing) it is
@@ -340,14 +351,17 @@ object ExtQueries {
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"),
           to_date(col("l_shipdate")).as("sd"))
-      l.join(o, Seq("o_orderkey"))
+      val lags = l.join(o, Seq("o_orderkey"))
         .select(col("o_orderpriority"),
           datediff(col("sd"), col("od")).cast("long").as("lag_days"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_lines"),
-          expr("percentile(lag_days, 0.5d)").as("p50_days"),
-          expr("percentile(lag_days, 0.95d)").as("p95_days"),
-          max(col("lag_days")).as("max_days"))
+      val pct = graft.engine.GroupedQuantiles.interpolated(lags,
+        Seq("o_orderpriority"), "lag_days",
+        Seq("p50_days" -> 0.5, "p95_days" -> 0.95), bucketWidth = 1L << 6)
+      lags.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), max(col("lag_days")).as("max_days"))
+        .join(broadcast(pct), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_lines"),
+          col("p50_days"), col("p95_days"), col("max_days"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""

@@ -63,6 +63,26 @@ class GroupedQuantilesSpec extends AnyFunSuite {
     check(rows, 2L)
   }
 
+  test("interpolated is bit-identical to Spark's percentile aggregate") {
+    val rnd = new scala.util.Random(21)
+    val rows = (for (g <- Seq("a", "b"); _ <- 1 to 700)
+      yield (g, rnd.nextLong() % 10000)) ++
+      Seq.fill(5000)(("skew", 7L)) ++ (1 to 40).map(i => ("skew", i * 13L)) ++
+      Seq(("one", -3L))
+    val df = rows.toDF("grp", "v")
+    val expected = df.groupBy("grp")
+      .agg(expr("percentile(v, 0.5d)").as("p50"),
+        expr("percentile(v, 0.9d)").as("p90"),
+        expr("percentile(v, 1.0d)").as("p100"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = GroupedQuantiles.interpolated(df, Seq("grp"), "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0), bucketWidth = 1L << 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == expected) // == on doubles: bit-identical, no tolerance
+  }
+
   test("rejects non-power-of-two widths and bad fractions") {
     val df = Seq(("a", 1L)).toDF("grp", "v")
     intercept[IllegalArgumentException] {
