@@ -29,8 +29,20 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+      raw(spark, sfDir, name)
         .withColumn("ts",
           timestamp_micros(call_function("div", col("ts"), lit(1000L))))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else raw(spark, sfDir, name)
+
+  /** The table WITHOUT the events ts conversion (`ts` stays the raw
+    * int64) — for tooling that copies/rewrites table files
+    * ([[graft.tools.Soak]]): a rewritten events file keeps an integer
+    * `ts` column, which [[t]]'s explicit LongType schema reads from
+    * either the original NANOS file or a rewritten BIGINT one.
+    */
+  private[graft] def raw(spark: SparkSession, sfDir: String,
+      name: String): DataFrame =
+    if (name == "events")
+      spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 }

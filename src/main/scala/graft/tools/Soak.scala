@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling soak (dev tool, like [[graft.Plans]]): materializes k×
+  * key-shifted self-unions of the fact tables and re-runs the
+  * scale-sensitive registered queries at each multiplier, so "would
+  * this plan survive a scale-up" is a measured curve, not a claim.
+  * Entity keys are shifted per copy (copy i adds i·10¹⁰), so the data
+  * scales in ENTITIES — k× parts, k× orders, k× users — the axis that
+  * grows in production, not just k× duplicate rows per key.
+  *
+  * Run: `sbt "runMain graft.tools.Soak /root/testdata/sf0.1 1,4,16"`.
+  * Results land as one line per (k, query): `k query seconds`.
+  * Recorded runs: SCALE.md §Measured scaling.
+  */
+object Soak {
+
+  /** Queries whose plans carry the round-7 scale machinery plus two
+    * plain-aggregate baselines for reference slope.
+    */
+  private val queries = Seq(
+    "q1_pricing_summary",     // baseline: scan + hash agg
+    "q6_forecast_revenue",    // baseline: filter + agg, near-zero slope
+    "q_winsorize",            // GroupedQuantiles valueAtRanks
+    "q_percentiles",          // GroupedQuantiles interpolated
+    "q_mad_outliers",         // histogram medians/MAD
+    "q_quantile_normalize",   // histogram rank decomposition
+    "q_abc_classification",   // DistributedRank cumsum + total
+    "q_histogram_equidepth")  // DistributedRank ntile
+
+  private val Shift = 10_000_000_000L
+
+  private def scaled(df: DataFrame, k: Int, keys: Seq[String]): DataFrame =
+    (0 until k).map { i =>
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Shift)))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val ks = args(1).split(",").map(_.trim.toInt)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val byName = graft.SparkEntry.registry.map(q => q.name -> q).toMap
+    // entity-key shifts per table; unlisted tables copy through as-is
+    val shiftKeys = Map(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"))
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    ks.foreach { k =>
+      val dir = s"/tmp/graft_soak/x$k"
+      tables.foreach { tbl =>
+        // raw: the events ts column must stay int64 through the rewrite
+        val base = graft.engine.Tables.raw(spark, sfDir, tbl)
+        val out = shiftKeys.get(tbl).fold(base)(scaled(base, k, _))
+        out.write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
+      }
+      queries.foreach { name =>
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          byName(name).run(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run() // warm
+        System.gc()
+        println(f"$k%4d $name%-24s ${math.min(run(), run())}%.2f")
+      }
+    }
+    spark.stop()
+  }
+}
