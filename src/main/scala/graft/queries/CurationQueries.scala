@@ -235,17 +235,34 @@ object CurationQueries {
     * enumeration — the classic all-pairs trap — and every join is
     * equi-keyed on (bucket, rank): hash joins end to end, the bucket
     * count is the only broadcast.
+    *
+    * Scale: [[NegBuckets]] is a small constant, so ranking members
+    * `PARTITION BY bucket` directly would funnel n/32 docs through one
+    * task — the rank is decomposed (the q_quantile_normalize pattern):
+    * a cumulative count over the (bucket, doc_id-block) histogram
+    * gives each block its rank offset, and the window ranks only
+    * WITHIN one (bucket, block) — a data-scaled partition key. Rank
+    * values are identical to the direct form (doc_id order per
+    * bucket), so the oracle is unchanged.
     */
   val qNegativeSample = QueryDef(
     "q_negative_sample",
     (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val bucketed = docs.select(col("doc_id"),
-        (h44(col("doc_id").cast("string")) % NegBuckets).as("bucket"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bucket")).orderBy(col("doc_id"))
-      val members = bucketed
-        .withColumn("rnk", row_number().over(w).cast("long") - 1)
+        (h44(col("doc_id").cast("string")) % NegBuckets).as("bucket"),
+        shiftright(col("doc_id"), 8).as("blk"))
+      val hist = bucketed.groupBy(col("bucket"), col("blk"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("blk_before",
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bucket")).orderBy(col("blk"))) - col("cnt"))
+        .select(col("bucket"), col("blk"), col("blk_before"))
+      val inBlk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"), col("blk")).orderBy(col("doc_id"))
+      val members = bucketed.join(hist, Seq("bucket", "blk"))
+        .withColumn("rnk",
+          col("blk_before") + row_number().over(inBlk).cast("long") - 1)
       val sizes = members.groupBy(col("bucket"))
         .agg(count(lit(1)).as("bucket_n"))
       val probes = docs
