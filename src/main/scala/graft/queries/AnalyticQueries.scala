@@ -422,12 +422,15 @@ object AnalyticQueries {
     *
     * Hash-exactness: the cancellation-prone difference `n·Σxy − Σx·Σy`
     * is computed IN DECIMAL (casting the two big products to double
-    * first loses different ULPs per engine — DuckDB double-rounds its
-    * int128→double conversion), and every value that does convert to
-    * double is small enough (< 2^53 in scaled units) to convert
-    * exactly. That bounds the pairs: cov over (quantity, price), corr
-    * over (quantity, discount) — a price-variance term would exceed
-    * the exact-double range.
+    * first loses different ULPs per engine), and the finished
+    * difference converts to double through its exact ×10⁴ INTEGER cast
+    * to int64 first — DuckDB's decimal→double double-rounds once the
+    * int128 payload passes 2⁵³ (measured: cov off by an ulp at sf0.1
+    * group N, where the scaled difference is ~3.7·10¹⁷), while
+    * int64→double is correctly rounded in both engines, matching
+    * Spark's Decimal→double exactly. The int64 cast bounds the checked
+    * range to |scaled diff| < 2⁶³ (to TPC-H sf ~30); the engine side
+    * itself stays DECIMAL(38,0) and has no such bound.
     */
   val qCovariance = QueryDef(
     "q_covariance",
@@ -436,6 +439,8 @@ object AnalyticQueries {
       val p = QueryDef.dec(col("l_extendedprice"))
       val d = QueryDef.dec(col("l_discount"))
       def d324(c: Column) = c.cast("decimal(32,4)")
+      // scale-4 decimal → its exact ×10⁴ integer (see select comment)
+      def s38(c: Column) = (c * 10000).cast("decimal(38,0)")
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -450,14 +455,21 @@ object AnalyticQueries {
         .select(
           col("l_returnflag"),
           col("n").cast("bigint").as("n"),
-          ((d324(col("n") * col("sqp")) - d324(col("sq") * col("sp")))
-            .cast("double") / (col("n") * col("n")).cast("double"))
-            .as("cov_qty_price"),
-          ((d324(col("n") * col("sqd")) - d324(col("sq") * col("sd")))
+          // ×10⁴ lifts each scale-4 difference to an EXACT integer
+          // before any double conversion: DuckDB's decimal→double is
+          // double-rounded once the int128 payload passes 2⁵³
+          // (measured: cov off by an ulp at sf0.1), but an int64→double
+          // is correctly rounded in both engines. The 10⁴ moves into
+          // the cov denominator and cancels inside corr's ratio.
+          (s38(d324(col("n") * col("sqp")) - d324(col("sq") * col("sp")))
             .cast("double") /
-            sqrt((d324(col("n") * col("sqq")) - d324(col("sq") * col("sq")))
+            ((col("n") * col("n")).cast("double") * 1e4))
+            .as("cov_qty_price"),
+          (s38(d324(col("n") * col("sqd")) - d324(col("sq") * col("sd")))
+            .cast("double") /
+            sqrt(s38(d324(col("n") * col("sqq")) - d324(col("sq") * col("sq")))
               .cast("double") *
-              (d324(col("n") * col("sdd")) - d324(col("sd") * col("sd")))
+              s38(d324(col("n") * col("sdd")) - d324(col("sd") * col("sd")))
                 .cast("double"))).as("corr_qty_disc"))
         .orderBy(col("l_returnflag"))
     },
@@ -485,15 +497,23 @@ object AnalyticQueries {
                     AS DECIMAL(19,4)) AS sqd
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-             CAST(CAST(n * sqp AS DECIMAL(32,4)) -
-                  CAST(sq * sp AS DECIMAL(32,4)) AS DOUBLE)
-               / CAST(n * n AS DOUBLE) AS cov_qty_price,
-             CAST(CAST(n * sqd AS DECIMAL(32,4)) -
-                  CAST(sq * sd AS DECIMAL(32,4)) AS DOUBLE) /
-               sqrt(CAST(CAST(n * sqq AS DECIMAL(32,4)) -
-                         CAST(sq * sq AS DECIMAL(32,4)) AS DOUBLE) *
-                    CAST(CAST(n * sdd AS DECIMAL(32,4)) -
-                         CAST(sd * sd AS DECIMAL(32,4)) AS DOUBLE))
+             -- x10000 -> exact BIGINT before the double cast: DuckDB's
+             -- decimal(int128)->double double-rounds past 2^53; the
+             -- int64->double below is correctly rounded, matching
+             -- Spark's Decimal->double bit-for-bit (sf0.1-verified)
+             CAST(CAST((CAST(n * sqp AS DECIMAL(32,4)) -
+                        CAST(sq * sp AS DECIMAL(32,4))) * 10000 AS BIGINT)
+                  AS DOUBLE)
+               / (CAST(n * n AS DOUBLE) * 1e4) AS cov_qty_price,
+             CAST(CAST((CAST(n * sqd AS DECIMAL(32,4)) -
+                        CAST(sq * sd AS DECIMAL(32,4))) * 10000 AS BIGINT)
+                  AS DOUBLE) /
+               sqrt(CAST(CAST((CAST(n * sqq AS DECIMAL(32,4)) -
+                               CAST(sq * sq AS DECIMAL(32,4))) * 10000
+                              AS BIGINT) AS DOUBLE) *
+                    CAST(CAST((CAST(n * sdd AS DECIMAL(32,4)) -
+                               CAST(sd * sd AS DECIMAL(32,4))) * 10000
+                              AS BIGINT) AS DOUBLE))
                AS corr_qty_disc
       FROM m ORDER BY l_returnflag"""))
 
