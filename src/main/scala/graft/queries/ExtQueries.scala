@@ -333,14 +333,19 @@ object ExtQueries {
     * percentile report a supply chain reads daily. Day lags are exact
     * integers from calendar-date differences; the percentiles ride the
     * same exact-integer `percentile`/`quantile_cont` parity as
-    * q_percentiles, via the same
-    * [[graft.engine.GroupedQuantiles.interpolated]] histogram passes
-    * (day lags are a bounded domain, but the histogram form costs the
-    * same and never buffers a per-group value map in one reducer).
+    * q_percentiles.
     *
     * Scale: the one join is fact-to-fact but equi-keyed on orderkey —
     * with both tables bucketed by orderkey (engine/Bucketing) it is
-    * exchange-free; only (key, priority, two dates) travel.
+    * exchange-free; only (key, priority, two dates) travel. The
+    * percentiles use the built-in aggregate DELIBERATELY: day lags are
+    * a BOUNDED domain (hundreds of distinct values), so its per-group
+    * value→count buffer is bounded and the join is evaluated exactly
+    * once — whereas routing through
+    * [[graft.engine.GroupedQuantiles.interpolated]] would re-evaluate
+    * the fact-to-fact join per histogram pass (measured 0.84→1.32 s).
+    * For NEAR-CONTINUOUS measures the tradeoff flips: see
+    * q_percentiles, whose value domain scales with the data.
     */
   val qShipLatency = QueryDef(
     "q_ship_latency",
@@ -351,17 +356,14 @@ object ExtQueries {
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"),
           to_date(col("l_shipdate")).as("sd"))
-      val lags = l.join(o, Seq("o_orderkey"))
+      l.join(o, Seq("o_orderkey"))
         .select(col("o_orderpriority"),
           datediff(col("sd"), col("od")).cast("long").as("lag_days"))
-      val pct = graft.engine.GroupedQuantiles.interpolated(lags,
-        Seq("o_orderpriority"), "lag_days",
-        Seq("p50_days" -> 0.5, "p95_days" -> 0.95), bucketWidth = 1L << 6)
-      lags.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_lines"), max(col("lag_days")).as("max_days"))
-        .join(broadcast(pct), Seq("o_orderpriority"))
-        .select(col("o_orderpriority"), col("n_lines"),
-          col("p50_days"), col("p95_days"), col("max_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("percentile(lag_days, 0.5d)").as("p50_days"),
+          expr("percentile(lag_days, 0.95d)").as("p95_days"),
+          max(col("lag_days")).as("max_days"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""
