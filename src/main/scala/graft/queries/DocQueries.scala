@@ -875,8 +875,15 @@ object DocQueries {
         FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
         GROUP BY 1, 2)
       SELECT tok_a, tok_b, n_ab, na.n AS n_a, nb.n AS n_b,
-             CAST(CAST(n_ab AS HUGEINT) * (SELECT n_docs FROM tot) AS DOUBLE)
-               / CAST(CAST(na.n AS HUGEINT) * nb.n AS DOUBLE) AS lift
+             -- int64 hop before the double cast: DuckDB's
+             -- int128->double double-rounds past 2^53 (the
+             -- q_covariance ulp); int64->double matches Spark's
+             -- correctly-rounded Decimal->double, and raises loudly
+             -- past 2^63 instead of silently drifting
+             CAST(CAST(CAST(n_ab AS HUGEINT) * (SELECT n_docs FROM tot)
+                       AS BIGINT) AS DOUBLE)
+               / CAST(CAST(CAST(na.n AS HUGEINT) * nb.n AS BIGINT)
+                      AS DOUBLE) AS lift
       FROM p JOIN nx na ON na.tok = p.tok_a
              JOIN nx nb ON nb.tok = p.tok_b
       ORDER BY tok_a, tok_b"""))

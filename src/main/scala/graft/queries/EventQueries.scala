@@ -231,12 +231,15 @@ object EventQueries {
     * is assembled from the six numbers on one row.
     *
     * Hash-exactness (q_covariance discipline): the cancellation-prone
-    * `n·Q − S²` stays in decimal and converts to double while still
-    * exact (< 2⁵³ scaled: n²σ² ≈ 2.4·10¹⁵ at sf0.1; an sf1 run would
-    * need the decimal-division route). Everything after conversion is
-    * correctly-rounded double ops (± × ÷ sqrt are IEEE-exact given
-    * identical inputs), so Spark and DuckDB agree bit-for-bit even on
-    * the Welch–Satterthwaite degrees of freedom.
+    * `n·Q − S²` stays in decimal; the oracle converts it to double
+    * THROUGH an int64 cast (DuckDB's int128-decimal→double
+    * double-rounds past 2⁵³ — the ulp q_covariance measured at sf0.1 —
+    * while int64→double matches Spark's correctly-rounded
+    * Decimal→double to TPC-H sf ~30, and raises loudly beyond).
+    * Everything after conversion is correctly-rounded double ops
+    * (± × ÷ sqrt are IEEE-exact given identical inputs), so Spark and
+    * DuckDB agree bit-for-bit even on the Welch–Satterthwaite degrees
+    * of freedom.
     *
     * Scale: one scan, one row out — the partial aggregates are six
     * numbers per partition, mergeable forever (day-over-day CUPED-style
@@ -301,25 +304,25 @@ object EventQueries {
                CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100 AS mean_diff,
              (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100 -
               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100) * 100 /
-               sqrt(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
-                         CAST(s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+               sqrt(CAST(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
+                         CAST(s1 * s1 AS DECIMAL(38,0)) AS BIGINT) AS DOUBLE)
                       / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) +
-                    CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
-                         CAST(s2 * s2 AS DECIMAL(38,0)) AS DOUBLE)
+                    CAST(CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
+                         CAST(s2 * s2 AS DECIMAL(38,0)) AS BIGINT) AS DOUBLE)
                       / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))
                AS t_welch,
-             pow(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
-                      CAST(s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+             pow(CAST(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
+                      CAST(s1 * s1 AS DECIMAL(38,0)) AS BIGINT) AS DOUBLE)
                    / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) +
-                 CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
-                      CAST(s2 * s2 AS DECIMAL(38,0)) AS DOUBLE)
+                 CAST(CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
+                      CAST(s2 * s2 AS DECIMAL(38,0)) AS BIGINT) AS DOUBLE)
                    / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE), 2) /
-               (pow(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
-                         CAST(s1 * s1 AS DECIMAL(38,0)) AS DOUBLE)
+               (pow(CAST(CAST(CAST(n1 * q1 AS DECIMAL(38,0)) -
+                         CAST(s1 * s1 AS DECIMAL(38,0)) AS BIGINT) AS DOUBLE)
                       / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE), 2)
                   / (CAST(n1 AS DOUBLE) - 1) +
-                pow(CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
-                         CAST(s2 * s2 AS DECIMAL(38,0)) AS DOUBLE)
+                pow(CAST(CAST(CAST(n2 * q2 AS DECIMAL(38,0)) -
+                         CAST(s2 * s2 AS DECIMAL(38,0)) AS BIGINT) AS DOUBLE)
                       / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE), 2)
                   / (CAST(n2 AS DOUBLE) - 1)) AS df_welch
       FROM m"""))

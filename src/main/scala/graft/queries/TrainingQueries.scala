@@ -386,8 +386,11 @@ object TrainingQueries {
                SUM(CAST(i AS HUGEINT) * x) AS six
         FROM rk)
       SELECT n, sx,
-             CAST(six * 2 - (n + 1) * sx AS DOUBLE)
-               / CAST(n * sx AS DOUBLE) AS gini
+             -- int64 hop before the double cast (q_covariance ulp):
+             -- int128->double double-rounds past 2^53; int64->double
+             -- matches Spark's Decimal->double, raises loudly past 2^63
+             CAST(CAST(six * 2 - (n + 1) * sx AS BIGINT) AS DOUBLE)
+               / CAST(CAST(n * sx AS BIGINT) AS DOUBLE) AS gini
       FROM agg"""))
 
   val all: Seq[QueryDef] = Seq(qSeqPack, qMixtureWeights, qCrossdocOverlap,
