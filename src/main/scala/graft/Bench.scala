@@ -80,7 +80,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_FILTER=q_a,q_b restricts the run to the named
+    // queries — the single-query iteration loop (full-suite numbers
+    // still come from unfiltered runs; the driver never sets this).
+    val keep = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keep.forall(_.contains(n)) }
     val qs =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
         sorted.reverse
@@ -127,8 +133,11 @@ object Bench {
         times.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val detail = line(fullJson).dropRight(1) + s""","reps":$repsJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes("UTF-8"))
+    // A filtered run is an iteration probe — never let it clobber the
+    // committed full-suite record.
+    if (keep.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detail + "\n").getBytes("UTF-8"))
 
     // Greedy fill under the budget: priority names first (failed/-1
     // entries included — an invisible failure is worse than a long

@@ -158,15 +158,25 @@ object SearchQueries {
     * Scale: df ranking and per-doc position are one aggregate + one
     * window keyed on doc; the candidate fan-out is bounded by prefix
     * posting sizes (frequency-ordered prefixes make the indexed tokens
-    * the RAREST ones) and pre-pruned by the PPJoin length filter
-    * (5·min ≥ 3·max, implied by the threshold — removes no true pair).
-    * Verification is per-pair `array_intersect` against the per-doc
-    * trigram arrays — measured 2-4× over re-joining the token table
-    * (which multiplies candidates by tokens-per-doc across two
-    * shuffles). The array side rides a broadcast here (5 MB at sf0.1);
-    * at corpus scale it becomes two co-partitioned joins on doc_id —
-    * same plan shape, bigger exchange. This is the PPJoin shape (Xiao
-    * et al., WWW'08).
+    * the RAREST ones) and pre-pruned by BOTH PPJoin filters before the
+    * dedup shuffle: the length filter (5·min ≥ 3·max, implied by the
+    * threshold) and the POSITION filter — a qualifying pair's first
+    * common prefix token (the global (df, tok) order is shared by both
+    * docs, so "first" is well-defined) still has all other common
+    * tokens ahead of it in both suffixes, hence
+    * inter ≤ 1 + min(|A|−posₐ, |B|−pos_b); rows violating
+    * 8·(1 + min) ≥ 3·(|A|+|B|) cannot be a pair's first match and drop
+    * out (measured: 193k → far fewer candidate rows at sf0.1, and the
+    * filter runs map-side in the join's codegen stage). Neither filter
+    * removes a true pair. Verification is per-pair `array_intersect`
+    * against the per-doc trigram arrays — measured 2-4× over re-joining
+    * the token table (which multiplies candidates by tokens-per-doc
+    * across two shuffles). The array side carries NO broadcast hint:
+    * AQE picks broadcast at this scale from runtime sizes (measured
+    * ~0.5 s under the hinted plan here) and shifts to co-partitioned
+    * shuffle joins on doc_id when the corpus outgrows the threshold —
+    * same plan shape, bigger exchange, no code change. This is the
+    * PPJoin shape (Xiao et al., WWW'08).
     */
   /** Per-doc distinct-trigram arrays, session-cached (ChartQueries
     * idiom): the HOF construction (transform/slice/array_join —
@@ -203,23 +213,30 @@ object SearchQueries {
       val p = col("len") -
         call_function("div", lit(3L) * col("len") + 4, lit(5L)) + 1
       val pref = ranked.filter(col("pos") <= p)
-        .select(col("tok"), col("doc_id"), col("len"))
+        .select(col("tok"), col("doc_id"), col("len"), col("pos"))
       val cand = pref.select(col("tok"), col("doc_id").as("doc_a"),
-          col("len").as("len_a"))
+          col("len").as("len_a"), col("pos").as("pos_a"))
         .join(pref.select(col("tok"), col("doc_id").as("doc_b"),
-          col("len").as("len_b")), Seq("tok"))
+          col("len").as("len_b"), col("pos").as("pos_b")), Seq("tok"))
         // length filter: J ≥ 3/5 forces 5·min(|A|,|B|) ≥ 3·max(|A|,|B|)
         // (i ≤ min, u ≥ max) — prunes before the distinct, changes no result
         .filter(col("doc_a") < col("doc_b") &&
           lit(5L) * least(col("len_a"), col("len_b")) >=
-            lit(3L) * greatest(col("len_a"), col("len_b")))
+            lit(3L) * greatest(col("len_a"), col("len_b")) &&
+          // position filter: a qualifying pair's FIRST common prefix token
+          // bounds inter by 1 + min(remaining suffix lengths); later match
+          // rows of the same pair may fail this, but the first one cannot,
+          // so the distinct below still sees every true pair exactly once
+          lit(8L) * (lit(1L) + least(col("len_a") - col("pos_a"),
+            col("len_b") - col("pos_b"))) >=
+            lit(3L) * (col("len_a") + col("len_b")))
         .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
         .distinct()
       val inter = cand
-        .join(broadcast(tri.select(col("doc_id").as("doc_a"),
-          col("ts").as("ta"))), Seq("doc_a"))
-        .join(broadcast(tri.select(col("doc_id").as("doc_b"),
-          col("ts").as("tb"))), Seq("doc_b"))
+        .join(tri.select(col("doc_id").as("doc_a"), col("ts").as("ta")),
+          Seq("doc_a"))
+        .join(tri.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
+          Seq("doc_b"))
         .withColumn("inter",
           size(array_intersect(col("ta"), col("tb"))).cast("long"))
       inter
