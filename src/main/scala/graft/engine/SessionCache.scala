@@ -7,14 +7,33 @@ import org.apache.spark.sql.SparkSession
   * access, so the map never retains dead sessions or their blocks), and
   * callers put input-content fingerprints in the key so a changed
   * table (append, compaction) misses instead of serving stale plans.
+  *
+  * The two-part key form `(prefix, fingerprint)` additionally evicts the
+  * SUPERSEDED entry when the same prefix re-inserts under a new
+  * fingerprint — without it, a table rewritten mid-session would leave
+  * its old persisted blocks cached until the session died (the map only
+  * ever grew). `evict` receives the replaced value (pass `_.unpersist()`
+  * for persisted DataFrames); entries inserted via the one-key overload
+  * are their own prefix and are never evicted by other keys.
   */
-final class SessionKeyedCache[V] {
+final class SessionKeyedCache[V](evict: V => Unit = (_: V) => ()) {
   private val m =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), V]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), V]
 
-  def getOrElseUpdate(s: SparkSession, key: String)(v: => V): V = {
+  def getOrElseUpdate(s: SparkSession, key: String)(v: => V): V =
+    getOrElseUpdate(s, key, "")(v)
+
+  def getOrElseUpdate(s: SparkSession, prefix: String, fingerprint: String)(
+      v: => V): V = {
     m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove)
-    m.getOrElseUpdate((s, key), v)
+    m.get((s, prefix, fingerprint)) match {
+      case Some(hit) => hit
+      case None =>
+        m.keys
+          .filter(k => (k._1 eq s) && k._2 == prefix && k._3 != fingerprint)
+          .foreach(k => m.remove(k).foreach(evict))
+        m.getOrElseUpdate((s, prefix, fingerprint), v)
+    }
   }
 }
 

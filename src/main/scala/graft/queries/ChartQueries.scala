@@ -121,14 +121,15 @@ object ChartQueries {
     * query × bench pass — the prime suspect for the round-1 bench tail
     * degradation (VERDICT r1 "What's wrong" #2).
     */
-  private val filledCache = new graft.engine.SessionKeyedCache[DataFrame]
+  private val filledCache =
+    new graft.engine.SessionKeyedCache[DataFrame](_.unpersist())
 
-  private def cacheKey(s: SparkSession, dir: String): String =
-    dir + "|" + graft.engine.SessionKeyedCache
+  private def fingerprint(s: SparkSession, dir: String): String =
+    graft.engine.SessionKeyedCache
       .fileFingerprint(s, s"$dir/events.parquet")
 
   private def filled(s: SparkSession, dir: String): DataFrame =
-    filledCache.getOrElseUpdate(s, cacheKey(s, dir))(
+    filledCache.getOrElseUpdate(s, dir, fingerprint(s, dir))(
       StarBuilder.imputePerDate(chartOds(s, dir)).persist())
 
   val odsQuery = QueryDef(
@@ -174,10 +175,12 @@ object ChartQueries {
     * [[filled]].
     */
   private val starCache =
-    new graft.engine.SessionKeyedCache[(DataFrame, DataFrame, DataFrame, DataFrame)]
+    new graft.engine.SessionKeyedCache[(DataFrame, DataFrame, DataFrame, DataFrame)](
+      t => { t._1.unpersist(); t._2.unpersist(); t._3.unpersist()
+        t._4.unpersist(); () })
 
   private def star(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
-    starCache.getOrElseUpdate(s, cacheKey(s, dir)) {
+    starCache.getOrElseUpdate(s, dir, fingerprint(s, dir)) {
       val f = filled(s, dir)
       // The dims persist too: each is consumed by the fact build AND by
       // its own dim query, and the surrogate-id assignment behind them

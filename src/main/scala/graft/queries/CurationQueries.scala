@@ -25,19 +25,14 @@ object CurationQueries {
     * Scale: the eval side is tiny by construction (benchmarks are KBs,
     * corpora are TBs) → broadcast the eval gram set; train grams stream
     * through the hash probe with no shuffle of the corpus, and the
-    * groupBy shuffles only the surviving hit pairs.
+    * groupBy shuffles only the surviving hit pairs. Both sides read the
+    * session-materialized [[HashedGrams]] relation, so the corpus is
+    * shingled once, not once per branch.
     */
   val qDecontaminate = QueryDef(
     "q_decontaminate",
     (s, dir) => {
-      val N = 3
-      val docs = t(s, dir, "documents")
-      val grams = docs
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= N)
-        .select(col("doc_id"), explode(
-          graft.functions.WordShingles(col("ws"), N)).as("gram"))
-        .select(col("doc_id"), h44(col("gram")).as("gh"))
+      val grams = HashedGrams(s, dir, 3)
       val evalGrams = grams.filter(col("doc_id") % 97 === 0)
         .withColumnRenamed("doc_id", "eval_id")
       val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)

@@ -161,8 +161,8 @@ object DocQueries {
 
   private[graft] def dupGroups(d: DataFrame): DataFrame =
     groupsCache.getOrElseUpdate(d.sparkSession,
-      d.queryExecution.analyzed.canonicalized.toString +
-        d.inputFiles.sorted.mkString("|"))(dupGroupsUncached(d))
+      d.queryExecution.analyzed.canonicalized.toString,
+      d.inputFiles.sorted.mkString("|"))(dupGroupsUncached(d))
 
   private def dupGroupsUncached(d: DataFrame): DataFrame = {
     val pairs = minhashCandidates(d)

@@ -65,10 +65,10 @@ object IngestQueries {
     * build.
     */
   private val ingestCache = new graft.engine.SessionKeyedCache[
-    org.apache.spark.sql.DataFrame]
+    org.apache.spark.sql.DataFrame](_.unpersist())
 
   private def filledFixture(s: org.apache.spark.sql.SparkSession) =
-    ingestCache.getOrElseUpdate(s,
+    ingestCache.getOrElseUpdate(s, fx,
       graft.engine.SessionKeyedCache.fileFingerprint(s, fx))(
       StarBuilder.imputePerDate(OdsBuilder.ingest(s)).persist())
 

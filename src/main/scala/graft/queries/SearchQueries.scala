@@ -186,10 +186,11 @@ object SearchQueries {
     * branch recomputes it. Keyed on the documents file fingerprint so
     * appends/compactions miss instead of serving stale grams.
     */
-  private val triCache = new graft.engine.SessionKeyedCache[DataFrame]
+  private val triCache =
+    new graft.engine.SessionKeyedCache[DataFrame](_.unpersist())
 
   private def trigrams(s: SparkSession, dir: String): DataFrame =
-    triCache.getOrElseUpdate(s, dir + "|" + graft.engine.SessionKeyedCache
+    triCache.getOrElseUpdate(s, dir, graft.engine.SessionKeyedCache
       .fileFingerprint(s, s"$dir/documents.parquet"))(
       docs(s, dir)
         .select(col("doc_id"), words(col("text")).as("ws"))

@@ -102,18 +102,15 @@ object TrainingQueries {
     *
     * Scale: shuffles on the 44-bit shingle hash only (document
     * frequency is a plain groupBy); per-doc rollup joins doc→shingle
-    * back to the df table. Never all-pairs, never moves text twice.
+    * back to the df table. Never all-pairs, never moves text twice —
+    * the shingle relation itself is the session-materialized
+    * [[HashedGrams]] table, so the scan+shingle leaf the df aggregate
+    * and the rollup both consume runs once, not once per branch.
     */
   val qCrossdocOverlap = QueryDef(
     "q_crossdoc_overlap",
     (s, dir) => {
-      val N = 8
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= N)
-        .select(col("doc_id"), explode(
-          graft.functions.WordShingles(col("ws"), N)).as("gram"))
-        .select(col("doc_id"), h44(col("gram")).as("gh"))
+      val grams = HashedGrams(s, dir, 8)
       val df = grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("df"))
       grams.join(df, Seq("gh"))
