@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{LongArrayDot, Md5Prefix44, WordShingles}
+import graft.functions.{LongArrayDot, Md5Prefix44, SimHash32, WordShingles}
 
 /** Session extensions — the documented registration path for the
   * engine's native expressions (set
@@ -85,6 +85,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw org.apache.spark.sql.graftshim.Shims
             .wrongNumArgs("word_shingles", 2, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => children match {
+        case Seq(hs) => SimHash32(hs)
+        case other =>
+          throw org.apache.spark.sql.graftshim.Shims
+            .wrongNumArgs("simhash32", 1, other.size)
       }))
   }
 }

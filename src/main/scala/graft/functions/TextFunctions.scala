@@ -99,10 +99,17 @@ object TextFunctions {
     * positive. Unweighted (set semantics) — the standard variant for
     * near-dup fingerprinting of short documents. `hsCol` names a
     * bigint-array column of word hashes in scope — hash ONCE, outside
-    * this 32-iteration bit loop (recomputing md5 inside it is a 30×
-    * slowdown, measured).
+    * the 32-bit loop (recomputing md5 inside it is a 30× slowdown,
+    * measured).
+    *
+    * Implemented by the native [[SimHash32]] expression (one primitive
+    * pass, whole-stage codegen); [[simhash32Builtin]] is the
+    * HOF formulation it is property-tested against.
     */
-  def simhash32(hsCol: String): Column = expr(s"""
+  def simhash32(hsCol: String): Column = SimHash32(col(hsCol))
+
+  /** Built-in-only twin of [[simhash32]] (parity reference). */
+  def simhash32Builtin(hsCol: String): Column = expr(s"""
     aggregate(
       zip_with(
         aggregate($hsCol, transform(sequence(0, 31), i -> 0L),

@@ -138,4 +138,35 @@ class TextHashSpec extends AnyFunSuite {
         s"mismatch at n=$n")
     }
   }
+
+  test("native simhash32 equals the HOF chain on varied hash arrays") {
+    val rnd = new scala.util.Random(23)
+    val cases: Seq[Seq[Long]] =
+      Seq(Seq.empty[Long], Seq(0L), Seq((1L << 44) - 1),
+        Seq(0L, (1L << 44) - 1)) ++
+        (0 until 300).map(_ =>
+          Seq.fill(rnd.nextInt(60))(math.abs(rnd.nextLong()) % (1L << 44)))
+    val df = cases.toDF("hs").select(
+      TextFunctions.simhash32("hs").as("native"),
+      TextFunctions.simhash32Builtin("hs").as("hof"))
+    assert(df.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("simhash32 mirrors the HOF chain's null-element poisoning (0)") {
+    val df = Seq(Seq[java.lang.Long](5L, null, 9L))
+      .toDF("hs").select(
+        TextFunctions.simhash32("hs").as("native"),
+        TextFunctions.simhash32Builtin("hs").as("hof"))
+    val r = df.as[(Long, Long)].collect().head
+    assert(r._1 === r._2)
+    assert(r._1 === 0L)
+  }
+
+  test("simhash32 is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT simhash32(array(1L, 2L, 4L)) AS s").as[Long].collect().head
+    val twin = Seq(Seq(1L, 2L, 4L)).toDF("hs")
+      .select(TextFunctions.simhash32Builtin("hs")).as[Long].collect().head
+    assert(r === twin)
+  }
 }
