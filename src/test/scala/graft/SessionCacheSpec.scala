@@ -44,4 +44,17 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(c.getOrElseUpdate(s, "pathX")("WRONG") == "x")
     assert(evicted.isEmpty)
   }
+
+  test("HashedGrams returns the one materialized relation per (dir, n)") {
+    val s = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.HashedGrams(s, dir, 3)
+    val b = graft.queries.HashedGrams(s, dir, 3)
+    // same cached instance (plan identity, not just value equality) —
+    // both consumers reuse one persisted shingle table
+    assert(a eq b)
+    assert(a.storageLevel.useMemory)
+    assert(graft.queries.HashedGrams(s, dir, 8) ne a)
+    assert(a.columns.toSeq == Seq("doc_id", "gh"))
+  }
 }
