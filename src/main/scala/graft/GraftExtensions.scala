@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{LongArrayDot, Md5Prefix44, SimHash32, WordShingles}
+import graft.functions.{LongArrayDot, Md5Prefix44, MinHashSig, SimHash32, WordShingles}
 
 /** Session extensions — the documented registration path for the
   * engine's native expressions (set
@@ -94,6 +94,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw org.apache.spark.sql.graftshim.Shims
             .wrongNumArgs("simhash32", 1, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => children match {
+        case Seq(ws) => MinHashSig(ws)
+        case other =>
+          throw org.apache.spark.sql.graftshim.Shims
+            .wrongNumArgs("minhash_sig", 1, other.size)
       }))
   }
 }

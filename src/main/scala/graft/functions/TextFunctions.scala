@@ -76,8 +76,16 @@ object TextFunctions {
 
   private val M44 = 1L << 44
 
-  /** MinHash signature (array of k minima) over a distinct word array. */
-  def minhashSig(wordsArr: Column): Column = {
+  /** MinHash signature (array of k minima) over a distinct word array.
+    *
+    * Implemented by the native [[MinHashSig]] expression (one pass,
+    * whole-stage codegen); [[minhashSigBuiltin]] is the HOF
+    * formulation it is property-tested against.
+    */
+  def minhashSig(wordsArr: Column): Column = MinHashSig(wordsArr)
+
+  /** Built-in-only twin of [[minhashSig]] (parity reference). */
+  def minhashSigBuiltin(wordsArr: Column): Column = {
     val hashes = transform(wordsArr, w => h44(w))
     array(minhashPerms.map { case (a, b) =>
       array_min(transform(hashes, h => (h * a + b) % M44))

@@ -169,4 +169,38 @@ class TextHashSpec extends AnyFunSuite {
       .select(TextFunctions.simhash32Builtin("hs")).as[Long].collect().head
     assert(r === twin)
   }
+
+  test("native minhash_sig equals the HOF chain on varied word arrays") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliett")
+    val cases: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("solo"), Seq("dup", "dup", "dup")) ++
+        (0 until 200).map(_ =>
+          (0 until rnd.nextInt(50)).map(_ => vocab(rnd.nextInt(vocab.size))))
+    val df = cases.toDF("ws").select(
+      TextFunctions.minhashSig(col("ws")).as("native"),
+      TextFunctions.minhashSigBuiltin(col("ws")).as("hof"))
+    assert(df.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("minhash_sig skips null words and nulls out on empty, like the HOF") {
+    val df = Seq(
+      Seq[String]("a", null, "b"),
+      Seq[String](null, null),
+      Seq.empty[String])
+      .toDF("ws").select(
+        TextFunctions.minhashSig(col("ws")).as("native"),
+        TextFunctions.minhashSigBuiltin(col("ws")).as("hof"))
+    assert(df.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("minhash_sig is callable from SQL via GraftExtensions") {
+    val r = spark.sql("SELECT minhash_sig(array('x', 'y')) AS s")
+      .as[Seq[java.lang.Long]].collect().head
+    val twin = Seq(Seq("x", "y")).toDF("ws")
+      .select(TextFunctions.minhashSigBuiltin(col("ws")))
+      .as[Seq[java.lang.Long]].collect().head
+    assert(r === twin)
+  }
 }
