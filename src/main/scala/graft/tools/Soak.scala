@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
 object Soak {
 
   /** Queries whose plans carry the round-7 scale machinery plus two
-    * plain-aggregate baselines for reference slope.
+    * plain-aggregate baselines for reference slope, and the dedup /
+    * set-similarity family (banded or prefix-filtered candidate
+    * generation — the plans whose 100 TB viability rests on candidate
+    * volume tracking real duplication, not n²).
     */
   private val queries = Seq(
     "q1_pricing_summary",     // baseline: scan + hash agg
@@ -28,13 +31,35 @@ object Soak {
     "q_mad_outliers",         // histogram medians/MAD
     "q_quantile_normalize",   // histogram rank decomposition
     "q_abc_classification",   // DistributedRank cumsum + total
-    "q_histogram_equidepth")  // DistributedRank ntile
+    "q_histogram_equidepth",  // DistributedRank ntile
+    "q_dedup_exact",          // baseline: hash groupBy over text
+    "q_dedup_simhash",        // native simhash32 over the corpus
+    "q_crossdoc_overlap",     // shared shingle table + df rollup
+    "q_decontaminate",        // broadcast eval-gram probe
+    "q_setsim_join")          // PPJoin prefix+position filters
 
   private val Shift = 10_000_000_000L
 
   private def scaled(df: DataFrame, k: Int, keys: Seq[String]): DataFrame =
     (0 until k).map { i =>
       keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Shift)))
+    }.reduce(_ unionAll _)
+
+  /** Documents scale with a per-copy WORD suffix on top of the id
+    * shift: an unperturbed copy is an exact near-dup of every other
+    * copy, so pair-producing queries would emit Θ(k²) cross-copy pairs
+    * — an OUTPUT property of duplicated data, not a plan property.
+    * Suffixing every word (copy 3: "fox" → "foxx3") erases cross-copy
+    * shingle/token overlap while preserving each copy's internal
+    * near-dup structure exactly, so output volume stays k-linear and
+    * the curve measures the plan.
+    */
+  private def scaledDocs(df: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * Shift))
+      if (i == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1x" + i))
     }.reduce(_ unionAll _)
 
   def main(args: Array[String]): Unit = {
@@ -63,7 +88,9 @@ object Soak {
       tables.foreach { tbl =>
         // raw: the events ts column must stay int64 through the rewrite
         val base = graft.engine.Tables.raw(spark, sfDir, tbl)
-        val out = shiftKeys.get(tbl).fold(base)(scaled(base, k, _))
+        val out =
+          if (tbl == "documents") scaledDocs(base, k)
+          else shiftKeys.get(tbl).fold(base)(scaled(base, k, _))
         out.write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
       }
       queries.foreach { name =>
