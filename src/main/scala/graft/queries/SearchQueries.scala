@@ -175,8 +175,14 @@ object SearchQueries {
     * AQE picks broadcast at this scale from runtime sizes (measured
     * ~0.5 s under the hinted plan here) and shifts to co-partitioned
     * shuffle joins on doc_id when the corpus outgrows the threshold —
-    * same plan shape, bigger exchange, no code change. This is the
-    * PPJoin shape (Xiao et al., WWW'08).
+    * same plan shape, bigger exchange, no code change. Soaked at 16×
+    * (SCALE.md): the shuffle regime attaches the first doc's array to
+    * every candidate row before the second join, so at extreme scale
+    * (arrays too big even for a raised threshold) the right third form
+    * is the narrow token-table count join (pair ⋈ toks on (doc, tok),
+    * count per pair) — more rows, but fixed-width ones; measured 2-4×
+    * slower HERE, cheaper once array payloads dominate the exchange.
+    * This is the PPJoin shape (Xiao et al., WWW'08).
     */
   /** Per-doc distinct-trigram arrays, session-cached (ChartQueries
     * idiom): the HOF construction (transform/slice/array_join —
