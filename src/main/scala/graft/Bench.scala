@@ -87,6 +87,9 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keep.forall(_.contains(n)) }
+    // a typo'd filter must not print a plausible 0-query success line
+    require(sorted.nonEmpty,
+      s"SPARK_GRAFT_BENCH_FILTER matched no registered query: ${keep.get}")
     val qs =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
         sorted.reverse

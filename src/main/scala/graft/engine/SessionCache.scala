@@ -24,7 +24,13 @@ final class SessionKeyedCache[V](evict: V => Unit = (_: V) => ()) {
     getOrElseUpdate(s, key, "")(v)
 
   def getOrElseUpdate(s: SparkSession, prefix: String, fingerprint: String)(
-      v: => V): V = {
+      v: => V): V = synchronized {
+    // synchronized: the miss→evict→insert sequence must be atomic, or
+    // two concurrent first-inserts under different fingerprints would
+    // each scan-before-the-other-lands and both entries would stay —
+    // resurrecting the superseded-entry leak. Hits pay one uncontended
+    // monitor acquire per query call; `v` (a plan build, not an
+    // execution) is cheap enough to hold the lock over.
     m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove)
     m.get((s, prefix, fingerprint)) match {
       case Some(hit) => hit

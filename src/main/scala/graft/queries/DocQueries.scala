@@ -160,9 +160,15 @@ object DocQueries {
   private val groupsCache = new graft.engine.SessionKeyedCache[DataFrame]
 
   private[graft] def dupGroups(d: DataFrame): DataFrame =
+    // one-key form ON PURPOSE: the canonicalized plan erases the scan
+    // location, so plan text alone is one shared prefix across
+    // same-schema corpora — under the two-part key, two corpora
+    // alternating in one session would evict (and recompute) each
+    // other's propagation loop. Values are localCheckpoints (no
+    // unpersist callback), so replacement-eviction buys nothing here.
     groupsCache.getOrElseUpdate(d.sparkSession,
-      d.queryExecution.analyzed.canonicalized.toString,
-      d.inputFiles.sorted.mkString("|"))(dupGroupsUncached(d))
+      d.queryExecution.analyzed.canonicalized.toString +
+        d.inputFiles.sorted.mkString("|"))(dupGroupsUncached(d))
 
   private def dupGroupsUncached(d: DataFrame): DataFrame = {
     val pairs = minhashCandidates(d)

@@ -84,6 +84,13 @@ object Soak {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     ks.foreach { k =>
+      // each k reads a fresh dir, so the previous multiplier's persisted
+      // relations (HashedGrams is keyed per-dir; dup-groups leaves
+      // localCheckpoint RDDs) are never replacement-evicted — drop them
+      // so higher-k timings aren't squeezed by dead blocks
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val dir = s"/tmp/graft_soak/x$k"
       tables.foreach { tbl =>
         // raw: the events ts column must stay int64 through the rewrite

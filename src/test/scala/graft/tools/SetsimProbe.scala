@@ -29,8 +29,10 @@ object SetsimProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the query's real tokenizer (incl. its empty-token filter) — a
+    // local re-implementation would profile a different relation
     def words(c: org.apache.spark.sql.Column) =
-      split(lower(c), "[^a-z0-9]+").cast("array<string>")
+      graft.functions.TextFunctions.words(c)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     val tri = docs
