@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{LongArrayDot, Md5Prefix44, MinHashSig, SimHash32, WordShingles}
+import graft.functions.{LongArrayDot, Md5Prefix44, MinHashSig, SimHash32, SpanHashes, WordShingles}
 
 /** Session extensions — the documented registration path for the
   * engine's native expressions (set
@@ -85,6 +85,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other =>
           throw org.apache.spark.sql.graftshim.Shims
             .wrongNumArgs("word_shingles", 2, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(ws, n) =>
+          val width = n match {
+            case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+            case _ => throw new IllegalArgumentException(
+              "span_hashes requires a literal integer width")
+          }
+          SpanHashes(ws, width)
+        case other =>
+          throw org.apache.spark.sql.graftshim.Shims
+            .wrongNumArgs("span_hashes", 2, other.size)
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash32"),

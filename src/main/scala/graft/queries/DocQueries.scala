@@ -894,9 +894,107 @@ object DocQueries {
              JOIN nx nb ON nb.tok = p.tok_b
       ORDER BY tok_a, tok_b"""))
 
+  /** Exact substring-span deduplication (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" exact
+    * operator, word-granular): every 8-token span is hashed at every
+    * position; a span occurring more than once in the corpus keeps only
+    * its first occurrence — ordered by (doc_id, pos) — and every other
+    * occurrence is masked; documents are rewritten with masked token
+    * positions removed. Complements the set-level near-dup family
+    * ([[qDedupMinhash]]/[[qDedupSimhash]]): those drop whole documents,
+    * this surgically removes repeated boilerplate/quotation spans INSIDE
+    * otherwise-unique documents (including within-document repetition).
+    *
+    * Scale: the positional gram relation shuffles on the 44-bit span
+    * hash only (one row per token position — the same O(tokens) size as
+    * any tokenizer pass, built by the codegen'd
+    * [[graft.functions.SpanHashes]], never materializing gram strings).
+    * Canonical election is a mergeable min(struct(doc_id,pos))
+    * aggregate, skew-safe where a window-over-gh would serialize on
+    * boilerplate spans. Only DUPLICATED occurrences fan out into token
+    * positions (×8 on the dup fraction, not the corpus), and document
+    * reconstruction is a per-doc sorted rollup whose state is bounded by
+    * document length.
+    */
+  val qSpanDedup = QueryDef(
+    "q_span_dedup",
+    (s, dir) => {
+      val W = 8
+      val toks = docs(s, dir)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= W)
+      val occ = toks.select(col("doc_id"),
+        posexplode(graft.functions.SpanHashes(col("ws"), W))
+          .as(Seq("pos", "gh")))
+      val firsts = occ.groupBy(col("gh")).agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("c0"))
+      // only duplicated grams can mask anything — filtering the agg side
+      // BEFORE the join shrinks its probe table to the dup sliver (the
+      // inner join then drops unique-gram occurrences by construction)
+      val masked = occ.join(firsts.filter(col("cnt") > 1), Seq("gh"))
+        .filter(!(col("doc_id") === col("c0.doc_id") &&
+          col("pos") === col("c0.pos")))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("tp"))
+        .distinct()
+      // reconstruction touches ONLY docs that lost a span — on a
+      // mostly-unique corpus the token-level anti-join and per-doc
+      // rollup run over the dup-affected sliver, not the corpus
+      val maskedDocs = masked.select(col("doc_id")).distinct()
+      val base = toks.join(maskedDocs, Seq("doc_id"), "left_semi")
+      val tokRows = base.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("tp", "tok")))
+      val kept = tokRows.join(masked, Seq("doc_id", "tp"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("tp"), col("tok")))),
+            x => x.getField("tok")), " ").as("kept_text"))
+      base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .withColumn("n_removed",
+          col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+        .filter(col("n_removed") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+      e AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
+      occ AS (
+        SELECT doc_id,
+               unnest(range(0, len(ws) - 7)) AS pos,
+               unnest([${h44Sql("array_to_string(ws[i:i+7], ' ')")}
+                       for i in range(1, len(ws) - 6)]) AS gh
+        FROM e),
+      f AS (SELECT gh, count(*) AS cnt,
+                   min({'doc_id': doc_id, 'pos': pos}) AS c0
+            FROM occ GROUP BY gh),
+      m AS (SELECT DISTINCT doc_id, tp FROM (
+              SELECT occ.doc_id, unnest(range(occ.pos, occ.pos + 8)) AS tp
+              FROM occ JOIN f USING (gh)
+              WHERE f.cnt > 1
+                AND NOT (occ.doc_id = struct_extract(f.c0, 'doc_id')
+                         AND occ.pos = struct_extract(f.c0, 'pos')))),
+      tok AS (SELECT doc_id, unnest(range(0, len(ws))) AS tp,
+                     unnest(ws) AS tok
+              FROM e),
+      kept AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(tok, ' ' ORDER BY tp) AS kept_text
+               FROM tok ANTI JOIN m USING (doc_id, tp) GROUP BY doc_id),
+      base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM e)
+      SELECT base.doc_id, base.n_tokens,
+             base.n_tokens - coalesce(kept.n_kept, 0) AS n_removed,
+             coalesce(kept.kept_text, '') AS kept_text
+      FROM base LEFT JOIN kept USING (doc_id)
+      WHERE base.n_tokens - coalesce(kept.n_kept, 0) > 0
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qContainment, qTextStats,
     qTokenCount, qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf,
     qNgramFreq, qDocChunks, qRepetition, qCanonicalDocs, qRareTokenRatio,
-    qTemplatePrefix, qCooccurrence)
+    qTemplatePrefix, qCooccurrence, qSpanDedup)
 }

@@ -139,6 +139,48 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("native span_hashes equals the HOF chain, one hash per position") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ffff", "gg", "hij")
+    val cases: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("solo"), Seq("x", "y"), Seq("x", "y", "z"),
+        Seq("r", "r", "r", "r", "r")) ++
+        (0 until 200).map(_ =>
+          (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size))))
+    for (n <- Seq(2, 3, 8)) {
+      val hof = when(size(col("ws")) >= n,
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => TextFunctions.h44(array_join(slice(col("ws"), i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<bigint>"))
+      val df = cases.toDF("ws").select(
+        graft.functions.SpanHashes(col("ws"), n).as("native"),
+        hof.as("hof"))
+      assert(df.filter(not(col("native") <=> col("hof"))).count() === 0,
+        s"mismatch at n=$n")
+    }
+  }
+
+  test("span_hashes keeps duplicate spans positionally, unlike word_shingles") {
+    val r = Seq(Seq("a", "b", "a", "b", "a")).toDF("ws")
+      .select(graft.functions.SpanHashes(col("ws"), 2).as("sh"),
+        size(graft.functions.WordShingles(col("ws"), 2)).as("distinct_n"))
+      .as[(Seq[Long], Int)].collect().head
+    assert(r._1.length === 4)
+    assert(r._1(0) === r._1(2)) // "a b" at positions 0 and 2
+    assert(r._1(1) === r._1(3)) // "b a" at positions 1 and 3
+    assert(r._2 === 2)
+  }
+
+  test("span_hashes is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT span_hashes(array('a','b','c'), 2) AS s")
+      .as[Seq[Long]].collect().head
+    val twin = Seq(("a b", "b c")).toDF("g1", "g2")
+      .select(TextFunctions.h44(col("g1")), TextFunctions.h44(col("g2")))
+      .as[(Long, Long)].collect().head
+    assert(r === Seq(twin._1, twin._2))
+  }
+
   test("native simhash32 equals the HOF chain on varied hash arrays") {
     val rnd = new scala.util.Random(23)
     val cases: Seq[Seq[Long]] =
