@@ -40,6 +40,36 @@ object Bench {
     */
   private val MaxLine = 1700
 
+  /** Suite-wide task-metric accumulator: per-query executor evidence
+    * (shuffle volume, spill, scan input) recorded alongside the
+    * timings in BENCH_DETAIL.json — the "is this plan shuffle-lean and
+    * spill-free at this SF" numbers, measured rather than asserted.
+    */
+  private final class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val zero = () => Map(
+      "shuffle_read_bytes" -> 0L, "shuffle_write_bytes" -> 0L,
+      "spill_disk_bytes" -> 0L, "spill_mem_bytes" -> 0L,
+      "input_bytes" -> 0L, "n_tasks" -> 0L)
+    private var acc = zero()
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        val m = te.taskMetrics
+        if (m != null) acc = Map(
+          "shuffle_read_bytes" ->
+            (acc("shuffle_read_bytes") + m.shuffleReadMetrics.totalBytesRead),
+          "shuffle_write_bytes" ->
+            (acc("shuffle_write_bytes") + m.shuffleWriteMetrics.bytesWritten),
+          "spill_disk_bytes" -> (acc("spill_disk_bytes") + m.diskBytesSpilled),
+          "spill_mem_bytes" -> (acc("spill_mem_bytes") + m.memoryBytesSpilled),
+          "input_bytes" -> (acc("input_bytes") + m.inputMetrics.bytesRead),
+          "n_tasks" -> (acc("n_tasks") + 1))
+      }
+    def reset(): Unit = synchronized { acc = zero() }
+    def snapshot(): Map[String, Long] = synchronized(acc)
+  }
+
   /** Queries whose timings must survive truncation, most important
     * first: the e2e flagship, TPC-H shapes, the lastfm vertical, then
     * the LLM-pipeline headliners.
@@ -104,8 +134,15 @@ object Bench {
     // A failed query must never read as a fast success: record -1 and an
     // entry in "errors" (round-1 swallowed Throwables silently).
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    val execStats = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, Long]]
     val repTimes = qs.map { case (name, fn) =>
       System.gc() // settle heap + release prior queries' broadcasts
+      org.apache.spark.graftshim.CoreShims
+        .drainListenerBus(spark.sparkContext)
+      metrics.reset()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { exec(fn); (System.nanoTime() - t0) / 1e9 }
@@ -113,6 +150,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+      }
+      // flush async task-end events, then attribute a PER-REP average
+      // (bytes are plan-deterministic; the mean strips rep count)
+      org.apache.spark.graftshim.CoreShims
+        .drainListenerBus(spark.sparkContext)
+      execStats(name) = metrics.snapshot().map {
+        case (k, v) => k -> v / reps
       }
       if (times.forall(_ < 0)) errors += name
       name -> times
@@ -135,7 +179,13 @@ object Bench {
       "\"" + name + "\":" +
         times.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val detail = line(fullJson).dropRight(1) + s""","reps":$repsJson}"""
+    val execJson = execStats.map { case (name, m) =>
+      "\"" + name + "\":{" +
+        m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+          .mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    val detail = line(fullJson).dropRight(1) +
+      s""","reps":$repsJson,"exec":$execJson}"""
     // A filtered run is an iteration probe — never let it clobber the
     // committed full-suite record.
     if (keep.isEmpty)
