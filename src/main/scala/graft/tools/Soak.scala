@@ -93,7 +93,9 @@ object Soak {
         .foreach(_.unpersist(blocking = true))
       val dir = s"/tmp/graft_soak/x$k"
       tables.foreach { tbl =>
-        // raw: the events ts column must stay int64 through the rewrite
+        // raw: the events ts column keeps its file-native representation
+        // through the rewrite (micros timestamp stays timestamp, legacy
+        // nanos stays int64 — see Tables.raw)
         val base = graft.engine.Tables.raw(spark, sfDir, tbl)
         val out =
           if (tbl == "documents") scaledDocs(base, k)

@@ -17,8 +17,9 @@ class EventQueriesSpec extends AnyFunSuite {
   private def run(rows: Seq[(Long, Timestamp, Long, String)]) = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-events-spec").toString
-    // Tables.t reads events.ts as raw INT64 NANOS (the driver testdata's
-    // TIMESTAMP(NANOS) encoding) — author the fixture the same way.
+    // Author the fixture as raw INT64 NANOS — the legacy testdata
+    // encoding — so this spec keeps exercising Tables.t's ns fallback
+    // (current driver testdata is native TIMESTAMP(MICROS)).
     rows.toDF("event_id", "tts", "user_id", "event_type")
       .withColumn("ts", expr("unix_micros(tts) * 1000L")).drop("tts")
       .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
