@@ -20,6 +20,16 @@ import graft.functions.TextFunctions.{h44, words}
   * instead of serving stale grams) and evicted-by-replacement via
   * [[graft.engine.SessionKeyedCache]], so a rewritten table also
   * unpersists the superseded blocks.
+  *
+  * The build repartitions on doc_id BEFORE the shingle expansion: a
+  * materialized corpus-wide relation must take its parallelism from the
+  * engine, not the input layout (a compact single-row-group file scans
+  * as ONE split, and a narrow-only persist would freeze that single
+  * partition into the cache — serializing the expensive explode+hash
+  * here and the first stage of every consumer). The shuffle moves only
+  * the raw (doc_id, text) rows once per session, and hash-placing by
+  * doc_id also co-locates the relation for the per-doc aggregations
+  * downstream.
   */
 object HashedGrams {
 
@@ -31,6 +41,8 @@ object HashedGrams {
       graft.engine.SessionKeyedCache.fileFingerprint(
         s, s"$dir/documents.parquet"))(
       graft.engine.Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= n)
         .select(col("doc_id"),

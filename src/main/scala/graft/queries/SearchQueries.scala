@@ -196,9 +196,15 @@ object SearchQueries {
     new graft.engine.SessionKeyedCache[DataFrame](_.unpersist())
 
   private def trigrams(s: SparkSession, dir: String): DataFrame =
+    // repartition BEFORE the shingle construction: the cached relation's
+    // parallelism must come from the engine, not the input split count
+    // (HashedGrams rationale — a single-row-group file would otherwise
+    // freeze a 1-partition layout into the cache).
     triCache.getOrElseUpdate(s, dir, graft.engine.SessionKeyedCache
       .fileFingerprint(s, s"$dir/documents.parquet"))(
       docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"),
