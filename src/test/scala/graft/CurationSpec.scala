@@ -126,4 +126,15 @@ class CurationSpec extends AnyFunSuite {
     assert(groups(dirA) === Set((0L, 0L), (1L, 0L)))
     assert(groups(dirB) === Set((5L, 5L), (6L, 5L)))
   }
+
+  test("the materialized shingle relation does not inherit the input's " +
+      "split count (round-7 single-row-group layout lesson)") {
+    // one tiny parquet file = one scan split; the cached relation must
+    // still come out at the engine's shuffle width, not frozen at 1
+    val dir = docsDir((0L to 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token$i run")))
+    val grams = graft.queries.HashedGrams(spark, dir, 3)
+    assert(grams.rdd.getNumPartitions ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
 }
