@@ -22,6 +22,32 @@ object DocQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
 
+  /** The tokenized corpus `(doc_id, ws: array<string>)` — the
+    * "tokenizer pass landed once" every span-granular operator starts
+    * from — session-materialized like [[HashedGrams]] (same fingerprint
+    * keying and replacement eviction). [[qSpanDedup]] consumes the
+    * relation on THREE plan branches (positional hashing, the
+    * reconstruction token table, and the per-doc length base), and
+    * exchange reuse cannot deduplicate them across its diverging
+    * aggregates — without the cache each branch re-runs scan+split over
+    * the whole corpus. Repartitioned on doc_id at build time so the
+    * materialized layout takes the engine's width, not the input's
+    * (HashedGrams rationale), and co-locates the per-doc joins.
+    */
+  private val wordsCache =
+    new graft.engine.SessionKeyedCache[DataFrame](_.unpersist())
+
+  private[queries] def tokenized(s: SparkSession, dir: String): DataFrame =
+    wordsCache.getOrElseUpdate(s, dir,
+      graft.engine.SessionKeyedCache.fileFingerprint(
+        s, s"$dir/documents.parquet"))(
+      docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.words(col("text")).as("ws"))
+        .persist())
+
   /** Exact dedup via content hash: one row per distinct text, keeper =
     * lowest doc_id (the `ON CONFLICT` first-wins analogue for corpora).
     * At 100 TB this is the standard hash-groupBy: shuffles only
@@ -920,9 +946,7 @@ object DocQueries {
     "q_span_dedup",
     (s, dir) => {
       val W = 8
-      val toks = docs(s, dir)
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= W)
+      val toks = tokenized(s, dir).filter(size(col("ws")) >= W)
       val occ = toks.select(col("doc_id"),
         posexplode(graft.functions.SpanHashes(col("ws"), W))
           .as(Seq("pos", "gh")))
