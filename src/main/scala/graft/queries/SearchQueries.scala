@@ -211,9 +211,12 @@ object SearchQueries {
           graft.functions.WordShingles(col("ws"), 3).as("ts"))
         .persist())
 
-  val qSetsimJoin = QueryDef(
-    "q_setsim_join",
-    (s, dir) => {
+  /** PPJoin candidate pairs `(doc_a, doc_b, len_a, len_b)` — the
+    * prefix/length/position-filtered survivor set both verification
+    * forms start from (factored out so the array form and the
+    * token-count form share one candidate generator).
+    */
+  private def setsimCandidates(s: SparkSession, dir: String): DataFrame = {
       val tri = trigrams(s, dir)
       val toks = tri.select(col("doc_id"),
         size(col("ts")).cast("long").as("len"), explode(col("ts")).as("tok"))
@@ -258,21 +261,69 @@ object SearchQueries {
             lit(3L) * (col("len_a") + col("len_b")))
         .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
         .distinct()
-      val inter = cand
+      cand
+  }
+
+  /** Shared Jaccard epilogue: threshold in integer math, exact-ratio
+    * output, deterministic order.
+    */
+  private def setsimEmit(inter: DataFrame): DataFrame =
+    inter
+      .filter(lit(8L) * col("inter") >= lit(3L) * (col("len_a") + col("len_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("len_a") + col("len_b") - col("inter"))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val qSetsimJoin = QueryDef(
+    "q_setsim_join",
+    (s, dir) => {
+      val tri = trigrams(s, dir)
+      val inter = setsimCandidates(s, dir)
         .join(tri.select(col("doc_id").as("doc_a"), col("ts").as("ta")),
           Seq("doc_a"))
         .join(tri.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
           Seq("doc_b"))
         .withColumn("inter",
           size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      inter
-        .filter(lit(8L) * col("inter") >= lit(3L) * (col("len_a") + col("len_b")))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("inter").cast("double") /
-            (col("len_a") + col("len_b") - col("inter"))).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      setsimEmit(inter)
     },
-    Some(s"""
+    Some(setsimOracle))
+
+  /** The narrow token-table verification form of [[qSetsimJoin]] — the
+    * documented "third form" SHIPPED: candidates join the exploded
+    * (doc_id, tok) relation on doc_a, then match rows on (doc_b, tok),
+    * and |intersection| is a per-pair count — fixed-width rows end to
+    * end, no per-candidate array payload in any exchange. Same
+    * candidates, same threshold, same output (the oracle is literally
+    * the same SQL — its inter CTE already counts). Slower at harness
+    * scale (the candidate × tokens fan-out costs more than attaching
+    * two small arrays); the right shape once per-doc token arrays are
+    * large enough to dominate the verification exchange. Soaked
+    * head-to-head (SCALE.md): on the DOC-COUNT axis the array form
+    * wins at every multiplier — arrays stay small while the candidate
+    * set grows, and this form pays candidates × tokens fan-out on
+    * exactly that axis; its regime is document LENGTH, the orthogonal
+    * axis doc-count soak cannot show.
+    */
+  val qSetsimJoinCounts = QueryDef(
+    "q_setsim_join_counts",
+    (s, dir) => {
+      val tokRel = trigrams(s, dir)
+        .select(col("doc_id"), explode(col("ts")).as("tok"))
+      val inter = setsimCandidates(s, dir)
+        .join(tokRel.select(col("doc_id").as("doc_a"), col("tok")),
+          Seq("doc_a"))
+        .join(tokRel.select(col("doc_id").as("doc_b"), col("tok")),
+          Seq("doc_b", "tok"))
+        .groupBy(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
+        .agg(count(lit(1)).as("inter"))
+      setsimEmit(inter)
+    },
+    Some(setsimOracle),
+    bench = false)
+
+  private lazy val setsimOracle: String = s"""
       WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
       toks AS (
         SELECT doc_id, unnest(list_distinct(
@@ -302,7 +353,8 @@ object SearchQueries {
       SELECT doc_a, doc_b, inter,
              CAST(inter AS DOUBLE) / (len_a + len_b - inter) AS jaccard
       FROM inter WHERE 8 * inter >= 3 * (len_a + len_b)
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""
 
-  val all: Seq[QueryDef] = Seq(qInvertedIndex, qBm25, qSetsimJoin)
+  val all: Seq[QueryDef] =
+    Seq(qInvertedIndex, qBm25, qSetsimJoin, qSetsimJoinCounts)
 }

@@ -36,7 +36,8 @@ object Soak {
     "q_dedup_simhash",        // native simhash32 over the corpus
     "q_crossdoc_overlap",     // shared shingle table + df rollup
     "q_decontaminate",        // broadcast eval-gram probe
-    "q_setsim_join")          // PPJoin prefix+position filters
+    "q_setsim_join",          // PPJoin prefix+position filters
+    "q_setsim_join_counts")   // same candidates, token-count verification
 
   private val Shift = 10_000_000_000L
 

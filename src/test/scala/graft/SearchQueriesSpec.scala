@@ -140,6 +140,13 @@ class SearchQueriesSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(got === expect)
     assert(got === Set((2L, 3L), (4L, 5L)))
+    // the token-count verification form must be row-identical to the
+    // array form — same candidates, same integer threshold, same ratio
+    val arr = graft.queries.SearchQueries.qSetsimJoin.run(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val cnt = graft.queries.SearchQueries.qSetsimJoinCounts.run(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(arr === cnt)
   }
 
   test("welch t-test matches the hand computation on authored variants") {
