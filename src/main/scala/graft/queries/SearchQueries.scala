@@ -180,8 +180,8 @@ object SearchQueries {
     * every candidate row before the second join, so at extreme scale
     * (arrays too big even for a raised threshold) the right third form
     * is the narrow token-table count join (pair ⋈ toks on (doc, tok),
-    * count per pair) — more rows, but fixed-width ones; measured 2-4×
-    * slower HERE, cheaper once array payloads dominate the exchange.
+    * count per pair) — SHIPPED as [[qSetsimJoinCounts]] behind the
+    * shared candidate generator, head-to-head soak in SCALE.md.
     * This is the PPJoin shape (Xiao et al., WWW'08).
     */
   /** Per-doc distinct-trigram arrays, session-cached (ChartQueries
