@@ -300,11 +300,12 @@ object SearchQueries {
     * scale (the candidate × tokens fan-out costs more than attaching
     * two small arrays); the right shape once per-doc token arrays are
     * large enough to dominate the verification exchange. Soaked
-    * head-to-head (SCALE.md): on the DOC-COUNT axis the array form
-    * wins at every multiplier — arrays stay small while the candidate
-    * set grows, and this form pays candidates × tokens fan-out on
-    * exactly that axis; its regime is document LENGTH, the orthogonal
-    * axis doc-count soak cannot show.
+    * head-to-head on BOTH axes (SCALE.md): the array form wins at
+    * every measurable multiplier of doc count AND document length —
+    * this form pays candidates × tokens join rows on either axis — so
+    * it ships as the MEMORY-bound fallback: fixed-width rows are the
+    * only shape that still executes once per-candidate array payloads
+    * outgrow the exchange or a task (10⁵⁺-token documents).
     */
   val qSetsimJoinCounts = QueryDef(
     "q_setsim_join_counts",

@@ -63,9 +63,29 @@ object Soak {
         regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1x" + i))
     }.reduce(_ unionAll _)
 
+  /** Document-LENGTH soak (`doclen` mode): same doc ids and pair
+    * structure, each text concatenated with k−1 word-suffixed variants
+    * of itself ("fox" → "foxL2"), so the DISTINCT trigram set per doc
+    * grows ~k× (plain repetition would not grow a set) while
+    * cross-doc overlap ratios — and thus the qualifying pair set —
+    * stay put. This is the axis the entity soak cannot scale: it grows
+    * the per-doc arrays the set-similarity verification exchanges
+    * carry, which is exactly the regime split between the array and
+    * token-count verification forms.
+    */
+  private def lengthScaledDocs(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("text",
+      concat_ws(" ", (0 until k).map { i =>
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1L" + i)
+      }: _*))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val ks = args(1).split(",").map(_.trim.toInt)
+    // optional third arg `doclen`: scale document LENGTH instead of
+    // entity count, and run only the length-sensitive pair queries
+    val docLenMode = args.length > 2 && args(2) == "doclen"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -99,11 +119,16 @@ object Soak {
         // nanos stays int64 — see Tables.raw)
         val base = graft.engine.Tables.raw(spark, sfDir, tbl)
         val out =
-          if (tbl == "documents") scaledDocs(base, k)
+          if (tbl == "documents")
+            (if (docLenMode) lengthScaledDocs(base, k) else scaledDocs(base, k))
+          else if (docLenMode) base
           else shiftKeys.get(tbl).fold(base)(scaled(base, k, _))
         out.write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
       }
-      queries.foreach { name =>
+      val qs =
+        if (docLenMode) Seq("q_setsim_join", "q_setsim_join_counts")
+        else queries
+      qs.foreach { name =>
         def run(): Double = {
           val t0 = System.nanoTime()
           byName(name).run(spark, dir)
