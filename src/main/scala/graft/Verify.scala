@@ -19,6 +19,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round-start drift check (footer reads only): if the driver
+    // regenerated testdata with a different encoding, say so HERE in
+    // one descriptive line per drift, before 168 queries fail
+    // confusingly (round-7 lesson — the events.ts unit flip).
+    graft.engine.Tables.auditSchemas(spark, sfDir)
+      .foreach(d => System.err.println(s"[verify][schema-drift] $d"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

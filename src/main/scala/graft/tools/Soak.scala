@@ -71,7 +71,13 @@ object Soak {
     * stay put. This is the axis the entity soak cannot scale: it grows
     * the per-doc arrays the set-similarity verification exchanges
     * carry, which is exactly the regime split between the array and
-    * token-count verification forms.
+    * token-count verification forms. Approximation: trigrams spanning
+    * the SEAM between concatenated variants are new cross-variant
+    * shingles whose overlap need not match the base ratio, so pairs
+    * sitting exactly at the similarity threshold can flip in or out as
+    * k grows — the qualifying pair set is near-invariant, not exactly
+    * invariant, and the head-to-head comparison reads relative times at
+    * the SAME k, which the seam noise cannot bias.
     */
   private def lengthScaledDocs(df: DataFrame, k: Int): DataFrame =
     df.withColumn("text",
