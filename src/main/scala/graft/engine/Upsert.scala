@@ -42,7 +42,7 @@ object Upsert {
     * Flat (unpartitioned) layout.
     */
   def upsertParquet(spark: SparkSession, path: String, incoming: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String]): Long = WriterLease.withLease(spark, path) {
     val toAppend =
       if (tableExists(spark, path)) {
         val existing = spark.read.parquet(path)
@@ -88,18 +88,20 @@ object Upsert {
     // `ddl_ods.sql:23`, `ddl_dds.sql:31`).
     require(keys.contains(dateCol),
       s"partitioned upsert requires the date column '$dateCol' in the key $keys")
-    val toAppend =
-      if (tableExists(spark, path)) {
-        val dates = incoming.select(col(dateCol)).distinct()
-        // Existing side pruned to the dates present in this batch — at
-        // scale this is the difference between scanning one day and the
-        // whole history.
-        val table = spark.read.parquet(path)
-        requireSameColumns(incoming, table, path)
-        val existing = table.join(dates, Seq(dateCol), "left_semi")
-        newRows(incoming, existing, keys)
-      } else incoming
-    stagedAppend(spark, path, toAppend, Some(dateCol))
+    WriterLease.withLease(spark, path) {
+      val toAppend =
+        if (tableExists(spark, path)) {
+          val dates = incoming.select(col(dateCol)).distinct()
+          // Existing side pruned to the dates present in this batch — at
+          // scale this is the difference between scanning one day and the
+          // whole history.
+          val table = spark.read.parquet(path)
+          requireSameColumns(incoming, table, path)
+          val existing = table.join(dates, Seq(dateCol), "left_semi")
+          newRows(incoming, existing, keys)
+        } else incoming
+      stagedAppend(spark, path, toAppend, Some(dateCol))
+    }
   }
 
   /** SCD Type-1 merge: `ON CONFLICT DO UPDATE` semantics — incoming
@@ -133,47 +135,52 @@ object Upsert {
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
       s"merge into $path: incoming affects the key ${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
-    if (!tableExists(spark, path)) {
-      stagedAppend(spark, path, incoming, Some(dateCol))
-      return nIncoming
-    }
-    val table = spark.read.parquet(path)
-    requireSameColumns(incoming, table, path)
-    // null-safe date match: a NULL-date incoming row must pull the
-    // existing NULL partition into `kept`, or its surviving rows would
-    // be overwritten by the __HIVE_DEFAULT_PARTITION__ swap below
-    val dates = incoming.select(col(dateCol).as("__m_date")).distinct()
-    val touched = table.join(dates, col(dateCol) <=> col("__m_date"), "left_semi")
-    val kept = newRows(touched, incoming, keys) // existing rows NOT replaced
-    val merged = kept.unionByName(incoming.select(table.columns.map(col): _*))
-    val stagingPath = s"$path.__merge_staging"
-    merged.write.mode("overwrite").partitionBy(dateCol).parquet(stagingPath)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      val stagedParts = fs.listStatus(new org.apache.hadoop.fs.Path(stagingPath))
-        .filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith(s"$dateCol="))
-      stagedParts.foreach { part =>
-        val target = new org.apache.hadoop.fs.Path(path, part.getName)
-        val old = new org.apache.hadoop.fs.Path(path, part.getName + ".__old")
-        fs.delete(old, true)
-        val hadPrevious = fs.exists(target)
-        if (hadPrevious && !fs.rename(target, old))
-          throw new java.io.IOException(
-            s"merge swap failed: $target -> $old (target intact)")
-        if (!fs.rename(part, target)) {
-          if (hadPrevious && !fs.rename(old, target))
-            throw new java.io.IOException(
-              s"merge swap failed AND restore failed — recover manually from $old")
-          throw new java.io.IOException(s"merge swap failed: $part -> $target " +
-            (if (hadPrevious) "(previous restored)" else "(partition absent; re-run)"))
+    WriterLease.withLease(spark, path) {
+      if (!tableExists(spark, path)) {
+        stagedAppend(spark, path, incoming, Some(dateCol))
+        nIncoming
+      } else {
+        val table = spark.read.parquet(path)
+        requireSameColumns(incoming, table, path)
+        // null-safe date match: a NULL-date incoming row must pull the
+        // existing NULL partition into `kept`, or its surviving rows would
+        // be overwritten by the __HIVE_DEFAULT_PARTITION__ swap below
+        val dates = incoming.select(col(dateCol).as("__m_date")).distinct()
+        val touched =
+          table.join(dates, col(dateCol) <=> col("__m_date"), "left_semi")
+        val kept = newRows(touched, incoming, keys) // existing rows NOT replaced
+        val merged = kept.unionByName(incoming.select(table.columns.map(col): _*))
+        val stagingPath = s"$path.__merge_staging"
+        merged.write.mode("overwrite").partitionBy(dateCol).parquet(stagingPath)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          val stagedParts =
+            fs.listStatus(new org.apache.hadoop.fs.Path(stagingPath))
+              .filter(_.isDirectory).map(_.getPath)
+              .filter(_.getName.startsWith(s"$dateCol="))
+          stagedParts.foreach { part =>
+            val target = new org.apache.hadoop.fs.Path(path, part.getName)
+            val old = new org.apache.hadoop.fs.Path(path, part.getName + ".__old")
+            fs.delete(old, true)
+            val hadPrevious = fs.exists(target)
+            if (hadPrevious && !fs.rename(target, old))
+              throw new java.io.IOException(
+                s"merge swap failed: $target -> $old (target intact)")
+            if (!fs.rename(part, target)) {
+              if (hadPrevious && !fs.rename(old, target))
+                throw new java.io.IOException(
+                  s"merge swap failed AND restore failed — recover manually from $old")
+              throw new java.io.IOException(s"merge swap failed: $part -> $target " +
+                (if (hadPrevious) "(previous restored)" else "(partition absent; re-run)"))
+            }
+            fs.delete(old, true)
+          }
+          nIncoming
+        } finally {
+          fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
         }
-        fs.delete(old, true)
       }
-      nIncoming
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
     }
   }
 

@@ -130,6 +130,61 @@ class UpsertSpec extends AnyFunSuite {
     assert(snapshot() === expected)
   }
 
+  test("a second concurrent writer fails loudly while the first's " +
+      "publish completes") {
+    val path = tmp()
+    val keys = Seq("rank", "source_date", "country")
+    val batch = Seq((1, d1, "US", "x"), (2, d1, "US", "y"))
+      .toDF("rank", "source_date", "country", "payload")
+    val firstDone = graft.engine.WriterLease.withLease(spark, path) {
+      // writer B arrives while A holds the lease: loud, named failure
+      val e = intercept[graft.engine.ConcurrentWriterException](
+        Upsert.upsertParquet(spark, path, batch, keys))
+      assert(e.getMessage.contains(path) && e.getMessage.contains("pid="))
+      val e2 = intercept[graft.engine.ConcurrentWriterException](
+        Upsert.upsertPartitioned(spark, path, batch, keys, "source_date"))
+      assert(e2.getMessage.contains("single-writer"))
+      "first-writer-finished"
+    }
+    assert(firstDone === "first-writer-finished")
+    // A released on exit; B's rejected attempts left no partial state
+    assert(Upsert.upsertParquet(spark, path, batch, keys) === 2)
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("the lease is released when the holder's body throws") {
+    val path = tmp()
+    val keys = Seq("rank", "source_date", "country")
+    val batch = Seq((1, d1, "US", "x"))
+      .toDF("rank", "source_date", "country", "payload")
+    intercept[RuntimeException](
+      graft.engine.WriterLease.withLease(spark, path) {
+        throw new RuntimeException("writer died mid-publish")
+      })
+    assert(Upsert.upsertParquet(spark, path, batch, keys) === 1)
+  }
+
+  test("a crashed writer's stale lease blocks writes until broken " +
+      "explicitly") {
+    val path = tmp()
+    val keys = Seq("rank", "source_date", "country")
+    val batch = Seq((1, d1, "US", "x"))
+      .toDF("rank", "source_date", "country", "payload")
+    // simulate a kill -9: the lease file exists with no live holder
+    val lease = new org.apache.hadoop.fs.Path(path + ".__writer_lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lease.getParent)
+    val out = fs.create(lease, false)
+    out.write("host=gone pid=0 acquired=crash".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[graft.engine.ConcurrentWriterException](
+      Upsert.mergePartitioned(spark, path, batch, keys, "source_date"))
+    assert(e.getMessage.contains("breakLease"))
+    assert(graft.engine.WriterLease.breakLease(spark, path))
+    assert(Upsert.mergePartitioned(spark, path, batch, keys,
+      "source_date") === 1)
+  }
+
   test("ingest -> ODS upsert replay is a no-op end to end") {
     val path = tmp()
     val ods = graft.ingest.OdsBuilder.ingest(spark)
