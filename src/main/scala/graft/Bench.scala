@@ -93,6 +93,16 @@ object Bench {
     "q_forward_fill", "q_approx_quantiles", "q_window_sliding")
 
   def main(args: Array[String]): Unit = {
+    // The driver parses the JSON line out of the LAST 2000 chars of
+    // combined process output — any stray stderr (a WARN-level log4j
+    // stack trace landed right before round 7's line) competes with it
+    // for that window. Route ALL stderr for this forked JVM to a log
+    // file instead: the redirect precedes SparkSession creation, so
+    // log4j's console appender binds to the file stream, and uncaught-
+    // exception traces (ThreadGroup reads System.err dynamically) land
+    // there too. stdout carries exactly one line: the JSON result.
+    System.setErr(new java.io.PrintStream(
+      new java.io.FileOutputStream("bench_stderr.log"), true, "UTF-8"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1,
@@ -204,7 +214,10 @@ object Bench {
       if (line(candidate.mkString("{", ",", "}")).length <= MaxLine)
         picked += entry(name -> byName(name))
     }
-    println(line(picked.mkString("{", ",", "}")))
+    // stop() BEFORE printing: nothing (not even shutdown logging that
+    // might escape the stderr redirect) may trail the JSON line in the
+    // driver's tail window.
     spark.stop()
+    println(line(picked.mkString("{", ",", "}")))
   }
 }
