@@ -20,6 +20,22 @@ import graft.functions.{LongArrayDot, Md5Prefix44, MinHashSig, SimHash32, SpanHa
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoin)
+    // SQL surface for the library engines (SURVEY §2.9 note): the
+    // distributed-rank operator as a planned table function, the
+    // grouped-quantiles engine as an analysis-time TVF expansion.
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectResolutionRule(s => graft.plans.ExpandGroupedQuantiles(s))
+    ext.injectTableFunction((
+      FunctionIdentifier("global_rank"),
+      new ExpressionInfo(classOf[graft.plans.GlobalRank].getName,
+        "global_rank"),
+      (children: Seq[Expression]) => graft.plans.GlobalRank.fromArgs(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("grouped_quantiles"),
+      new ExpressionInfo(classOf[graft.plans.GroupedQuantilesPlan].getName,
+        "grouped_quantiles"),
+      (children: Seq[Expression]) =>
+        graft.plans.GroupedQuantilesTvf.fromArgs(children)))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(

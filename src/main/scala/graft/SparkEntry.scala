@@ -18,7 +18,8 @@ object SparkEntry {
       MiscQueries.all ++ ExtQueries.all ++ JoinQueries.all ++
       ScaleQueries.all ++ AnalyticQueries.all ++ EventQueries.all ++
       WarehouseQueries.all ++ CurationQueries.all ++ RelationalMore.all ++
-      TpchFull.all ++ TrainingQueries.all ++ SearchQueries.all
+      TpchFull.all ++ TrainingQueries.all ++ SearchQueries.all ++
+      SqlSurfaceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The raw-JSON end-to-end royalties mart exercises the whole reference

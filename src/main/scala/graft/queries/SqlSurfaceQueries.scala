@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+
+/** The SQL entry points for the library engines (SURVEY §2.9 /
+  * round-7 verdict item 6): a user coming from the reference's
+  * SQL-only world reaches the distributed-rank and grouped-quantiles
+  * machinery through `spark.sql` text alone — no DataFrame API —
+  * via the GraftExtensions table functions (`plans/GlobalRank.scala`,
+  * `plans/GroupedQuantilesTvf.scala`). Both queries are oracle-checked
+  * against the standard-SQL equivalents they replace.
+  */
+object SqlSurfaceQueries {
+
+  /** Top-100 orders by price through `global_rank` — the TVF plans the
+    * two-phase range-partitioned rank (no single-task WindowExec), and
+    * must agree with `row_number() OVER (ORDER BY …)` exactly.
+    */
+  val qSqlGlobalRank = QueryDef(
+    "q_sql_global_rank",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sql_v")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice, rk
+        FROM global_rank('orders_sql_v', 'o_totalprice DESC, o_orderkey', 'rk')
+        WHERE rk <= 100
+        ORDER BY rk""")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, rk FROM (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rk
+        FROM orders)
+      WHERE rk <= 100
+      ORDER BY rk"""))
+
+  /** Grouped exact interpolated quantiles through `grouped_quantiles`
+    * — the TVF expands to the histogram-refinement plan at analysis
+    * time and must match `quantile_cont` bitwise on exact cents (same
+    * discipline as q_percentiles, which exercises the same engine
+    * through the DataFrame API).
+    */
+  val qSqlGroupedQuantiles = QueryDef(
+    "q_sql_grouped_quantiles",
+    (s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            .as("cents"))
+        .createOrReplaceTempView("events_cents_v")
+      s.sql("""
+        SELECT event_type,
+               p50 / 100 AS p50_value,
+               p95 / 100 AS p95_value
+        FROM grouped_quantiles('events_cents_v', 'event_type', 'cents',
+                               'p50=0.5,p95=0.95')
+        ORDER BY event_type""")
+    },
+    Some("""
+      SELECT event_type,
+             quantile_cont(cents, 0.5) / 100 AS p50_value,
+             quantile_cont(cents, 0.95) / 100 AS p95_value
+      FROM (SELECT event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events)
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(qSqlGlobalRank, qSqlGroupedQuantiles)
+}

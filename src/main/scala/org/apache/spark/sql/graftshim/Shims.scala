@@ -20,4 +20,13 @@ object Shims {
   def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
     org.apache.spark.sql.errors.QueryCompilationErrors
       .wrongNumArgsError(name, Seq(expected), actual)
+
+  /** LogicalPlan → DataFrame for analysis-time TVF expansion
+    * (`Dataset.ofRows` is `private[sql]` in Spark 4's classic module).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL entry points for the library engines (GraftExtensions TVFs):
+  * `global_rank` must match `row_number() OVER (ORDER BY …)` exactly
+  * while planning WITHOUT the single-task window, and
+  * `grouped_quantiles` must match the built-in `percentile` aggregate
+  * bit-for-bit (the engine replicates its interpolation formula).
+  */
+class SqlTvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def seedViews(): Unit = {
+    val r = new scala.util.Random(7)
+    (1 to 500).map(i => (i.toLong, r.nextInt(1000).toLong,
+        s"g${i % 3}", r.nextInt(100000).toLong))
+      .toDF("id", "amount", "grp", "cents")
+      .createOrReplaceTempView("tvf_t")
+  }
+
+  test("global_rank matches row_number over the same order") {
+    seedViews()
+    val got = spark.sql(
+      "SELECT id, rk FROM global_rank('tvf_t', 'amount DESC, id', 'rk')")
+      .as[(Long, Long)].collect().toMap
+    val want = spark.sql(
+      """SELECT id, row_number() OVER (ORDER BY amount DESC, id) AS rk
+        |FROM tvf_t""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("global_rank composes with downstream SQL (filter + join)") {
+    seedViews()
+    val top = spark.sql(
+      """SELECT t.grp, count(*) AS n
+        |FROM global_rank('tvf_t', 'amount DESC, id', 'rk') g
+        |JOIN tvf_t t USING (id)
+        |WHERE g.rk <= 10
+        |GROUP BY t.grp""".stripMargin)
+    assert(top.agg(sum("n")).as[Long].head() === 10L)
+  }
+
+  test("global_rank plans no partition-less WindowExec") {
+    seedViews()
+    val plan = spark.sql(
+      "SELECT * FROM global_rank('tvf_t', 'amount, id', 'rk')")
+      .queryExecution.executedPlan.toString
+    // the exec node prints with the Exec suffix stripped; the child is
+    // a range-partitioned sort, never a single-task window
+    assert(plan.contains("GlobalRank"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("grouped_quantiles matches the percentile aggregate exactly") {
+    seedViews()
+    val got = spark.sql(
+      """SELECT grp, p50, p95 FROM
+        |grouped_quantiles('tvf_t', 'grp', 'cents', 'p50=0.5,p95=0.95')"""
+        .stripMargin)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, l, h) => g -> (l, h) }.toMap
+    val want = spark.sql(
+      """SELECT grp, percentile(cents, 0.5) AS p50,
+        |       percentile(cents, 0.95) AS p95
+        |FROM tvf_t GROUP BY grp""".stripMargin)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, l, h) => g -> (l, h) }.toMap
+    assert(got.keySet === Set("g0", "g1", "g2"))
+    assert(got === want)
+  }
+
+  test("bad TVF arguments fail descriptively") {
+    seedViews()
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM global_rank('tvf_t', 'amount')").collect())
+    assert(e.getMessage.contains("global_rank"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM grouped_quantiles('tvf_t','grp','cents','p50-0.5')")
+      .collect())
+    assert(e2.getMessage.contains("out_name=probability"), e2.getMessage)
+  }
+}
