@@ -1,7 +1,8 @@
 package graft.engine
 
-import java.sql.DriverManager
+import java.sql.{Connection, DriverManager}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
 
 /** JDBC warehouse sink — the relational-landing half of the reference's
   * contract: every transformed table there ends in Postgres
@@ -44,5 +45,148 @@ object JdbcSink {
       }
     } finally conn.close()
     df.write.mode("append").jdbc(url, table, props)
+  }
+
+  /** EXACTLY-ONCE epoch-keyed publish — the `foreachBatch` contract.
+    *
+    * `foreachBatch` is at-least-once: after a failure the SAME batchId
+    * is re-run, so a plain append duplicates and even [[publishMart]]'s
+    * delete-then-append can interleave with a crash. This publish is
+    * transactional and keyed by (table, batchId) in a `graft_epochs`
+    * ledger table: inside ONE JDBC transaction it (1) skips committed
+    * batchIds, (2) replaces the batch's slices (the rows whose
+    * `sliceCols` tuples appear in the batch — for an update-mode
+    * windowed aggregate this must be the FULL grouping key, since a
+    * batch re-emits only the changed groups and a coarser slice would
+    * delete untouched neighbors), (3) inserts the rows, and
+    * (4) records the batchId. The ledger's PRIMARY KEY doubles as the
+    * race referee: two writers racing the same epoch serialize on the
+    * key, the loser rolls back — the MVCC guarantee the reference gets
+    * from Postgres, restated for the streaming path.
+    *
+    * The batch lands via one driver connection, not executor-parallel
+    * `df.write.jdbc` — deliberately: a transaction spans one
+    * connection, and a STREAMING mart batch is a per-trigger aggregate
+    * slice (bounded by construction; `maxRows` makes the assumption
+    * loud). The batch path ([[publishMart]]) keeps executor-parallel
+    * writes for big backfills.
+    *
+    * @return true iff this call committed the batch (false = replay of
+    *         an already-committed epoch, a no-op)
+    */
+  def publishEpoch(df: DataFrame, url: String, table: String,
+      sliceCols: Seq[String], batchId: Long,
+      props: java.util.Properties = new java.util.Properties,
+      maxRows: Int = 1 << 20): Boolean = {
+    val schema = df.schema
+    require(sliceCols.nonEmpty &&
+        sliceCols.forall(schema.fieldNames.contains),
+      s"publishEpoch: slice columns $sliceCols not all in ${schema.fieldNames.mkString(",")}")
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"publishEpoch into $table: batch exceeds $maxRows rows — this path " +
+        "is for per-trigger mart slices; use publishMart for backfills")
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      ensureTable(conn, "graft_epochs",
+        "tbl VARCHAR(128) NOT NULL, batch BIGINT NOT NULL, " +
+          "PRIMARY KEY (tbl, batch)")
+      val seen = conn.prepareStatement(
+        "SELECT 1 FROM graft_epochs WHERE tbl = ? AND batch = ?")
+      val committed =
+        try {
+          seen.setString(1, table); seen.setLong(2, batchId)
+          val rs = seen.executeQuery()
+          try rs.next() finally rs.close()
+        } finally seen.close()
+      if (committed) { conn.rollback(); false }
+      else {
+        ensureTable(conn, table, schema.fields.map(f =>
+          s""""${f.name}" ${ddlType(f.dataType)}""").mkString(", "))
+        val sliceVals = rows
+          .map(r => sliceCols.map(c => r.getAs[Any](c))).distinct
+        if (sliceVals.nonEmpty) {
+          val del = conn.prepareStatement(s"DELETE FROM $table WHERE " +
+            sliceCols.map(c => s""""$c" = ?""").mkString(" AND "))
+          try sliceVals.foreach { tuple =>
+            tuple.zipWithIndex.foreach { case (v, i) =>
+              del.setObject(i + 1, v) }
+            del.executeUpdate()
+          } finally del.close()
+        }
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $table (${schema.fieldNames.map("\"" + _ + "\"").mkString(", ")}) " +
+            s"VALUES (${schema.fields.map(_ => "?").mkString(", ")})")
+        try {
+          rows.foreach { r =>
+            schema.fields.zipWithIndex.foreach { case (f, i) =>
+              val v = r.get(i)
+              if (v == null) ins.setNull(i + 1, sqlType(f.dataType))
+              else ins.setObject(i + 1, v)
+            }
+            ins.addBatch()
+          }
+          ins.executeBatch()
+        } finally ins.close()
+        val mark = conn.prepareStatement(
+          "INSERT INTO graft_epochs (tbl, batch) VALUES (?, ?)")
+        try { mark.setString(1, table); mark.setLong(2, batchId)
+          mark.executeUpdate(); () }
+        finally mark.close()
+        conn.commit()
+        true
+      }
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: java.sql.SQLException => }
+        throw e
+    } finally conn.close()
+  }
+
+  private def ensureTable(conn: Connection, table: String,
+      columnsDdl: String): Unit = {
+    val exists = {
+      val rs = conn.getMetaData.getTables(
+        null, null, table.toUpperCase(java.util.Locale.ROOT), null)
+      try rs.next() finally rs.close()
+    }
+    if (!exists) {
+      val st = conn.createStatement()
+      try { st.executeUpdate(s"CREATE TABLE $table ($columnsDdl)"); () }
+      finally st.close()
+    }
+  }
+
+  /** Mart-surface type mapping (ANSI names Derby and Postgres share);
+    * anything else is a loud error, not a guess.
+    */
+  private def ddlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case StringType => "VARCHAR(4000)"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case BooleanType => "BOOLEAN"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"publishEpoch: no JDBC DDL mapping for ${other.simpleString}")
+  }
+
+  private def sqlType(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType => java.sql.Types.SMALLINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case StringType => java.sql.Types.VARCHAR
+    case DateType => java.sql.Types.DATE
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case BooleanType => java.sql.Types.BOOLEAN
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case _ => java.sql.Types.NULL
   }
 }

@@ -44,6 +44,36 @@ object GraftStreaming {
       .start()
   }
 
+  /** Streaming mart publish with EXACTLY-ONCE landing: each trigger's
+    * aggregate slice goes through [[graft.engine.JdbcSink.publishEpoch]]
+    * keyed by the `foreachBatch` batchId, so a failure-retried batch (or
+    * a full replay under the same checkpoint lineage) lands zero
+    * duplicate rows — the streaming restatement of the reference's
+    * daily Postgres mart append, with the transactional guarantee the
+    * reference gets from Postgres MVCC. `update` output mode: only
+    * groups the trigger changed are re-emitted, and publishEpoch
+    * replaces exactly those — `sliceCols` must therefore be the mart's
+    * FULL grouping key (see its scaladoc).
+    *
+    * Ledger caveat (standard epoch-ledger semantics): batchIds restart
+    * at 0 when the CHECKPOINT is deleted, and the ledger will then skip
+    * them as already-committed — a deliberate reprocess needs a fresh
+    * target table or a cleared `graft_epochs` row set, which is the
+    * same discipline every transactional sink requires.
+    */
+  def martPublishStream(mart: DataFrame, url: String, table: String,
+      sliceCols: Seq[String], checkpoint: String): StreamingQuery =
+    mart.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.engine.JdbcSink.publishEpoch(batch, url, table, sliceCols,
+          batchId)
+        ()
+      }
+      .start()
+
   /** Tumbling-window event counts + exact value sums. Works in BOTH
     * batch (the oracle-checked `q_window_hourly`; `withWatermark` is a
     * no-op there) and streaming (watermark bounds state and drops late

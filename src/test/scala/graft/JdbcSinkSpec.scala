@@ -39,6 +39,34 @@ class JdbcSinkSpec extends AnyFunSuite {
       (d2, "US", 9.0), (d2, "KZ", 10.0)))
   }
 
+  test("publishEpoch: a replayed epoch is a no-op, a new epoch replaces " +
+      "its slice, other slices survive") {
+    def slice(date: String, v: Double) = Seq(
+      (java.sql.Date.valueOf(date), "US", v),
+      (java.sql.Date.valueOf(date), "KZ", v + 1))
+      .toDF("date", "country_name", "avg_duration")
+    val d1 = java.sql.Date.valueOf("2024-06-01")
+    val d2 = java.sql.Date.valueOf("2024-06-02")
+    def snapshot() = spark.read
+      .jdbc(url, "t_epoch_mart", new java.util.Properties())
+      .as[(java.sql.Date, String, Double)].collect().toSet
+
+    assert(graft.engine.JdbcSink.publishEpoch(
+      slice("2024-06-01", 1.0), url, "t_epoch_mart", Seq("date"), 0L))
+    // failure-retry of epoch 0: even with drifted content, nothing lands
+    assert(!graft.engine.JdbcSink.publishEpoch(
+      slice("2024-06-01", 99.0), url, "t_epoch_mart", Seq("date"), 0L))
+    assert(snapshot() === Set((d1, "US", 1.0), (d1, "KZ", 2.0)))
+    // epoch 1 brings a second date; epoch 2 replaces day 1 only
+    assert(graft.engine.JdbcSink.publishEpoch(
+      slice("2024-06-02", 9.0), url, "t_epoch_mart", Seq("date"), 1L))
+    assert(graft.engine.JdbcSink.publishEpoch(
+      slice("2024-06-01", 5.0), url, "t_epoch_mart", Seq("date"), 2L))
+    assert(snapshot() === Set(
+      (d1, "US", 5.0), (d1, "KZ", 6.0),
+      (d2, "US", 9.0), (d2, "KZ", 10.0)))
+  }
+
   test("pipeline marts round-trip through the JDBC landing byte-equal") {
     val wh = Files.createTempDirectory("graft-jdbc-wh").toString
     val landing = graft.ingest.OdsBuilder.fixtureRoot

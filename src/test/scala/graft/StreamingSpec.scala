@@ -27,6 +27,48 @@ class StreamingSpec extends AnyFunSuite {
         StandardCopyOption.REPLACE_EXISTING))
   }
 
+  test("streaming mart publish lands exactly once across retries and " +
+      "full replays") {
+    val src = tmp("mart-src")
+    val ckpt = tmp("mart-ckpt")
+    val url = "jdbc:derby:memory:graft_stream_mart;create=true"
+    def ev(id: Long, ts: String, typ: String, v: Double) =
+      (id, Timestamp.valueOf(ts), id, typ, v, "{}")
+    Seq(ev(1, "2024-05-01 10:05:00", "play", 1.25),
+        ev(2, "2024-05-01 10:40:00", "play", 2.50),
+        ev(3, "2024-05-01 11:10:00", "skip", 4.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(src.toString)
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(src.toString)
+      val mart = GraftStreaming.windowedEventStats(events, "1 hour")
+      GraftStreaming.martPublishStream(mart, url, "s_win_mart",
+        Seq("window_start", "event_type"), ckpt.toString)
+        .awaitTermination()
+    }
+    def snapshot() = spark.read
+      .jdbc(url, "s_win_mart", new java.util.Properties())
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val want = Set(
+      (Timestamp.valueOf("2024-05-01 10:00:00"), "play", 2L, 3.75),
+      (Timestamp.valueOf("2024-05-01 11:00:00"), "skip", 1L, 4.00))
+
+    runOnce()
+    assert(snapshot() === want)
+    // no new files, same checkpoint: nothing re-lands
+    runOnce()
+    assert(snapshot() === want)
+    // checkpoint LOST: the stream replays everything as epoch 0 again —
+    // the graft_epochs ledger refuses the already-committed epoch, so
+    // the full replay lands zero duplicate rows
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    runOnce()
+    assert(snapshot() === want)
+  }
+
   test("AvailableNow daily drops: second drop appends exactly the new date") {
     val landing = tmp("landing")
     val ods = tmp("ods").resolve("ods").toString
