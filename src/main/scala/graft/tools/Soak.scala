@@ -86,12 +86,36 @@ object Soak {
         else regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1L" + i)
       }: _*))
 
+  /** Embeddings scale with a per-copy deterministic SIGN-FLIP pattern
+    * on top of the vec_id shift: an unflipped copy would be an exact
+    * duplicate vector — guaranteed cosine ties in every top-k and a
+    * Θ(k²) near-dup explosion (the vector twin of the document word
+    * suffix above). Flipping component j of copy i when
+    * (31·j + 17·i) mod 97 is even decorrelates every copy pair (the
+    * mod-97 wrap gives each copy a distinct pattern, not just a parity
+    * class) while each flip is EXACT float negation — no precision
+    * drift for the differential oracle, which reads the same file.
+    */
+  private def scaledEmbeddings(df: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * Shift))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding", expr(
+        s"""transform(embedding, (x, j) ->
+           |  CASE WHEN (31 * j + 17 * $i) % 97 % 2 = 0
+           |       THEN -x ELSE x END)""".stripMargin))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val ks = args(1).split(",").map(_.trim.toInt)
-    // optional third arg `doclen`: scale document LENGTH instead of
-    // entity count, and run only the length-sensitive pair queries
+    // optional third arg: `doclen` scales document LENGTH instead of
+    // entity count and runs only the length-sensitive pair queries;
+    // `gen` writes the entity-scaled tables and runs NOTHING (the
+    // data-generation step of the 10x full-registry differential sweep
+    // — graft.Verify + tools/oracle_check.py then run against the dir)
     val docLenMode = args.length > 2 && args(2) == "doclen"
+    val genOnly = args.length > 2 && args(2) == "gen"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -128,11 +152,13 @@ object Soak {
           if (tbl == "documents")
             (if (docLenMode) lengthScaledDocs(base, k) else scaledDocs(base, k))
           else if (docLenMode) base
+          else if (tbl == "embeddings" && genOnly) scaledEmbeddings(base, k)
           else shiftKeys.get(tbl).fold(base)(scaled(base, k, _))
         out.write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
       }
       val qs =
-        if (docLenMode) Seq("q_setsim_join", "q_setsim_join_counts")
+        if (genOnly) Seq.empty
+        else if (docLenMode) Seq("q_setsim_join", "q_setsim_join_counts")
         else queries
       qs.foreach { name =>
         def run(): Double = {

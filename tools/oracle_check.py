@@ -3,8 +3,14 @@
 
 Dev tool only (mirrors the driver's t2 gate; not part of the library).
 Usage:
-    python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+    python3 tools/oracle_check.py <sfDir> <verifyOut> [skip1,skip2] [report.json]
 Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.
+
+Arg 3 (optional): comma-separated query names to SKIP (recorded, not
+counted) — the 10x sweep excludes the recursive transitive-closure
+oracles, superquadratic in DuckDB at that scale. Arg 4 (optional):
+path for a JSON report of per-query verdicts (the committed sweep
+evidence).
 """
 import sys, os, json, math
 import duckdb
@@ -35,43 +41,59 @@ def rows_of(rel):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    skips = set()
+    if len(sys.argv) > 3 and sys.argv[3]:
+        skips = {s for s in sys.argv[3].split(",") if s}
+    report_path = sys.argv[4] if len(sys.argv) > 4 else None
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if name in skips:
+            print(f"SKIP {name} (excluded by caller)")
+            report[name] = "skip"; n_skip += 1; continue
         spath = f"{out_dir}/{name}"
         if not os.path.isdir(spath):
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output")
+            report[name] = "fail:no-output"; n_fail += 1; continue
         try:
             scols, stypes, srows = rows_of(con.sql(f"SELECT * FROM '{spath}/*.parquet'"))
             ocols, otypes, orows = rows_of(con.sql(sql))
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}")
+            report[name] = f"fail:exec"; n_fail += 1; continue
         if scols != ocols:
-            print(f"FAIL {name}: cols spark={scols} oracle={ocols}"); n_fail += 1
+            print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
+            report[name] = "fail:cols"; n_fail += 1
             continue
         # Round-1 lesson: the driver gate hashes typed values, so a DuckDB
         # HUGEINT vs Spark BIGINT mismatch fails even when values agree.
         if stypes != otypes:
             print(f"FAIL {name}: types spark={stypes} oracle={otypes}")
-            n_fail += 1; continue
+            report[name] = "fail:types"; n_fail += 1; continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
-            n_fail += 1; continue
+            report[name] = "fail:rowcount"; n_fail += 1; continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first @{i}:")
             print(f"  spark : {a}\n  oracle: {b}")
-            n_fail += 1
+            report[name] = "fail:values"; n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
-            n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+            report[name] = f"pass:{len(srows)}"; n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail / {n_skip} skip ==")
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "pass": n_pass, "fail": n_fail, "skip": n_skip,
+                       "queries": report}, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 
