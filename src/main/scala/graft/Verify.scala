@@ -29,9 +29,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Per-query wall time on stderr: at sweep multipliers (10×+)
+        // this is what names a query whose plan degenerates with scale
+        // before it eats the whole run silently.
+        System.err.println(
+          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -179,10 +179,16 @@ object AnalyticQueries {
     * same-lang docs within ±2 chars of each other, Levenshtein on a
     * fixed 40-char prefix. This is the "verify" stage of a dedup
     * pipeline — at 100 TB the candidate set comes from MinHash-LSH
-    * buckets (q_dedup_minhash), never from an all-pairs join; here the
-    * equi key (lang) plus the length band bounds candidates the same
-    * way, and the O(len²) DP runs on a constant-size prefix so per-pair
-    * cost is bounded.
+    * buckets (q_dedup_minhash), never from an all-pairs join. The
+    * length band is part of the EQUI key, not a residual: bucket =
+    * n_chars div 3 (width ≥ band+1), side a replicated to the three
+    * neighbor buckets, so |a−b| ≤ 2 ⇒ exactly one bucket match. With
+    * lang alone as the key (the pre-round-8 form), hash-probe cost is
+    * Θ(docs-per-lang) per row — quadratic in the corpus; keyed on
+    * (lang, bucket) it tracks the candidate count (docs per lang per
+    * 3-char slice). The 10× sweep caught this: 15+ min → ~1 s. The
+    * O(len²) DP then runs only on band survivors, on a constant-size
+    * prefix, so per-pair cost is bounded.
     */
   val qEditDistance = QueryDef(
     "q_edit_distance",
@@ -190,11 +196,13 @@ object AnalyticQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           substring(col("text"), 1, 40).as("pfx"))
+      val bkt = floor(col("n_chars") / 3)
       val a = docs.select(col("doc_id").as("a_id"), col("lang"),
-        col("n_chars").as("a_len"), col("pfx").as("a_pfx"))
+          col("n_chars").as("a_len"), col("pfx").as("a_pfx"),
+          explode(array(bkt - 1, bkt, bkt + 1)).as("a_bkt"))
       val b = docs.select(col("doc_id").as("b_id"), col("lang").as("lang2"),
-        col("n_chars").as("b_len"), col("pfx").as("b_pfx"))
-      a.join(b, col("lang") === col("lang2") &&
+        col("n_chars").as("b_len"), col("pfx").as("b_pfx"), bkt.as("b_bkt"))
+      a.join(b, col("lang") === col("lang2") && col("a_bkt") === col("b_bkt") &&
           col("a_id") < col("b_id") &&
           abs(col("a_len") - col("b_len")) <= lit(2L))
         .select(col("a_id"), col("b_id"), col("lang"),
