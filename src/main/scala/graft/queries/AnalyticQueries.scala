@@ -430,15 +430,16 @@ object AnalyticQueries {
     *
     * Hash-exactness: the cancellation-prone difference `n·Σxy − Σx·Σy`
     * is computed IN DECIMAL (casting the two big products to double
-    * first loses different ULPs per engine), and the finished
-    * difference converts to double through its exact ×10⁴ INTEGER cast
-    * to int64 first — DuckDB's decimal→double double-rounds once the
-    * int128 payload passes 2⁵³ (measured: cov off by an ulp at sf0.1
-    * group N, where the scaled difference is ~3.7·10¹⁷), while
-    * int64→double is correctly rounded in both engines, matching
-    * Spark's Decimal→double exactly. The int64 cast bounds the checked
-    * range to |scaled diff| < 2⁶³ (to TPC-H sf ~30); the engine side
-    * itself stays DECIMAL(38,0) and has no such bound.
+    * first loses different ULPs per engine). The engine side then casts
+    * the exact ×10⁴ DECIMAL(38,0) integer straight to double — Spark's
+    * Decimal→double is correctly rounded at any magnitude. DuckDB's
+    * decimal→double is NOT (double-rounds once the int128 payload
+    * passes 2⁵³; measured at sf0.1), and the earlier BIGINT hop in the
+    * oracle overflowed at the 10× sweep (sf~1: scaled diff 3.7·10¹⁹ >
+    * 2⁶³), so the oracle now rebuilds the double from an exact 2³²
+    * split — hi·2³² + lo, both addends exact, one ties-to-even rounding
+    * — correct to |scaled diff| < 2⁸⁵ (TPC-H sf ~10⁴). The engine side
+    * has no such bound.
     */
   val qCovariance = QueryDef(
     "q_covariance",
@@ -504,26 +505,54 @@ object AnalyticQueries {
                         CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)))
                     AS DECIMAL(19,4)) AS sqd
         FROM lineitem GROUP BY l_returnflag)
+      , d AS (
+        -- x10000 lifts each scale-4 difference to an exact DECIMAL(38,0)
+        -- integer before any double conversion (see Spark-side comment)
+        SELECT l_returnflag, n,
+               CAST((CAST(n * sqp AS DECIMAL(32,4)) -
+                     CAST(sq * sp AS DECIMAL(32,4))) * 10000 AS DECIMAL(38,0)) AS dqp,
+               CAST((CAST(n * sqd AS DECIMAL(32,4)) -
+                     CAST(sq * sd AS DECIMAL(32,4))) * 10000 AS DECIMAL(38,0)) AS dqd,
+               CAST((CAST(n * sqq AS DECIMAL(32,4)) -
+                     CAST(sq * sq AS DECIMAL(32,4))) * 10000 AS DECIMAL(38,0)) AS dqq,
+               CAST((CAST(n * sdd AS DECIMAL(32,4)) -
+                     CAST(sd * sd AS DECIMAL(32,4))) * 10000 AS DECIMAL(38,0)) AS ddd
+        FROM m),
+      -- Correctly-rounded decimal->double: DuckDB's native int128->double
+      -- double-rounds past 2^53, and a BIGINT hop overflows past 2^63
+      -- (the 10x sweep caught exactly that at sf~1: dqp = 3.7e19). Split
+      -- at 2^32 instead: lo = |D| mod 2^32 (exact), hi = (|D|-lo)/2^32
+      -- (exact multiple division), then hi*2^32 + lo in doubles — both
+      -- addends exact while hi < 2^53, so the single addition rounds
+      -- once, ties-to-even, matching Spark's Decimal->double to |D| < 2^85
+      -- (TPC-H sf ~10^4; verified value-for-value vs Python's float()).
+      sp1 AS (
+        SELECT l_returnflag, n, dqp, dqd, dqq, ddd,
+               abs(dqp) % 4294967296 AS lqp, abs(dqd) % 4294967296 AS lqd,
+               abs(dqq) % 4294967296 AS lqq, abs(ddd) % 4294967296 AS ldd
+        FROM d),
+      sp2 AS (
+        SELECT l_returnflag, n, dqp, dqd, dqq, ddd, lqp, lqd, lqq, ldd,
+               CAST((abs(dqp) - lqp) / 4294967296 AS DECIMAL(38,0)) AS hqp,
+               CAST((abs(dqd) - lqd) / 4294967296 AS DECIMAL(38,0)) AS hqd,
+               CAST((abs(dqq) - lqq) / 4294967296 AS DECIMAL(38,0)) AS hqq,
+               CAST((abs(ddd) - ldd) / 4294967296 AS DECIMAL(38,0)) AS hdd
+        FROM sp1),
+      v AS (
+        SELECT l_returnflag, n,
+               (CASE WHEN dqp < 0 THEN -1 ELSE 1 END) *
+                 (CAST(hqp AS DOUBLE) * 4294967296 + CAST(lqp AS DOUBLE)) AS vqp,
+               (CASE WHEN dqd < 0 THEN -1 ELSE 1 END) *
+                 (CAST(hqd AS DOUBLE) * 4294967296 + CAST(lqd AS DOUBLE)) AS vqd,
+               (CASE WHEN dqq < 0 THEN -1 ELSE 1 END) *
+                 (CAST(hqq AS DOUBLE) * 4294967296 + CAST(lqq AS DOUBLE)) AS vqq,
+               (CASE WHEN ddd < 0 THEN -1 ELSE 1 END) *
+                 (CAST(hdd AS DOUBLE) * 4294967296 + CAST(ldd AS DOUBLE)) AS vdd
+        FROM sp2)
       SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-             -- x10000 -> exact BIGINT before the double cast: DuckDB's
-             -- decimal(int128)->double double-rounds past 2^53; the
-             -- int64->double below is correctly rounded, matching
-             -- Spark's Decimal->double bit-for-bit (sf0.1-verified)
-             CAST(CAST((CAST(n * sqp AS DECIMAL(32,4)) -
-                        CAST(sq * sp AS DECIMAL(32,4))) * 10000 AS BIGINT)
-                  AS DOUBLE)
-               / (CAST(n * n AS DOUBLE) * 1e4) AS cov_qty_price,
-             CAST(CAST((CAST(n * sqd AS DECIMAL(32,4)) -
-                        CAST(sq * sd AS DECIMAL(32,4))) * 10000 AS BIGINT)
-                  AS DOUBLE) /
-               sqrt(CAST(CAST((CAST(n * sqq AS DECIMAL(32,4)) -
-                               CAST(sq * sq AS DECIMAL(32,4))) * 10000
-                              AS BIGINT) AS DOUBLE) *
-                    CAST(CAST((CAST(n * sdd AS DECIMAL(32,4)) -
-                               CAST(sd * sd AS DECIMAL(32,4))) * 10000
-                              AS BIGINT) AS DOUBLE))
-               AS corr_qty_disc
-      FROM m ORDER BY l_returnflag"""))
+             vqp / (CAST(n * n AS DOUBLE) * 1e4) AS cov_qty_price,
+             vqd / sqrt(vqq * vdd) AS corr_qty_disc
+      FROM v ORDER BY l_returnflag"""))
 
   /** Equi-depth (equal-count) histogram via NTILE over a fully
     * deterministic total order — the complement of q_histogram's
