@@ -34,6 +34,22 @@ final class ConcurrentWriterException(msg: String)
   * to look before the next write proceeds. [[breakLease]] is the
   * explicit recovery step, mirroring the reference's manual Airflow
   * task-clear.
+  *
+  * Stale-lease self-healing: a lease whose recorded holder is on THIS
+  * host and provably dead (`ProcessHandle.of(pid)` empty or not alive)
+  * is auto-broken and re-acquired. Without this, [[Retry.withRetries]]
+  * — the reference's 5×5-min automatic policy, which self-heals there
+  * because Postgres MVCC releases a dead connection's locks — would
+  * dead-end: every retry of an idempotent run whose predecessor crashed
+  * holding the lease fails on [[ConcurrentWriterException]] until a
+  * human intervenes. Every mutation behind the lease is a staged
+  * append/swap designed to be re-run over a half-finished predecessor
+  * (see [[Upsert]]), so retaking a dead local writer's lease is safe.
+  * A holder on ANOTHER host stays fail-loud: liveness can't be checked
+  * remotely, and guessing wrong risks two interleaved swaps. (On a
+  * multi-host cluster, pair this with the orchestrator's own
+  * serialization, as the reference pairs Postgres locks with Airflow
+  * sensors.)
   */
 object WriterLease {
 
@@ -44,11 +60,16 @@ object WriterLease {
     val lease = leasePath(tablePath)
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (lease.getParent != null) fs.mkdirs(lease.getParent)
-    val holder = s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+    val holder = s"host=${localHost()} " +
       s"pid=${ProcessHandle.current.pid} " +
       s"acquired=${java.time.Instant.now}"
-    val out =
-      try fs.create(lease, false)
+    // Bounded acquisition loop: one stale-break buys one fresh create
+    // attempt; losing that race to another healer is a live CONCURRENT
+    // writer and correctly fails loud.
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    var staleBreaks = 0
+    while (out == null) {
+      try out = fs.create(lease, false)
       catch {
         case e: java.io.IOException =>
           val existing =
@@ -57,17 +78,40 @@ object WriterLease {
               try new String(in.readAllBytes(), "UTF-8").trim
               finally in.close()
             } catch { case _: java.io.IOException => "<unreadable>" }
-          throw new ConcurrentWriterException(
+          if (staleBreaks < 1 && isStaleLocalHolder(existing)) {
+            staleBreaks += 1
+            fs.delete(lease, false)
+          } else throw new ConcurrentWriterException(
             s"another writer holds the lease for $tablePath ($existing); " +
-              s"single-writer contract violated — if that writer crashed, " +
-              s"inspect the table and WriterLease.breakLease it " +
-              s"(${e.getMessage})")
+              s"single-writer contract violated — if that writer crashed " +
+              s"on another host, inspect the table and " +
+              s"WriterLease.breakLease it (${e.getMessage})")
       }
+    }
     try out.write(holder.getBytes("UTF-8"))
     finally out.close()
     try body
     finally fs.delete(lease, false)
   }
+
+  /** True iff the lease text names a holder on THIS host whose pid is
+    * provably not running — the only case where breaking someone else's
+    * lease is safe without remote liveness. Parse failures and live (or
+    * reused-and-live) pids read as NOT stale: conservative fail-loud.
+    */
+  private[graft] def isStaleLocalHolder(leaseText: String): Boolean = {
+    val kv = leaseText.split("\\s+").iterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    (kv.get("host"), kv.get("pid").flatMap(_.toLongOption)) match {
+      case (Some(h), Some(pid)) if h == localHost() =>
+        val ph = ProcessHandle.of(pid)
+        !ph.isPresent || !ph.get().isAlive
+      case _ => false
+    }
+  }
+
+  private def localHost(): String =
+    java.net.InetAddress.getLocalHost.getHostName
 
   /** Explicit recovery from a crashed writer: remove the stale lease
     * after inspecting the table. Returns true iff a lease was removed.

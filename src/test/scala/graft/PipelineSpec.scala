@@ -95,6 +95,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(Pipeline.odsPath(wh3)).count() === 66)
   }
 
+  test("backfill's automatic retry heals a writer that died holding " +
+      "the fact-table lease") {
+    // The reference's Airflow retry self-heals after a task crash
+    // because Postgres MVCC releases a dead connection's locks; our
+    // parquet lease must not dead-end the same policy. Simulate the
+    // kill -9 aftermath: day 2 crashed after ODS landed but before the
+    // star/marts, leaving the fact table's lease held by a dead pid on
+    // THIS host.
+    val whL = Files.createTempDirectory("graft-wh-lease").toString
+    Pipeline.runDaily(spark, landing, whL, "2024-05-01")
+    Pipeline.runDaily(spark, landing, whL, "2024-05-02")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(Pipeline.martRoyaltiesPath(whL), Pipeline.martAvgPath(whL),
+      Pipeline.martAppearancesPath(whL)).foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$m/date=2024-05-02"), true)
+    }
+    val lease = new org.apache.hadoop.fs.Path(
+      Pipeline.factPath(whL) + ".__writer_lease")
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val deadPid = Iterator.iterate(4400000L)(_ + 1)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    val out = fs.create(lease, false)
+    out.write(s"host=$host pid=$deadPid acquired=crash".getBytes("UTF-8"))
+    out.close()
+    // the automatic-retry path completes the day; no human breakLease
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    assert(Pipeline.backfill(spark, landing, whL, retries = 5,
+      retrySleep = delays.append) === Seq("2024-05-02"))
+    // acquisition self-heals on the FIRST attempt — no retry burned
+    assert(delays.isEmpty)
+    assert(!fs.exists(lease))
+    assert(spark.read.parquet(Pipeline.odsPath(whL)).count() === 66)
+    assert(spark.read.parquet(Pipeline.factPath(whL)).count() === 66)
+    assert(spark.read.parquet(Pipeline.martRoyaltiesPath(whL))
+      .filter(col("date") === "2024-05-02").count() > 0)
+  }
+
+  test("a crash between the dim and fact publishes is healed by " +
+      "re-running the day") {
+    // The reference's DAG-3 runs dims and fact as separate transactions
+    // (`from_ods_to_dds_pg.py`), so a crash between them is a reachable
+    // state in both systems; the idempotent re-run must complete the
+    // star without duplicating dims, ids, or fact rows.
+    val whC = Files.createTempDirectory("graft-wh-dimcrash").toString
+    Pipeline.runDaily(spark, landing, whC, "2024-05-01")
+    Pipeline.runDaily(spark, landing, whC, "2024-05-02")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // reconstruct the crash state: dims HOLD day-2 entries, but day 2's
+    // fact partition and marts never published
+    (Seq(Pipeline.martRoyaltiesPath(whC), Pipeline.martAvgPath(whC),
+      Pipeline.martAppearancesPath(whC)).map(m => s"$m/date=2024-05-02") :+
+      s"${Pipeline.factPath(whC)}/date=2024-05-02").foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    val dimsBefore = Seq(Pipeline.dimSongPath(whC),
+      Pipeline.dimArtistPath(whC), Pipeline.dimCountryPath(whC))
+      .map(p => p -> spark.read.parquet(p).collect().map(_.toSeq).toSet)
+    assert(spark.read.parquet(Pipeline.factPath(whC)).count() === 33)
+    assert(Pipeline.backfill(spark, landing, whC) === Seq("2024-05-02"))
+    // star complete again...
+    val fact = spark.read.parquet(Pipeline.factPath(whC))
+    assert(fact.count() === 66)
+    // ...duplicate-free on the fact natural key...
+    assert(fact.select("date", "country_id", "song_rank").distinct()
+      .count() === 66)
+    // ...and the repair re-derived the SAME dims, byte for byte — ids
+    // assigned before the crash stayed stable through the replay
+    dimsBefore.foreach { case (p, before) =>
+      assert(spark.read.parquet(p).collect().map(_.toSeq).toSet === before,
+        s"repair changed $p")
+    }
+    // marts restored and keyed uniquely per (date, name)
+    val roy = spark.read.parquet(Pipeline.martRoyaltiesPath(whC))
+    assert(roy.filter(col("date") === "2024-05-02").count() > 0)
+    assert(roy.select("date", "artist_name").distinct().count() === roy.count())
+  }
+
   test("checked runDaily survives a poison file and persists the quarantine") {
     val wh5 = Files.createTempDirectory("graft-wh-checked").toString
     val land5 = Files.createTempDirectory("graft-landing-poison").toString

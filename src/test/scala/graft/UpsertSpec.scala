@@ -185,6 +185,46 @@ class UpsertSpec extends AnyFunSuite {
       "source_date") === 1)
   }
 
+  test("a dead LOCAL writer's stale lease is auto-broken and the " +
+      "write proceeds") {
+    val path = tmp()
+    val keys = Seq("rank", "source_date", "country")
+    val batch = Seq((1, d1, "US", "x"))
+      .toDF("rank", "source_date", "country", "payload")
+    val lease = new org.apache.hadoop.fs.Path(path + ".__writer_lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lease.getParent)
+    // a holder on THIS host whose pid is provably dead (above pid_max /
+    // absent from the process table) — the kill -9 aftermath Retry must
+    // survive without a human breakLease
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val deadPid = Iterator.iterate(4400000L)(_ + 1)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    val out = fs.create(lease, false)
+    out.write(s"host=$host pid=$deadPid acquired=crash".getBytes("UTF-8"))
+    out.close()
+    // no manual breakLease: acquisition self-heals, publishes, releases
+    assert(Upsert.upsertParquet(spark, path, batch, keys) === 1)
+    assert(!fs.exists(lease))
+    // and the healed writer's own replay contract is intact
+    assert(Upsert.upsertParquet(spark, path, batch, keys) === 0)
+  }
+
+  test("a LIVE local holder is never treated as stale") {
+    // the concurrent-writer test covers this end-to-end; this pins the
+    // predicate itself (current pid = alive = not stale)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    assert(!graft.engine.WriterLease.isStaleLocalHolder(
+      s"host=$host pid=${ProcessHandle.current.pid} acquired=now"))
+    assert(graft.engine.WriterLease.isStaleLocalHolder(
+      s"host=$host pid=4999999 acquired=crash") ||
+      ProcessHandle.of(4999999L).isPresent)
+    // unknown host and garbage both read NOT stale (fail-loud)
+    assert(!graft.engine.WriterLease.isStaleLocalHolder(
+      "host=some-other-box pid=1 acquired=then"))
+    assert(!graft.engine.WriterLease.isStaleLocalHolder("<unreadable>"))
+  }
+
   test("ingest -> ODS upsert replay is a no-op end to end") {
     val path = tmp()
     val ods = graft.ingest.OdsBuilder.ingest(spark)
