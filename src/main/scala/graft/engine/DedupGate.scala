@@ -33,9 +33,11 @@ import graft.functions.TextFunctions.MinhashK
   */
 object DedupGate {
 
-  private def agree(sa: String, sb: String) = expr(
-    s"aggregate(zip_with($sa, $sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), " +
-      "0, (acc, v) -> acc + v)")
+  // codegen agreement count ([[graft.functions.MinHashAgree]]): this
+  // predicate lands in the band join's bound condition, where the
+  // interpreted zip_with chain was the round-9 sweep's hottest finding
+  private def agree(sa: String, sb: String) =
+    graft.functions.MinHashAgree(col(sa), col(sb))
 
   /** Documents of `incoming` (doc_id, text, …) that are near-dup to no
     * `existing` document and no LOWER-doc_id incoming survivor.

@@ -116,8 +116,11 @@ object DocQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .distinct()
-      .withColumn("matches", expr(
-        "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+      // codegen agreement count — the HOF zip_with chain here was the
+      // round-9 10× sweep's hottest finding (see MinHashAgree scaladoc:
+      // it rides the band join's pushed-down bound condition)
+      .withColumn("matches",
+        graft.functions.MinHashAgree(col("sa"), col("sb")))
       .select(col("doc_a"), col("doc_b"), col("matches"))
   }
 

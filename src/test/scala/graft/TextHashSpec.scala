@@ -55,6 +55,28 @@ class TextHashSpec extends AnyFunSuite {
     assert(df.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("native minhash_agree equals the HOF CASE-count formulation, " +
+      "nulls and length mismatch included") {
+    val rnd = new scala.util.Random(17)
+    // small value range forces frequent agreements; sprinkle nulls and
+    // a few short arrays to hit the padding semantics
+    def arr(): Seq[java.lang.Long] = Seq.fill(if (rnd.nextInt(10) == 0) 8 else 12)(
+      if (rnd.nextInt(12) == 0) null
+      else java.lang.Long.valueOf(rnd.nextInt(4).toLong))
+    val rows = Seq.fill(300)((arr(), arr()))
+    val df = rows.toDF("sa", "sb")
+      .select(
+        graft.functions.MinHashAgree(col("sa"), col("sb")).as("native"),
+        expr("aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 " +
+          "ELSE 0 END), 0, (acc, v) -> acc + v)").as("hof"))
+    assert(df.filter(not(col("native") <=> col("hof"))).count() === 0)
+    // NULL array propagates, as the HOF chain's zip_with(null, ...) does
+    val nulls = Seq((null: Seq[java.lang.Long], Seq[java.lang.Long](1L, 2L)))
+      .toDF("sa", "sb")
+      .select(graft.functions.MinHashAgree(col("sa"), col("sb")).as("native"))
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("long_array_dot nulls out on null elements, matching the HOF chain") {
     val df = Seq(
       (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
