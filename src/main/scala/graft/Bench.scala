@@ -92,6 +92,34 @@ object Bench {
     "q_dq_audit", "q_topk_per_group", "q_funnel", "q_retention",
     "q_forward_fill", "q_approx_quantiles", "q_window_sliding")
 
+  /** 1-minute load average — read at start (before this JVM loads the
+    * machine, so a high value is EXTERNAL load) and at end.
+    */
+  private[graft] def loadavg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Machine-wide busy jiffies (user+nice+system+irq+softirq+steal)
+    * from /proc/stat's aggregate cpu line. Deltas, divided by USER_HZ
+    * (100), give system-wide busy CPU-seconds — subtracting this
+    * process's own CPU time yields OTHER-process CPU burn during the
+    * run: the direct round-8-contamination signal (byte-identical work,
+    * 4x wall = someone else held the cores).
+    */
+  private[graft] def systemBusyJiffies(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+        .getLines().next().split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal ...
+      Seq(1, 2, 3, 6, 7, 8).map(i =>
+        if (i < f.length) f(i).toLong else 0L).sum
+    } catch { case _: Throwable => -1L }
+
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
   def main(args: Array[String]): Unit = {
     // The driver parses the JSON line out of the LAST 2000 chars of
     // combined process output — any stray stderr (a WARN-level log4j
@@ -103,6 +131,7 @@ object Bench {
     // there too. stdout carries exactly one line: the JSON result.
     System.setErr(new java.io.PrintStream(
       new java.io.FileOutputStream("bench_stderr.log"), true, "UTF-8"))
+    val loadavgStart = loadavg1() // before this JVM loads the machine
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1,
@@ -148,11 +177,22 @@ object Bench {
     spark.sparkContext.addSparkListener(metrics)
     val execStats = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, Long]]
+    val cpuStats = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double]
+    // Environment evidence window: loadavg was sampled at process start
+    // (external load — this JVM hadn't loaded the machine yet); the
+    // jiffies/process-CPU snapshots bracket the TIMED pass, so
+    // other-process CPU burn is attributed to the same window the wall
+    // clock measures.
+    val timedJiffies0 = systemBusyJiffies()
+    val timedProcCpu0 = osBean.getProcessCpuTime
+    val timedWall0 = System.nanoTime()
     val repTimes = qs.map { case (name, fn) =>
       System.gc() // settle heap + release prior queries' broadcasts
       org.apache.spark.graftshim.CoreShims
         .drainListenerBus(spark.sparkContext)
       metrics.reset()
+      val qCpu0 = osBean.getProcessCpuTime
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { exec(fn); (System.nanoTime() - t0) / 1e9 }
@@ -161,6 +201,7 @@ object Bench {
           -1.0
         }
       }
+      cpuStats(name) = (osBean.getProcessCpuTime - qCpu0) / 1e9 / reps
       // flush async task-end events, then attribute a PER-REP average
       // (bytes are plan-deterministic; the mean strips rep count)
       org.apache.spark.graftshim.CoreShims
@@ -175,11 +216,35 @@ object Bench {
       val ok = times.filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
+    // Environment block: other-process CPU-seconds during the timed
+    // window is the contamination detector. A quiesced run shows
+    // cpu_other_sec near zero; round 8's contaminated record would have
+    // shown hundreds (driver regenerating testdata on the same cores).
+    // `contended` fires when other processes held >15% of the machine's
+    // CPU capacity over the timed window, or when external load was
+    // already high before this JVM started.
+    val timedWallSec = (System.nanoTime() - timedWall0) / 1e9
+    val procCpuSec = (osBean.getProcessCpuTime - timedProcCpu0) / 1e9
+    val jiffies1 = systemBusyJiffies()
+    val otherCpuSec =
+      if (timedJiffies0 < 0 || jiffies1 < 0) -1.0
+      else math.max(0.0, (jiffies1 - timedJiffies0) / 100.0 - procCpuSec)
+    val nCpus = cpus.toInt
+    val loadavgEnd = loadavg1()
+    val contended = (otherCpuSec >= 0 &&
+      otherCpuSec > 0.15 * timedWallSec * nCpus) || loadavgStart > nCpus / 4.0
+    def envJson: String =
+      f"""{"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f,"timed_wall_sec":$timedWallSec%.1f,"cpu_proc_sec":$procCpuSec%.1f,"cpu_other_sec":$otherCpuSec%.1f,"ncpus":$nCpus,"contended":$contended}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def entry(kv: (String, Double)): String = "\"" + kv._1 + f"""\":${kv._2}%.3f"""
-    def line(qJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // n_shown/shown_sum make the truncated line internally consistent
+    // (round-8 advice: a dict holding 65 of 153 entries summing 68 s
+    // against a 249 s total read as corruption): a consumer can check
+    // len(queries)==n_shown and sum(queries)==shown_sum, and knows the
+    // full dict lives in BENCH_DETAIL.json.
+    def line(qJson: String, nShown: Int, shownSum: Double): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_shown":$nShown,"shown_sum":$shownSum%.3f,"detail_file":"BENCH_DETAIL.json","env":$envJson,"queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
 
     // Full detail always lands on disk, independent of line truncation,
     // plus every rep's raw time (the noise-vs-regression evidence: a
@@ -194,8 +259,15 @@ object Bench {
         m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
           .mkString(",") + "}"
     }.mkString("{", ",", "}")
-    val detail = line(fullJson).dropRight(1) +
-      s""","reps":$repsJson,"exec":$execJson}"""
+    // Per-query process-CPU seconds (per rep; the pre-query System.gc()
+    // runs before the snapshot window). wall≫cpu on a query whose exec
+    // bytes are unchanged = descheduled threads, i.e. external
+    // contention, not a plan regression.
+    val cpuJson = cpuStats.map { case (name, c) =>
+      "\"" + name + f"""\":$c%.3f"""
+    }.mkString("{", ",", "}")
+    val detail = line(fullJson, results.size, total).dropRight(1) +
+      s""","reps":$repsJson,"cpu":$cpuJson,"exec":$execJson}"""
     // A filtered run is an iteration probe — never let it clobber the
     // committed full-suite record.
     if (keep.isEmpty)
@@ -208,16 +280,20 @@ object Bench {
     val byName = results.toMap
     val ordered = priority.filter(byName.contains) ++
       results.map(_._1).filterNot(priority.contains)
-    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     for (name <- ordered) {
-      val candidate = picked :+ entry(name -> byName(name))
-      if (line(candidate.mkString("{", ",", "}")).length <= MaxLine)
-        picked += entry(name -> byName(name))
+      val candidate = (picked :+ (name -> entry(name -> byName(name))))
+      // budget with worst-case width for the n_shown/shown_sum fields
+      if (line(candidate.map(_._2).mkString("{", ",", "}"), 9999, 99999.999)
+          .length <= MaxLine)
+        picked += (name -> entry(name -> byName(name)))
     }
+    val shownSum = picked.map(p => byName(p._1)).filter(_ >= 0).sum
     // stop() BEFORE printing: nothing (not even shutdown logging that
     // might escape the stderr redirect) may trail the JSON line in the
     // driver's tail window.
     spark.stop()
-    println(line(picked.mkString("{", ",", "}")))
+    println(line(picked.map(_._2).mkString("{", ",", "}"),
+      picked.size, shownSum))
   }
 }
