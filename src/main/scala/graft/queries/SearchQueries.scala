@@ -275,17 +275,83 @@ object SearchQueries {
           (col("len_a") + col("len_b") - col("inter"))).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Array-payload verification: attach both docs' trigram arrays to
+    * each candidate and intersect in place. Wins both soak axes at
+    * every measured multiplier (SCALE.md) — the default regime.
+    */
+  private def verifyArrays(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val tri = trigrams(s, dir)
+    cand
+      .join(tri.select(col("doc_id").as("doc_a"), col("ts").as("ta")),
+        Seq("doc_a"))
+      .join(tri.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+  }
+
+  /** Token-count verification: fixed-width rows end to end — the
+    * memory-bound fallback once per-doc arrays outgrow an exchange row
+    * or a task (the 10⁵⁺-token regime).
+    */
+  private def verifyCounts(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val tokRel = trigrams(s, dir)
+      .select(col("doc_id"), explode(col("ts")).as("tok"))
+    cand
+      .join(tokRel.select(col("doc_id").as("doc_a"), col("tok")),
+        Seq("doc_a"))
+      .join(tokRel.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Which verification regime [[qSetsimJoin]] runs — the decision rule
+    * the round-7/8 soaks established, encoded as session config instead
+    * of a manual `.join` swap:
+    *
+    *  - `graft.setsim.verification = array | counts | auto` (default
+    *    `auto`). Both forms emit identical rows (one shared oracle);
+    *    the choice is purely an execution-shape decision.
+    *  - `auto` picks `array` unless the corpus' LARGEST per-doc
+    *    distinct-trigram set exceeds `graft.setsim.arrayMaxTokens`
+    *    (default 100000). The soak evidence (SCALE.md §setsim, both
+    *    axes to 64×/16×) shows the array form faster at every
+    *    measurable multiplier — candidates × tokens join rows cost more
+    *    than attaching two arrays — so the ONLY reason to switch is the
+    *    memory cliff: a 10⁵-distinct-trigram doc (~2 MB of array
+    *    payload per candidate row) starts threatening exchange row
+    *    limits and task heap long before throughput favors counts. Max
+    *    doc size, not average, is the binding constraint because one
+    *    oversized doc's array rides along EVERY candidate pair it
+    *    appears in.
+    *
+    * The probe aggregate runs over the session-cached trigram relation
+    * (milliseconds; no extra corpus scan).
+    */
+  private[graft] def chosenVerification(s: SparkSession, dir: String): String =
+    s.conf.get("graft.setsim.verification", "auto") match {
+      case "array" => "array"
+      case "counts" => "counts"
+      case "auto" =>
+        val cap = s.conf.get("graft.setsim.arrayMaxTokens", "100000").toLong
+        val maxLen = trigrams(s, dir)
+          .agg(coalesce(max(size(col("ts"))), lit(0)).as("m"))
+          .head.getInt(0)
+        if (maxLen <= cap) "array" else "counts"
+      case other => throw new IllegalArgumentException(
+        s"graft.setsim.verification must be array|counts|auto, got '$other'")
+    }
+
   val qSetsimJoin = QueryDef(
     "q_setsim_join",
     (s, dir) => {
-      val tri = trigrams(s, dir)
-      val inter = setsimCandidates(s, dir)
-        .join(tri.select(col("doc_id").as("doc_a"), col("ts").as("ta")),
-          Seq("doc_a"))
-        .join(tri.select(col("doc_id").as("doc_b"), col("ts").as("tb")),
-          Seq("doc_b"))
-        .withColumn("inter",
-          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      val cand = setsimCandidates(s, dir)
+      val inter =
+        if (chosenVerification(s, dir) == "array") verifyArrays(s, dir, cand)
+        else verifyCounts(s, dir, cand)
       setsimEmit(inter)
     },
     Some(setsimOracle))
@@ -309,18 +375,7 @@ object SearchQueries {
     */
   val qSetsimJoinCounts = QueryDef(
     "q_setsim_join_counts",
-    (s, dir) => {
-      val tokRel = trigrams(s, dir)
-        .select(col("doc_id"), explode(col("ts")).as("tok"))
-      val inter = setsimCandidates(s, dir)
-        .join(tokRel.select(col("doc_id").as("doc_a"), col("tok")),
-          Seq("doc_a"))
-        .join(tokRel.select(col("doc_id").as("doc_b"), col("tok")),
-          Seq("doc_b", "tok"))
-        .groupBy(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
-        .agg(count(lit(1)).as("inter"))
-      setsimEmit(inter)
-    },
+    (s, dir) => setsimEmit(verifyCounts(s, dir, setsimCandidates(s, dir))),
     Some(setsimOracle),
     bench = false)
 

@@ -149,6 +149,39 @@ class SearchQueriesSpec extends AnyFunSuite {
     assert(arr === cnt)
   }
 
+  test("setsim verification regime: auto picks array under the token " +
+      "cap, counts above it, and both configs emit identical rows") {
+    val texts = Seq(
+      0L -> "one two three four five six seven eight",
+      1L -> "one two three four five six seven eight",
+      2L -> "red orange yellow green blue indigo violet pink",
+      3L -> "mud orange yellow green blue indigo violet pink")
+    val dir = docsDir(texts.map { case (i, t) => (i, t, "en") })
+    import graft.queries.SearchQueries.{chosenVerification, qSetsimJoin}
+    def run() = qSetsimJoin.run(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    try {
+      // default auto: 6 distinct trigrams/doc is far under the cap
+      assert(chosenVerification(spark, dir) === "array")
+      val viaArray = run()
+      // drop the cap below the corpus max -> auto flips to counts
+      spark.conf.set("graft.setsim.arrayMaxTokens", "5")
+      assert(chosenVerification(spark, dir) === "counts")
+      assert(run() === viaArray)
+      // explicit pins override the probe entirely
+      spark.conf.set("graft.setsim.verification", "array")
+      assert(chosenVerification(spark, dir) === "array")
+      spark.conf.set("graft.setsim.verification", "counts")
+      assert(chosenVerification(spark, dir) === "counts")
+      assert(run() === viaArray)
+      spark.conf.set("graft.setsim.verification", "typo")
+      intercept[IllegalArgumentException](chosenVerification(spark, dir))
+    } finally {
+      spark.conf.unset("graft.setsim.verification")
+      spark.conf.unset("graft.setsim.arrayMaxTokens")
+    }
+  }
+
   test("welch t-test matches the hand computation on authored variants") {
     def t(s: String) = Timestamp.valueOf(s)
     // A (even user_id): 10.00, 12.00 -> mean 1100c, s² = 20000c²
