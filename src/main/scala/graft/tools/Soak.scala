@@ -37,7 +37,12 @@ object Soak {
     "q_crossdoc_overlap",     // shared shingle table + df rollup
     "q_decontaminate",        // broadcast eval-gram probe
     "q_setsim_join",          // PPJoin prefix+position filters
-    "q_setsim_join_counts")   // same candidates, token-count verification
+    "q_setsim_join_counts",   // same candidates, token-count verification
+    // round-8 verdict item 5 — the heavy tail of the bench registry:
+    "q_span_dedup",           // positional n-gram hashes (GC-sensitive rep
+                              //   spread under contention; characterize it)
+    "q_grouping_sets",        // native Expand: cost scales with set count
+    "q21_waiting_supplier")   // TPC-H's heaviest: EXISTS/NOT-EXISTS aggs
 
   private val Shift = 10_000_000_000L
 
