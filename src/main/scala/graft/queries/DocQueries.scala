@@ -248,6 +248,10 @@ object DocQueries {
       labels = next
       converged = changed == 0
       rounds += 1
+      // convergence is observable, not silent: at sweep multipliers the
+      // loop dominates the dedup family's wall clock, and a stalled
+      // `changed` names a diameter problem before the 64-round cap does
+      System.err.println(s"[dup-groups] round $rounds: changed=$changed")
     }
     // A silent partial fixpoint would mislabel components (and diverge
     // from the transitive-closure oracle) — fail loudly instead.

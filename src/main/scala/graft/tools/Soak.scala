@@ -147,7 +147,12 @@ object Soak {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      val dir = s"/tmp/graft_soak/x$k"
+      // SPARK_GRAFT_SOAK_ROOT redirects the scaled-table output (so a
+      // soak can run while the 10x differential sweep still READS the
+      // default root — the sweep and the soak scale embeddings
+      // differently, so sharing a dir mid-flight corrupts the sweep)
+      val root = sys.env.getOrElse("SPARK_GRAFT_SOAK_ROOT", "/tmp/graft_soak")
+      val dir = s"$root/x$k"
       tables.foreach { tbl =>
         // raw: the events ts column keeps its file-native representation
         // through the rewrite (micros timestamp stays timestamp, legacy
@@ -161,10 +166,14 @@ object Soak {
           else shiftKeys.get(tbl).fold(base)(scaled(base, k, _))
         out.write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
       }
+      // SPARK_GRAFT_SOAK_FILTER=q_a,q_b restricts the run (family
+      // iteration); unset runs the standing list
+      val keep = sys.env.get("SPARK_GRAFT_SOAK_FILTER")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       val qs =
-        if (genOnly) Seq.empty
-        else if (docLenMode) Seq("q_setsim_join", "q_setsim_join_counts")
-        else queries
+        (if (genOnly) Seq.empty
+         else if (docLenMode) Seq("q_setsim_join", "q_setsim_join_counts")
+         else queries).filter(q => keep.forall(_.contains(q)))
       qs.foreach { name =>
         def run(): Double = {
           val t0 = System.nanoTime()
