@@ -46,7 +46,13 @@ def main():
         skips = {s for s in sys.argv[3].split(",") if s}
     report_path = sys.argv[4] if len(sys.argv) > 4 else None
     report = {}
-    con = duckdb.connect()
+    # In-memory DuckDB has NO spill target by default: at sweep
+    # multipliers a list-rollup oracle (q_span_dedup's kept_text
+    # reconstruction) peaked at ~122 GB RSS and nearly OOM'd the box.
+    # A temp_directory + memory_limit lets those operators offload.
+    con = duckdb.connect(config={
+        "memory_limit": os.environ.get("ORACLE_MEM", "48GB"),
+        "temp_directory": "/tmp/duckdb_oracle_spill"})
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table (the scaled sweep dirs)
