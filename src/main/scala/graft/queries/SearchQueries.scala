@@ -195,6 +195,11 @@ object SearchQueries {
   private val triCache =
     new graft.engine.SessionKeyedCache[DataFrame](_.unpersist())
 
+  /** Cached max-distinct-trigrams-per-doc for [[chosenVerification]]'s
+    * auto probe (corpus-static; keyed like [[triCache]]).
+    */
+  private val probeCache = new graft.engine.SessionKeyedCache[Int]
+
   private def trigrams(s: SparkSession, dir: String): DataFrame =
     // repartition BEFORE the shingle construction: the cached relation's
     // parallelism must come from the engine, not the input split count
@@ -337,9 +342,15 @@ object SearchQueries {
       case "counts" => "counts"
       case "auto" =>
         val cap = s.conf.get("graft.setsim.arrayMaxTokens", "100000").toLong
-        val maxLen = trigrams(s, dir)
-          .agg(coalesce(max(size(col("ts"))), lit(0)).as("m"))
-          .head.getInt(0)
+        // corpus-static probe, cached on the same fingerprint as the
+        // trigram relation itself — one aggregate per corpus, not per
+        // call (the uncached probe re-ran every bench rep: +0.5 s)
+        val maxLen = probeCache.getOrElseUpdate(s, dir,
+          graft.engine.SessionKeyedCache
+            .fileFingerprint(s, s"$dir/documents.parquet"))(
+          trigrams(s, dir)
+            .agg(coalesce(max(size(col("ts"))), lit(0)).as("m"))
+            .head.getInt(0))
         if (maxLen <= cap) "array" else "counts"
       case other => throw new IllegalArgumentException(
         s"graft.setsim.verification must be array|counts|auto, got '$other'")
