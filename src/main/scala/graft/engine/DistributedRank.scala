@@ -45,6 +45,14 @@ object DistributedRank {
     * @param ntileCol SQL NTILE(k) bucket (first n%k buckets one larger)
     * @param countCol literal total row count (free from phase 1)
     * @param totalCol literal grand total of `valueCol` (free from phase 1)
+    * @param precMinCol EXCLUSIVE running minimum of `valueCol` — the
+    *   distributed `MIN(v) OVER (ORDER BY … ROWS BETWEEN UNBOUNDED
+    *   PRECEDING AND 1 PRECEDING)`; NULL on the global first row.
+    *   Exclusive on purpose: the consumer (skyline / Pareto-frontier
+    *   dominance, staircase tests) compares each row against strictly
+    *   preceding rows, and deriving exclusive from inclusive would
+    *   need a second global window (lag) — emitting the running state
+    *   BEFORE folding in the current row costs nothing here.
     */
   final case class Spec(
       rankCol: Option[String] = None,
@@ -53,7 +61,8 @@ object DistributedRank {
       ntileK: Option[Int] = None,
       ntileCol: Option[String] = None,
       countCol: Option[String] = None,
-      totalCol: Option[String] = None)
+      totalCol: Option[String] = None,
+      precMinCol: Option[String] = None)
 
   /** Global 1-based row number in `order` — distributed `row_number()
     * OVER (ORDER BY ...)`.
@@ -76,27 +85,42 @@ object DistributedRank {
       out: String): DataFrame =
     apply(df, order, Spec(ntileK = Some(k), ntileCol = Some(out)))
 
+  /** EXCLUSIVE running minimum of `valueCol` in `order` — distributed
+    * `MIN(v) OVER (ORDER BY … ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * 1 PRECEDING)`, NULL on the global first row (see Spec.precMinCol
+    * for why exclusive is the native form here).
+    */
+  def precmin(df: DataFrame, order: Seq[Column], valueCol: String,
+      out: String): DataFrame =
+    apply(df, order, Spec(valueCol = Some(valueCol), precMinCol = Some(out)))
+
   def apply(df: DataFrame, order: Seq[Column], spec: Spec): DataFrame = {
     require(spec.cumCol.isEmpty || spec.valueCol.isDefined,
       "cumCol needs valueCol")
     require(spec.totalCol.isEmpty || spec.valueCol.isDefined,
       "totalCol needs valueCol")
+    require(spec.precMinCol.isEmpty || spec.valueCol.isDefined,
+      "precMinCol needs valueCol")
     require(spec.ntileCol.isEmpty == spec.ntileK.isEmpty,
       "ntileCol and ntileK come together")
     val sorted = df.orderBy(order: _*)
     val vIdx = spec.valueCol.map(sorted.schema.fieldIndex)
     val rdd = sorted.rdd // ONE rdd: phase 2 reuses phase 1's shuffle
     val stats = rdd.mapPartitionsWithIndex { (i, it) =>
-      var n = 0L; var s = 0L
+      var n = 0L; var s = 0L; var mn = Long.MaxValue
       vIdx match {
         case Some(j) => it.foreach { r =>
-          n += 1L; s = Math.addExact(s, r.getLong(j)) }
+          n += 1L; val v = r.getLong(j)
+          s = Math.addExact(s, v); mn = Math.min(mn, v) }
         case None => it.foreach { _ => n += 1L }
       }
-      Iterator((i, n, s))
+      Iterator((i, n, s, mn))
     }.collect().sortBy(_._1)
     val rowOff = stats.scanLeft(0L)((a, t) => a + t._2)
     val sumOff = stats.scanLeft(0L)((a, t) => Math.addExact(a, t._3))
+    // minOff(i) = min of valueCol over all partitions BEFORE i
+    // (MaxValue = "nothing precedes" — emitted as NULL by phase 2)
+    val minOff = stats.scanLeft(Long.MaxValue)((a, t) => Math.min(a, t._4))
     val nTotal = rowOff.last
     val vTotal = sumOff.last
     // NTILE geometry: with n rows and k buckets, buckets 1..n%k hold
@@ -110,18 +134,29 @@ object DistributedRank {
     val addRank = spec.rankCol.isDefined
     val addCum = spec.cumCol.isDefined
     val addNtile = spec.ntileCol.isDefined
+    val addPrecMin = spec.precMinCol.isDefined
     val extra =
       spec.rankCol.map(StructField(_, LongType, nullable = false)).toSeq ++
         spec.cumCol.map(StructField(_, LongType, nullable = false)) ++
-        spec.ntileCol.map(StructField(_, LongType, nullable = false))
+        spec.ntileCol.map(StructField(_, LongType, nullable = false)) ++
+        spec.precMinCol.map(StructField(_, LongType, nullable = true))
     val outSchema = StructType(sorted.schema.fields ++ extra)
     val annotated = rdd.mapPartitionsWithIndex { (i, it) =>
       var rk = rowOff(i)
       var cum = sumOff(i)
+      var rmin = minOff(i)
       it.map { r =>
         rk += 1L
-        vIdx.foreach(j => cum = Math.addExact(cum, r.getLong(j)))
+        // prec-min is emitted BEFORE this row's value folds in
+        // (exclusive semantics), so capture the state first
+        val prec: Any = if (rmin == Long.MaxValue) null else rmin
+        vIdx.foreach { j =>
+          val v = r.getLong(j)
+          cum = Math.addExact(cum, v)
+          rmin = Math.min(rmin, v)
+        }
         var extras: List[Any] = Nil
+        if (addPrecMin) extras ::= prec
         if (addNtile) extras ::=
           (if (rk <= cut) (rk - 1) / (q + 1) + 1
            else rem + (rk - 1 - cut) / q + 1)

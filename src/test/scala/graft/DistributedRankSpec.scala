@@ -85,6 +85,32 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(got.count() === 0L)
   }
 
+  test("precmin matches the exclusive running-min window, NULL first row") {
+    val got = DistributedRank.precmin(df, Seq(col("v"), col("k")), "v", "pm")
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getLong(2)))
+    val want = df.withColumn("pm", min(col("v")).over(
+      Window.orderBy(col("v"), col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+    // the global first row (and only it) must be NULL
+    assert(got.count(_._2 == null) === 1)
+  }
+
+  test("precmin is exclusive under ties: equal values see earlier equals") {
+    // rows (k, v): v=5 appears three times — the 2nd and 3rd occurrence
+    // must see 5 (an EARLIER equal), not only strictly smaller values
+    val tied = Seq((1L, 9L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 7L))
+      .toDF("k", "v")
+    val got = DistributedRank.precmin(tied, Seq(col("v"), col("k")), "v", "pm")
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 5L), (2L, null), (3L, 5L), (4L, 5L),
+      (5L, 5L)))
+  }
+
   test("no unpartitioned WindowExec appears in the plan") {
     val got = DistributedRank.rank(df, Seq(col("v"), col("k")), "r")
     val plan = got.queryExecution.executedPlan.toString

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.GraphQueries
+
+/** The relational PageRank iteration must agree with a direct reference
+  * implementation of the same exact-integer recurrence, and conserve
+  * (never inflate) rank mass. The recurrence under test:
+  *   share(u)  = pr(u) div outdeg(u)            (truncating)
+  *   pr'(v)    = 1.5e11 + (85 · Σ_{u→v} share(u)) div 100
+  * with every node seeded 1e12.
+  */
+class GraphQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Seed = BigInt("1000000000000")
+  private val Base = BigInt("150000000000")
+
+  /** Reference implementation on an adjacency list, BigInt throughout. */
+  private def refPagerank(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, BigInt] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var pr: Map[Long, BigInt] = out.map { case (n, _) => n -> Seed }
+    for (_ <- 1 to iters) {
+      val shares = pr.map { case (n, r) => n -> r / out(n) }
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map(e => shares(e._1)).sum).toMap
+      pr = in.map { case (n, m) => n -> (Base + (m * 85) / 100) }
+    }
+    pr
+  }
+
+  private def sparkPagerank(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, BigInt] = {
+    val (w, deg) = GraphQueries.weight(edges.toDF("src", "dst"))
+    GraphQueries.pagerankIterate(w, deg, iters)
+      .collect().map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+  }
+
+  // path graph a–b–c (bidirectional), asymmetric degrees
+  private val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+
+  test("matches the reference recurrence on a path graph, 1 and 3 iters") {
+    assert(sparkPagerank(path, 1) === refPagerank(path, 1))
+    assert(sparkPagerank(path, 3) === refPagerank(path, 3))
+  }
+
+  test("matches the reference on a star + cycle graph with hub skew") {
+    // hub 10 ← spokes 1..5 (bidirectional) plus a 3-cycle 20→21→22→20
+    val spokes = (1L to 5L).flatMap(s => Seq((10L, s), (s, 10L)))
+    val cycle = Seq((20L, 21L), (21L, 22L), (22L, 20L))
+    val g = spokes ++ cycle
+    assert(sparkPagerank(g, 4) === refPagerank(g, 4))
+  }
+
+  test("rank mass is conserved up to truncation loss, never inflated") {
+    val got = sparkPagerank(path, 3)
+    val mass = got.values.sum
+    val totalSeed = Seed * got.size
+    assert(mass <= totalSeed)
+    // truncation loses at most a few units per node per iteration —
+    // anything larger means mass leaked through the recurrence
+    assert(totalSeed - mass < BigInt(got.size.toLong * 3L * 1000L))
+  }
+
+  test("symmetric nodes get identical ranks") {
+    val got = sparkPagerank(path, 3)
+    assert(got(1L) === got(3L)) // the two path endpoints are isomorphic
+  }
+}
