@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "grouped_quantiles"),
       (children: Seq[Expression]) =>
         graft.plans.GroupedQuantilesTvf.fromArgs(children)))
+    ext.injectResolutionRule(s => graft.plans.ExpandPageRank(s))
+    ext.injectTableFunction((
+      FunctionIdentifier("pagerank"),
+      new ExpressionInfo(classOf[graft.plans.PageRankPlan].getName,
+        "pagerank"),
+      (children: Seq[Expression]) =>
+        graft.plans.PageRankTvf.fromArgs(children)))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the PageRank recurrence
+  * (`graft.queries.GraphQueries.pagerankIterate`) — a table-valued
+  * function over any edge relation:
+  *
+  * {{{
+  *   SELECT * FROM pagerank(
+  *     'edges_v',   -- table or view with the edge list
+  *     'src',       -- source-node column (BIGINT)
+  *     'dst',       -- destination-node column (BIGINT)
+  *     3)           -- iteration count (1..MaxIters)
+  *   -- returns (node BIGINT, pr BIGINT) in exact integer micro-units
+  * }}}
+  *
+  * Every node appearing as a source must have out-degree ≥ 1 by
+  * construction (it does — degree is COUNTED from this very relation);
+  * nodes that never appear as a source receive no rank (the caller
+  * supplies bidirectional edges if sinks should participate, as the
+  * fulfillment-graph query does).
+  *
+  * Like `grouped_quantiles`, the recurrence is a pure composition of
+  * standard operators (the degree-weighted join per level — see the
+  * GraphQueries scaladoc for why outdeg is folded into the edges), so
+  * the TVF expands at ANALYSIS time: [[PageRankPlan]] parks unresolved
+  * until its relation resolves, then [[ExpandPageRank]] splices in the
+  * K-level plan. Everything downstream — optimizer, AQE (which
+  * broadcasts the |V|-sized rank state at each level), codegen — sees
+  * only built-in operators, and EXPLAIN shows the real chain.
+  * `MaxIters` bounds the plan depth a SQL user can request, because
+  * each iteration is a level of the (checkpoint-free) plan tree.
+  */
+object PageRankTvf {
+
+  val MaxIters = 16
+
+  def fromArgs(args: Seq[Expression]): LogicalPlan = {
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        v.toString
+      case _ => throw new IllegalArgumentException(
+        s"pagerank: $what must be a string literal, got $e")
+    }
+    def iters(e: Expression): Int = e match {
+      case Literal(v: Int, IntegerType) if v >= 1 && v <= MaxIters => v
+      case _ => throw new IllegalArgumentException(
+        s"pagerank: the iteration count must be an integer literal in " +
+          s"1..$MaxIters (each iteration is a plan level), got $e")
+    }
+    args match {
+      case Seq(t, src, dst, it) =>
+        PageRankPlan(str(src, "the source column"),
+          str(dst, "the destination column"), iters(it),
+          UnresolvedRelation(CatalystSqlParser.parseMultipartIdentifier(
+            str(t, "the table name"))))
+      case other =>
+        throw org.apache.spark.sql.graftshim.Shims
+          .wrongNumArgs("pagerank", 4, other.size)
+    }
+  }
+}
+
+/** Placeholder node between parsing and expansion — deliberately never
+  * `resolved` (the unresolved-TVF pattern), so the enclosing query
+  * cannot resolve against it before [[ExpandPageRank]] replaces it.
+  */
+case class PageRankPlan(srcCol: String, dstCol: String, iters: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : PageRankPlan = copy(child = newChild)
+}
+
+/** Analysis rule: once the TVF's relation resolves, splice in the
+  * K-level recurrence plan.
+  */
+case class ExpandPageRank(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case pr: PageRankPlan if pr.child.resolved =>
+        val edges = org.apache.spark.sql.graftshim.Shims
+          .ofRows(spark, pr.child)
+          .select(col(pr.srcCol).as("src"), col(pr.dstCol).as("dst"))
+        val (w, deg) = graft.queries.GraphQueries.weight(edges)
+        graft.queries.GraphQueries.pagerankIterate(w, deg, pr.iters)
+          .queryExecution.analyzed
+    }
+}

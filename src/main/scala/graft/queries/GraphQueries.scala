@@ -58,7 +58,7 @@ object GraphQueries {
   /** (1 − d) · Seed with damping d = 0.85. */
   private val Base = 150000000000L
 
-  private val Iters = 3
+  private[graft] val Iters = 3
 
   private val graphCache =
     new graft.engine.SessionKeyedCache[(DataFrame, DataFrame)]({
@@ -143,6 +143,80 @@ object GraphQueries {
       .orderBy(col("node_type"), col("node_key"))
   }
 
+  /** Rounds of BFS min-relaxation — K=3 keeps the unrolled oracle
+    * readable and the per-round checkpoint chain short.
+    */
+  private val BfsRounds = 3
+
+  /** Bounded-radius BFS from a seed set: hop distance (0-based) for
+    * every node reachable within `rounds` hops; unreached nodes are
+    * absent. One round = relax every edge out of the reached set
+    * (equi-join on src), union the standing distances, take the
+    * per-node min — Bellman-Ford specialization to unit weights, as
+    * relational algebra. The distance state is referenced TWICE per
+    * round (join + union), so each round ends in an eager
+    * `localCheckpoint` (the dup-groups discipline): |reached| rows in
+    * block storage, not a re-executing 2^K plan tree.
+    */
+  private[graft] def bfsHops(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = seeds.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      dist = dist.join(edges, dist("node") === edges("src"))
+        .select(edges("dst").as("node"), (dist("d") + 1).as("d"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Seed set: supplier nodes with suppkey ≤ 10 that appear in the
+    * graph — a fixed, deterministic handful of sources.
+    */
+  private def supplierSeeds(deg: DataFrame): DataFrame =
+    deg.filter(col("node") % 2 === 1 &&
+        call_function("div", col("node"), lit(2)) <= 10)
+      .select(col("node"), lit(0).as("d"))
+
+  private[queries] def bfs(s: SparkSession, dir: String): DataFrame = {
+    val (w, deg) = fulfillmentGraph(s, dir)
+    bfsHops(w.select(col("src"), col("dst")), supplierSeeds(deg), BfsRounds)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        call_function("div", col("node"), lit(2)).as("node_key"),
+        col("d").as("hops"))
+      .orderBy(col("node_type"), col("node_key"))
+  }
+
+  /** One unrolled BFS oracle round. */
+  private def bfsOracleRound(n: Int): String = s"""
+      d$n AS (SELECT node, MIN(d) AS d FROM (
+                SELECT e.dst AS node, r.d + 1 AS d
+                FROM edges e JOIN d${n - 1} r ON r.node = e.src
+                UNION ALL SELECT node, d FROM d${n - 1}) u
+              GROUP BY node)"""
+
+  val qBfsHops = QueryDef(
+    "q_bfs_hops",
+    (s, dir) => bfs(s, dir),
+    Some(s"""
+      WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS v
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      edges AS (SELECT c AS src, v AS dst FROM pairs
+                UNION ALL SELECT v, c FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      d0 AS (SELECT node, 0 AS d FROM nodes
+             WHERE node % 2 = 1 AND node // 2 <= 10),${
+        (1 to BfsRounds).map(bfsOracleRound).mkString(",")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             node // 2 AS node_key, d AS hops
+      FROM d$BfsRounds
+      ORDER BY node_type, node_key"""))
+
   /** One unrolled oracle iteration: `i{n}` sums incoming shares,
     * `r{n}` applies damping. SUM over BIGINT is HUGEINT in DuckDB
     * (mirror of the Spark side's DECIMAL(38,0) accumulator).
@@ -157,10 +231,12 @@ object GraphQueries {
                      CAST($Base + (85::HUGEINT * m) // 100 AS BIGINT) AS pr
               FROM i$n)"""
 
-  val qPagerank = QueryDef(
-    "q_pagerank",
-    (s, dir) => pagerank(s, dir),
-    Some(s"""
+  /** Shared unrolled-CTE oracle for PageRank over the fulfillment
+    * graph — also the oracle of the SQL-TVF twin (q_sql_pagerank in
+    * SqlSurfaceQueries), which must agree with the DataFrame form
+    * exactly.
+    */
+  private[graft] lazy val pagerankOracle: String = s"""
       WITH pairs AS (
         SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS v
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
@@ -173,7 +249,18 @@ object GraphQueries {
                AS node_type,
              node // 2 AS node_key, pr
       FROM r$Iters
-      ORDER BY node_type, node_key"""))
+      ORDER BY node_type, node_key"""
 
-  val all: Seq[QueryDef] = Seq(qPagerank)
+  /** The cached undirected fulfillment edge list `(src, dst)` — the
+    * input the SQL-TVF twin registers as a temp view.
+    */
+  private[graft] def undirectedEdges(s: SparkSession, dir: String): DataFrame =
+    fulfillmentGraph(s, dir)._1.select(col("src"), col("dst"))
+
+  val qPagerank = QueryDef(
+    "q_pagerank",
+    (s, dir) => pagerank(s, dir),
+    Some(pagerankOracle))
+
+  val all: Seq[QueryDef] = Seq(qPagerank, qBfsHops)
 }

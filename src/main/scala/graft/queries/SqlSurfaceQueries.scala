@@ -69,5 +69,30 @@ object SqlSurfaceQueries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(qSqlGlobalRank, qSqlGroupedQuantiles)
+  /** PageRank through the `pagerank` TVF (`plans/PageRankTvf.scala`) —
+    * the analysis-time expansion of the K-level recurrence — over the
+    * session-cached fulfillment edge list registered as a view. Must
+    * agree bit-for-bit with the DataFrame form (q_pagerank): same
+    * oracle, same exact-integer recurrence. The TVF recomputes the
+    * degree weighting from the view (it accepts ANY edge relation), so
+    * this also proves the weighting is derivable from the edge list
+    * alone.
+    */
+  val qSqlPagerank = QueryDef(
+    "q_sql_pagerank",
+    (s, dir) => {
+      GraphQueries.undirectedEdges(s, dir)
+        .createOrReplaceTempView("fulfillment_edges_v")
+      s.sql(s"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               node DIV 2 AS node_key, pr
+        FROM pagerank('fulfillment_edges_v', 'src', 'dst',
+                      ${GraphQueries.Iters})
+        ORDER BY node_type, node_key""")
+    },
+    Some(GraphQueries.pagerankOracle))
+
+  val all: Seq[QueryDef] =
+    Seq(qSqlGlobalRank, qSqlGroupedQuantiles, qSqlPagerank)
 }

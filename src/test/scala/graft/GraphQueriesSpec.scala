@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.GraphQueries
@@ -68,5 +69,43 @@ class GraphQueriesSpec extends AnyFunSuite {
   test("symmetric nodes get identical ranks") {
     val got = sparkPagerank(path, 3)
     assert(got(1L) === got(3L)) // the two path endpoints are isomorphic
+  }
+
+  /** Reference BFS (hop distance, capped rounds) on an adjacency list. */
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Int] = {
+    var dist = seeds.map(_ -> 0).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (s, d) =>
+        dist.get(s).map(x => d -> (x + 1))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    dist
+  }
+
+  private def sparkBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Int] =
+    GraphQueries.bfsHops(edges.toDF("src", "dst"),
+      seeds.toSeq.toDF("node").select(col("node"), lit(0).as("d")), rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("bfs hop distances match reference; unreached nodes absent") {
+    // chain 1–2–3–4–5 (bidirectional) plus isolated pair 8–9
+    val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 5L), (5L, 4L), (8L, 9L), (9L, 8L))
+    val got = sparkBfs(chain, Set(1L), 3)
+    assert(got === refBfs(chain, Set(1L), 3))
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    assert(!got.contains(5L) && !got.contains(8L)) // radius-capped / island
+  }
+
+  test("bfs takes the min over multiple seeds and converging paths") {
+    val g = Seq((1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (2L, 4L), (4L, 2L))
+    val got = sparkBfs(g, Set(1L, 2L), 3)
+    assert(got === refBfs(g, Set(1L, 2L), 3))
+    assert(got(4L) === 1) // via seed 2 directly, not 1→3→4
   }
 }

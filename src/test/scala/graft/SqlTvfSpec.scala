@@ -84,4 +84,35 @@ class SqlTvfSpec extends AnyFunSuite {
       .collect())
     assert(e2.getMessage.contains("out_name=probability"), e2.getMessage)
   }
+
+  test("pagerank TVF matches the DataFrame recurrence on the same edges") {
+    // path graph 1–2–3 bidirectional, as a view
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("a", "b")
+      .createOrReplaceTempView("tvf_edges")
+    val got = spark.sql(
+      "SELECT node, pr FROM pagerank('tvf_edges', 'a', 'b', 3)")
+      .as[(Long, Long)].collect().toMap
+    val (w, deg) = graft.queries.GraphQueries.weight(
+      spark.table("tvf_edges")
+        .select(col("a").as("src"), col("b").as("dst")))
+    val want = graft.queries.GraphQueries.pagerankIterate(w, deg, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("pagerank TVF composes with downstream SQL and bounds iterations") {
+    Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+      .createOrReplaceTempView("tvf_edges2")
+    // downstream filter + order over the expansion
+    val top = spark.sql(
+      """SELECT node FROM pagerank('tvf_edges2', 'a', 'b', 2)
+        |WHERE pr > 0 ORDER BY node""".stripMargin)
+      .as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L))
+    // plan-depth cap: a non-literal or out-of-range count is refused
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM pagerank('tvf_edges2', 'a', 'b', 999)").collect())
+    assert(e.getMessage.contains("1..16"), e.getMessage)
+  }
 }
