@@ -24,9 +24,13 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Every node appearing as a source must have out-degree ≥ 1 by
   * construction (it does — degree is COUNTED from this very relation);
-  * nodes that never appear as a source receive no rank (the caller
-  * supplies bidirectional edges if sinks should participate, as the
-  * fulfillment-graph query does).
+  * nodes that never appear as a source receive no rank, and a
+  * source-only node (out-edges but no in-edges) contributes its seed
+  * in round 1 and then leaves the recurrence — the rank⋈edges join
+  * carries only nodes with incoming mass. Callers who want full
+  * participation supply bidirectional edges (as the fulfillment-graph
+  * query does); GraphQueriesSpec pins these drop semantics against a
+  * reference implementation on random digraphs.
   *
   * Like `grouped_quantiles`, the recurrence is a pure composition of
   * standard operators (the degree-weighted join per level — see the

@@ -26,6 +26,10 @@ object Soak {
   private val queries = Seq(
     "q1_pricing_summary",     // baseline: scan + hash agg
     "q6_forecast_revenue",    // baseline: filter + agg, near-zero slope
+    "q_pagerank",             // K-level join/agg chain over cached graph
+    "q_sql_pagerank",         // TVF twin: per-level degree reweighting
+    "q_bfs_hops",             // per-round checkpointed min-relaxation
+    "q_skyline",              // group-min + distributed precmin
     "q_winsorize",            // GroupedQuantiles valueAtRanks
     "q_percentiles",          // GroupedQuantiles interpolated
     "q_mad_outliers",         // histogram medians/MAD

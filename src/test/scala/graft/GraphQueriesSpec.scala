@@ -19,14 +19,24 @@ class GraphQueriesSpec extends AnyFunSuite {
   private val Seed = BigInt("1000000000000")
   private val Base = BigInt("150000000000")
 
-  /** Reference implementation on an adjacency list, BigInt throughout. */
+  /** Reference implementation on an adjacency list, BigInt throughout.
+    * Mirrors the relational semantics exactly: the state after a round
+    * holds only nodes with INCOMING contributions, so a source-only
+    * node (out-edges, no in-edges) contributes in round 1 and then
+    * leaves the recurrence — the same drop the rank⋈edges join and the
+    * oracle's CTE join perform. The fulfillment graph is bidirectional,
+    * so production never hits this; the TVF documents it as caller
+    * contract.
+    */
   private def refPagerank(edges: Seq[(Long, Long)],
       iters: Int): Map[Long, BigInt] = {
     val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
     var pr: Map[Long, BigInt] = out.map { case (n, _) => n -> Seed }
     for (_ <- 1 to iters) {
-      val shares = pr.map { case (n, r) => n -> r / out(n) }
-      val in = edges.groupBy(_._2).view
+      // flatMap mirrors the edgesW⋈ranks join: ranked nodes without
+      // out-edges (possible in arbitrary digraphs) send nothing
+      val shares = pr.flatMap { case (n, r) => out.get(n).map(o => n -> r / o) }
+      val in = edges.filter(e => shares.contains(e._1)).groupBy(_._2).view
         .mapValues(_.map(e => shares(e._1)).sum).toMap
       pr = in.map { case (n, m) => n -> (Base + (m * 85) / 100) }
     }
@@ -99,6 +109,36 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got === refBfs(chain, Set(1L), 3))
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
     assert(!got.contains(5L) && !got.contains(8L)) // radius-capped / island
+  }
+
+  test("pagerank matches the reference on random graphs (20 seeds)") {
+    // random digraphs where every node has outdeg >= 1 (the operator's
+    // contract): n in 5..24, each node gets 1..3 out-edges
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 5 + rnd.nextInt(20)
+      val edges = (0L until n.toLong).flatMap { u =>
+        val fanout = 1 + rnd.nextInt(3)
+        (1 to fanout).map(_ => u -> rnd.nextInt(n).toLong)
+      }
+      val iters = 1 + rnd.nextInt(3)
+      assert(sparkPagerank(edges, iters) === refPagerank(edges, iters),
+        s"seed=$seed n=$n iters=$iters")
+    }
+  }
+
+  test("bfs matches the reference on random graphs (20 seeds)") {
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 5 + rnd.nextInt(20)
+      val edges = (0L until n.toLong).flatMap { u =>
+        (1 to 1 + rnd.nextInt(2)).map(_ => u -> rnd.nextInt(n).toLong)
+      }
+      val seeds = Set(rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      val rounds = 1 + rnd.nextInt(3)
+      assert(sparkBfs(edges, seeds, rounds) === refBfs(edges, seeds, rounds),
+        s"seed=$seed n=$n rounds=$rounds")
+    }
   }
 
   test("bfs takes the min over multiple seeds and converging paths") {
