@@ -148,28 +148,33 @@ object GraphQueries {
     */
   private val BfsRounds = 3
 
-  /** Bounded-radius BFS from a seed set: hop distance (0-based) for
-    * every node reachable within `rounds` hops; unreached nodes are
-    * absent. One round = relax every edge out of the reached set
-    * (equi-join on src), union the standing distances, take the
-    * per-node min — Bellman-Ford specialization to unit weights, as
-    * relational algebra. The distance state is referenced TWICE per
-    * round (join + union), so each round ends in an eager
-    * `localCheckpoint` (the dup-groups discipline): |reached| rows in
-    * block storage, not a re-executing 2^K plan tree.
+  /** K rounds of Bellman-Ford min-relaxation over a weighted edge
+    * relation `(src, dst, w)` from a seed state `(node, d)`: after the
+    * call, `d` is the cheapest path cost from any seed using at most
+    * `rounds` edges; unreached nodes are absent. One round = relax
+    * every edge out of the reached set (equi-join on src), union the
+    * standing distances, take the per-node min. The distance state is
+    * referenced TWICE per round (join + union), so each round ends in
+    * an eager `localCheckpoint` (the dup-groups discipline): |reached|
+    * rows in block storage, not a re-executing 2^K plan tree.
     */
-  private[graft] def bfsHops(edges: DataFrame, seeds: DataFrame,
+  private[graft] def relaxRounds(wedges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     var dist = seeds.localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      dist = dist.join(edges, dist("node") === edges("src"))
-        .select(edges("dst").as("node"), (dist("d") + 1).as("d"))
+      dist = dist.join(wedges, dist("node") === wedges("src"))
+        .select(wedges("dst").as("node"), (dist("d") + wedges("w")).as("d"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
         .localCheckpoint(true)
     }
     dist
   }
+
+  /** Bounded-radius BFS — [[relaxRounds]] at unit weight. */
+  private[graft] def bfsHops(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame =
+    relaxRounds(edges.withColumn("w", lit(1)), seeds, rounds)
 
   /** Seed set: supplier nodes with suppkey ≤ 10 that appear in the
     * graph — a fixed, deterministic handful of sources.
@@ -214,6 +219,86 @@ object GraphQueries {
       SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
                AS node_type,
              node // 2 AS node_key, d AS hops
+      FROM d$BfsRounds
+      ORDER BY node_type, node_key"""))
+
+  private val routeCache =
+    new graft.engine.SessionKeyedCache[DataFrame](_.unpersist())
+
+  /** Latency-weighted fulfillment edges `(src, dst, w)`: w = the
+    * minimum observed order→ship lag in whole days over the pair's
+    * line items (exact integer via date arithmetic — no float), both
+    * directions, session-persisted like the unweighted graph. The
+    * weight aggregate shuffles one row per distinct (cust, supp) pair.
+    */
+  private def latencyEdges(s: SparkSession, dir: String): DataFrame =
+    routeCache.getOrElseUpdate(s, s"route_wedges:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(s, s"$dir/orders.parquet")
+        + "|" + graft.engine.SessionKeyedCache.fileFingerprint(
+          s, s"$dir/lineitem.parquet"))({
+      val wpairs = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("c"),
+          col("o_orderdate"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("v"),
+            col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c"), col("v"))
+        .agg(min(datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("bigint")).as("w"))
+      wpairs.select(col("c").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(wpairs.select(col("v").as("src"), col("c").as("dst"),
+          col("w")))
+        .persist()
+    })
+
+  /** Cheapest supply route: minimum cumulative order→ship latency from
+    * the seed suppliers within [[BfsRounds]] edges — [[relaxRounds]]
+    * over the latency-weighted graph (weights are non-negative, so
+    * bounded-hop Bellman-Ford is the exact ≤K-edge optimum).
+    */
+  private[queries] def cheapestRoute(s: SparkSession, dir: String): DataFrame = {
+    val wedges = latencyEdges(s, dir)
+    val seeds = wedges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 1 &&
+        call_function("div", col("node"), lit(2)) <= 10)
+      .select(col("node"), lit(0L).as("d"))
+    relaxRounds(wedges, seeds, BfsRounds)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        call_function("div", col("node"), lit(2)).as("node_key"),
+        col("d").as("route_days"))
+      .orderBy(col("node_type"), col("node_key"))
+  }
+
+  /** One unrolled weighted-relaxation oracle round. */
+  private def routeOracleRound(n: Int): String = s"""
+      d$n AS (SELECT node, MIN(d) AS d FROM (
+                SELECT e.dst AS node, r.d + e.w AS d
+                FROM wedges e JOIN d${n - 1} r ON r.node = e.src
+                UNION ALL SELECT node, d FROM d${n - 1}) u
+              GROUP BY node)"""
+
+  val qCheapestRoute = QueryDef(
+    "q_cheapest_route",
+    (s, dir) => cheapestRoute(s, dir),
+    Some(s"""
+      WITH wpairs AS (
+        SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS v,
+               MIN(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT))
+                 AS w
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      wedges AS (SELECT c AS src, v AS dst, w FROM wpairs
+                 UNION ALL SELECT v, c, w FROM wpairs),
+      d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d
+             FROM wedges WHERE src % 2 = 1 AND src // 2 <= 10),${
+        (1 to BfsRounds).map(routeOracleRound).mkString(",")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             node // 2 AS node_key, d AS route_days
       FROM d$BfsRounds
       ORDER BY node_type, node_key"""))
 
@@ -262,5 +347,5 @@ object GraphQueries {
     (s, dir) => pagerank(s, dir),
     Some(pagerankOracle))
 
-  val all: Seq[QueryDef] = Seq(qPagerank, qBfsHops)
+  val all: Seq[QueryDef] = Seq(qPagerank, qBfsHops, qCheapestRoute)
 }

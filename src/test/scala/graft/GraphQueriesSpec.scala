@@ -141,6 +141,50 @@ class GraphQueriesSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference K-round Bellman-Ford on a weighted adjacency list. */
+  private def refRelax(wedges: Seq[(Long, Long, Long)],
+      seeds: Map[Long, Long], rounds: Int): Map[Long, Long] = {
+    var dist = seeds
+    for (_ <- 1 to rounds) {
+      val relaxed = wedges.flatMap { case (s, t, w) =>
+        dist.get(s).map(x => t -> (x + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    dist
+  }
+
+  private def sparkRelax(wedges: Seq[(Long, Long, Long)],
+      seeds: Map[Long, Long], rounds: Int): Map[Long, Long] =
+    GraphQueries.relaxRounds(wedges.toDF("src", "dst", "w"),
+      seeds.toSeq.toDF("node", "d"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("weighted relaxation: a 2-edge detour beats a direct expensive edge") {
+    val g = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L))
+    assert(sparkRelax(g, Map(1L -> 0L), 1) ===
+      Map(1L -> 0L, 2L -> 10L, 3L -> 1L)) // detour not yet visible
+    assert(sparkRelax(g, Map(1L -> 0L), 2) ===
+      Map(1L -> 0L, 2L -> 3L, 3L -> 1L))  // 1→3→2 = 3 wins
+    assert(sparkRelax(g, Map(1L -> 0L), 2) === refRelax(g, Map(1L -> 0L), 2))
+  }
+
+  test("weighted relaxation matches reference on random graphs (15 seeds)") {
+    for (seed <- 1 to 15) {
+      val rnd = new scala.util.Random(200 + seed)
+      val n = 5 + rnd.nextInt(15)
+      val g = (0L until n.toLong).flatMap { u =>
+        (1 to 1 + rnd.nextInt(2)).map(_ =>
+          (u, rnd.nextInt(n).toLong, rnd.nextInt(20).toLong))
+      }
+      val seeds = Map(rnd.nextInt(n).toLong -> 0L)
+      val rounds = 1 + rnd.nextInt(3)
+      assert(sparkRelax(g, seeds, rounds) === refRelax(g, seeds, rounds),
+        s"seed=$seed n=$n rounds=$rounds")
+    }
+  }
+
   test("bfs takes the min over multiple seeds and converging paths") {
     val g = Seq((1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
       (4L, 3L), (2L, 4L), (4L, 2L))
