@@ -151,30 +151,69 @@ object GraphQueries {
   /** K rounds of Bellman-Ford min-relaxation over a weighted edge
     * relation `(src, dst, w)` from a seed state `(node, d)`: after the
     * call, `d` is the cheapest path cost from any seed using at most
-    * `rounds` edges; unreached nodes are absent. One round = relax
-    * every edge out of the reached set (equi-join on src), union the
-    * standing distances, take the per-node min. The distance state is
-    * referenced TWICE per round (join + union), so each round ends in
-    * an eager `localCheckpoint` (the dup-groups discipline): |reached|
-    * rows in block storage, not a re-executing 2^K plan tree.
+    * `rounds` edges; unreached nodes are absent.
+    *
+    * Zero-weight SELF-LOOPS stand in for the textbook "union the
+    * standing distances" branch: a node's current distance survives a
+    * round as relaxation over its own loop, so one round is ONE
+    * equi-join + ONE min-aggregate and the distance state is
+    * referenced exactly once — the whole K-round recurrence stays a
+    * single declarative plan with no checkpoints, the same shape as
+    * [[pagerankIterate]] (the first cut unioned the state per round,
+    * which double-references it and needs an eager localCheckpoint per
+    * round to stop 2^K re-execution). Loops cover every node that can
+    * hold a distance — sources, destinations, and the seeds — and take
+    * the weight column's own type so callers keep their distance type
+    * (INT hops for BFS, BIGINT days for routes). The loop relation's
+    * distinct repeats per plan level, but its exchange is identical
+    * across levels, so ReuseExchange materializes it once.
     */
-  private[graft] def relaxRounds(wedges: DataFrame, seeds: DataFrame,
+  /** Append a zero-weight self-loop per node of `nodes` to a weighted
+    * edge relation `(src, dst, w)`. The loop weight takes the weight
+    * column's own type, so callers keep their distance type (INT hops
+    * for BFS, BIGINT days for routes). Production callers pass the
+    * CACHED degree table's node column, so the loop branch costs a
+    * |V|-row scan per plan level, not a re-derived distinct over |E|
+    * (measured: deriving nodes from the edges inside the loop made the
+    * declarative form slower than the checkpointed one it replaces).
+    */
+  private[graft] def withLoops(wedges: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val zero = lit(0).cast(wedges.schema("w").dataType)
+    wedges.select(col("src"), col("dst"), col("w"))
+      .unionByName(nodes.select(col("node").as("src"),
+        col("node").as("dst"), zero.as("w")))
+  }
+
+  private[graft] def relaxRounds(relation: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
-    var dist = seeds.localCheckpoint(true)
+    var dist = seeds
     for (_ <- 1 to rounds) {
-      dist = dist.join(wedges, dist("node") === wedges("src"))
-        .select(wedges("dst").as("node"), (dist("d") + wedges("w")).as("d"))
-        .unionByName(dist)
-        .groupBy(col("node")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+      // dataset aliases: from round 2 on, the state's lineage contains
+      // the relation itself, so bare Dataset-column references would
+      // trip DetectAmbiguousSelfJoin — qualified names resolve cleanly
+      val prev = dist.select(col("node").as("pnode"), col("d").as("pd"))
+      dist = relation.as("e").join(prev.as("p"),
+          col("e.src") === col("p.pnode"))
+        .groupBy(col("e.dst").as("node"))
+        .agg(min(col("p.pd") + col("e.w")).as("d"))
     }
     dist
   }
 
-  /** Bounded-radius BFS — [[relaxRounds]] at unit weight. */
+  /** Bounded-radius BFS — [[relaxRounds]] at unit weight over any edge
+    * relation (nodes for the loop branch derived from the edges +
+    * seeds; production paths pass the cached degree table instead).
+    */
   private[graft] def bfsHops(edges: DataFrame, seeds: DataFrame,
-      rounds: Int): DataFrame =
-    relaxRounds(edges.withColumn("w", lit(1)), seeds, rounds)
+      rounds: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .unionByName(seeds.select(col("node")))
+      .distinct()
+    relaxRounds(withLoops(edges.withColumn("w", lit(1)), nodes),
+      seeds, rounds)
+  }
 
   /** Seed set: supplier nodes with suppkey ≤ 10 that appear in the
     * graph — a fixed, deterministic handful of sources.
@@ -186,7 +225,10 @@ object GraphQueries {
 
   private[queries] def bfs(s: SparkSession, dir: String): DataFrame = {
     val (w, deg) = fulfillmentGraph(s, dir)
-    bfsHops(w.select(col("src"), col("dst")), supplierSeeds(deg), BfsRounds)
+    relaxRounds(
+      withLoops(w.select(col("src"), col("dst")).withColumn("w", lit(1)),
+        deg.select(col("node"))),
+      supplierSeeds(deg), BfsRounds)
       .select(
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
@@ -259,11 +301,15 @@ object GraphQueries {
     */
   private[queries] def cheapestRoute(s: SparkSession, dir: String): DataFrame = {
     val wedges = latencyEdges(s, dir)
-    val seeds = wedges.select(col("src").as("node")).distinct()
-      .filter(col("node") % 2 === 1 &&
+    // the latency pairs and the fulfillment graph share one node
+    // universe (both enumerate the distinct (cust, supp) pairs of
+    // orders⋈lineitem), so the cached degree table supplies both the
+    // seed filter and the self-loop node set here too
+    val deg = fulfillmentGraph(s, dir)._2
+    val seeds = deg.filter(col("node") % 2 === 1 &&
         call_function("div", col("node"), lit(2)) <= 10)
       .select(col("node"), lit(0L).as("d"))
-    relaxRounds(wedges, seeds, BfsRounds)
+    relaxRounds(withLoops(wedges, deg.select(col("node"))), seeds, BfsRounds)
       .select(
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),

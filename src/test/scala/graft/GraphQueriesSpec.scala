@@ -156,10 +156,17 @@ class GraphQueriesSpec extends AnyFunSuite {
   }
 
   private def sparkRelax(wedges: Seq[(Long, Long, Long)],
-      seeds: Map[Long, Long], rounds: Int): Map[Long, Long] =
-    GraphQueries.relaxRounds(wedges.toDF("src", "dst", "w"),
-      seeds.toSeq.toDF("node", "d"), rounds)
+      seeds: Map[Long, Long], rounds: Int): Map[Long, Long] = {
+    val w = wedges.toDF("src", "dst", "w")
+    val seedsDf = seeds.toSeq.toDF("node", "d")
+    val nodes = w.select(col("src").as("node"))
+      .unionByName(w.select(col("dst").as("node")))
+      .unionByName(seedsDf.select(col("node")))
+      .distinct()
+    GraphQueries.relaxRounds(GraphQueries.withLoops(w, nodes),
+      seedsDf, rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
 
   test("weighted relaxation: a 2-edge detour beats a direct expensive edge") {
     val g = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L))
