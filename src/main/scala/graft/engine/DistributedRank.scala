@@ -105,13 +105,19 @@ object DistributedRank {
       "ntileCol and ntileK come together")
     val sorted = df.orderBy(order: _*)
     val vIdx = spec.valueCol.map(sorted.schema.fieldIndex)
+    // A precmin-only caller never reads the running sum, so don't
+    // accumulate it: Math.addExact on large bigint values could throw a
+    // spurious overflow for a computation the caller never asked for
+    // (the min is well-defined regardless of the sum).
+    val needSum = spec.cumCol.isDefined || spec.totalCol.isDefined
     val rdd = sorted.rdd // ONE rdd: phase 2 reuses phase 1's shuffle
     val stats = rdd.mapPartitionsWithIndex { (i, it) =>
       var n = 0L; var s = 0L; var mn = Long.MaxValue
       vIdx match {
         case Some(j) => it.foreach { r =>
           n += 1L; val v = r.getLong(j)
-          s = Math.addExact(s, v); mn = Math.min(mn, v) }
+          if (needSum) s = Math.addExact(s, v)
+          mn = Math.min(mn, v) }
         case None => it.foreach { _ => n += 1L }
       }
       Iterator((i, n, s, mn))
@@ -152,7 +158,7 @@ object DistributedRank {
         val prec: Any = if (rmin == Long.MaxValue) null else rmin
         vIdx.foreach { j =>
           val v = r.getLong(j)
-          cum = Math.addExact(cum, v)
+          if (needSum) cum = Math.addExact(cum, v)
           rmin = Math.min(rmin, v)
         }
         var extras: List[Any] = Nil

@@ -28,7 +28,7 @@ object Soak {
     "q6_forecast_revenue",    // baseline: filter + agg, near-zero slope
     "q_pagerank",             // K-level join/agg chain over cached graph
     "q_sql_pagerank",         // TVF twin: per-level degree reweighting
-    "q_bfs_hops",             // per-round checkpointed min-relaxation
+    "q_bfs_hops",             // checkpoint-free self-loop min-relaxation
     "q_cheapest_route",       // weighted relaxation (latency edges)
     "q_skyline",              // group-min + distributed precmin
     "q_winsorize",            // GroupedQuantiles valueAtRanks
