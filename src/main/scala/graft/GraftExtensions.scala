@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "pagerank"),
       (children: Seq[Expression]) =>
         graft.plans.PageRankTvf.fromArgs(children)))
+    ext.injectResolutionRule(s => graft.plans.ExpandComponents(s))
+    ext.injectTableFunction((
+      FunctionIdentifier("connected_components"),
+      new ExpressionInfo(classOf[graft.plans.ComponentsPlan].getName,
+        "connected_components"),
+      (children: Seq[Expression]) =>
+        graft.plans.ComponentsTvf.fromArgs(children)))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(

@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Min-label connected components by distributed label propagation with
+  * a pointer-doubling shortcut — the until-convergence twin of the
+  * bounded-K declarative relaxation (`GraphQueries.relaxRounds` at zero
+  * weight). Extracted from the dedup family's dup-group resolution
+  * (round 10) so the graph surface offers components as a first-class
+  * operator: the same machinery labels near-dup document components
+  * (`DocQueries.dupGroups`) and fulfillment-graph components
+  * (`GraphQueries.components` / `q_components`).
+  *
+  * Contract: `edges(src, dst)` must be SYMMETRIC (callers supply both
+  * directions — components of a directed graph are its weakly connected
+  * components, so symmetrize first). Returns `(node, label)` for every
+  * node appearing as a source, `label` = the component's minimum node
+  * id.
+  *
+  * 100 TB design: each round is one equi-join + min-aggregate over the
+  * edge relation (O(|E|) shuffled rows) plus the pointer-doubling
+  * lookup self-join over the |V|-sized state; the shortcut halves the
+  * remaining label-tree depth every round, so the round count is
+  * O(log diameter), not O(diameter) — ~30 neighbor-min rounds collapse
+  * to ≤8 on the measured corpora (SCALE.md §Round-9). Every round ends
+  * in an EAGER localCheckpoint: the state is referenced more than once
+  * per round (propagation join + shortcut self-join + convergence
+  * diff), so without the checkpoint the logical plan doubles per round
+  * (measured as an OOM while Spark merely stringified the plan).
+  */
+object LabelPropagation {
+
+  /** @param edges symmetric `(src, dst)` edge relation
+    * @param tag    stderr progress tag (per-round changed counts — at
+    *               scale the loop dominates its caller's wall clock, so
+    *               convergence is observable, not silent)
+    */
+  def components(edges: DataFrame, tag: String = "label-prop"): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val prop = labels
+        .join(neighborMin.select(col("src").as("node"), col("nlabel")),
+          Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // Pointer-doubling shortcut: jump to the label's OWN label
+      // (labels are always node ids, so the lookup self-join is total).
+      val next = prop
+        .join(prop.select(col("node").as("l2node"), col("label").as("l2label")),
+          prop("label") === col("l2node"), "left")
+        .select(prop("node"),
+          least(prop("label"), coalesce(col("l2label"), prop("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("node"), col("label").as("old")),
+        Seq("node")).filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+      System.err.println(s"[$tag] round $rounds: changed=$changed")
+    }
+    // A silent partial fixpoint would mislabel components — fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"$tag label propagation did not converge in $maxRounds rounds " +
+        "(component diameter exceeds the cap)")
+    // labels is already a checkpointed leaf; the ContextCleaner reclaims
+    // intermediate round blocks as their frames go unreferenced.
+    labels
+  }
+}

@@ -97,7 +97,21 @@ case class ExpandPageRank(spark: SparkSession)
           .ofRows(spark, pr.child)
           .select(col(pr.srcCol).as("src"), col(pr.dstCol).as("dst"))
         val (w, deg) = graft.queries.GraphQueries.weight(edges)
-        graft.queries.GraphQueries.pagerankIterate(w, deg, pr.iters)
+        // The expansion references the weighted relation at every one
+        // of the K plan levels, and an analysis rule must stay
+        // side-effect-free (no persist), so the first cut re-ran the
+        // edges⋈deg build — and its |E|-sized aggregate — once per
+        // level (measured: 4.6 s vs the cached DataFrame form's 2.6 s
+        // at sf0.1; 32.7 s at the 10× sweep). Hash-partitioning the
+        // weighted relation on the join key instead plants an
+        // IDENTICAL Exchange at every level, which exchange reuse
+        // (plain ReuseExchange, or AQE stage reuse) materializes once
+        // and replays from shuffle files for the other K−1 levels —
+        // the same property the BFS loop relation relies on
+        // (GraphQueries.withLoops scaladoc). PLANS.md's q_sql_pagerank
+        // dump shows the single reused exchange.
+        val wShared = w.repartition(col("src"))
+        graft.queries.GraphQueries.pagerankIterate(wShared, deg, pr.iters)
           .queryExecution.analyzed
     }
 }

@@ -207,61 +207,13 @@ object DocQueries {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .persist()
-    try dupGroupsLoop(edges)
+    // The propagation loop itself is the shared components engine
+    // (round 10 extraction — GraphQueries.components runs the same
+    // code over the fulfillment graph); the "[dup-groups]" log tag is
+    // kept because SCALE.md's convergence evidence cites it.
+    try graft.engine.LabelPropagation.components(edges, "dup-groups")
+      .select(col("node").as("doc_id"), col("label").as("dup_group"))
     finally { edges.unpersist(); () }
-  }
-
-  private def dupGroupsLoop(edges: DataFrame): DataFrame = {
-    // Every round ends in an EAGER localCheckpoint: the shortcut
-    // self-join would otherwise double the logical plan each round
-    // (exponential lineage — measured as an OOM while Spark merely
-    // stringified the plan). Checkpointing keeps the per-round plan
-    // constant-size and the loop state in block storage.
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("label")).localCheckpoint(true)
-    var converged = false
-    var rounds = 0
-    val maxRounds = 64
-    while (!converged && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels.select(col("doc").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val prop = labels
-        .join(neighborMin.select(col("src").as("doc"), col("nlabel")),
-          Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      // Pointer-doubling shortcut: jump to the label's OWN label
-      // (labels are always node ids, so the lookup self-join is total).
-      // Neighbor-min alone needs ~diameter rounds — ~30 on this data,
-      // 100s of wall clock; the shortcut halves the remaining depth
-      // every round, converging in O(log diameter).
-      val next = prop
-        .join(prop.select(col("doc").as("l2doc"), col("label").as("l2label")),
-          prop("label") === col("l2doc"), "left")
-        .select(prop("doc"),
-          least(prop("label"), coalesce(col("l2label"), prop("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.select(col("doc"), col("label").as("old")),
-        Seq("doc")).filter(col("label") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      rounds += 1
-      // convergence is observable, not silent: at sweep multipliers the
-      // loop dominates the dedup family's wall clock, and a stalled
-      // `changed` names a diameter problem before the 64-round cap does
-      System.err.println(s"[dup-groups] round $rounds: changed=$changed")
-    }
-    // A silent partial fixpoint would mislabel components (and diverge
-    // from the transitive-closure oracle) — fail loudly instead.
-    if (!converged) throw new IllegalStateException(
-      s"dup-group label propagation did not converge in $maxRounds rounds " +
-        "(component diameter exceeds the cap)")
-    // labels is already a checkpointed leaf; the ContextCleaner reclaims
-    // intermediate round blocks as their frames go unreferenced, and the
-    // caller's finally releases edges.
-    labels.select(col("doc").as("doc_id"), col("label").as("dup_group"))
   }
 
   /** Oracle CTE chain extending [[minhashScoredCte]] with the recursive

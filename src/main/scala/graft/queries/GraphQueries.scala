@@ -41,7 +41,10 @@ import graft.engine.Tables.t
   *    (bounded by total mass |V|·1e12), so both travel as
   *    DECIMAL(38,0) / HUGEINT; per-node ranks re-enter BIGINT each
   *    round (rank ≤ total mass — callers beyond ~9e6 nodes must shrink
-  *    the seed, documented here rather than discovered as a wrap).
+  *    the seed, and since round 10 that contract is ENFORCED: the
+  *    damping step checks each node's incoming mass against the exact
+  *    BIGINT re-entry bound and raises with the shrink-the-seed
+  *    instruction instead of wrapping — see [[pagerankIterate]]).
   *
   * Graph: the customer–supplier fulfillment graph — an undirected edge
   * per distinct (o_custkey, l_suppkey) pair observed through
@@ -117,19 +120,92 @@ object GraphQueries {
     * `deg(node, outdeg)` seeds the state. Returns `(node, pr)`.
     * Per-edge `pr div outdeg` matches the oracle's per-edge-row
     * `r.pr // d.outdeg` exactly (integer sums are order-free).
+    *
+    * The exact-integer contract is ENFORCED, not just documented: a
+    * node's damped rank `base + (85·m) div 100` must re-enter BIGINT,
+    * and since every per-node incoming mass `m` is bounded by the
+    * total mass |V|·seed, overflow is impossible iff every `m` stays
+    * under `(Long.Max − base)·100/85`. The damping projection checks
+    * exactly that per node — the mass is already a DECIMAL(38,0) at
+    * that point, so the comparison is exact, costs one codegen'd
+    * branch over |V| rows per round (noise next to the |E| join), and
+    * needs no extra job or count. On violation the round fails loudly
+    * with the shrink-the-seed instruction instead of wrapping
+    * (GraphQueriesSpec trips it with an oversized seed on 4 nodes).
     */
-  private[graft] def pagerankIterate(edgesW: DataFrame, deg: DataFrame,
-      iters: Int): DataFrame = {
-    var ranks = deg.select(col("node"), lit(Seed).as("pr"))
-    for (_ <- 1 to iters) {
-      ranks = edgesW.join(ranks, edgesW("src") === ranks("node"))
-        .groupBy(edgesW("dst").as("node"))
-        .agg(sum(call_function("div", col("pr"), col("outdeg"))
-          .cast("decimal(38,0)")).as("m"))
-        .select(col("node"), (lit(Base) + call_function("div",
+  /** One PageRank round: rank state `(node, pr)` → next state, with the
+    * overflow guard in the damping projection. Shared by the fixed-K
+    * chain ([[pagerankIterate]]) and the until-convergence loop
+    * ([[pagerankConverged]]).
+    */
+  private def pagerankRound(edgesW: DataFrame, ranks: DataFrame,
+      seed: Long, base: Long): DataFrame = {
+    val mMax = (BigInt(Long.MaxValue) - base) * 100 / 85
+    val mMaxLit = lit(new java.math.BigDecimal(mMax.bigInteger))
+    edgesW.join(ranks, edgesW("src") === ranks("node"))
+      .groupBy(edgesW("dst").as("node"))
+      .agg(sum(call_function("div", col("pr"), col("outdeg"))
+        .cast("decimal(38,0)")).as("m"))
+      .select(col("node"),
+        when(col("m") > mMaxLit, raise_error(concat(
+          lit("pagerank: incoming rank mass "), col("m").cast("string"),
+          lit(s" exceeds the BIGINT re-entry bound $mMax — shrink the " +
+            s"per-node seed (currently $seed) so that " +
+            "|V| * seed <= 9223372036854775807"))))
+        .otherwise(lit(base) + call_function("div",
           lit(85).cast("decimal(38,0)") * col("m"), lit(100))).as("pr"))
-    }
+  }
+
+  private[graft] def pagerankIterate(edgesW: DataFrame, deg: DataFrame,
+      iters: Int, seed: Long = Seed, base: Long = Base): DataFrame = {
+    var ranks = deg.select(col("node"), lit(seed).as("pr"))
+    for (_ <- 1 to iters) ranks = pagerankRound(edgesW, ranks, seed, base)
     ranks
+  }
+
+  /** The PRODUCTION shape: the same exact-integer recurrence run until
+    * no node's rank moves by more than `tolerance` micro-units (the
+    * fixed-K chain stays the oracle-checkable core — an unrolled-CTE
+    * oracle needs a known K). Checkpoint cadence follows the dup-groups
+    * discipline (`engine.LabelPropagation`): the convergence test
+    * references each round's state TWICE (next round's input + the
+    * delta join), so every round ends in an eager localCheckpoint —
+    * without it the logical plan doubles per round. That is the
+    * measured trade between the two iterative regimes: fixed K + single
+    * reference per level = one declarative checkpoint-free plan
+    * (pagerankIterate); data-dependent stop = per-round checkpoint
+    * barriers, O(1) plan size, convergence observable per round
+    * (SCALE.md §Round-10).
+    *
+    * Returns (final ranks `(node, pr)`, rounds run). Fails loudly at
+    * `maxRounds` rather than returning a silent partial fixpoint.
+    */
+  private[graft] def pagerankConverged(edgesW: DataFrame, deg: DataFrame,
+      tolerance: Long, maxRounds: Int = 64,
+      seed: Long = Seed, base: Long = Base): (DataFrame, Int) = {
+    var ranks = deg.select(col("node"), lit(seed).as("pr"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = pagerankRound(edgesW, ranks, seed, base)
+        .localCheckpoint(true)
+      // max per-node move; the inner join is total on graphs where
+      // every node keeps incoming mass (bidirectional edges — the
+      // operator's stated contract, same as the TVF's)
+      val row = next.as("n")
+        .join(ranks.as("p"), col("n.node") === col("p.node"))
+        .agg(max(abs(col("n.pr") - col("p.pr")))).head()
+      val moved = if (row.isNullAt(0)) 0L else row.getLong(0)
+      ranks = next
+      rounds += 1
+      done = moved <= tolerance
+      System.err.println(s"[pagerank] round $rounds: max_move=$moved")
+    }
+    if (!done) throw new IllegalStateException(
+      s"pagerank did not converge to tolerance=$tolerance in $maxRounds " +
+        "rounds")
+    (ranks, rounds)
   }
 
   private[queries] def pagerank(s: SparkSession, dir: String): DataFrame = {
@@ -147,6 +223,23 @@ object GraphQueries {
     * readable and the per-round checkpoint chain short.
     */
   private val BfsRounds = 3
+
+  /** Append a zero-weight self-loop per node of `nodes` to a weighted
+    * edge relation `(src, dst, w)`. The loop weight takes the weight
+    * column's own type, so callers keep their distance type (INT hops
+    * for BFS, BIGINT days for routes). Production callers pass the
+    * CACHED degree table's node column, so the loop branch costs a
+    * |V|-row scan per plan level, not a re-derived distinct over |E|
+    * (measured: deriving nodes from the edges inside the loop made the
+    * declarative form slower than the checkpointed one it replaces).
+    */
+  private[graft] def withLoops(wedges: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val zero = lit(0).cast(wedges.schema("w").dataType)
+    wedges.select(col("src"), col("dst"), col("w"))
+      .unionByName(nodes.select(col("node").as("src"),
+        col("node").as("dst"), zero.as("w")))
+  }
 
   /** K rounds of Bellman-Ford min-relaxation over a weighted edge
     * relation `(src, dst, w)` from a seed state `(node, d)`: after the
@@ -168,23 +261,6 @@ object GraphQueries {
     * distinct repeats per plan level, but its exchange is identical
     * across levels, so ReuseExchange materializes it once.
     */
-  /** Append a zero-weight self-loop per node of `nodes` to a weighted
-    * edge relation `(src, dst, w)`. The loop weight takes the weight
-    * column's own type, so callers keep their distance type (INT hops
-    * for BFS, BIGINT days for routes). Production callers pass the
-    * CACHED degree table's node column, so the loop branch costs a
-    * |V|-row scan per plan level, not a re-derived distinct over |E|
-    * (measured: deriving nodes from the edges inside the loop made the
-    * declarative form slower than the checkpointed one it replaces).
-    */
-  private[graft] def withLoops(wedges: DataFrame,
-      nodes: DataFrame): DataFrame = {
-    val zero = lit(0).cast(wedges.schema("w").dataType)
-    wedges.select(col("src"), col("dst"), col("w"))
-      .unionByName(nodes.select(col("node").as("src"),
-        col("node").as("dst"), zero.as("w")))
-  }
-
   private[graft] def relaxRounds(relation: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     var dist = seeds
@@ -393,5 +469,144 @@ object GraphQueries {
     (s, dir) => pagerank(s, dir),
     Some(pagerankOracle))
 
-  val all: Seq[QueryDef] = Seq(qPagerank, qBfsHops, qCheapestRoute)
+  // ---------------------------------------------------------------- //
+  // Weakly connected components (round-10 verdict item 4): the        //
+  // standard precursor to seeding and mixture construction — the     //
+  // engine owned the machinery (the dedup family's label             //
+  // propagation) but only exposed it through near-dup groups.        //
+  // ---------------------------------------------------------------- //
+
+  /** Rounds for the bounded-diameter component forms (the unrolled
+    * oracle and the `connected_components` TVF): after K rounds of
+    * min-label relaxation each node holds the minimum node id within K
+    * hops, which IS its component minimum whenever every node is
+    * within K hops of its component's min-id node. 8 comfortably
+    * covers the fulfillment graph (measured radius ≤ 3 from the min
+    * node at every verified scale — the q_components/q_sql_components
+    * oracle agreement re-proves it per run) while keeping the oracle
+    * at 8·|E| join rows and the TVF at 8 plan levels.
+    */
+  private[graft] val ComponentsRounds = 8
+
+  /** Bounded-diameter connected components as ONE declarative plan:
+    * [[relaxRounds]] at zero weight with each node's own id as its
+    * seed "distance" — a round's min-relaxation IS min-label
+    * propagation, with the self-loops retaining a node's standing
+    * label exactly as they retain a BFS distance. The checkpoint-free
+    * twin of `engine.LabelPropagation` (which pointer-doubles to the
+    * true fixpoint, any diameter): fixed K keeps the whole recurrence
+    * a single plan — the TVF-expressible, oracle-checkable form.
+    */
+  private[graft] def componentsK(edges: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    val idType = edges.schema("src").dataType
+    relaxRounds(
+      withLoops(edges.select(col("src"), col("dst"))
+        .withColumn("w", lit(0).cast(idType)), nodes),
+      nodes.select(col("node"), col("node").as("d")), rounds)
+      .select(col("node"), col("d").as("component"))
+  }
+
+  /** Weakly connected components of the fulfillment graph, to the true
+    * fixpoint: `engine.LabelPropagation` (pointer-doubling min-label
+    * propagation, O(log diameter) rounds under per-round checkpoints)
+    * over the session-cached bidirectional edges. component = the
+    * component's minimum encoded node id. The oracle is the unrolled
+    * K-round propagation CTE ([[componentsOracle]]) — exact whenever
+    * every node is within K hops of its component min, so the oracle
+    * match doubles as a measured radius ≤ [[ComponentsRounds]] check.
+    */
+  private[queries] def components(s: SparkSession, dir: String): DataFrame = {
+    val (w, _) = fulfillmentGraph(s, dir)
+    graft.engine.LabelPropagation
+      .components(w.select(col("src"), col("dst")), "components")
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        call_function("div", col("node"), lit(2)).as("node_key"),
+        col("label").as("component"))
+      .orderBy(col("node_type"), col("node_key"))
+  }
+
+  /** One unrolled min-label propagation oracle round — the BFS round
+    * with the label in the distance seat.
+    */
+  private def componentsOracleRound(n: Int): String = s"""
+      l$n AS (SELECT node, MIN(label) AS label FROM (
+                SELECT e.dst AS node, l.label
+                FROM edges e JOIN l${n - 1} l ON l.node = e.src
+                UNION ALL SELECT node, label FROM l${n - 1}) u
+              GROUP BY node)"""
+
+  /** Shared by q_components (convergence form) and q_sql_components
+    * (the `connected_components` TVF) — both must agree with it
+    * exactly, and with each other.
+    */
+  private[graft] lazy val componentsOracle: String = s"""
+      WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS v
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      edges AS (SELECT c AS src, v AS dst FROM pairs
+                UNION ALL SELECT v, c FROM pairs),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),${
+        (1 to ComponentsRounds).map(componentsOracleRound).mkString(",")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             node // 2 AS node_key, label AS component
+      FROM l$ComponentsRounds
+      ORDER BY node_type, node_key"""
+
+  val qComponents = QueryDef(
+    "q_components",
+    (s, dir) => components(s, dir),
+    Some(componentsOracle))
+
+  // ---------------------------------------------------------------- //
+  // Soak-only seed variants (round-9 verdict item 7): the entity-key  //
+  // shift strands the standing suppkey ≤ 10 seeds in copy 0, so the  //
+  // k× soak never relaxes a k×-sized frontier — the flat curves are  //
+  // partly a seed-isolation artifact. These read the suppkey MODULO  //
+  // the copy shift, i.e. seed suppliers 1..10 of EVERY key-shifted   //
+  // copy, so the frontier scales with k. Reached through             //
+  // tools.Soak's `seedspread` extras, not the registry (the oracle   //
+  // semantics of the registered pair are unchanged).                 //
+  // ---------------------------------------------------------------- //
+
+  private def spreadSeeds(deg: DataFrame, d: org.apache.spark.sql.Column)
+      : DataFrame =
+    deg.filter(col("node") % 2 === 1 &&
+        call_function("div", col("node"), lit(2)) % lit(graft.tools.Soak.Shift)
+          <= 10)
+      .select(col("node"), d.as("d"))
+
+  private[graft] def bfsSpread(s: SparkSession, dir: String): DataFrame = {
+    val (w, deg) = fulfillmentGraph(s, dir)
+    relaxRounds(
+      withLoops(w.select(col("src"), col("dst")).withColumn("w", lit(1)),
+        deg.select(col("node"))),
+      spreadSeeds(deg, lit(0)), BfsRounds)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        call_function("div", col("node"), lit(2)).as("node_key"),
+        col("d").as("hops"))
+      .orderBy(col("node_type"), col("node_key"))
+  }
+
+  private[graft] def cheapestRouteSpread(s: SparkSession,
+      dir: String): DataFrame = {
+    val wedges = latencyEdges(s, dir)
+    val deg = fulfillmentGraph(s, dir)._2
+    relaxRounds(withLoops(wedges, deg.select(col("node"))),
+      spreadSeeds(deg, lit(0L)), BfsRounds)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        call_function("div", col("node"), lit(2)).as("node_key"),
+        col("d").as("route_days"))
+      .orderBy(col("node_type"), col("node_key"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qPagerank, qBfsHops, qCheapestRoute, qComponents)
 }

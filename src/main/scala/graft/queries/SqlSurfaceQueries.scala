@@ -93,6 +93,30 @@ object SqlSurfaceQueries {
     },
     Some(GraphQueries.pagerankOracle))
 
+  /** Weakly connected components through the `connected_components`
+    * TVF (`plans/ComponentsTvf.scala`) — K levels of the zero-weight
+    * self-loop min-relaxation expanded at analysis time. Shares its
+    * oracle with q_components (the until-convergence LabelPropagation
+    * form), so this one query pins three implementations to each
+    * other: declarative fixed-K, pointer-doubling fixpoint, and the
+    * unrolled SQL CTE — and re-proves per run that every fulfillment
+    * component's radius from its min node is ≤ the round bound.
+    */
+  val qSqlComponents = QueryDef(
+    "q_sql_components",
+    (s, dir) => {
+      GraphQueries.undirectedEdges(s, dir)
+        .createOrReplaceTempView("fulfillment_edges_v")
+      s.sql(s"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               node DIV 2 AS node_key, component
+        FROM connected_components('fulfillment_edges_v', 'src', 'dst',
+                                  ${GraphQueries.ComponentsRounds})
+        ORDER BY node_type, node_key""")
+    },
+    Some(GraphQueries.componentsOracle))
+
   val all: Seq[QueryDef] =
-    Seq(qSqlGlobalRank, qSqlGroupedQuantiles, qSqlPagerank)
+    Seq(qSqlGlobalRank, qSqlGroupedQuantiles, qSqlPagerank, qSqlComponents)
 }

@@ -199,4 +199,94 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got === refBfs(g, Set(1L, 2L), 3))
     assert(got(4L) === 1) // via seed 2 directly, not 1→3→4
   }
+
+  test("the overflow guard trips loudly when the seed exceeds the BIGINT bound") {
+    // 3 sources aiming at one sink, each with outdeg 1, seeded at
+    // 4e18: the sink's incoming mass is 1.2e19 > (Long.Max)·100/85
+    val g = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L))
+    val (w, deg) = GraphQueries.weight(g.toDF("src", "dst"))
+    val e = intercept[Throwable] {
+      GraphQueries.pagerankIterate(w, deg, 1,
+        seed = 4_000_000_000_000_000_000L, base = 0L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("shrink the")),
+      s"expected the shrink-the-seed instruction, got: $e")
+    // while a custom (smaller) seed passes through the same guard
+    val ok = GraphQueries.pagerankIterate(w, deg, 1,
+      seed = 1000L, base = 150L).collect()
+    assert(ok.nonEmpty)
+  }
+
+  test("pagerankConverged stops exactly at tolerance and equals fixed-K there") {
+    val tol = 50_000_000_000L
+    val (w, deg) = GraphQueries.weight(path.toDF("src", "dst"))
+    val (ranks, k) = GraphQueries.pagerankConverged(w, deg, tol)
+    val got = ranks.collect().map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+    assert(k >= 2 && k < 64, s"k=$k")
+    // the converged state IS the fixed-K chain's state at the stop round
+    assert(got === sparkPagerank(path, k))
+    assert(got === refPagerank(path, k))
+    // the stop is exact, not premature or late: the k-1→k move is
+    // within tolerance, the k-2→k-1 move is not (reference recurrence)
+    def move(a: Map[Long, BigInt], b: Map[Long, BigInt]): BigInt =
+      a.map { case (n, v) => (b(n) - v).abs }.max
+    assert(move(refPagerank(path, k - 1), refPagerank(path, k)) <= BigInt(tol))
+    assert(move(refPagerank(path, k - 2), refPagerank(path, k - 1)) > BigInt(tol))
+  }
+
+  /** Reference min-label components by union-find (path halving,
+    * min-root union) — an independent third implementation next to the
+    * pointer-doubling propagation and the fixed-K relaxation.
+    */
+  private def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("label-propagation components match union-find on random graphs (10 seeds)") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(300 + seed)
+      val n = 5 + rnd.nextInt(25)
+      val base = (1 to n)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val sym = (base ++ base.map(_.swap)).distinct
+      if (sym.nonEmpty) {
+        val got = graft.engine.LabelPropagation
+          .components(sym.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === refComponents(sym), s"seed=$seed n=$n")
+      }
+    }
+  }
+
+  test("fixed-K components equal the fixpoint iff K covers the radius from the min node") {
+    // chain 1–…–9: node 9 is 8 hops from the component minimum
+    val chain = (1L to 8L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val e = chain.toDF("src", "dst")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val k8 = GraphQueries.componentsK(e, nodes, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k8 === refComponents(chain)) // all label 1
+    assert(k8.values.toSet === Set(1L))
+    // K=3 exposes the documented bounded semantics: node 9's min
+    // label within 3 hops is 6, not the component min
+    val k3 = GraphQueries.componentsK(e, nodes, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k3(9L) === 6L)
+    assert(k3(4L) === 1L) // within 3 hops of the min, already exact
+  }
 }

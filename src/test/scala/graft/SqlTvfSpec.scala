@@ -115,4 +115,24 @@ class SqlTvfSpec extends AnyFunSuite {
       "SELECT * FROM pagerank('tvf_edges2', 'a', 'b', 999)").collect())
     assert(e.getMessage.contains("1..16"), e.getMessage)
   }
+
+  test("connected_components TVF labels components; rounds are capped") {
+    // two components: {1,2,3} (min 1) and {7,8} (min 7)
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (7L, 8L), (8L, 7L))
+      .toDF("a", "b").createOrReplaceTempView("cc_edges")
+    val got = spark.sql(
+      "SELECT node, component FROM connected_components('cc_edges', 'a', 'b', 4)")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    // agrees with the until-convergence engine on the same edges
+    val fixpoint = graft.engine.LabelPropagation.components(
+      spark.table("cc_edges")
+        .select(col("a").as("src"), col("b").as("dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(got === fixpoint)
+    // plan-depth cap, like pagerank's
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM connected_components('cc_edges', 'a', 'b', 99)").collect())
+    assert(e.getMessage.contains("1..16"), e.getMessage)
+  }
 }
