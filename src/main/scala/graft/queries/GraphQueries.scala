@@ -528,15 +528,21 @@ object GraphQueries {
       .orderBy(col("node_type"), col("node_key"))
   }
 
-  /** One unrolled min-label propagation oracle round — the BFS round
-    * with the label in the distance seat.
+  /** One unrolled min-label propagation oracle round. Unlike the K=3
+    * BFS oracle (whose per-round self-UNION references the previous
+    * level twice — tolerable at 2³ if the engine inlines the CTE), the
+    * K=8 chain MUST reference each level exactly once: DuckDB inlines
+    * non-recursive CTEs, so a double reference doubles the inlined
+    * plan per level — 2⁸ copies of the edge join thrashed a 48 GB
+    * memory budget at the 10× sweep before this shape. The fix is the
+    * Spark side's own trick verbatim: self-loops in `alledges` carry a
+    * node's standing label through the round, so one join + one
+    * aggregate per level, singly referenced, linear in K·|E|.
     */
   private def componentsOracleRound(n: Int): String = s"""
-      l$n AS (SELECT node, MIN(label) AS label FROM (
-                SELECT e.dst AS node, l.label
-                FROM edges e JOIN l${n - 1} l ON l.node = e.src
-                UNION ALL SELECT node, label FROM l${n - 1}) u
-              GROUP BY node)"""
+      l$n AS (SELECT e.dst AS node, MIN(l.label) AS label
+              FROM alledges e JOIN l${n - 1} l ON l.node = e.src
+              GROUP BY e.dst)"""
 
   /** Shared by q_components (convergence form) and q_sql_components
     * (the `connected_components` TVF) — both must agree with it
@@ -548,7 +554,10 @@ object GraphQueries {
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
       edges AS (SELECT c AS src, v AS dst FROM pairs
                 UNION ALL SELECT v, c FROM pairs),
-      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),${
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      alledges AS (SELECT src, dst FROM edges
+                   UNION ALL SELECT node, node FROM nodes),
+      l0 AS (SELECT node, node AS label FROM nodes),${
         (1 to ComponentsRounds).map(componentsOracleRound).mkString(",")}
       SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
                AS node_type,
@@ -607,6 +616,227 @@ object GraphQueries {
       .orderBy(col("node_type"), col("node_key"))
   }
 
+  // ---------------------------------------------------------------- //
+  // Personalized PageRank (round 10): the seed-restart random walk —  //
+  // the standard quality-propagation primitive for corpus curation    //
+  // (expand a trusted seed set through the link structure, keep what  //
+  // accumulates rank). Same exact-integer recurrence as [[pagerank]], //
+  // but mass enters ONLY at the seeds, so the rank state is the       //
+  // REACHED set, not |V| — the property that makes PPR usable on a    //
+  // 100 TB graph where |V|-dense state per query would not be.        //
+  // ---------------------------------------------------------------- //
+
+  /** One personalized-PageRank round over the weighted edges:
+    *   pr'(v) = [v ∈ S]·base + (85 · Σ_{u→v} pr(u) div outdeg(u)) div 100
+    * expressed as contribution rows UNION ALL constant seed-base rows,
+    * then ONE hash aggregate with two sums — the restart term rides the
+    * same shuffle as the incoming mass, so the rank state is referenced
+    * exactly once per round and the K-round chain stays a single
+    * declarative checkpoint-free plan (the [[pagerankIterate]] /
+    * [[relaxRounds]] discipline; a per-round outer join against the
+    * seed table would be a second join and, for a full outer, a
+    * non-broadcastable one). Nodes keep a row iff they are a seed or
+    * received mass — absent = rank 0, the sparse-frontier contract.
+    *
+    * Overflow: total circulating mass is bounded by |S|·seed +
+    * rounds·|S|·base ≪ |V|·seed (the plain-PageRank bound), the mass
+    * sum travels as DECIMAL(38,0), and the BIGINT base sum is
+    * ANSI-checked — a wrap is loud, never silent.
+    */
+  private def pprRound(edgesW: DataFrame, ranks: DataFrame,
+      seedBase: DataFrame): DataFrame =
+    edgesW.join(ranks, edgesW("src") === ranks("node"))
+      .select(edgesW("dst").as("node"),
+        call_function("div", col("pr"), col("outdeg"))
+          .cast("decimal(38,0)").as("m"),
+        lit(0L).as("b"))
+      .unionByName(seedBase)
+      .groupBy(col("node"))
+      .agg(sum(col("m")).as("sm"), sum(col("b")).as("sb"))
+      .select(col("node"),
+        (col("sb") + call_function("div",
+          lit(85).cast("decimal(38,0)") * col("sm"), lit(100))).as("pr"))
+
+  private[graft] def pprIterate(edgesW: DataFrame, seeds: DataFrame,
+      iters: Int, seed: Long = Seed, base: Long = Base): DataFrame = {
+    val seedBase = seeds.select(col("node"),
+      lit(BigDecimal(0)).cast("decimal(38,0)").as("m"), lit(base).as("b"))
+    var ranks = seeds.select(col("node"), lit(seed).as("pr"))
+    for (_ <- 1 to iters) ranks = pprRound(edgesW, ranks, seedBase)
+    ranks
+  }
+
+  private[queries] def ppr(s: SparkSession, dir: String): DataFrame = {
+    val (w, deg) = fulfillmentGraph(s, dir)
+    pprIterate(w, supplierSeeds(deg).select(col("node")), Iters)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        call_function("div", col("node"), lit(2)).as("node_key"),
+        col("pr"))
+      .orderBy(col("node_type"), col("node_key"))
+  }
+
+  /** One unrolled PPR oracle round — the union-then-aggregate shape
+    * verbatim. SUM over BIGINT is HUGEINT in DuckDB (mirror of the
+    * DECIMAL(38,0) / ANSI-BIGINT Spark accumulators), re-entering
+    * BIGINT after the damped projection like [[oracleIter]].
+    */
+  private def pprOracleIter(n: Int): String = s"""
+      p$n AS (SELECT node,
+                     CAST(SUM(b) + (85::HUGEINT * SUM(m)) // 100 AS BIGINT)
+                       AS pr
+              FROM (SELECT e.dst AS node, r.pr // d.outdeg AS m,
+                           CAST(0 AS BIGINT) AS b
+                    FROM edges e
+                    JOIN p${n - 1} r ON r.node = e.src
+                    JOIN deg d ON d.node = e.src
+                    UNION ALL
+                    SELECT node, CAST(0 AS BIGINT) AS m,
+                           CAST($Base AS BIGINT) AS b
+                    FROM seeds) u
+              GROUP BY node)"""
+
+  val qPpr = QueryDef(
+    "q_ppr",
+    (s, dir) => ppr(s, dir),
+    Some(s"""
+      WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS v
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      edges AS (SELECT c AS src, v AS dst FROM pairs
+                UNION ALL SELECT v, c FROM pairs),
+      deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      seeds AS (SELECT node FROM deg WHERE node % 2 = 1 AND node // 2 <= 10),
+      p0 AS (SELECT node, CAST($Seed AS BIGINT) AS pr FROM seeds),${
+        (1 to Iters).map(pprOracleIter).mkString(",")}
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             node // 2 AS node_key, pr
+      FROM p$Iters
+      ORDER BY node_type, node_key"""))
+
+  // ---------------------------------------------------------------- //
+  // Triangle counting (round 10): the fulfillment graph is bipartite  //
+  // (triangle-free by construction), so the subject is the CO-SUPPLY  //
+  // graph — suppliers that co-occur on ≥ MinCooccur distinct orders.  //
+  // Per-order supplier sets are tiny (≤ 7 line items), so the pair    //
+  // fan-out is bounded at C(7,2) per order; the co-occurrence         //
+  // threshold then keeps only statistically meaningful edges (the     //
+  // q_cooccurrence discipline), exactly the sparsification a 100 TB   //
+  // projection of a bipartite graph needs — an UNthresholded          //
+  // projection is quadratic in the hub degree and is the classic      //
+  // scale-killer here.                                                //
+  // ---------------------------------------------------------------- //
+
+  /** Minimum distinct co-orders for a co-supply edge. */
+  private[graft] val MinCooccur = 5
+
+  private val triCache =
+    new graft.engine.SessionKeyedCache[DataFrame](_.unpersist())
+
+  /** The DEGREE-ORIENTED co-supply edge relation `(src, dst, ddeg)`:
+    * each undirected edge directed from its (degree, id)-smaller to its
+    * (degree, id)-larger endpoint, carrying the head's degree. The
+    * orientation is the load-bearing choice for counting: every
+    * triangle has exactly ONE vertex from which both others are
+    * outgoing (its minimum in the total (deg, id) order), so
+    * enumerating wedges from out-edges only bounds the per-vertex work
+    * by out-degree², and out-degrees under degree orientation are
+    * O(√|E|) (arboricity bound) instead of the raw max degree — the
+    * hub that breaks naive wedge counting at scale has tiny OUT-degree
+    * here. Session-persisted like the other derived graphs.
+    */
+  private[graft] def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("s1").as("node"))
+      .unionByName(edges.select(col("s2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val fwd = struct(col("d1"), col("s1")) < struct(col("d2"), col("s2"))
+    edges
+      .join(deg.select(col("node").as("n1"), col("d").as("d1")),
+        col("s1") === col("n1"))
+      .join(deg.select(col("node").as("n2"), col("d").as("d2")),
+        col("s2") === col("n2"))
+      .select(
+        when(fwd, col("s1")).otherwise(col("s2")).as("src"),
+        when(fwd, col("s2")).otherwise(col("s1")).as("dst"),
+        when(fwd, col("d2")).otherwise(col("d1")).as("ddeg"))
+  }
+
+  private def cosupplyOriented(s: SparkSession, dir: String): DataFrame =
+    triCache.getOrElseUpdate(s, s"cosupply_oriented:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(
+        s, s"$dir/lineitem.parquet"))({
+      val lo = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = lo.as("a").join(lo.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= MinCooccur)
+        .select(col("s1"), col("s2"))
+      orientByDegree(edges).persist()
+    })
+
+  /** Per-supplier triangle count in the thresholded co-supply graph:
+    * wedges from each vertex's out-edges (head pair ordered by the
+    * SAME (deg, id) key as the orientation, so the closing edge has
+    * exactly one possible direction), closed by one equi-join back to
+    * the oriented edges, then each triangle credited to its three
+    * vertices. Two self-equi-joins of the cached oriented relation +
+    * one explode + one aggregate — no cartesian, no unbounded
+    * fan-out.
+    */
+  private[graft] def triangleCounts(oriented: DataFrame): DataFrame = {
+    val tris = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e2.src") === col("e1.src") &&
+          (struct(col("e1.ddeg"), col("e1.dst")) <
+            struct(col("e2.ddeg"), col("e2.dst"))))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("s_suppkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  private[queries] def triangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(cosupplyOriented(s, dir))
+      .orderBy(col("s_suppkey"))
+
+  /** The oracle counts the SAME triangles through a genuinely different
+    * formulation — id-canonical undirected edges (s1 < s2) and the
+    * textbook three-way join with both wedge heads id-ordered — so the
+    * degree-orientation logic is cross-checked against an independent
+    * derivation, not mirrored. (The id-ordered form is the one that
+    * does NOT scale — its wedge fan-out is the raw degree² — which is
+    * fine for an oracle and exactly why the engine side orients by
+    * degree.)
+    */
+  val qTriangles = QueryDef(
+    "q_triangles",
+    (s, dir) => triangles(s, dir),
+    Some(s"""
+      WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      edges AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+                FROM lo a JOIN lo b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= $MinCooccur),
+      tris AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+               FROM edges e1
+               JOIN edges e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+               JOIN edges e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2)
+      SELECT s_suppkey, COUNT(*) AS triangles
+      FROM (SELECT a AS s_suppkey FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris) u
+      GROUP BY s_suppkey
+      ORDER BY s_suppkey"""))
+
   val all: Seq[QueryDef] =
-    Seq(qPagerank, qBfsHops, qCheapestRoute, qComponents)
+    Seq(qPagerank, qBfsHops, qCheapestRoute, qComponents, qPpr, qTriangles)
 }

@@ -32,6 +32,8 @@ object Soak {
     "q_cheapest_route",       // weighted relaxation (latency edges)
     "q_components",           // pointer-doubling label propagation
     "q_sql_components",       // TVF twin: fixed-K declarative relaxation
+    "q_ppr",                  // seed-sparse restart walk (reached set)
+    "q_triangles",            // degree-oriented wedge close (co-supply)
     "q_skyline",              // group-min + distributed precmin
     "q_winsorize",            // GroupedQuantiles valueAtRanks
     "q_percentiles",          // GroupedQuantiles interpolated

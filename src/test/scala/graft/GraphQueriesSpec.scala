@@ -272,6 +272,111 @@ class GraphQueriesSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference personalized PageRank, BigInt throughout — mirrors the
+    * union-then-aggregate semantics exactly: the state after a round is
+    * the set of nodes with incoming mass UNION the seeds (base applies
+    * only to seeds; absent = rank 0).
+    */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, BigInt] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var pr: Map[Long, BigInt] = seeds.map(_ -> Seed).toMap
+    for (_ <- 1 to iters) {
+      val shares = pr.flatMap { case (n, r) => out.get(n).map(o => n -> r / o) }
+      val in = edges.filter(e => shares.contains(e._1)).groupBy(_._2).view
+        .mapValues(_.map(e => shares(e._1)).sum).toMap
+      pr = (in.keySet ++ seeds).map(v => v ->
+        ((if (seeds(v)) Base else BigInt(0)) +
+          (in.getOrElse(v, BigInt(0)) * 85) / 100)).toMap
+    }
+    pr
+  }
+
+  private def sparkPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, BigInt] = {
+    val (w, _) = GraphQueries.weight(edges.toDF("src", "dst"))
+    GraphQueries.pprIterate(w, seeds.toSeq.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+  }
+
+  test("ppr matches the reference and the state is the reached set, not |V|") {
+    // directed line 1→2→3→4: mass radiates from the seed one hop per
+    // round; nodes beyond the frontier must be ABSENT, not zero-ranked
+    val line = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val r1 = sparkPpr(line, Set(1L), 1)
+    assert(r1 === refPpr(line, Set(1L), 1))
+    assert(r1.keySet === Set(1L, 2L))
+    val r2 = sparkPpr(line, Set(1L), 2)
+    assert(r2 === refPpr(line, Set(1L), 2))
+    assert(r2.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("a seed with no in-edges keeps exactly its restart base") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 2L))
+    val got = sparkPpr(g, Set(1L), 2)
+    assert(got === refPpr(g, Set(1L), 2))
+    assert(got(1L) === Base) // nothing flows back to the seed
+  }
+
+  test("ppr matches the reference on random graphs (15 seeds)") {
+    for (seed <- 1 to 15) {
+      val rnd = new scala.util.Random(400 + seed)
+      val n = 5 + rnd.nextInt(20)
+      val edges = (0L until n.toLong).flatMap { u =>
+        (1 to 1 + rnd.nextInt(3)).map(_ => u -> rnd.nextInt(n).toLong)
+      }
+      val seeds = Set(rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      val iters = 1 + rnd.nextInt(3)
+      assert(sparkPpr(edges, seeds, iters) === refPpr(edges, seeds, iters),
+        s"seed=$seed n=$n iters=$iters")
+    }
+  }
+
+  /** Brute-force per-node triangle counts over a canonical undirected
+    * edge list — enumerates all id-ordered triples.
+    */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (a min b, a max b) }.toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if es((a, b)) && es((a, c)) && es((b, c))
+    } Seq(a, b, c).foreach(v =>
+      counts(v) = counts.getOrElse(v, 0L) + 1L)
+    counts.toMap
+  }
+
+  private def sparkTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphQueries.triangleCounts(
+      GraphQueries.orientByDegree(edges.toDF("s1", "s2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangle counts: K4, a triangle with a tail, and a triangle-free star") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(sparkTriangles(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val tail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(sparkTriangles(tail) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val star = (2L to 6L).map(s => (1L, s))
+    assert(sparkTriangles(star) === Map.empty)
+  }
+
+  test("triangle counts match brute force on random graphs (15 seeds)") {
+    for (seed <- 1 to 15) {
+      val rnd = new scala.util.Random(500 + seed)
+      val n = 5 + rnd.nextInt(14)
+      val edges = for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.4
+      } yield (a, b)
+      if (edges.nonEmpty)
+        assert(sparkTriangles(edges) === refTriangles(edges),
+          s"seed=$seed n=$n |E|=${edges.size}")
+    }
+  }
+
   test("fixed-K components equal the fixpoint iff K covers the radius from the min node") {
     // chain 1–…–9: node 9 is 8 hops from the component minimum
     val chain = (1L to 8L).flatMap(i => Seq((i, i + 1), (i + 1, i)))

@@ -138,6 +138,15 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     uf_cache = {}
+    # Several queries register byte-identical oracle SQL (the lastfm
+    # ingest family shares one 5 ways; q_components/q_sql_components by
+    # contract). Memoize the oracle-side result for those only — an
+    # unconditional memo would pin the ~20M-row pair outputs in RAM for
+    # the whole run for zero reuse.
+    sql_counts = {}
+    for s in oracle.values():
+        sql_counts[s] = sql_counts.get(s, 0) + 1
+    oracle_memo = {}
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in skips:
@@ -149,7 +158,12 @@ def main():
             report[name] = "fail:no-output"; n_fail += 1; continue
         try:
             scols, stypes, srows = rows_of(con.sql(f"SELECT * FROM '{spath}/*.parquet'"))
-            ocols, otypes, orows = rows_of(con.sql(rewrite_closure(con, sql, uf_cache)))
+            if sql in oracle_memo:
+                ocols, otypes, orows = oracle_memo[sql]
+            else:
+                ocols, otypes, orows = rows_of(con.sql(rewrite_closure(con, sql, uf_cache)))
+                if sql_counts[sql] > 1:
+                    oracle_memo[sql] = (ocols, otypes, orows)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             report[name] = f"fail:exec"; n_fail += 1; continue
