@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "pagerank"),
       (children: Seq[Expression]) =>
         graft.plans.PageRankTvf.fromArgs(children)))
+    ext.injectResolutionRule(s => graft.plans.ExpandPpr(s))
+    ext.injectTableFunction((
+      FunctionIdentifier("ppr"),
+      new ExpressionInfo(classOf[graft.plans.PprPlan].getName, "ppr"),
+      (children: Seq[Expression]) => graft.plans.PprTvf.fromArgs(children)))
     ext.injectResolutionRule(s => graft.plans.ExpandComponents(s))
     ext.injectTableFunction((
       FunctionIdentifier("connected_components"),

@@ -697,10 +697,17 @@ object GraphQueries {
                     FROM seeds) u
               GROUP BY node)"""
 
-  val qPpr = QueryDef(
-    "q_ppr",
-    (s, dir) => ppr(s, dir),
-    Some(s"""
+  /** The seed node set as a relation — the input the `ppr` TVF twin
+    * registers as a temp view beside the edge view.
+    */
+  private[graft] def seedNodes(s: SparkSession, dir: String): DataFrame =
+    supplierSeeds(fulfillmentGraph(s, dir)._2).select(col("node"))
+
+  /** Shared unrolled-CTE oracle for personalized PageRank — also the
+    * oracle of the SQL-TVF twin (q_sql_ppr in SqlSurfaceQueries),
+    * which must agree with the DataFrame form exactly.
+    */
+  private[graft] lazy val pprOracle: String = s"""
       WITH pairs AS (
         SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS v
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
@@ -714,7 +721,12 @@ object GraphQueries {
                AS node_type,
              node // 2 AS node_key, pr
       FROM p$Iters
-      ORDER BY node_type, node_key"""))
+      ORDER BY node_type, node_key"""
+
+  val qPpr = QueryDef(
+    "q_ppr",
+    (s, dir) => ppr(s, dir),
+    Some(pprOracle))
 
   // ---------------------------------------------------------------- //
   // Triangle counting (round 10): the fulfillment graph is bipartite  //

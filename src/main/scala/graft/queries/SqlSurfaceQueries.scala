@@ -117,6 +117,34 @@ object SqlSurfaceQueries {
     },
     Some(GraphQueries.componentsOracle))
 
+  /** Personalized PageRank through the `ppr` TVF
+    * (`plans/PprTvf.scala`) — the library's first TWO-relation table
+    * function: the fulfillment edge list and the seed-supplier set
+    * each registered as a view and resolved by name through the
+    * BinaryNode placeholder. Shares q_ppr's oracle, so the pair pins
+    * the DataFrame chain, the TVF expansion, and the unrolled SQL CTE
+    * to each other — and the TVF re-derives the degree weighting from
+    * the edge view, proving the recurrence needs nothing beyond the
+    * two relations.
+    */
+  val qSqlPpr = QueryDef(
+    "q_sql_ppr",
+    (s, dir) => {
+      GraphQueries.undirectedEdges(s, dir)
+        .createOrReplaceTempView("fulfillment_edges_v")
+      GraphQueries.seedNodes(s, dir)
+        .createOrReplaceTempView("fulfillment_seeds_v")
+      s.sql(s"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               node DIV 2 AS node_key, pr
+        FROM ppr('fulfillment_edges_v', 'src', 'dst',
+                 'fulfillment_seeds_v', 'node', ${GraphQueries.Iters})
+        ORDER BY node_type, node_key""")
+    },
+    Some(GraphQueries.pprOracle))
+
   val all: Seq[QueryDef] =
-    Seq(qSqlGlobalRank, qSqlGroupedQuantiles, qSqlPagerank, qSqlComponents)
+    Seq(qSqlGlobalRank, qSqlGroupedQuantiles, qSqlPagerank, qSqlComponents,
+      qSqlPpr)
 }

@@ -33,6 +33,7 @@ object Soak {
     "q_components",           // pointer-doubling label propagation
     "q_sql_components",       // TVF twin: fixed-K declarative relaxation
     "q_ppr",                  // seed-sparse restart walk (reached set)
+    "q_sql_ppr",              // two-relation TVF twin of q_ppr
     "q_triangles",            // degree-oriented wedge close (co-supply)
     "q_skyline",              // group-min + distributed precmin
     "q_winsorize",            // GroupedQuantiles valueAtRanks

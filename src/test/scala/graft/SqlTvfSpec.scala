@@ -135,4 +135,41 @@ class SqlTvfSpec extends AnyFunSuite {
       "SELECT * FROM connected_components('cc_edges', 'a', 'b', 99)").collect())
     assert(e.getMessage.contains("1..16"), e.getMessage)
   }
+
+  test("ppr TVF resolves both relations by name and matches the DataFrame form") {
+    // directed line 1→2→3→4 with a back-edge 3→2; seeds {1}
+    Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L)).toDF("a", "b")
+      .createOrReplaceTempView("ppr_edges")
+    Seq(1L).toDF("n").createOrReplaceTempView("ppr_seeds")
+    val got = spark.sql(
+      "SELECT node, pr FROM ppr('ppr_edges', 'a', 'b', 'ppr_seeds', 'n', 2)")
+      .as[(Long, Long)].collect().toMap
+    val (w, _) = graft.queries.GraphQueries.weight(
+      spark.table("ppr_edges")
+        .select(col("a").as("src"), col("b").as("dst")))
+    val want = graft.queries.GraphQueries.pprIterate(
+      w, Seq(1L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // the reached set after 2 rounds from seed 1 — node 4 not yet
+    assert(got.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("ppr TVF composes downstream and enforces its literal contracts") {
+    Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+      .createOrReplaceTempView("ppr_edges2")
+    Seq(1L, 2L).toDF("n").createOrReplaceTempView("ppr_seeds2")
+    val top = spark.sql(
+      """SELECT node FROM ppr('ppr_edges2', 'a', 'b', 'ppr_seeds2', 'n', 2)
+        |WHERE pr > 0 ORDER BY node""".stripMargin)
+      .as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L))
+    val depth = intercept[Exception](spark.sql(
+      "SELECT * FROM ppr('ppr_edges2', 'a', 'b', 'ppr_seeds2', 'n', 99)")
+      .collect())
+    assert(depth.getMessage.contains("1..16"), depth.getMessage)
+    val arity = intercept[Exception](spark.sql(
+      "SELECT * FROM ppr('ppr_edges2', 'a', 'b', 2)").collect())
+    assert(arity.getMessage != null)
+  }
 }
