@@ -849,6 +849,22 @@ object GraphQueries {
       GROUP BY s_suppkey
       ORDER BY s_suppkey"""))
 
+  /** Spread-seed twin of [[ppr]] (soak-only, like [[bfsSpread]]): the
+    * restart set covers the same ten suppliers of EVERY key-shifted
+    * copy, so the reached set — and with it the per-round state —
+    * scales with k instead of staying a single copy's frontier.
+    */
+  private[graft] def pprSpread(s: SparkSession, dir: String): DataFrame = {
+    val (w, deg) = fulfillmentGraph(s, dir)
+    pprIterate(w, spreadSeeds(deg, lit(0L)).select(col("node")), Iters)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        call_function("div", col("node"), lit(2)).as("node_key"),
+        col("pr"))
+      .orderBy(col("node_type"), col("node_key"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPagerank, qBfsHops, qCheapestRoute, qComponents, qPpr, qTriangles)
 }

@@ -197,7 +197,8 @@ object Soak {
           org.apache.spark.sql.DataFrame] = Map(
         "q_bfs_hops_spread" -> graft.queries.GraphQueries.bfsSpread _,
         "q_cheapest_route_spread" ->
-          graft.queries.GraphQueries.cheapestRouteSpread _)
+          graft.queries.GraphQueries.cheapestRouteSpread _,
+        "q_ppr_spread" -> graft.queries.GraphQueries.pprSpread _)
       val qs =
         (if (genOnly) Seq.empty
          else if (docLenMode) Seq("q_setsim_join", "q_setsim_join_counts")

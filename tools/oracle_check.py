@@ -142,7 +142,10 @@ def main():
     # ingest family shares one 5 ways; q_components/q_sql_components by
     # contract). Memoize the oracle-side result for those only — an
     # unconditional memo would pin the ~20M-row pair outputs in RAM for
-    # the whole run for zero reuse.
+    # the whole run for zero reuse — and EVICT each entry after its
+    # last consumer: the borderline list-rollup oracles (q_span_dedup's
+    # kept_text reconstruction) need every byte of headroom, and the
+    # run is memory-bound, not time-bound.
     sql_counts = {}
     for s in oracle.values():
         sql_counts[s] = sql_counts.get(s, 0) + 1
@@ -164,6 +167,9 @@ def main():
                 ocols, otypes, orows = rows_of(con.sql(rewrite_closure(con, sql, uf_cache)))
                 if sql_counts[sql] > 1:
                     oracle_memo[sql] = (ocols, otypes, orows)
+            sql_counts[sql] -= 1
+            if sql_counts[sql] == 0:
+                oracle_memo.pop(sql, None)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             report[name] = f"fail:exec"; n_fail += 1; continue
@@ -186,8 +192,13 @@ def main():
             print(f"  spark : {a}\n  oracle: {b}")
             report[name] = "fail:values"; n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(srows)} rows)", flush=True)
             report[name] = f"pass:{len(srows)}"; n_pass += 1
+        # the pair-family outputs run to ~20M tuples per side; release
+        # them before the next query's oracle allocates its own peak
+        del srows, orows
+        import gc
+        gc.collect()
     print(f"== {n_pass} pass / {n_fail} fail / {n_skip} skip ==")
     if report_path:
         with open(report_path, "w") as f:
