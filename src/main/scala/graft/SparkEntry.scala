@@ -19,7 +19,8 @@ object SparkEntry {
       ScaleQueries.all ++ AnalyticQueries.all ++ EventQueries.all ++
       WarehouseQueries.all ++ CurationQueries.all ++ RelationalMore.all ++
       TpchFull.all ++ TrainingQueries.all ++ SearchQueries.all ++
-      SqlSurfaceQueries.all ++ GraphQueries.all ++ FrontierQueries.all
+      SqlSurfaceQueries.all ++ GraphQueries.all ++ FrontierQueries.all ++
+      BpeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The raw-JSON end-to-end royalties mart exercises the whole reference

@@ -630,6 +630,71 @@ object DocQueries {
         FROM c)
       WHERE rk <= 5 ORDER BY lang, rk"""))
 
+  /** Per-document QUANTIZED SURPRISAL under a self-trained bigram LM —
+    * the perplexity-style quality filter (CCNet's KenLM gate) made
+    * hash-exact: each transition u→v costs
+    * `floor(log2 c(u)) − floor(log2 c(u,v))` bits, where both logs are
+    * the INTEGER `length(bin(count)) − 1` (no floating log anywhere, so
+    * Spark and DuckDB agree bit-for-bit; c(u,v) ≤ c(u) keeps every term
+    * ≥ 0). High bits-per-transition = improbable word sequences = the
+    * docs a perplexity gate drops.
+    *
+    * Scale: the WordCount family. Per-doc transition counts aggregate
+    * WITHOUT a shuffle (tokenized() is doc_id-partitioned and doc_id
+    * leads the grouping key); the global unigram/bigram models are one
+    * map-side-combined aggregate each; scoring joins the per-doc
+    * DISTINCT pair table (not raw transitions) against the models —
+    * every join key-parallel, nothing driver-side, no |corpus|² term.
+    */
+  val qLmSurprisal = QueryDef(
+    "q_lm_surprisal",
+    (s, dir) => {
+      val toks = tokenized(s, dir).filter(size(col("ws")) >= 2)
+      // (doc_id, u, v, k): transition multiplicities per doc — the
+      // grouping starts with doc_id, so the doc-partitioned input
+      // aggregates shuffle-free
+      val tr = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS u,
+          |              element_at(ws, i + 1) AS v))"""
+          .stripMargin.replace('\n', ' '))).as("p"))
+        .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("k"))
+      val uni = tokenized(s, dir)
+        .select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val big = tr.groupBy(col("u"), col("v")).agg(sum(col("k")).as("cb"))
+      def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+      tr.join(uni.withColumnRenamed("w", "u"), Seq("u"))
+        .join(big, Seq("u", "v"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("transitions"),
+          sum(col("k") * (flog2(col("cu")) - flog2(col("cb"))))
+            .as("surprisal_bits"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ws FROM
+          (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents)
+        WHERE len(ws) >= 2),
+      tr AS (
+        SELECT doc_id, ws[i] AS u, ws[i + 1] AS v
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+      uni AS (
+        SELECT w, count(*) AS cu
+        FROM (SELECT unnest(${wordsSql("text")}) AS w FROM documents)
+        GROUP BY w),
+      big AS (SELECT u, v, count(*) AS cb FROM tr GROUP BY u, v)
+      SELECT tr.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS transitions,
+             CAST(SUM((len(bin(uni.cu)) - 1) - (len(bin(big.cb)) - 1))
+                  AS BIGINT) AS surprisal_bits
+      FROM tr
+      JOIN uni ON uni.w = tr.u
+      JOIN big ON big.u = tr.u AND big.v = tr.v
+      GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
+
   /** Overlapping fixed-size character chunking — the tokenizer-prep
     * step of every training pipeline (long doc → stride-150 windows of
     * 200 chars). One Generate per doc, chunk count linear in doc length;
@@ -978,6 +1043,6 @@ object DocQueries {
   val all: Seq[QueryDef] = Seq(qDedupExact, qDocFingerprint, qDedupMinhash,
     qDedupGroups, qDedupSimhash, qNgramJaccard, qContainment, qTextStats,
     qTokenCount, qQualityScore, qLangId, qCorpusClean, qStringFuncs, qTfidf,
-    qNgramFreq, qDocChunks, qRepetition, qCanonicalDocs, qRareTokenRatio,
-    qTemplatePrefix, qCooccurrence, qSpanDedup)
+    qNgramFreq, qLmSurprisal, qDocChunks, qRepetition, qCanonicalDocs,
+    qRareTokenRatio, qTemplatePrefix, qCooccurrence, qSpanDedup)
 }
