@@ -184,6 +184,37 @@ object Bench {
     // jiffies/process-CPU snapshots bracket the TIMED pass, so
     // other-process CPU burn is attributed to the same window the wall
     // clock measures.
+    // Quiesce gate (round-10 verdict item 6): the official record must
+    // be captured under the same discipline as the committed quiesced
+    // re-records, so WAIT for other-process CPU to drain before opening
+    // the timed window instead of timing into known contention. Each
+    // probe samples other-process CPU over 2 s (busy-jiffies delta
+    // minus our own process CPU — loadavg is useless here, warmup just
+    // loaded the machine with OUR work); >5% of machine capacity defers
+    // the timed pass 15 s, up to SPARK_GRAFT_QUIESCE_WAIT_SEC (default
+    // 600, 0 disables). If the deadline passes still-contended, we run
+    // anyway — the env block's cpu_other_sec/contended fields then
+    // carry the evidence, plus quiesce_wait_sec shows the gate tried.
+    val quiesceDeadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUIESCE_WAIT_SEC", "600").toInt
+    val quiesceWall0 = System.nanoTime()
+    var quiesced = false
+    while (!quiesced &&
+        (System.nanoTime() - quiesceWall0) / 1e9 < quiesceDeadlineSec) {
+      val j0 = systemBusyJiffies(); val p0 = osBean.getProcessCpuTime
+      Thread.sleep(2000)
+      val j1 = systemBusyJiffies(); val p1 = osBean.getProcessCpuTime
+      val other = if (j0 < 0 || j1 < 0) 0.0
+        else math.max(0.0, (j1 - j0) / 100.0 - (p1 - p0) / 1e9)
+      if (other <= 0.05 * 2.0 * cpus.toInt) quiesced = true
+      else {
+        System.err.println(
+          f"[bench quiesce] other-process cpu ${other}%.1fs over 2s probe; " +
+            "deferring timed pass 15s")
+        Thread.sleep(15000)
+      }
+    }
+    val quiesceWaitSec = (System.nanoTime() - quiesceWall0) / 1e9
     val timedJiffies0 = systemBusyJiffies()
     val timedProcCpu0 = osBean.getProcessCpuTime
     val timedWall0 = System.nanoTime()
@@ -234,7 +265,7 @@ object Bench {
     val contended = (otherCpuSec >= 0 &&
       otherCpuSec > 0.15 * timedWallSec * nCpus) || loadavgStart > nCpus / 4.0
     def envJson: String =
-      f"""{"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f,"timed_wall_sec":$timedWallSec%.1f,"cpu_proc_sec":$procCpuSec%.1f,"cpu_other_sec":$otherCpuSec%.1f,"ncpus":$nCpus,"contended":$contended}"""
+      f"""{"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f,"timed_wall_sec":$timedWallSec%.1f,"cpu_proc_sec":$procCpuSec%.1f,"cpu_other_sec":$otherCpuSec%.1f,"ncpus":$nCpus,"contended":$contended,"quiesce_wait_sec":$quiesceWaitSec%.1f,"quiesced_at_start":$quiesced}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def entry(kv: (String, Double)): String = "\"" + kv._1 + f"""\":${kv._2}%.3f"""

@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Min-label connected components by distributed label propagation with
   * a pointer-doubling shortcut — the until-convergence twin of the
@@ -24,7 +25,10 @@ import org.apache.spark.sql.functions._
   * remaining label-tree depth every round, so the round count is
   * O(log diameter), not O(diameter) — ~30 neighbor-min rounds collapse
   * to ≤8 on the measured corpora (SCALE.md §Round-9). Every round ends
-  * in an EAGER localCheckpoint: the state is referenced more than once
+  * in an EAGER checkpoint through the [[Checkpoints]] seam
+  * (`graft.iter.checkpoint = local|reliable` — preemptible clusters
+  * set `reliable` so a lost executor costs a task retry, not the whole
+  * fixpoint): the state is referenced more than once
   * per round (propagation join + shortcut self-join + convergence
   * diff), so without the checkpoint the logical plan doubles per round
   * (measured as an OOM while Spark merely stringified the plan).
@@ -38,7 +42,7 @@ object LabelPropagation {
     */
   def components(edges: DataFrame, tag: String = "label-prop"): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint(true)
+      .select(col("node"), col("node").as("label")).pipe(Checkpoints.iter)
     var converged = false
     var rounds = 0
     val maxRounds = 64
@@ -51,7 +55,7 @@ object LabelPropagation {
           Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .pipe(Checkpoints.iter)
       // Pointer-doubling shortcut: jump to the label's OWN label
       // (labels are always node ids, so the lookup self-join is total).
       val next = prop
@@ -59,7 +63,7 @@ object LabelPropagation {
           prop("label") === col("l2node"), "left")
         .select(prop("node"),
           least(prop("label"), coalesce(col("l2label"), prop("label"))).as("label"))
-        .localCheckpoint(true)
+        .pipe(Checkpoints.iter)
       val changed = next.join(labels.select(col("node"), col("label").as("old")),
         Seq("node")).filter(col("label") =!= col("old")).count()
       labels = next

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables.t
 import graft.functions.TextFunctions._
+import scala.util.chaining._
 
 /** Byte-pair-encoding TRAINER and tokenizer over `documents` — the
   * step q_bpe_pairs (first-order pair counts) prepares for: learn the
@@ -21,7 +22,8 @@ import graft.functions.TextFunctions._
   * argmax collect (bounded driver contract, like A4's mean), and a
   * narrow per-word rewrite. The round state is referenced twice per
   * round (pair count + rewrite), so every round ends in an eager
-  * localCheckpoint — the data-dependent-stop regime of SCALE.md's
+  * checkpoint via the [[graft.engine.Checkpoints]] seam — the
+  * data-dependent-stop regime of SCALE.md's
   * iterative-regime ledger, same as [[graft.engine.LabelPropagation]].
   * Tokenization never re-applies merges to the corpus: the loop's
   * final state IS the tokenized vocabulary, and per-doc token counts
@@ -52,7 +54,10 @@ object BpeQueries {
     * one run of the loop.
     */
   private val bpeCache =
-    new graft.engine.SessionKeyedCache[(Seq[(Int, String, String, String, Long)], DataFrame)]
+    new graft.engine.SessionKeyedCache[(Seq[(Int, String, String, String, Long)], DataFrame)](
+      // superseded entries hold an eagerly checkpointed vocab frame —
+      // release its blocks now, not at session death (triCache's rule)
+      v => graft.engine.Checkpoints.release(v._2))
 
   /** `(w, freq, syms)` — distinct words with corpus frequency and the
     * initial symbol sequence: characters plus the end marker.
@@ -99,7 +104,7 @@ object BpeQueries {
 
   private[graft] def trainUncached(words: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    var vocab = words.localCheckpoint(true)
+    var vocab = words.pipe(graft.engine.Checkpoints.iter)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 1
@@ -127,7 +132,7 @@ object BpeQueries {
         vocab = vocab
           .select(col("w"), col("freq"),
             mergeOnce("syms", lhs, rhs).as("syms"))
-          .localCheckpoint(true)
+          .pipe(graft.engine.Checkpoints.iter)
         System.err.println(s"[bpe] round $r: '$lhs'+'$rhs' freq=$pf")
       }
       r += 1
@@ -154,7 +159,12 @@ object BpeQueries {
     * reference, so without the hint the K-round chain re-executes
     * ~2^K-fold — the SQL mirror of the Spark-side rule that
     * double-referenced loop state needs an eager checkpoint
-    * (SCALE.md's iterative-regime ledger). Measured: the 10× tokenize
+    * (SCALE.md's iterative-regime ledger). `b$r` joins in via
+    * `LEFT JOIN … ON true` (not a comma cross join) so an EMPTY
+    * argmax — corpus out of adjacent pairs before round K — passes
+    * `w{r+1}` through unchanged instead of emptying the whole vocab
+    * state, mirroring the Spark trainer's early stop on the tokenize
+    * side too. Measured: the 10× tokenize
     * oracle spilled past 230 GB and died without the hint, 1.9 s with
     * it; sf0.01 dropped from ~45 min to ~1 s.
     */
@@ -185,7 +195,7 @@ object BpeQueries {
                         AND syms[i + 1] = b.rhs, false) AS hit,
                b.merged AS merged, b.lhs = b.rhs AS samesym
         FROM (SELECT w, freq, syms, unnest(range(1, len(syms) + 1)) AS i
-              FROM w$r), b$r b),
+              FROM w$r) LEFT JOIN b$r b ON true),
       ra$r AS (
         SELECT *, CASE WHEN s = lag(s) OVER (PARTITION BY w ORDER BY i)
                        THEN 0 ELSE 1 END AS newrun

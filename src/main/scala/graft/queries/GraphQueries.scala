@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables.t
+import scala.util.chaining._
 
 /** Iterative graph algebra over the warehouse relations — the Pregel
   * message-passing pattern expressed as plain relational operators, the
@@ -166,11 +167,16 @@ object GraphQueries {
   /** The PRODUCTION shape: the same exact-integer recurrence run until
     * no node's rank moves by more than `tolerance` micro-units (the
     * fixed-K chain stays the oracle-checkable core — an unrolled-CTE
-    * oracle needs a known K). Checkpoint cadence follows the dup-groups
+    * oracle needs a known K). Exercised at runtime by the soak
+    * harness's `q_pagerank_converged` entry
+    * ([[pagerankConvergedPinned]]), which pins the converged state
+    * bit-exact to the fixed-K chain at the stop round on every soak
+    * run, and by the spec's stop-exactness proof. Checkpoint cadence follows the dup-groups
     * discipline (`engine.LabelPropagation`): the convergence test
     * references each round's state TWICE (next round's input + the
-    * delta join), so every round ends in an eager localCheckpoint —
-    * without it the logical plan doubles per round. That is the
+    * delta join), so every round ends in an eager checkpoint through
+    * the [[graft.engine.Checkpoints]] seam (`graft.iter.checkpoint` =
+    * local|reliable) — without it the logical plan doubles per round. That is the
     * measured trade between the two iterative regimes: fixed K + single
     * reference per level = one declarative checkpoint-free plan
     * (pagerankIterate); data-dependent stop = per-round checkpoint
@@ -184,12 +190,12 @@ object GraphQueries {
       tolerance: Long, maxRounds: Int = 64,
       seed: Long = Seed, base: Long = Base): (DataFrame, Int) = {
     var ranks = deg.select(col("node"), lit(seed).as("pr"))
-      .localCheckpoint(true)
+      .pipe(graft.engine.Checkpoints.iter)
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
       val next = pagerankRound(edgesW, ranks, seed, base)
-        .localCheckpoint(true)
+        .pipe(graft.engine.Checkpoints.iter)
       // max per-node move; the inner join is total on graphs where
       // every node keeps incoming mass (bidirectional edges — the
       // operator's stated contract, same as the TVF's)
@@ -863,6 +869,32 @@ object GraphQueries {
         call_function("div", col("node"), lit(2)).as("node_key"),
         col("pr"))
       .orderBy(col("node_type"), col("node_key"))
+  }
+
+  /** Soak/runtime harness for [[pagerankConverged]] (round-10 advice:
+    * the converged shape must be exercised at runtime, not only by the
+    * spec). Runs the until-convergence loop on the fulfillment graph,
+    * then PINS it bit-exact against the fixed-K declarative chain at
+    * the stop round — any divergence between the two iterative regimes
+    * fails the soak loudly instead of surfacing as a silent drift.
+    * Tolerance is 1% of the seed (converges in a handful of rounds on
+    * the driver graphs; data-dependent by design — the soak records
+    * the round count via the per-round stderr ledger).
+    */
+  private[graft] def pagerankConvergedPinned(
+      s: SparkSession, dir: String): DataFrame = {
+    val (w, deg) = fulfillmentGraph(s, dir)
+    val (ranks, rounds) = pagerankConverged(w, deg,
+      tolerance = Seed / 100)
+    val fixed = pagerankIterate(w, deg, rounds)
+    val n = ranks.count()
+    val agree = ranks.as("c")
+      .join(fixed.as("f"), col("c.node") === col("f.node"))
+      .filter(col("c.pr") === col("f.pr")).count()
+    require(agree == n && fixed.count() == n,
+      s"pagerankConverged diverged from the fixed-K chain at its stop " +
+        s"round ($rounds): $agree/$n nodes agree")
+    ranks.orderBy(col("node"))
   }
 
   val all: Seq[QueryDef] =

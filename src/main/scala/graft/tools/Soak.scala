@@ -27,6 +27,7 @@ object Soak {
     "q1_pricing_summary",     // baseline: scan + hash agg
     "q6_forecast_revenue",    // baseline: filter + agg, near-zero slope
     "q_pagerank",             // K-level join/agg chain over cached graph
+    "q_pagerank_converged",   // until-convergence twin, pinned to fixed-K
     "q_sql_pagerank",         // TVF twin: per-level degree reweighting
     "q_bfs_hops",             // checkpoint-free self-loop min-relaxation
     "q_cheapest_route",       // weighted relaxation (latency edges)
@@ -198,7 +199,12 @@ object Soak {
         "q_bfs_hops_spread" -> graft.queries.GraphQueries.bfsSpread _,
         "q_cheapest_route_spread" ->
           graft.queries.GraphQueries.cheapestRouteSpread _,
-        "q_ppr_spread" -> graft.queries.GraphQueries.pprSpread _)
+        "q_ppr_spread" -> graft.queries.GraphQueries.pprSpread _,
+        // the converged production shape, pinned bit-exact to the
+        // fixed-K chain at its stop round (round-10 advice: runtime
+        // exercise, not spec-only)
+        "q_pagerank_converged" ->
+          graft.queries.GraphQueries.pagerankConvergedPinned _)
       val qs =
         (if (genOnly) Seq.empty
          else if (docLenMode) Seq("q_setsim_join", "q_setsim_join_counts")

@@ -150,15 +150,25 @@ def main():
     for s in oracle.values():
         sql_counts[s] = sql_counts.get(s, 0) + 1
     oracle_memo = {}
+
+    def consume(sql):
+        # EVERY path that retires a query name must land here — a skip
+        # or failure that bypassed the decrement used to pin a memoized
+        # shared-oracle result (~20M rows for the pair family) in RAM
+        # for the rest of the run, exactly when headroom mattered most.
+        sql_counts[sql] -= 1
+        if sql_counts[sql] == 0:
+            oracle_memo.pop(sql, None)
+
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if name in skips:
             print(f"SKIP {name} (excluded by caller)")
-            report[name] = "skip"; n_skip += 1; continue
+            report[name] = "skip"; n_skip += 1; consume(sql); continue
         spath = f"{out_dir}/{name}"
         if not os.path.isdir(spath):
             print(f"FAIL {name}: no spark output")
-            report[name] = "fail:no-output"; n_fail += 1; continue
+            report[name] = "fail:no-output"; n_fail += 1; consume(sql); continue
         try:
             scols, stypes, srows = rows_of(con.sql(f"SELECT * FROM '{spath}/*.parquet'"))
             if sql in oracle_memo:
@@ -167,12 +177,10 @@ def main():
                 ocols, otypes, orows = rows_of(con.sql(rewrite_closure(con, sql, uf_cache)))
                 if sql_counts[sql] > 1:
                     oracle_memo[sql] = (ocols, otypes, orows)
-            sql_counts[sql] -= 1
-            if sql_counts[sql] == 0:
-                oracle_memo.pop(sql, None)
+            consume(sql)
         except Exception as e:
             print(f"FAIL {name}: {e}")
-            report[name] = f"fail:exec"; n_fail += 1; continue
+            report[name] = f"fail:exec"; n_fail += 1; consume(sql); continue
         if scols != ocols:
             print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
             report[name] = "fail:cols"; n_fail += 1
