@@ -70,7 +70,7 @@ object Pipeline {
     // 2. the day's warehouse rows (post-dedup) → imputation (per-date, so
     //    day-local equals global)
     val filled = StarBuilder.imputePerDate(
-      spark.read.parquet(odsPath(warehouse))
+      graft.engine.Manifest.read(spark, odsPath(warehouse))
         .filter(col("source_date") === lit(date).cast("date")))
 
     // 3. dims: append-only with stable ids
@@ -90,7 +90,7 @@ object Pipeline {
 
     // 5. marts for the date (idempotent per-date refresh — fixes the
     //    reference's duplicate-on-rerun DM inserts, SURVEY §7.4.5)
-    val dayFact = spark.read.parquet(factPath(warehouse))
+    val dayFact = graft.engine.Manifest.read(spark, factPath(warehouse))
       .filter(col("date") === lit(date).cast("date"))
     Upsert.upsertPartitioned(spark, martAvgPath(warehouse),
       Marts.avgSongDurationByCountry(dayFact, dimSong, dimCountry),
@@ -120,7 +120,7 @@ object Pipeline {
       martAppearancesPath(warehouse) -> "dm_artist_appearances_by_date",
       martRoyaltiesPath(warehouse) -> "dm_expected_artist_royalties_by_date")
       .foreach { case (path, table) =>
-        val slice = spark.read.parquet(path)
+        val slice = graft.engine.Manifest.read(spark, path)
           .filter(col("date") === lit(date).cast("date"))
         graft.engine.JdbcSink.publishMart(slice, url, table, "date", d, props)
       }
@@ -167,7 +167,12 @@ object Pipeline {
       Option(fs.globStatus(g)).exists(_.nonEmpty)
     }
     val landed = ls(landingRoot).filter(datePat.matches(_)).filter(hasJson)
-    val done = ls(martRoyaltiesPath(warehouse))
+    // "done" comes from the royalties mart's LIVE snapshot partitions
+    // (manifest-aware, round 11): a raw directory listing would count a
+    // crashed writer's uncommitted orphan files as a finished day and
+    // skip the repair
+    val done = graft.engine.Manifest
+      .livePartitions(spark, martRoyaltiesPath(warehouse))
       .filter(_.startsWith("date="))
       .map(_.stripPrefix("date="))
     val todo = (landed.toSet -- done.toSet).toSeq.sorted
@@ -179,50 +184,40 @@ object Pipeline {
     todo
   }
 
-  /** Read-extend-rewrite of a dim table with a STAGED overwrite: the new
-    * table is fully materialized in a sibling dir before the old one is
-    * replaced (a lazy overwrite would delete the very files its plan
-    * still has to read).
+  /** Read-extend-rewrite of a dim table as a snapshot commit (round
+    * 11): the new table is fully materialized in a staging dir (a lazy
+    * overwrite would delete the very files its plan still has to read),
+    * its files move into the table under fresh names, and ONE atomic
+    * [[graft.engine.Manifest]] commit replaces the live set — the old
+    * two-rename swap left a window where a concurrent reader found the
+    * dim directory ABSENT; now a reader sees the previous snapshot
+    * until the instant the new one is complete. A crash before the
+    * commit leaves the previous snapshot live and only unreferenced
+    * files behind (replay-safe; `Manifest.vacuum` collects them).
     */
   private def upsertDim(spark: SparkSession, path: String,
-      candidates: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
+      candidates: DataFrame, idCol: String, keys: Seq[String]): DataFrame =
+      graft.engine.WriterLease.withLease(spark, path) {
     val existing = readOrEmpty(spark, path, candidates, idCol, keys)
     val updated = StarBuilder.dimIncremental(existing, candidates, idCol, keys)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".staging")
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
     updated.write.mode("overwrite").parquet(tmp.toString)
-    // Swap with the previous table parked aside, not deleted first: a
-    // crash between delete and rename would lose the dim and its stable
-    // ids for good. Hadoop rename reports many failures by returning
-    // false, so every step is checked; on a failed swap the previous
-    // table is restored (or `.old` is preserved for manual recovery) —
-    // the target is never absent AND unrecoverable.
-    fs.delete(old, true)
-    val hadPrevious = fs.exists(target)
-    if (hadPrevious && !fs.rename(target, old)) {
-      fs.delete(tmp, true)
-      throw new java.io.IOException(s"dim swap failed: $target -> $old (target intact)")
+    try {
+      val moved = graft.engine.Manifest.stageIn(spark, path, tmp.toString)
+      graft.engine.Manifest.commit(spark, path, moved)
+    } finally {
+      fs.delete(tmp, true); ()
     }
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, true)
-      if (hadPrevious && !fs.rename(old, target))
-        throw new java.io.IOException(
-          s"dim swap failed AND restore failed — recover manually from $old")
-      throw new java.io.IOException(s"dim swap failed: $tmp -> $target " +
-        (if (hadPrevious) "(previous restored)"
-         else "(no previous table; re-run to rebuild)"))
-    }
-    if (fs.exists(target)) fs.delete(old, true)
-    spark.read.parquet(path)
+    graft.engine.Manifest.read(spark, path)
   }
 
   private def readOrEmpty(spark: SparkSession, path: String,
       candidates: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path)
+    if (fs.exists(p)) graft.engine.Manifest.read(spark, path)
     else {
       val keySchema = StructType(candidates.select(keys.map(col): _*).schema
         .fields.map(_.copy(nullable = true)))

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   * daily upserts: every incremental append adds a few files per
   * partition, and at 100 TB the accumulated small files dominate task
   * scheduling and NameNode/listing costs. Rewrites a (optionally
-  * date-partitioned) parquet table in place with files sized near the
-  * target, via the same staged-swap discipline as the dim rewrites
-  * (never delete before the replacement is fully written).
+  * date-partitioned) parquet table with files sized near the target,
+  * committed as one atomic [[Manifest]] snapshot (round 11): readers
+  * concurrent with the compaction see the old file set or the new one,
+  * never a half-swapped table, and the replaced small files survive for
+  * older snapshots until [[Manifest.vacuum]].
   */
 object Compaction {
 
@@ -18,25 +20,20 @@ object Compaction {
     */
   def compact(spark: SparkSession, path: String,
       partitionCol: Option[String] = None,
-      targetBytesPerFile: Long = 128L * 1024 * 1024): (Long, Long) = {
+      targetBytesPerFile: Long = 128L * 1024 * 1024): (Long, Long) =
+      WriterLease.withLease(spark, path) {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f
-      }
-      buf.toSeq
-    }
-
-    val before = dataFiles(target)
-    val totalBytes = before.map(_.getLen).sum
+    // size/count the LIVE snapshot, not the directory: under manifest
+    // management the dir also holds prior-version files awaiting vacuum
+    val before = Manifest.currentLive(spark, path)
+    val totalBytes = before
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$f")).getLen)
+      .sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerFile).toInt)
 
-    val df = spark.read.parquet(path)
+    val df = Manifest.read(spark, path)
     val staging = new org.apache.hadoop.fs.Path(path + ".compact_staging")
     val writer = partitionCol match {
       case Some(c) =>
@@ -53,30 +50,18 @@ object Compaction {
     }
     writer.mode("overwrite").parquet(staging.toString)
 
-    // Hadoop rename reports many failures by returning false, not
-    // throwing — an unchecked swap could silently leave the staging copy
-    // nested inside the live table, so every step is checked. If the
-    // second rename fails, the parked `.old` is renamed BACK so the live
-    // table never stays absent. A process crash exactly between the two
-    // renames still leaves the table parked at `.old` (the same exposure
-    // as any non-atomic two-rename swap on a plain FS); recovery is
-    // `mv .old <path>` — both copies exist, nothing is lost.
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
-    fs.delete(old, true)
-    if (!fs.rename(target, old)) {
-      fs.delete(staging, true)
-      throw new java.io.IOException(
-        s"compaction swap failed: $target -> $old (target intact)")
+    // Snapshot commit (round 11): the compacted files move into the
+    // table under fresh names and become visible through ONE atomic
+    // manifest commit replacing the whole live set — no table-dir swap,
+    // no window where a reader finds the table absent or half-swapped.
+    // The small files this pass replaced stay on disk for older
+    // snapshots until [[Manifest.vacuum]].
+    try {
+      val moved = Manifest.stageIn(spark, path, staging.toString)
+      Manifest.commit(spark, path, moved)
+      (before.size.toLong, moved.size.toLong)
+    } finally {
+      fs.delete(staging, true); ()
     }
-    if (!fs.rename(staging, target)) {
-      fs.delete(staging, true)
-      if (!fs.rename(old, target))
-        throw new java.io.IOException(
-          s"compaction swap failed AND restore failed — recover manually from $old")
-      throw new java.io.IOException(
-        s"compaction swap failed: $staging -> $target (previous restored)")
-    }
-    fs.delete(old, true)
-    (before.size.toLong, dataFiles(target).size.toLong)
   }
 }

@@ -1,0 +1,253 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot isolation for warehouse tables: a per-table, atomically
+  * committed file manifest that readers resolve BEFORE listing files —
+  * the MVCC reader guarantee the reference inherits from Postgres
+  * (every `INSERT … ON CONFLICT` there is transactional;
+  * `docker-compose.yaml:44`), restated for a parquet directory.
+  *
+  * Problem being solved (round-10 verdict, top item): writers were
+  * lease-serialized but READERS were not — `mergePartitioned` swapped
+  * partition directories by sequential renames, so a dashboard query
+  * listing the table mid-swap saw partition A new and partition B old.
+  *
+  * Design (the Iceberg/Delta core idea at minimum viable size):
+  *
+  *  - `path/_graft_manifest/v{20-digit}.list` — one file per committed
+  *    version, each line a table-relative data-file path. The leading
+  *    underscore keeps the dir invisible to Spark/Hadoop directory
+  *    listings (hidden-path filter), so legacy whole-dir reads never
+  *    pick manifests up as data.
+  *  - COMMIT = write `…tmp` + `rename` — one atomic filesystem op
+  *    (HDFS/local rename; object stores with atomic rename semantics,
+  *    e.g. S3 directory buckets or a consistency layer, same contract).
+  *    A reader either lists the new version file or it doesn't; there
+  *    is no intermediate state.
+  *  - READ = take the HIGHEST committed version, load its file list,
+  *    read exactly those files (`basePath` preserves partition-column
+  *    derivation and partition pruning). Data files are NEVER mutated
+  *    or deleted by writers — a merge writes fresh files and commits a
+  *    manifest that drops the replaced ones — so a reader holding
+  *    version N is immune to any number of concurrent commits.
+  *  - Time travel falls out for free: `readAsOf(path, v)` resolves an
+  *    older manifest, valid until [[vacuum]] retires it.
+  *  - [[vacuum]] (explicit, lease-guarded) deletes manifests older than
+  *    the newest `keep` versions, then every data file referenced by no
+  *    surviving manifest — including orphans from writers that crashed
+  *    between data write and commit. Retention is the reader-grace
+  *    window, exactly Delta's `VACUUM` trade.
+  *
+  * Writers stay serialized by [[WriterLease]] (single-writer discipline
+  * unchanged — commits never race); this module adds the reader side.
+  * Tables written before this module existed have no manifest: [[read]]
+  * falls back to the plain directory scan, and the first manifest-aware
+  * write ADOPTS the current directory listing as the prior version's
+  * live set, upgrading the table in place.
+  */
+object Manifest {
+
+  private val DirName = "_graft_manifest"
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mdir(path: String) = new Path(path, DirName)
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v") && n.endsWith(".list"))
+      n.stripPrefix("v").stripSuffix(".list").toLongOption
+    else None
+  }
+
+  /** All committed versions, ascending. One directory listing. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    val d = mdir(path)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.flatMap(s => versionOf(s.getPath)).sorted
+  }
+
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  /** Table-relative live-file list of version `v`. */
+  def filesAsOf(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val f = new Path(mdir(path), f"v$v%020d.list")
+    val in = fs.open(f)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Atomically commit `files` (table-relative) as the next version.
+    * Callers hold the table's [[WriterLease]], so versions never race;
+    * the rename is what makes the commit atomic FOR READERS.
+    */
+  def commit(spark: SparkSession, path: String, files: Seq[String]): Long = {
+    val fs = fsOf(spark, path)
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
+    val d = mdir(path)
+    fs.mkdirs(d)
+    val tmp = new Path(d, f"v$next%020d.list.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(d, f"v$next%020d.list")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $fin")
+    next
+  }
+
+  /** Data files currently in the table directory (recursive, hidden
+    * paths excluded) — the adoption listing for pre-manifest tables and
+    * the before/after diff for appends. Table-relative.
+    */
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else buf += st.getPath.toUri.getPath.stripPrefix(rootUri)
+          .stripPrefix("/")
+      }
+    }
+    walk(root)
+    buf.toSeq
+  }
+
+  /** The live set the NEXT commit builds on: the current manifest if one
+    * exists, else (pre-manifest table) the plain directory listing,
+    * adopted as-is.
+    */
+  def currentLive(spark: SparkSession, path: String): Seq[String] =
+    currentVersion(spark, path) match {
+      case Some(v) => filesAsOf(spark, path, v)
+      case None => listDataFiles(spark, path)
+    }
+
+  /** Snapshot read: resolve the highest committed manifest, read exactly
+    * its files. `basePath` keeps partition-column derivation (and
+    * partition pruning over the explicit file index) identical to a
+    * directory read. No manifest → legacy directory scan.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    currentVersion(spark, path) match {
+      case Some(v) => readAsOf(spark, path, v)
+      case None => spark.read.parquet(path)
+    }
+
+  /** Time travel to a committed version (until [[vacuum]] retires it). */
+  def readAsOf(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val files = filesAsOf(spark, path, v)
+    require(files.nonEmpty,
+      s"manifest v$v of $path lists no files — nothing to read")
+    spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Move every data file under `stagingPath` into the table directory,
+    * preserving relative (partition) structure — the stage-in step of a
+    * snapshot-committed rewrite. File names out of a Spark job are
+    * job-unique (task UUIDs), so nothing collides with live files.
+    * Returns the table-relative moved paths, i.e. exactly what the
+    * caller feeds [[commit]]. A failure mid-move leaves only
+    * unreferenced files (the manifest is untouched); replay + [[vacuum]]
+    * recover.
+    */
+  def stageIn(spark: SparkSession, path: String,
+      stagingPath: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val stagingRoot = new Path(stagingPath)
+    val stagingUri = stagingRoot.toUri.getPath.stripSuffix("/")
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else {
+          val rel = st.getPath.toUri.getPath.stripPrefix(stagingUri)
+            .stripPrefix("/")
+          val dst = new Path(s"$path/$rel")
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"stage-in failed: ${st.getPath} -> $dst (manifest not " +
+                "committed; table snapshot unaffected — re-run)")
+          moved += rel
+        }
+      }
+    }
+    if (fs.exists(stagingRoot)) walk(stagingRoot)
+    moved.toSeq
+  }
+
+  /** Roll the table back to committed version `v`: manifests newer than
+    * `v` are deleted, making `v` current again. Data files of the
+    * dropped versions stay behind as unreferenced orphans (exactly the
+    * state a writer crash leaves) until [[vacuum]] collects them — so
+    * this is both the admin restore op and the test harness's faithful
+    * crash reconstruction. Lease-guarded: rollback is a writer.
+    */
+  def rollback(spark: SparkSession, path: String, v: Long): Unit =
+    WriterLease.withLease(spark, path) {
+      val vs = versions(spark, path)
+      require(vs.contains(v),
+        s"cannot roll $path back to v$v — committed versions: $vs")
+      val fs = fsOf(spark, path)
+      vs.filter(_ > v).foreach(n =>
+        fs.delete(new Path(mdir(path), f"v$n%020d.list"), false))
+    }
+
+  /** Live partition directory names (top-level `col=value` components of
+    * the current snapshot's files) — the manifest-aware replacement for
+    * listing partition dirs off the filesystem, where orphans from a
+    * crashed (uncommitted) writer would masquerade as live partitions.
+    */
+  def livePartitions(spark: SparkSession, path: String): Seq[String] =
+    currentLive(spark, path).map(_.takeWhile(_ != '/'))
+      .filter(_.contains("=")).distinct
+
+  /** Retire history: keep the newest `keep` manifests, delete older
+    * ones, then delete every data file no surviving manifest references
+    * (replaced merge inputs AND orphans from crashed pre-commit
+    * writers). Lease-guarded — vacuum is a writer. Returns the number
+    * of data files deleted. `keep >= 1`; readers of retired versions
+    * fail their NEXT file open, which is the documented reader-grace
+    * trade (size retention to the longest expected query).
+    */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 2): Int = {
+    require(keep >= 1, s"vacuum must keep at least the current version")
+    WriterLease.withLease(spark, path) {
+      val fs = fsOf(spark, path)
+      val vs = versions(spark, path)
+      if (vs.isEmpty) 0
+      else {
+        val (drop, kept) = vs.splitAt(math.max(0, vs.size - keep))
+        val live = kept.flatMap(filesAsOf(spark, path, _)).toSet
+        val dead = listDataFiles(spark, path).filterNot(live)
+        dead.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+        // prune now-empty partition directories so directory listings
+        // don't accumulate husks (best-effort; non-recursive delete
+        // fails harmlessly on non-empty dirs)
+        fs.listStatus(new Path(path)).filter(_.isDirectory)
+          .map(_.getPath).filterNot(_.getName.startsWith("_"))
+          .foreach(d => try { fs.delete(d, false); () } catch {
+            case _: java.io.IOException => ()
+          })
+        drop.foreach(v =>
+          fs.delete(new Path(mdir(path), f"v$v%020d.list"), false))
+        dead.size
+      }
+    }
+  }
+}

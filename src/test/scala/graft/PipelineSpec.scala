@@ -17,23 +17,23 @@ class PipelineSpec extends AnyFunSuite {
 
   test("two daily runs build the warehouse incrementally with stable dim ids") {
     Pipeline.runDaily(spark, landing, wh, "2024-05-01")
-    assert(spark.read.parquet(Pipeline.odsPath(wh)).count() === 33)
-    assert(spark.read.parquet(Pipeline.factPath(wh)).count() === 33)
-    val songsDay1 = spark.read.parquet(Pipeline.dimSongPath(wh))
+    assert(graft.engine.Manifest.read(spark, Pipeline.odsPath(wh)).count() === 33)
+    assert(graft.engine.Manifest.read(spark, Pipeline.factPath(wh)).count() === 33)
+    val songsDay1 = graft.engine.Manifest.read(spark, Pipeline.dimSongPath(wh))
       .as[(Long, String, Long)].collect().toSet
-    val artistsDay1 = spark.read.parquet(Pipeline.dimArtistPath(wh))
+    val artistsDay1 = graft.engine.Manifest.read(spark, Pipeline.dimArtistPath(wh))
       .as[(Long, String)].collect().toSet
 
     Pipeline.runDaily(spark, landing, wh, "2024-05-02")
-    assert(spark.read.parquet(Pipeline.odsPath(wh)).count() === 66)
-    assert(spark.read.parquet(Pipeline.factPath(wh)).count() === 66)
+    assert(graft.engine.Manifest.read(spark, Pipeline.odsPath(wh)).count() === 66)
+    assert(graft.engine.Manifest.read(spark, Pipeline.factPath(wh)).count() === 66)
 
     // serial semantics: every day-1 id survives day 2 unchanged
-    val songsDay2 = spark.read.parquet(Pipeline.dimSongPath(wh))
+    val songsDay2 = graft.engine.Manifest.read(spark, Pipeline.dimSongPath(wh))
       .as[(Long, String, Long)].collect().toSet
     assert(songsDay1.subsetOf(songsDay2))
     assert(songsDay2.size > songsDay1.size, "day 2 should add new song keys")
-    val artistsDay2 = spark.read.parquet(Pipeline.dimArtistPath(wh))
+    val artistsDay2 = graft.engine.Manifest.read(spark, Pipeline.dimArtistPath(wh))
       .as[(Long, String)].collect().toSet
     assert(artistsDay2 === artistsDay1, "no new artists on day 2")
 
@@ -45,15 +45,15 @@ class PipelineSpec extends AnyFunSuite {
   test("replaying a day is a no-op for every table") {
     val before = Seq(Pipeline.odsPath(wh), Pipeline.factPath(wh),
       Pipeline.dimSongPath(wh), Pipeline.martRoyaltiesPath(wh))
-      .map(p => p -> spark.read.parquet(p).count()).toMap
+      .map(p => p -> graft.engine.Manifest.read(spark, p).count()).toMap
     Pipeline.runDaily(spark, landing, wh, "2024-05-02")
     before.foreach { case (p, n) =>
-      assert(spark.read.parquet(p).count() === n, s"replay changed $p")
+      assert(graft.engine.Manifest.read(spark, p).count() === n, s"replay changed $p")
     }
   }
 
   test("incremental royalties mart equals the full single-pass rebuild") {
-    val incremental = spark.read.parquet(Pipeline.martRoyaltiesPath(wh))
+    val incremental = graft.engine.Manifest.read(spark, Pipeline.martRoyaltiesPath(wh))
       .select(col("date").cast("string"), col("artist_name"), col("royalties"))
       .as[(String, String, Double)].collect().toSet
     val fullRebuild = graft.queries.IngestQueries.e2eRoyaltiesQuery.run(spark, "")
@@ -68,10 +68,10 @@ class PipelineSpec extends AnyFunSuite {
     Pipeline.runDaily(spark, landing, wh2, "2024-05-02")
     val ran = Pipeline.backfill(spark, landing, wh2)
     assert(ran === Seq("2024-05-01"))
-    assert(spark.read.parquet(Pipeline.odsPath(wh2)).count() === 66)
+    assert(graft.engine.Manifest.read(spark, Pipeline.odsPath(wh2)).count() === 66)
     // warehouse now matches the in-order build (same marts, same rows)
-    val royalties = spark.read.parquet(Pipeline.martRoyaltiesPath(wh2)).count()
-    assert(royalties === spark.read.parquet(Pipeline.martRoyaltiesPath(wh)).count())
+    val royalties = graft.engine.Manifest.read(spark, Pipeline.martRoyaltiesPath(wh2)).count()
+    assert(royalties === graft.engine.Manifest.read(spark, Pipeline.martRoyaltiesPath(wh)).count())
     // fully caught up -> nothing to do
     assert(Pipeline.backfill(spark, landing, wh2) === Seq.empty)
   }
@@ -80,19 +80,20 @@ class PipelineSpec extends AnyFunSuite {
     val wh3 = Files.createTempDirectory("graft-wh-repair").toString
     Pipeline.runDaily(spark, landing, wh3, "2024-05-01")
     Pipeline.runDaily(spark, landing, wh3, "2024-05-02")
-    // simulate a crash mid-run: day 2's marts vanish but its ODS stays
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid-run: day 2's mart commits never happened —
+    // roll each mart's manifest back one version, leaving day-2's data
+    // files behind as the orphans a real pre-commit crash leaves
     Seq(Pipeline.martRoyaltiesPath(wh3), Pipeline.martAvgPath(wh3),
       Pipeline.martAppearancesPath(wh3)).foreach { m =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$m/date=2024-05-02"), true)
+      graft.engine.Manifest.rollback(spark, m,
+        graft.engine.Manifest.currentVersion(spark, m).get - 1)
     }
     // done-marker is the LAST-written table, so the day is re-run
     assert(Pipeline.backfill(spark, landing, wh3) === Seq("2024-05-02"))
-    assert(spark.read.parquet(Pipeline.martRoyaltiesPath(wh3))
+    assert(graft.engine.Manifest.read(spark, Pipeline.martRoyaltiesPath(wh3))
       .filter(col("date") === "2024-05-02").count() > 0)
     // ODS replay inside the repair appended nothing new
-    assert(spark.read.parquet(Pipeline.odsPath(wh3)).count() === 66)
+    assert(graft.engine.Manifest.read(spark, Pipeline.odsPath(wh3)).count() === 66)
   }
 
   test("backfill's automatic retry heals a writer that died holding " +
@@ -110,7 +111,8 @@ class PipelineSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     Seq(Pipeline.martRoyaltiesPath(whL), Pipeline.martAvgPath(whL),
       Pipeline.martAppearancesPath(whL)).foreach { m =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$m/date=2024-05-02"), true)
+      graft.engine.Manifest.rollback(spark, m,
+        graft.engine.Manifest.currentVersion(spark, m).get - 1)
     }
     val lease = new org.apache.hadoop.fs.Path(
       Pipeline.factPath(whL) + ".__writer_lease")
@@ -127,9 +129,9 @@ class PipelineSpec extends AnyFunSuite {
     // acquisition self-heals on the FIRST attempt — no retry burned
     assert(delays.isEmpty)
     assert(!fs.exists(lease))
-    assert(spark.read.parquet(Pipeline.odsPath(whL)).count() === 66)
-    assert(spark.read.parquet(Pipeline.factPath(whL)).count() === 66)
-    assert(spark.read.parquet(Pipeline.martRoyaltiesPath(whL))
+    assert(graft.engine.Manifest.read(spark, Pipeline.odsPath(whL)).count() === 66)
+    assert(graft.engine.Manifest.read(spark, Pipeline.factPath(whL)).count() === 66)
+    assert(graft.engine.Manifest.read(spark, Pipeline.martRoyaltiesPath(whL))
       .filter(col("date") === "2024-05-02").count() > 0)
   }
 
@@ -145,19 +147,20 @@ class PipelineSpec extends AnyFunSuite {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     // reconstruct the crash state: dims HOLD day-2 entries, but day 2's
-    // fact partition and marts never published
-    (Seq(Pipeline.martRoyaltiesPath(whC), Pipeline.martAvgPath(whC),
-      Pipeline.martAppearancesPath(whC)).map(m => s"$m/date=2024-05-02") :+
-      s"${Pipeline.factPath(whC)}/date=2024-05-02").foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    // fact and mart commits never published (manifests rolled back one
+    // version; the day-2 files stay behind as pre-commit orphans)
+    Seq(Pipeline.martRoyaltiesPath(whC), Pipeline.martAvgPath(whC),
+      Pipeline.martAppearancesPath(whC), Pipeline.factPath(whC)).foreach { m =>
+      graft.engine.Manifest.rollback(spark, m,
+        graft.engine.Manifest.currentVersion(spark, m).get - 1)
     }
     val dimsBefore = Seq(Pipeline.dimSongPath(whC),
       Pipeline.dimArtistPath(whC), Pipeline.dimCountryPath(whC))
-      .map(p => p -> spark.read.parquet(p).collect().map(_.toSeq).toSet)
-    assert(spark.read.parquet(Pipeline.factPath(whC)).count() === 33)
+      .map(p => p -> graft.engine.Manifest.read(spark, p).collect().map(_.toSeq).toSet)
+    assert(graft.engine.Manifest.read(spark, Pipeline.factPath(whC)).count() === 33)
     assert(Pipeline.backfill(spark, landing, whC) === Seq("2024-05-02"))
     // star complete again...
-    val fact = spark.read.parquet(Pipeline.factPath(whC))
+    val fact = graft.engine.Manifest.read(spark, Pipeline.factPath(whC))
     assert(fact.count() === 66)
     // ...duplicate-free on the fact natural key...
     assert(fact.select("date", "country_id", "song_rank").distinct()
@@ -165,11 +168,11 @@ class PipelineSpec extends AnyFunSuite {
     // ...and the repair re-derived the SAME dims, byte for byte — ids
     // assigned before the crash stayed stable through the replay
     dimsBefore.foreach { case (p, before) =>
-      assert(spark.read.parquet(p).collect().map(_.toSeq).toSet === before,
+      assert(graft.engine.Manifest.read(spark, p).collect().map(_.toSeq).toSet === before,
         s"repair changed $p")
     }
     // marts restored and keyed uniquely per (date, name)
-    val roy = spark.read.parquet(Pipeline.martRoyaltiesPath(whC))
+    val roy = graft.engine.Manifest.read(spark, Pipeline.martRoyaltiesPath(whC))
     assert(roy.filter(col("date") === "2024-05-02").count() > 0)
     assert(roy.select("date", "artist_name").distinct().count() === roy.count())
   }
@@ -187,15 +190,15 @@ class PipelineSpec extends AnyFunSuite {
       dst.resolve("Atlantis_2024-05-01.json"), """{ "tracks": { "track": [""")
     // strict mode dies on this feed (PERMISSIVE is off); checked survives
     Pipeline.runDaily(spark, land5, wh5, "2024-05-01", checked = true)
-    assert(spark.read.parquet(Pipeline.odsPath(wh5)).count() === 33)
-    val q = spark.read.parquet(s"${Pipeline.quarantinePath(wh5)}/day=2024-05-01")
+    assert(graft.engine.Manifest.read(spark, Pipeline.odsPath(wh5)).count() === 33)
+    val q = graft.engine.Manifest.read(spark, s"${Pipeline.quarantinePath(wh5)}/day=2024-05-01")
       .select("reason").as[String].collect().toList
     assert(q === List("malformed_json"))
     // replay: same warehouse, no duplicated quarantine rows
     Pipeline.runDaily(spark, land5, wh5, "2024-05-01", checked = true)
-    assert(spark.read.parquet(s"${Pipeline.quarantinePath(wh5)}/day=2024-05-01")
+    assert(graft.engine.Manifest.read(spark, s"${Pipeline.quarantinePath(wh5)}/day=2024-05-01")
       .count() === 1)
-    assert(spark.read.parquet(Pipeline.odsPath(wh5)).count() === 33)
+    assert(graft.engine.Manifest.read(spark, Pipeline.odsPath(wh5)).count() === 33)
     // unattended catch-up with the same poison: checked backfill routes
     // it instead of aborting (fresh warehouse, both days from landing)
     val day2src = java.nio.file.Paths.get(landing, "2024-05-02")
@@ -206,7 +209,7 @@ class PipelineSpec extends AnyFunSuite {
     val wh6 = Files.createTempDirectory("graft-wh-checked-bf").toString
     assert(Pipeline.backfill(spark, land5, wh6, checked = true) ===
       Seq("2024-05-01", "2024-05-02"))
-    assert(spark.read.parquet(Pipeline.odsPath(wh6)).count() === 66)
+    assert(graft.engine.Manifest.read(spark, Pipeline.odsPath(wh6)).count() === 66)
   }
 
   test("backfill skips a landed date dir that has no files yet") {

@@ -67,7 +67,7 @@ class ScaleSpec extends AnyFunSuite {
     val (nBefore, nAfter) = graft.engine.Compaction.compact(spark, path, Some("d"))
     assert(nBefore >= 36)
     assert(nAfter < nBefore / 2, s"expected real shrink, got $nBefore -> $nAfter")
-    val after = spark.read.parquet(path)
+    val after = graft.engine.Manifest.read(spark, path)
     assert(after.collect().map(_.toSeq).toSet === beforeRows)
     // still partition-pruned after the rewrite
     val pruned = after.filter(col("d") === java.sql.Date.valueOf("2024-06-03"))

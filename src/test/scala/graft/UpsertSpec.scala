@@ -27,7 +27,7 @@ class UpsertSpec extends AnyFunSuite {
       Seq("rank", "source_date", "country")) === 2)
     assert(Upsert.upsertParquet(spark, path, batch,
       Seq("rank", "source_date", "country")) === 0)
-    assert(spark.read.parquet(path).count() === 2)
+    assert(graft.engine.Manifest.read(spark, path).count() === 2)
   }
 
   test("a second day appends only its new keys") {
@@ -38,7 +38,7 @@ class UpsertSpec extends AnyFunSuite {
     Upsert.upsertParquet(spark, path, day1, Seq("rank", "source_date", "country"))
     assert(Upsert.upsertParquet(spark, path, day2,
       Seq("rank", "source_date", "country")) === 1)
-    val back = spark.read.parquet(path)
+    val back = graft.engine.Manifest.read(spark, path)
     assert(back.count() === 2)
     // first write wins for the replayed key
     assert(back.filter($"source_date" === d1).select("payload")
@@ -53,7 +53,7 @@ class UpsertSpec extends AnyFunSuite {
       Seq("rank", "source_date", "country"), "source_date") === 3)
     assert(Upsert.upsertPartitioned(spark, path, batch,
       Seq("rank", "source_date", "country"), "source_date") === 0)
-    assert(spark.read.parquet(path).count() === 3)
+    assert(graft.engine.Manifest.read(spark, path).count() === 3)
     // physical layout is partitioned by date
     val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("source_date="))
     assert(dirs.length === 2)
@@ -94,7 +94,7 @@ class UpsertSpec extends AnyFunSuite {
     val reordered = Seq(("GB", 3, d1)).toDF("country", "rank", "source_date")
     assert(Upsert.upsertPartitioned(spark, path, reordered,
       Seq("rank", "source_date", "country"), "source_date") === 1)
-    val back = spark.read.parquet(path)
+    val back = graft.engine.Manifest.read(spark, path)
       .select("rank", "country").as[(Int, String)].collect().toSet
     assert(back === Set((1, "US"), (3, "GB")))
   }
@@ -111,7 +111,7 @@ class UpsertSpec extends AnyFunSuite {
       .toDF("rank", "source_date", "country", "listeners")
     val keys = Seq("rank", "source_date", "country")
     assert(Upsert.mergePartitioned(spark, path, delta, keys, "source_date") === 2)
-    def snapshot() = spark.read.parquet(path)
+    def snapshot() = graft.engine.Manifest.read(spark, path)
       .select("rank", "source_date", "listeners")
       .as[(Int, java.sql.Date, Int)].collect().toSet
     val expected = Set((1, d1, 111), (2, d1, 200), (3, d1, 333), (1, d2, 300))
@@ -149,7 +149,7 @@ class UpsertSpec extends AnyFunSuite {
     assert(firstDone === "first-writer-finished")
     // A released on exit; B's rejected attempts left no partial state
     assert(Upsert.upsertParquet(spark, path, batch, keys) === 2)
-    assert(spark.read.parquet(path).count() === 2)
+    assert(graft.engine.Manifest.read(spark, path).count() === 2)
   }
 
   test("the lease is released when the holder's body throws") {
@@ -231,6 +231,6 @@ class UpsertSpec extends AnyFunSuite {
     val keys = Seq("song_rank", "source_date", "country")
     assert(Upsert.upsertPartitioned(spark, path, ods, keys, "source_date") === 66)
     assert(Upsert.upsertPartitioned(spark, path, ods, keys, "source_date") === 0)
-    assert(spark.read.parquet(path).count() === 66)
+    assert(graft.engine.Manifest.read(spark, path).count() === 66)
   }
 }
