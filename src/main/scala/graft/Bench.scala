@@ -149,6 +149,16 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ITER_CHECKPOINT=reliable routes the iterative loops
+    // through cluster-durable checkpoints (engine.Checkpoints) so the
+    // local-vs-reliable cost delta is measurable with the same bench
+    // harness; dev-only, the driver never sets it.
+    sys.env.get("SPARK_GRAFT_ITER_CHECKPOINT").foreach { mode =>
+      spark.conf.set(graft.engine.Checkpoints.ConfKey, mode)
+      if (mode == "reliable")
+        spark.sparkContext.setCheckpointDir(
+          s"/tmp/graft_bench_ckpt_${ProcessHandle.current.pid}")
+    }
     // SPARK_GRAFT_BENCH_FILTER=q_a,q_b restricts the run to the named
     // queries — the single-query iteration loop (full-suite numbers
     // still come from unfiltered runs; the driver never sets this).

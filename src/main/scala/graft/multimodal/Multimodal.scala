@@ -7,14 +7,21 @@ import org.apache.spark.sql.functions._
   * typed metadata, decoded per-partition (SURVEY §7.6; builder-brief
   * multimodal mandate).
   *
-  * The container has no image/audio codecs, so [[decodeMeta]]'s byte →
-  * (width, height, frames) step is a clearly-marked DETERMINISTIC STUB —
-  * the Spark-side plumbing around it is real: binary column derivation,
-  * a typed `Dataset[MediaRow]`, partition-granular batch decode via
-  * `mapPartitions` (the shape a vectorized decoder needs: amortize codec
-  * init per partition, stream rows within it), and a schema contract the
-  * DuckDB oracle can mirror because the stub is a pure function of the
-  * byte length.
+  * Since round 11 the image path processes REAL media with JDK-only
+  * codecs (round-10 verdict item 3): [[derivePng]] synthesizes genuine
+  * PNG bytes per document (`BufferedImage` → `ImageIO.write`) at
+  * deterministic dimensions, and [[decodePng]] decodes them
+  * executor-side with a per-partition `ImageReader` — header-true
+  * width/height plus a full pixel decode, so truncated or corrupt
+  * payloads are caught and QUARANTINED row-by-row (the ingestChecked
+  * discipline) instead of failing the partition. Determinism of the
+  * synthesized geometry keeps the DuckDB oracle able to mirror the
+  * decoded dimensions without a codec.
+  *
+  * The VIDEO-shaped path ([[decodeMeta]] frame counts +
+  * [[sampleFrames]]) remains a clearly-marked deterministic stub — the
+  * JDK ships no container/codec for video, so that seam stays a pure
+  * function of the byte length with the mapPartitions plumbing real.
   */
 object Multimodal {
 
@@ -56,10 +63,122 @@ object Multimodal {
     }
   }
 
-  /** documents → typed media metadata (the registered query's body). */
+  /** documents → typed media metadata (stub-geometry family). */
   def documentsMeta(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     decodeMeta(deriveMedia(documents).as[MediaRow]).toDF()
+  }
+
+  // ------------- real image path (JDK-only codecs) ----------------- //
+
+  /** Deterministic synthesized-PNG dimensions for a document whose text
+    * is `o` UTF-8 bytes long — ONE definition, interpolated into the
+    * oracle SQL so the invariant is structural. Small on purpose: the
+    * decode cost at sf0.1 is ~5k tiny PNGs.
+    */
+  val WidthMod = 64
+  val HeightMod = 48
+  private[graft] def pngWidth(o: Long): Int = (o % WidthMod).toInt + 1
+  private[graft] def pngHeight(o: Long): Int = ((o * 7) % HeightMod).toInt + 1
+
+  /** Synthesize a REAL PNG payload per document: a `BufferedImage` of
+    * the deterministic geometry, pixels filled from a cheap function of
+    * (doc_id, x, y) so the bytes are content-bearing, encoded by the
+    * JDK's ImageIO PNG writer. Runs per-partition (encoder state and
+    * buffers amortized), emits `(doc_id, media binary)` — the shape a
+    * real pipeline lands crawled images in.
+    */
+  def derivePng(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"), octet_length(col("text")).cast("long")
+        .as("o"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        val buf = new java.io.ByteArrayOutputStream(1 << 12)
+        rows.map { case (docId, o) =>
+          val w = pngWidth(o); val h = pngHeight(o)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (docId * 2654435761L + x * 31 + y).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          buf.reset()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          MediaRow(docId, buf.toByteArray)
+        }
+      }
+  }
+
+  final case class PngMeta(doc_id: Long, mime: String, width: Int,
+      height: Int, n_pixels: Long)
+  final case class MediaQuarantine(doc_id: Long, reason: String)
+
+  /** REAL decode with row-level poison safety: a per-partition PNG
+    * `ImageReader` (codec init amortized, as the mapPartitions seam was
+    * designed for) reads each payload's header for width/height and then
+    * decodes the full pixel raster — so a truncated or bit-flipped
+    * payload surfaces HERE, as a quarantine row carrying the decoder's
+    * reason, never as a task failure poisoning the partition (the
+    * `OdsBuilder.ingestChecked` discipline applied to media).
+    */
+  def decodePng(media: Dataset[MediaRow])
+      : (Dataset[PngMeta], Dataset[MediaQuarantine]) = {
+    import media.sparkSession.implicits._
+    val decoded = media.mapPartitions { rows =>
+      val reader = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+        require(it.hasNext, "JDK PNG ImageReader missing")
+        it.next()
+      }
+      rows.map { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            val img = reader.read(0) // full raster: truncation surfaces here
+            require(img.getWidth == w && img.getHeight == h,
+              s"raster ${img.getWidth}x${img.getHeight} != header ${w}x$h")
+            (Some(PngMeta(r.doc_id, "image/png", w, h, w.toLong * h)),
+              None: Option[MediaQuarantine])
+          } finally iis.close()
+        } catch {
+          case e: Exception =>
+            (None, Some(MediaQuarantine(r.doc_id,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                .take(200))))
+        }
+      }
+      // one decode feeds both sides (ingestChecked's localCheckpoint
+      // idiom, OdsBuilder.scala:150) — without it each consumer would
+      // re-run the full raster decode; ContextCleaner frees the blocks
+      // when the frames go unreferenced
+    }.localCheckpoint()
+    (decoded.flatMap(_._1), decoded.flatMap(_._2))
+  }
+
+  /** documents → header-true PNG metadata (the registered query's
+    * body). The derivation is deterministic, so the quarantine side
+    * MUST be empty — a non-empty quarantine here means the encode or
+    * decode seam broke, and silently dropping those rows would hide it;
+    * fail loudly instead (MultimodalSpec proves injected corruption
+    * takes the quarantine path, not this one).
+    */
+  def documentsPngMeta(documents: DataFrame): DataFrame = {
+    val (ok, quarantine) = decodePng(derivePng(documents))
+    val bad = quarantine.take(1)
+    require(bad.isEmpty,
+      s"synthesized PNG failed its own decode: doc ${bad.head.doc_id} " +
+        s"(${bad.head.reason})")
+    ok.toDF()
   }
 
   final case class FrameRef(doc_id: Long, frame_idx: Long, frame_off: Long,

@@ -855,6 +855,122 @@ object GraphQueries {
       GROUP BY s_suppkey
       ORDER BY s_suppkey"""))
 
+  // ---------------------------------------------------------------- //
+  // k-core decomposition — the standard graph-quality peel (round-10  //
+  // verdict item 5): spam/bot subgraphs die under iterated            //
+  // low-degree removal, so the k-core is the curation counterpart of  //
+  // q_components before seeding from link structure.                  //
+  // ---------------------------------------------------------------- //
+
+  /** Core order for the registered query. */
+  private[graft] val KCoreK = 3
+
+  /** Peel steps unrolled in the oracle CTE. The peel is MONOTONE
+    * (the node set only shrinks) and IDEMPOTENT at its fixpoint, so an
+    * over-unrolled oracle is harmless — the Spark side asserts its
+    * data-dependent stop landed within this bound, which keeps the
+    * fixed unrolling sufficient by construction.
+    */
+  private[graft] val KCorePeelUnroll = 12
+
+  /** Until-fixpoint k-core peel over a SYMMETRIC edge relation
+    * `(src, dst)`: each round keeps the nodes whose degree within the
+    * current induced subgraph is ≥ k (two semi-joins + one aggregate —
+    * O(|E|) shuffled rows per round), checkpointed through the
+    * [[graft.engine.Checkpoints]] seam because the shrinking node set
+    * is referenced three times per round. Data-dependent stop, loud at
+    * the cap ([[graft.engine.LabelPropagation]]'s regime). Rounds are
+    * bounded by the peel depth (≤ max coreness steps), which the
+    * thresholded co-supply graph keeps single-digit — and the
+    * [[KCorePeelUnroll]] assertion makes that bound checked, not
+    * assumed. Returns `(node, core_deg)` — the surviving nodes with
+    * their degree inside the k-core.
+    */
+  private[graft] def kcorePeel(edges: DataFrame, k: Int,
+      tag: String = "kcore", maxUnroll: Int = Int.MaxValue): DataFrame = {
+    def induced(nodes: DataFrame): DataFrame = edges
+      .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    var nodes = edges.select(col("src").as("node")).distinct()
+      .pipe(graft.engine.Checkpoints.iter)
+    var nNodes = nodes.count()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds && nNodes > 0) {
+      val next = induced(nodes)
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+        .pipe(graft.engine.Checkpoints.iter)
+      val nNext = next.count()
+      converged = nNext == nNodes
+      nodes = next
+      nNodes = nNext
+      rounds += 1
+      System.err.println(s"[$tag] round $rounds: nodes=$nNext")
+    }
+    if (!converged && nNodes > 0) throw new IllegalStateException(
+      s"$tag peel did not converge in $maxRounds rounds")
+    require(rounds <= maxUnroll,
+      s"$tag converged in $rounds rounds — beyond the oracle's " +
+        s"$maxUnroll-step unrolling; raise KCorePeelUnroll")
+    induced(nodes).groupBy(col("src"))
+      .agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
+
+  /** The co-supply k-core: [[kcorePeel]] on the symmetrized thresholded
+    * co-supply edges (the cached [[cosupplyOriented]] relation carries
+    * each undirected edge exactly once — symmetrize and peel).
+    */
+  private[queries] def kcore(s: SparkSession, dir: String): DataFrame = {
+    val o = cosupplyOriented(s, dir)
+    val sym = o.select(col("src"), col("dst"))
+      .unionAll(o.select(col("dst").as("src"), col("src").as("dst")))
+    kcorePeel(sym, KCoreK, maxUnroll = KCorePeelUnroll)
+      .select(col("node").as("s_suppkey"), col("core_deg"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Oracle: the same peel as a fixed-unroll CTE chain over the
+    * id-canonical undirected edges — independently re-derived from
+    * lineitem (not the degree-oriented relation), so the builder and
+    * the peel are both cross-checked. `AS MATERIALIZED` on every level:
+    * each `n{r}` feeds two joins of level r+1 (the BPE/components
+    * double-reference rule).
+    */
+  private def kcoreOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+             FROM lo a JOIN lo b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2 HAVING COUNT(*) >= $MinCooccur),
+      es AS (SELECT s1 AS src, s2 AS dst FROM e0
+             UNION ALL SELECT s2, s1 FROM e0),
+      n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM es)"""
+    for (r <- 0 until KCorePeelUnroll) {
+      sb ++= s""",
+      n${r + 1} AS MATERIALIZED (
+        SELECT e.src AS node FROM es e
+        JOIN n$r a ON e.src = a.node
+        JOIN n$r b ON e.dst = b.node
+        GROUP BY 1 HAVING COUNT(*) >= $KCoreK)"""
+    }
+    sb ++= s"""
+      SELECT e.src AS s_suppkey, COUNT(*) AS core_deg
+      FROM es e
+      JOIN n$KCorePeelUnroll a ON e.src = a.node
+      JOIN n$KCorePeelUnroll b ON e.dst = b.node
+      GROUP BY 1 ORDER BY 1"""
+    sb.toString
+  }
+
+  val qKcore = QueryDef("q_kcore", (s, dir) => kcore(s, dir),
+    Some(kcoreOracle))
+
   /** Spread-seed twin of [[ppr]] (soak-only, like [[bfsSpread]]): the
     * restart set covers the same ten suppliers of EVERY key-shifted
     * copy, so the reached set — and with it the per-round state —
@@ -898,5 +1014,6 @@ object GraphQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(qPagerank, qBfsHops, qCheapestRoute, qComponents, qPpr, qTriangles)
+    Seq(qPagerank, qBfsHops, qCheapestRoute, qComponents, qPpr, qTriangles,
+      qKcore)
 }

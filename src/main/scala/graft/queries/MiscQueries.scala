@@ -105,22 +105,28 @@ object MiscQueries {
       FROM ods ORDER BY s3_key, song_rank"""),
     bench = false)
 
-  /** Multimodal plumbing: binary media column + typed metadata via a
-    * partition-granular decode (stubbed deterministically — see
-    * [[Multimodal.decodeMeta]]). The oracle mirrors the stub as a pure
-    * SQL function of the byte length, verifying the binary derivation and
-    * the mapPartitions round trip.
+  /** Multimodal with REAL media (round 11): per-document synthesized
+    * PNG bytes decoded back executor-side by the JDK's ImageIO — the
+    * emitted width/height/n_pixels are HEADER-TRUE values read from the
+    * actual payload, full-raster-verified, with corrupt payloads routed
+    * to a quarantine rather than failing the partition
+    * ([[Multimodal.decodePng]]). The oracle mirrors the deterministic
+    * synthesis geometry in SQL, so a green diff proves the decoder read
+    * exactly what the encoder wrote through a genuine PNG byte stream.
     */
   val qMultimodalMeta = QueryDef(
     "q_multimodal_meta",
-    (s, dir) => Multimodal.documentsMeta(t(s, dir, "documents"))
+    (s, dir) => Multimodal.documentsPngMeta(t(s, dir, "documents"))
       .orderBy(col("doc_id")),
     Some(s"""
-      SELECT doc_id, 'image/fake' AS mime,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-             CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
-             CAST(octet_length(encode(text)) % ${Multimodal.FramesMod} + 1 AS INTEGER) AS n_frames
+      SELECT doc_id, 'image/png' AS mime,
+             CAST(octet_length(encode(text)) % ${Multimodal.WidthMod} + 1
+                  AS INTEGER) AS width,
+             CAST((octet_length(encode(text)) * 7) % ${Multimodal.HeightMod} + 1
+                  AS INTEGER) AS height,
+             CAST((octet_length(encode(text)) % ${Multimodal.WidthMod} + 1) *
+                  ((octet_length(encode(text)) * 7) % ${Multimodal.HeightMod} + 1)
+                  AS BIGINT) AS n_pixels
       FROM documents ORDER BY doc_id"""))
 
   /** Frame-sampling plumbing over the media blobs (every 5th frame as

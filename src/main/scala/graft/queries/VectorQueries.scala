@@ -430,6 +430,150 @@ object VectorQueries {
       SELECT vec_id, m, code, d2 FROM ranked WHERE rn = 1
       ORDER BY vec_id, m"""))
 
+  /** Shortlist size of the PQ candidate stage — larger than TopK so the
+    * exact rerank has slack to repair PQ's quantization error.
+    */
+  private val PqShortlist = 12
+
+  /** IVF-PQ composed ANN (round-10 verdict item 4): the three-stage
+    * shape every billion-vector pipeline actually runs, built from the
+    * engine's existing pieces —
+    *
+    *   1. COARSE PROBE: nearest-centroid cell assignment
+    *      ([[ivfAssigned]]); a query scores only its own cell's
+    *      inverted list, never the corpus.
+    *   2. ASYMMETRIC PQ SCAN: cell members are represented by their
+    *      M=4 × K=8 product-quantization codes (the `q_pq_codes`
+    *      assignment); each query precomputes a tiny LUT of exact
+    *      integer L2 distances to every (subspace, codeword) — 32 rows
+    *      per query — and a member's approximate distance is the SUM of
+    *      M LUT lookups. At index scale this replaces a 64-dim float
+    *      scan with 4 byte-indexed adds per candidate; here the LUT
+    *      join is a broadcast and the sum a map-side-combined aggregate
+    *      keyed on (query, vec) — no shuffle of the vectors.
+    *   3. EXACT RERANK: the [[PqShortlist]] best PQ candidates per
+    *      query re-score with the full-precision cosine and the TopK
+    *      survive — the standard repair for PQ distortion.
+    *
+    * Everything is exact integer math until the final cosine, so the
+    * DuckDB oracle mirrors all three stages bit-for-bit (pq_d2 rides
+    * into the output to pin stage 2, not just the reranked ranks).
+    * Recall vs the exact scan is measured in LshRecallSpec alongside
+    * the LSH and IVF-flat variants.
+    */
+  val qAnnIvfpqTopk = QueryDef(
+    "q_ann_ivfpq_topk",
+    (s, dir) => {
+      val M = 4
+      val Sub = Dim / M
+      val assigned = ivfAssigned(s, dir)
+      val subs = assigned.select(col("vec_id"),
+        explode(array((0 until M).map(m => struct(lit(m.toLong).as("m"),
+          slice(col("v"), m * Sub + 1, Sub).as("sub"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+        .withColumn("sn2", dot(col("sub"), col("sub")))
+      val cents = subs.filter(col("vec_id") < 8)
+        .select(col("m"), col("vec_id").as("code"), col("sub").as("csub"),
+          col("sn2").as("cn2"))
+      val codes = subs.join(broadcast(cents), Seq("m"))
+        .withColumn("d2",
+          col("sn2") + col("cn2") - lit(2L) * dot(col("sub"), col("csub")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("d2"), col("code"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("code"))
+      val qs = assigned.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("n2").as("qn2"), col("cent_id"))
+      val lut = subs.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("m"),
+          col("sub").as("qsub"), col("sn2").as("qsn2"))
+        .join(cents, Seq("m"))
+        .select(col("query_id"), col("m"), col("code"),
+          (col("qsn2") + col("cn2") - lit(2L) * dot(col("qsub"), col("csub")))
+            .as("lut_d2"))
+      val cand = assigned.select(col("vec_id"), col("cent_id"))
+        .join(broadcast(qs.select(col("query_id"), col("cent_id"))),
+          Seq("cent_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "m", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("lut_d2")).as("pq_d2"))
+      val short = cand.withColumn("crk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("pq_d2"), col("vec_id"))))
+        .filter(col("crk") <= PqShortlist)
+        .select(col("query_id"), col("vec_id"), col("pq_d2"))
+      short
+        .join(assigned.select(col("vec_id"), col("v"), col("n2")),
+          Seq("vec_id"))
+        .join(broadcast(qs.select(col("query_id"), col("qv"), col("qn2"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), col("pq_d2"),
+          cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")).as("cosine"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("pq_d2"),
+          col("cosine"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""
+      WITH $ivfAssignedSql,
+      subs AS (
+        SELECT vec_id, CAST(m AS BIGINT) AS m,
+               list_slice(v, m * ${Dim / 4} + 1, (m + 1) * ${Dim / 4}) AS sub
+        FROM assigned, (SELECT unnest([0, 1, 2, 3]) AS m)),
+      sn AS (
+        SELECT vec_id, m, sub,
+               CAST(list_sum([x * x for x in sub]) AS BIGINT) AS sn2
+        FROM subs),
+      cents AS (
+        SELECT m, vec_id AS code, sub AS csub, sn2 AS cn2
+        FROM sn WHERE vec_id < 8),
+      codes AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   s.sn2 + c.cn2 - 2 * ${dotSql("s.sub", "c.csub")}, c.code)
+                   AS rn
+          FROM sn s JOIN cents c USING (m))
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cent_id
+            FROM assigned WHERE vec_id < $NQueries),
+      lut AS (
+        SELECT s.vec_id AS query_id, s.m, c.code,
+               s.sn2 + c.cn2 - 2 * ${dotSql("s.sub", "c.csub")} AS lut_d2
+        FROM sn s JOIN cents c USING (m) WHERE s.vec_id < $NQueries),
+      cand AS (
+        SELECT q.query_id, a.vec_id, CAST(SUM(l.lut_d2) AS BIGINT) AS pq_d2
+        FROM assigned a
+        JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+        JOIN codes cd ON cd.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = q.query_id AND l.m = cd.m
+                  AND l.code = cd.code
+        GROUP BY 1, 2),
+      short AS (
+        SELECT query_id, vec_id, pq_d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY pq_d2, vec_id) AS crk
+          FROM cand)
+        WHERE crk <= $PqShortlist),
+      rer AS (
+        SELECT s.query_id, s.vec_id, s.pq_d2,
+               ${cosineSql(dotSql("q.qv", "a.v"), "q.qn2", "a.n2")} AS cosine
+        FROM short s JOIN assigned a ON a.vec_id = s.vec_id
+                     JOIN q ON q.query_id = s.query_id)
+      SELECT query_id, rk, vec_id, pq_d2, cosine FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+        FROM rer)
+      WHERE rk <= $TopK ORDER BY query_id, rk"""))
+
   val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qAnnIvfTopk,
-    qEmbeddingNeardup, qIvfCentroids, qEmbedQuantize, qPqCodes)
+    qEmbeddingNeardup, qIvfCentroids, qEmbedQuantize, qPqCodes,
+    qAnnIvfpqTopk)
 }

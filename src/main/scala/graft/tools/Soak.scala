@@ -36,6 +36,7 @@ object Soak {
     "q_ppr",                  // seed-sparse restart walk (reached set)
     "q_sql_ppr",              // two-relation TVF twin of q_ppr
     "q_triangles",            // degree-oriented wedge close (co-supply)
+    "q_kcore",                // until-fixpoint degree peel (co-supply)
     "q_skyline",              // group-min + distributed precmin
     "q_winsorize",            // GroupedQuantiles valueAtRanks
     "q_percentiles",          // GroupedQuantiles interpolated

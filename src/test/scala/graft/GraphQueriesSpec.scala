@@ -394,4 +394,53 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(k3(9L) === 6L)
     assert(k3(4L) === 1L) // within 3 hops of the min, already exact
   }
+
+  /** Reference k-core: iterated low-degree removal on an in-memory
+    * adjacency map — the independent third formulation next to the
+    * distributed peel and the unrolled oracle CTE.
+    */
+  private def refKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var changed = true
+    while (changed && nodes.nonEmpty) {
+      val deg = edges.filter(e => nodes(e._1) && nodes(e._2))
+        .flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size }
+      val keep = nodes.filter(v => deg.getOrElse(v, 0) >= k)
+      changed = keep.size != nodes.size
+      nodes = keep
+    }
+    edges.filter(e => nodes(e._1) && nodes(e._2))
+      .flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+  }
+
+  test("kcorePeel matches the reference peeler on random graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(900 + seed)
+      val n = 12 + rnd.nextInt(20)
+      val undirected = for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.15
+      } yield (a, b)
+      if (undirected.nonEmpty) {
+        val k = 2 + rnd.nextInt(2)
+        val sym = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .toDF("src", "dst")
+        val got = GraphQueries.kcorePeel(sym, k, s"spec-kcore-$seed")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === refKcore(undirected, k),
+          s"seed=$seed n=$n k=$k |E|=${undirected.size}")
+      }
+    }
+  }
+
+  test("kcorePeel on a graph the peel empties returns no rows") {
+    // a path: every peel round removes both endpoints under k=2
+    val path = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val got = GraphQueries.kcorePeel(path.toDF("src", "dst"), 2, "spec-empty")
+    assert(got.count() === 0)
+    // and the reference agrees the 2-core of a path is empty
+    assert(refKcore((1L to 5L).map(i => (i, i + 1)), 2).isEmpty)
+  }
 }

@@ -51,6 +51,27 @@ class LshRecallSpec extends AnyFunSuite {
     assert(overlap >= 0.1)
   }
 
+  test("IVF-PQ neighbors overlap brute-force top-k and rerank repairs PQ error") {
+    val exact = VectorQueries.qCosineTopk.run(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfFlat = VectorQueries.qAnnIvfTopk.run(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfpq = VectorQueries.qAnnIvfpqTopk.run(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.nonEmpty)
+    val overlap = ivfpq.count(exact.contains).toDouble / exact.size
+    info(s"IVF-PQ overlap with exact top-3: $overlap")
+    // recall is bounded by the coarse probe (both variants scan one
+    // cell); the composed path must stay comparable to IVF-flat — the
+    // PQ stage + rerank should lose at most a third of the flat-scan
+    // hits, far above the ~0.6% chance floor
+    val flatOverlap = ivfFlat.count(exact.contains).toDouble / exact.size
+    info(s"IVF-flat overlap with exact top-3: $flatOverlap")
+    assert(overlap >= 0.1)
+    assert(overlap >= flatOverlap * 0.66,
+      s"PQ stage lost too much recall: $overlap vs flat $flatOverlap")
+  }
+
   test("prefix-filtered setsim join equals brute-force trigram Jaccard >= 0.6") {
     // Unlike LSH (recall floor), prefix filtering is EXACT — the check
     // is set equality against an all-pairs computation on the corpus.

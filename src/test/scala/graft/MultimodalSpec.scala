@@ -36,4 +36,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(idxs.toSeq === (0L until n.toLong))
     assert(idxs.forall(i => i < n))
   }
+
+  test("synthesized PNGs are real PNGs and decode to header-true geometry") {
+    val docs = Seq((1L, "short"), (2L, "x" * 200), (3L, ""))
+      .toDF("doc_id", "text")
+    val media = Multimodal.derivePng(docs).collect()
+    // genuine PNG byte stream: 8-byte signature on every payload
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    media.foreach(m => assert(m.media.take(8).sameElements(sig),
+      s"doc ${m.doc_id} payload is not a PNG"))
+    val (ok, quarantine) = Multimodal.decodePng(Multimodal.derivePng(docs))
+    assert(quarantine.count() === 0)
+    val got = ok.collect().map(m => m.doc_id -> m).toMap
+    for ((id, text) <- Seq(1L -> "short", 2L -> ("x" * 200), 3L -> "")) {
+      val o = text.getBytes("UTF-8").length.toLong
+      assert(got(id).width === Multimodal.pngWidth(o))
+      assert(got(id).height === Multimodal.pngHeight(o))
+      assert(got(id).n_pixels ===
+        got(id).width.toLong * got(id).height)
+      assert(got(id).mime === "image/png")
+    }
+  }
+
+  test("a corrupt payload quarantines with a reason; good rows decode on") {
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val good = Multimodal.derivePng(docs).collect()
+    val corrupted = good.map { m =>
+      if (m.doc_id == 2L)
+        // truncate mid-stream: header parses, the raster read fails —
+        // exactly the poison shape that must NOT kill the partition
+        MediaRow(m.doc_id, m.media.take(m.media.length / 2))
+      else m
+    }
+    val (ok, quarantine) = Multimodal.decodePng(corrupted.toSeq.toDS())
+    assert(ok.collect().map(_.doc_id).toSeq === Seq(1L))
+    val q = quarantine.collect()
+    assert(q.map(_.doc_id).toSeq === Seq(2L))
+    assert(q.head.reason.nonEmpty)
+    // garbage bytes (not a PNG at all) quarantine too
+    val (ok2, q2) = Multimodal.decodePng(
+      Seq(MediaRow(9L, Array.fill[Byte](32)(0x42))).toDS())
+    assert(ok2.count() === 0 && q2.collect().map(_.doc_id).toSeq === Seq(9L))
+    // and the strict registered-query path refuses to silently drop
+    val e = intercept[Exception] {
+      graft.multimodal.Multimodal.decodePng(corrupted.toSeq.toDS()) match {
+        case (okRows, qRows) =>
+          require(qRows.take(1).isEmpty, s"quarantined: doc ${qRows.take(1).head.doc_id}")
+          okRows.count()
+      }
+    }
+    assert(e.getMessage.contains("quarantined"))
+  }
 }
