@@ -458,6 +458,78 @@ object WarehouseQueries {
              min(day_id) AS first_missing_day
       FROM gaps GROUP BY user_id ORDER BY user_id"""))
 
+  /** One time-travel fixture table per (session, sfDir): a month-
+    * partitioned slice of `orders` (keys ≡ 0 mod 7, prices as exact
+    * cents) upserted as version 1, then an SCD1 merge bumping every
+    * ≡ 0 mod 14 key's price by one cent as version 2 — two committed
+    * manifest snapshots with deterministic, oracle-computable content.
+    */
+  private val ttOnce = new graft.engine.SessionKeyedCache[String]
+
+  private def ttTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ttOnce.getOrElseUpdate(s, s"tt:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(
+        s, s"$dir/orders.parquet"))({
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("d"))
+      graft.engine.Upsert.upsertPartitioned(s, path, base,
+        Seq("o_orderkey", "d"), "d")
+      val bumped = base.filter(col("o_orderkey") % 14 === 0)
+        .withColumn("price_cents", col("price_cents") + 1)
+      graft.engine.Upsert.mergePartitioned(s, path, bumped,
+        Seq("o_orderkey", "d"), "d")
+      path
+    })
+
+  /** TIME TRAVEL through the manifest (round 11): the same table read
+    * at version 1 (pre-merge) and at the current version (post-merge)
+    * in one query — `Manifest.readAsOf` resolving a retired snapshot
+    * whose files the merge never touched. The oracle computes both
+    * versions' exact row counts and cent sums straight from `orders`,
+    * so a green diff proves (a) the v1 snapshot is bit-stable under a
+    * later multi-partition merge and (b) the merge's SCD1 semantics
+    * landed exactly once — the reader-side counterpart of
+    * ManifestSpec's racing-reader proof, held to the same hash gate as
+    * every other operator.
+    */
+  val qTimeTravel = QueryDef(
+    "q_time_travel",
+    (s, dir) => {
+      val path = ttTable(s, dir)
+      val versions = graft.engine.Manifest.versions(s, path)
+      require(versions.size == 2,
+        s"time-travel fixture expected 2 committed versions, got $versions")
+      def summarize(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("price_cents")).cast("long").as("sum_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+      summarize(graft.engine.Manifest.readAsOf(s, path, versions.head), 1)
+        .unionByName(summarize(graft.engine.Manifest.read(s, path), 2))
+        .orderBy(col("version"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders WHERE o_orderkey % 7 = 0)
+      SELECT 1 AS version, count(*) AS n_rows,
+             CAST(SUM(pc) AS BIGINT) AS sum_cents FROM s
+      UNION ALL
+      SELECT 2, count(*),
+             CAST(SUM(pc + CASE WHEN o_orderkey % 14 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) FROM s
+      ORDER BY version"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
-    qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps)
+    qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
+    qTimeTravel)
 }
