@@ -935,21 +935,27 @@ object GraphQueries {
   /** Oracle: the same peel as a fixed-unroll CTE chain over the
     * id-canonical undirected edges — independently re-derived from
     * lineitem (not the degree-oriented relation), so the builder and
-    * the peel are both cross-checked. `AS MATERIALIZED` on every level:
-    * each `n{r}` feeds two joins of level r+1 (the BPE/components
-    * double-reference rule).
+    * the peel are both cross-checked. `AS MATERIALIZED` on every level
+    * AND on the base relations: each `n{r}` feeds two joins of level
+    * r+1, and `es` feeds TWO joins of all ${KCorePeelUnroll}+1 levels —
+    * without the hint DuckDB re-ran the co-supply self-join ~25x and
+    * spilled the 10x sweep's disk dry (the BPE double-reference rule,
+    * applied to every multiply-referenced CTE, not just loop state).
     */
   private def kcoreOracle: String = {
     val sb = new StringBuilder
     sb ++= s"""
-      WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-      e0 AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
-             FROM lo a JOIN lo b
-               ON a.l_orderkey = b.l_orderkey
-              AND a.l_suppkey < b.l_suppkey
-             GROUP BY 1, 2 HAVING COUNT(*) >= $MinCooccur),
-      es AS (SELECT s1 AS src, s2 AS dst FROM e0
-             UNION ALL SELECT s2, s1 FROM e0),
+      WITH lo AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lo a JOIN lo b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= $MinCooccur),
+      es AS MATERIALIZED (
+        SELECT s1 AS src, s2 AS dst FROM e0
+        UNION ALL SELECT s2, s1 FROM e0),
       n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM es)"""
     for (r <- 0 until KCorePeelUnroll) {
       sb ++= s""",
