@@ -53,10 +53,31 @@ final class ConcurrentWriterException(msg: String)
   */
 object WriterLease {
 
+  /** Table paths whose lease THIS thread already holds — `withLease` is
+    * reentrant per thread, so a lease-holding writer can compose other
+    * lease-guarded steps (e.g. a merge deciding to `Manifest.vacuum`)
+    * without reading its own live lease file as a concurrent writer.
+    * Thread-local, not process-wide: two threads of one process racing
+    * the same table ARE concurrent writers and must stay fail-loud.
+    */
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
   /** Run `body` holding the exclusive writer lease for `tablePath`.
+    * Reentrant within a thread (the inner call is a no-op pass-through).
     * @throws ConcurrentWriterException when another writer holds it
     */
-  def withLease[A](spark: SparkSession, tablePath: String)(body: => A): A = {
+  def withLease[A](spark: SparkSession, tablePath: String)(body: => A): A =
+    if (held.get().contains(tablePath)) body
+    else {
+      held.set(held.get() + tablePath)
+      try withLeaseAcquire(spark, tablePath)(body)
+      finally held.set(held.get() - tablePath)
+    }
+
+  private def withLeaseAcquire[A](spark: SparkSession, tablePath: String)(
+      body: => A): A = {
     val lease = leasePath(tablePath)
     val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (lease.getParent != null) fs.mkdirs(lease.getParent)

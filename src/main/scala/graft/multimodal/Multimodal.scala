@@ -103,7 +103,14 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              img.setRGB(x, y, (docId * 2654435761L + x * 31 + y).toInt)
+              // doc_id is bounded modulo a prime BEFORE the multiply:
+              // entity-key-shifted ids reach ~1e11 at the soak/sweep
+              // multipliers, and an unbounded product overflows INT64 —
+              // which Scala wraps silently and DuckDB raises on, so the
+              // oracle could never mirror it (the data-scaled-product
+              // overflow discipline, applied to pixel synthesis)
+              img.setRGB(x, y,
+                ((docId % 1048573L) * 2654435761L + x * 31 + y).toInt)
               x += 1
             }
             y += 1
@@ -163,6 +170,41 @@ object Multimodal {
       // when the frames go unreferenced
     }.localCheckpoint()
     (decoded.flatMap(_._1), decoded.flatMap(_._2))
+  }
+
+  final case class PngPixels(doc_id: Long, n_pixels: Long, pixel_sum: Long)
+
+  /** Full-raster checksum of each decoded PNG: the sum of every
+    * pixel's 24-bit RGB value, read from the DECODED image. The
+    * synthesis formula is deterministic, so the oracle can compute the
+    * same sum in SQL from (doc_id, x, y) alone — a green diff
+    * therefore pins every PIXEL of the encode→PNG-bytes→decode round
+    * trip, not just the header geometry (the q_multimodal_meta
+    * contract strengthened to raster level). Strict by design: this
+    * runs on the engine's own synthesized payloads, so a decode
+    * failure here is a broken seam, not poison — the row-level
+    * quarantine path for untrusted bytes is [[decodePng]].
+    */
+  def decodePixelSums(media: Dataset[MediaRow]): Dataset[PngPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"doc ${r.doc_id}: payload failed to decode")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += (img.getRGB(x, y) & 0xFFFFFF)
+            x += 1
+          }
+          y += 1
+        }
+        PngPixels(r.doc_id, img.getWidth.toLong * img.getHeight, sum)
+      }
+    }
   }
 
   /** documents → header-true PNG metadata (the registered query's

@@ -129,6 +129,37 @@ object MiscQueries {
                   AS BIGINT) AS n_pixels
       FROM documents ORDER BY doc_id"""))
 
+  /** The raster-level strengthening of q_multimodal_meta: a full-pixel
+    * checksum of every DECODED image against the synthesis formula
+    * computed independently in SQL — bit-parity of 24-bit RGB values
+    * through a genuine PNG encode/decode cycle, per pixel, per
+    * document. (The SQL side double-unnests (x, y) ranges — fine for
+    * an oracle; the engine side reads the decoded raster in a tight
+    * per-partition loop, no shuffle, no explode.)
+    */
+  val qMultimodalPixels = QueryDef(
+    "q_multimodal_pixels",
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.decodePixelSums(
+        Multimodal.derivePng(t(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS o FROM documents),
+      g AS (SELECT doc_id, o % ${Multimodal.WidthMod} + 1 AS w,
+                   (o * 7) % ${Multimodal.HeightMod} + 1 AS h
+            FROM d),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM g),
+      pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px)
+      SELECT doc_id, CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(SUM(((doc_id % 1048573) * 2654435761 + x * 31 + y)
+                      & 16777215)
+                  AS BIGINT) AS pixel_sum
+      FROM pxy GROUP BY doc_id, w, h
+      ORDER BY doc_id"""))
+
   /** Frame-sampling plumbing over the media blobs (every 5th frame as
     * (offset, length) refs) — the one-to-many mapPartitions shape of
     * per-frame feature extraction, mirrored in SQL via range unnesting
@@ -212,5 +243,6 @@ object MiscQueries {
     bench = false)
 
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonlRoundtrip, qToJson,
-    qMultimodalMeta, qMultimodalFrames, qOrcRoundtrip, qTextRoundtrip)
+    qMultimodalMeta, qMultimodalPixels, qMultimodalFrames, qOrcRoundtrip,
+    qTextRoundtrip)
 }

@@ -137,18 +137,34 @@ class UpsertSpec extends AnyFunSuite {
     val batch = Seq((1, d1, "US", "x"), (2, d1, "US", "y"))
       .toDF("rank", "source_date", "country", "payload")
     val firstDone = graft.engine.WriterLease.withLease(spark, path) {
-      // writer B arrives while A holds the lease: loud, named failure
+      // writer B arrives ON ANOTHER THREAD while A holds the lease:
+      // loud, named failure (the lease is reentrant only WITHIN a
+      // thread — one thread cannot race itself, but two can)
+      def onOtherThread[T](f: => T): T = {
+        @volatile var out: Either[Throwable, T] = null
+        val t = new Thread(() =>
+          out = try Right(f) catch { case e: Throwable => Left(e) })
+        t.start(); t.join(60000)
+        out.fold(throw _, identity)
+      }
       val e = intercept[graft.engine.ConcurrentWriterException](
-        Upsert.upsertParquet(spark, path, batch, keys))
+        onOtherThread(Upsert.upsertParquet(spark, path, batch, keys)))
       assert(e.getMessage.contains(path) && e.getMessage.contains("pid="))
       val e2 = intercept[graft.engine.ConcurrentWriterException](
-        Upsert.upsertPartitioned(spark, path, batch, keys, "source_date"))
+        onOtherThread(
+          Upsert.upsertPartitioned(spark, path, batch, keys, "source_date")))
       assert(e2.getMessage.contains("single-writer"))
+      // while the SAME thread composes lease-guarded steps freely —
+      // the holder deciding to vacuum inside its own publish must not
+      // read its own lease as a concurrent writer
+      val n = Upsert.upsertParquet(spark, path, batch, keys)
+      assert(n === 2)
       "first-writer-finished"
     }
     assert(firstDone === "first-writer-finished")
-    // A released on exit; B's rejected attempts left no partial state
-    assert(Upsert.upsertParquet(spark, path, batch, keys) === 2)
+    // A released on exit; B's rejected attempts left no partial state,
+    // and replaying A's batch appends nothing
+    assert(Upsert.upsertParquet(spark, path, batch, keys) === 0)
     assert(graft.engine.Manifest.read(spark, path).count() === 2)
   }
 
