@@ -223,6 +223,87 @@ object Multimodal {
     ok.toDF()
   }
 
+  // ------------- real audio path (JDK-only codec) ------------------ //
+
+  /** Deterministic synthesized-WAV sample count for a document of `o`
+    * text bytes — like the PNG geometry, one definition shared with the
+    * oracle SQL.
+    */
+  val SamplesMod = 400
+  val SamplesMin = 50
+  private[graft] def wavSamples(o: Long): Int =
+    (o % SamplesMod).toInt + SamplesMin
+
+  /** Synthesize a REAL WAV payload per document: 16-bit signed PCM,
+    * mono, 8 kHz, samples from a deterministic function of
+    * (doc_id, i) — doc_id bounded modulo a prime BEFORE the multiply,
+    * same overflow discipline as the PNG raster — containerized by the
+    * JDK's `AudioSystem` WAV writer. The audio twin of [[derivePng]].
+    */
+  def deriveWav(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("o"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true /* signed */, false /* little-endian */)
+        rows.map { case (docId, o) =>
+          val n = wavSamples(o)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((docId % 1048573L) * 31 + i.toLong * 7) % 65536L
+              - 32768L).toInt
+            pcm(2 * i) = (v & 0xFF).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val buf = new java.io.ByteArrayOutputStream(n * 2 + 64)
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+          MediaRow(docId, buf.toByteArray)
+        }
+      }
+  }
+
+  final case class WavMeta(doc_id: Long, sample_rate: Int, bits: Int,
+      channels: Int, n_samples: Long, sample_sum: Long)
+
+  /** REAL WAV decode: `AudioSystem.getAudioInputStream` parses the
+    * container header (format, channel count, frame length — all
+    * header-true values, like the PNG width/height) and the PCM frames
+    * are fully read back into an exact integer sample sum the SQL
+    * oracle mirrors from the synthesis formula. Header AND content
+    * round-trip through a genuine WAV byte stream.
+    */
+  def decodeWav(media: Dataset[MediaRow]): Dataset[WavMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"doc ${r.doc_id}: unexpected format $fmt")
+        val n = ais.getFrameLength.toInt
+        val pcm = ais.readAllBytes()
+        require(pcm.length == n * 2,
+          s"doc ${r.doc_id}: ${pcm.length} PCM bytes for $n frames")
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          sum += ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1).toInt << 8))
+          i += 1
+        }
+        WavMeta(r.doc_id, fmt.getSampleRate.toInt,
+          fmt.getSampleSizeInBits, fmt.getChannels, n.toLong, sum)
+      }
+    }
+  }
+
   final case class FrameRef(doc_id: Long, frame_idx: Long, frame_off: Long,
       frame_len: Long)
 

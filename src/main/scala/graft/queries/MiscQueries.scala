@@ -160,6 +160,37 @@ object MiscQueries {
       FROM pxy GROUP BY doc_id, w, h
       ORDER BY doc_id"""))
 
+  /** The audio twin of the PNG pair (round 11): genuine 16-bit PCM WAV
+    * payloads synthesized and containerized by the JDK's AudioSystem,
+    * decoded back executor-side — sample rate / bit depth / channel
+    * count are HEADER-TRUE values parsed from the container, and the
+    * exact integer sum of every decoded PCM sample is mirrored in SQL
+    * from the synthesis formula. Image, audio: real bytes through real
+    * codecs; only video remains a documented stub (no JDK codec).
+    */
+  val qMultimodalAudio = QueryDef(
+    "q_multimodal_audio",
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.decodeWav(Multimodal.deriveWav(t(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS o FROM documents),
+      g AS (SELECT doc_id,
+                   o % ${Multimodal.SamplesMod} + ${Multimodal.SamplesMin}
+                     AS n
+            FROM d),
+      smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM g)
+      SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(16 AS INTEGER) AS bits, CAST(1 AS INTEGER) AS channels,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(SUM(((doc_id % 1048573) * 31 + i * 7) % 65536 - 32768)
+                  AS BIGINT) AS sample_sum
+      FROM smp GROUP BY doc_id, n
+      ORDER BY doc_id"""))
+
   /** Frame-sampling plumbing over the media blobs (every 5th frame as
     * (offset, length) refs) — the one-to-many mapPartitions shape of
     * per-frame feature extraction, mirrored in SQL via range unnesting
@@ -243,6 +274,6 @@ object MiscQueries {
     bench = false)
 
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonlRoundtrip, qToJson,
-    qMultimodalMeta, qMultimodalPixels, qMultimodalFrames, qOrcRoundtrip,
-    qTextRoundtrip)
+    qMultimodalMeta, qMultimodalPixels, qMultimodalAudio, qMultimodalFrames,
+    qOrcRoundtrip, qTextRoundtrip)
 }

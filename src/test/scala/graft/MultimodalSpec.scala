@@ -58,6 +58,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("synthesized WAVs are real WAVs: RIFF header, true format, exact samples") {
+    val docs = Seq((3L, "abc"), (4L, "x" * 123)).toDF("doc_id", "text")
+    val media = Multimodal.deriveWav(docs).collect()
+    media.foreach { m =>
+      assert(new String(m.media.take(4), "US-ASCII") === "RIFF")
+      assert(new String(m.media.slice(8, 12), "US-ASCII") === "WAVE")
+    }
+    val got = Multimodal.decodeWav(Multimodal.deriveWav(docs))
+      .collect().map(w => w.doc_id -> w).toMap
+    for ((id, text) <- Seq(3L -> "abc", 4L -> ("x" * 123))) {
+      val o = text.getBytes("UTF-8").length.toLong
+      val n = Multimodal.wavSamples(o)
+      assert(got(id).sample_rate === 8000)
+      assert(got(id).bits === 16 && got(id).channels === 1)
+      assert(got(id).n_samples === n.toLong)
+      val expected = (0 until n).map(i =>
+        ((id % 1048573L) * 31 + i.toLong * 7) % 65536L - 32768L).sum
+      assert(got(id).sample_sum === expected)
+    }
+  }
+
   test("a corrupt payload quarantines with a reason; good rows decode on") {
     val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val good = Multimodal.derivePng(docs).collect()
