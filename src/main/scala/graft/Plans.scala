@@ -63,7 +63,12 @@ object Plans {
     // (mapPartitions seam feeding a plain projection), and the k-core
     // FINAL induced-degree aggregate (the peel itself is a driver
     // loop; its evidence is the per-round log + GraphQueriesSpec)
-    "q_ann_ivfpq_topk", "q_multimodal_meta", "q_kcore")
+    "q_ann_ivfpq_topk", "q_multimodal_meta", "q_kcore",
+    // round-11 second part: the stats-skipping scan pair — the pruned
+    // branch's scan must list ONLY the envelope-overlapping files (a
+    // smaller FileScan than the full branch) with the box predicate
+    // still pushed; skipping changes task scheduling, not semantics
+    "q_stats_skipping")
 
   /** Queries whose scale story rests on RUNTIME exchange reuse across
     * the K levels of an analysis-time TVF expansion (one shuffle of the

@@ -17,11 +17,27 @@ object Compaction {
 
   /** Rewrite `path` with ~`targetBytesPerFile` files. Returns
     * (filesBefore, filesAfter).
+    *
+    * `clusterBy` (round 11): lay the compacted files out by range on
+    * these columns (sorted within files) instead of hash round-robin —
+    * hash-scattered output gives every file a full-domain min/max
+    * envelope, which silently defeats [[FileStats]] skipping. Compact +
+    * cluster + `statsCols` together are the maintenance pass that turns
+    * an append-fragmented table into a plan-time-skippable one (for 2-D
+    * clustering, feed one Morton column via [[ZOrder.zValue]] upstream
+    * or cluster on the two keys in major/minor order). Mutually
+    * exclusive with `partitionCol` (partition dirs already partition the
+    * range; combining the two writers would cross-product their file
+    * counts).
     */
   def compact(spark: SparkSession, path: String,
       partitionCol: Option[String] = None,
-      targetBytesPerFile: Long = 128L * 1024 * 1024): (Long, Long) =
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      statsCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): (Long, Long) =
       WriterLease.withLease(spark, path) {
+    require(partitionCol.isEmpty || clusterBy.isEmpty,
+      "compact: clusterBy and partitionCol are mutually exclusive")
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -46,6 +62,9 @@ object Compaction {
         val filesPerPart = math.max(1, math.ceil(nFiles.toDouble / nParts).toInt)
         val salt = pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(filesPerPart))
         df.repartition(nFiles, col(c), salt).write.partitionBy(c)
+      case None if clusterBy.nonEmpty =>
+        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*).write
       case None => df.repartition(nFiles).write
     }
     writer.mode("overwrite").parquet(staging.toString)
@@ -58,7 +77,10 @@ object Compaction {
     // snapshots until [[Manifest.vacuum]].
     try {
       val moved = Manifest.stageIn(spark, path, staging.toString)
-      Manifest.commit(spark, path, moved)
+      // compaction is the natural moment to (re)build skipping stats:
+      // the files just changed shape, and the footer read is O(files)
+      val stats = FileStats.collect(spark, path, moved, statsCols)
+      Manifest.commit(spark, path, moved, stats)
       (before.size.toLong, moved.size.toLong)
     } finally {
       fs.delete(staging, true); ()

@@ -87,12 +87,21 @@ object Manifest {
   /** Atomically commit `files` (table-relative) as the next version.
     * Callers hold the table's [[WriterLease]], so versions never race;
     * the rename is what makes the commit atomic FOR READERS.
+    *
+    * `stats` (optional, round 11): per-file column envelopes persisted
+    * as the version's `.stats` sidecar — written BEFORE the `.list`
+    * rename, so any visible version's sidecar is complete. An aborted
+    * commit leaves at worst an orphan sidecar for a version that never
+    * existed; the next successful commit of that version number simply
+    * overwrites it.
     */
-  def commit(spark: SparkSession, path: String, files: Seq[String]): Long = {
+  def commit(spark: SparkSession, path: String, files: Seq[String],
+      stats: FileStats.TableStats = Map.empty): Long = {
     val fs = fsOf(spark, path)
     val next = currentVersion(spark, path).getOrElse(0L) + 1
     val d = mdir(path)
     fs.mkdirs(d)
+    FileStats.write(spark, path, next, stats)
     val tmp = new Path(d, f"v$next%020d.list.tmp")
     val out = fs.create(tmp, true)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
@@ -101,6 +110,41 @@ object Manifest {
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"manifest commit failed: $tmp -> $fin")
     next
+  }
+
+  /** Plan-time file skipping (round 11): resolve the current snapshot,
+    * load its stats sidecar, and keep only files whose min/max envelopes
+    * intersect every `(col, lo, hi)` range. Returns (kept, total) —
+    * the read itself is [[readSkipping]]; this split lets specs assert
+    * pruning without executing a scan. Superset guarantee: versions or
+    * files without stats are kept, so the caller MUST still apply the
+    * actual predicate — skipping changes which tasks are scheduled,
+    * never the query result.
+    */
+  def planSkipping(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"planSkipping needs a manifest-managed table: $path has none"))
+    val files = filesAsOf(spark, path, v)
+    val stats = FileStats.read(spark, path, v)
+    (FileStats.prune(stats, files, ranges), files.size)
+  }
+
+  /** Snapshot read scheduling only the files that can satisfy `ranges`
+    * (see [[planSkipping]]). An empty kept set short-circuits to an
+    * empty relation with the table's schema (Spark cannot infer one
+    * from zero paths).
+    */
+  def readSkipping(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val (kept, _) = planSkipping(spark, path, ranges)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, path).schema)
+    else spark.read.option("basePath", path)
+      .parquet(kept.map(f => s"$path/$f"): _*)
   }
 
   /** Data files currently in the table directory (recursive, hidden
@@ -204,8 +248,10 @@ object Manifest {
       require(vs.contains(v),
         s"cannot roll $path back to v$v — committed versions: $vs")
       val fs = fsOf(spark, path)
-      vs.filter(_ > v).foreach(n =>
-        fs.delete(new Path(mdir(path), f"v$n%020d.list"), false))
+      vs.filter(_ > v).foreach { n =>
+        fs.delete(new Path(mdir(path), f"v$n%020d.list"), false)
+        FileStats.delete(spark, path, n)
+      }
     }
 
   /** Live partition directory names (top-level `col=value` components of
@@ -244,8 +290,10 @@ object Manifest {
           .foreach(d => try { fs.delete(d, false); () } catch {
             case _: java.io.IOException => ()
           })
-        drop.foreach(v =>
-          fs.delete(new Path(mdir(path), f"v$v%020d.list"), false))
+        drop.foreach { v =>
+          fs.delete(new Path(mdir(path), f"v$v%020d.list"), false)
+          FileStats.delete(spark, path, v)
+        }
         dead.size
       }
     }

@@ -529,7 +529,85 @@ object WarehouseQueries {
                   AS BIGINT) FROM s
       ORDER BY version"""))
 
+  /** One stats-skipping fixture table per (session, sfDir): `lineitem`
+    * keys + exact-cent price, Z-order clustered on (l_partkey,
+    * l_suppkey) into 16 files, committed as a manifest snapshot whose
+    * `.stats` sidecar carries the per-file footer envelopes of both
+    * cluster columns ([[graft.engine.FileStats.collect]] — footer reads
+    * only, distributed).
+    */
+  private val skOnce = new graft.engine.SessionKeyedCache[String]
+
+  private def skTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    skOnce.getOrElseUpdate(s, s"sk:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(
+        s, s"$dir/lineitem.parquet"))({
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sk_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 100).cast("bigint").as("price_cents"))
+      graft.engine.ZOrder.clusteredWrite(
+        base, "l_partkey", "l_suppkey", 16, path)
+      graft.engine.WriterLease.withLease(s, path) {
+        val files = graft.engine.Manifest.listDataFiles(s, path)
+        val stats = graft.engine.FileStats.collect(
+          s, path, files, Seq("l_partkey", "l_suppkey"))
+        graft.engine.Manifest.commit(s, path, files, stats)
+      }
+      path
+    })
+
+  /** FILE-LEVEL DATA SKIPPING through manifest stats (round 11): the
+    * same 2-D box aggregate computed twice — once over
+    * [[graft.engine.Manifest.readSkipping]] (plan-time pruning to the
+    * files whose (l_partkey, l_suppkey) envelopes intersect the box)
+    * and once over the full snapshot scan. Both rows are hash-checked
+    * against the oracle's from-raw-lineitem aggregate, so a green diff
+    * proves the pruned schedule loses no qualifying row — the superset
+    * guarantee, held to the same gate as every operator. The pruning
+    * EFFECT (kept files ≪ total, exact footer envelopes, conservative
+    * fallback for stat-less columns) is asserted in FileStatsSpec,
+    * following the q_zorder_cluster split of correctness-via-oracle /
+    * layout-via-spec.
+    *
+    * Scale: this is the plan-time half of the Z-order story — at 100 TB
+    * the win is scheduling tasks for the handful of overlapping files
+    * instead of opening every footer; stats collection itself reads
+    * footers only, distributed, O(files) not O(data).
+    */
+  val qStatsSkipping = QueryDef(
+    "q_stats_skipping",
+    (s, dir) => {
+      val path = skTable(s, dir)
+      val box = col("l_partkey").between(1, 150) &&
+        col("l_suppkey").between(1, 8)
+      val ranges = Seq(("l_partkey", 1.0, 150.0), ("l_suppkey", 1.0, 8.0))
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.filter(box)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("price_cents")).cast("long").as("sum_cents"))
+          .select(lit(tag).as("scan"), col("n_rows"), col("sum_cents"))
+      agg(graft.engine.Manifest.readSkipping(s, path, ranges), "pruned")
+        .unionByName(agg(graft.engine.Manifest.read(s, path), "full"))
+        .orderBy(col("scan"))
+    },
+    Some("""
+      WITH box AS (
+        SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+        FROM lineitem
+        WHERE l_partkey BETWEEN 1 AND 150 AND l_suppkey BETWEEN 1 AND 8)
+      SELECT 'full' AS scan, count(*) AS n_rows,
+             CAST(SUM(pc) AS BIGINT) AS sum_cents FROM box
+      UNION ALL
+      SELECT 'pruned', count(*), CAST(SUM(pc) AS BIGINT) FROM box
+      ORDER BY scan"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
-    qTimeTravel)
+    qTimeTravel, qStatsSkipping)
 }
