@@ -93,15 +93,33 @@ object Manifest {
     * rename, so any visible version's sidecar is complete. An aborted
     * commit leaves at worst an orphan sidecar for a version that never
     * existed; the next successful commit of that version number simply
-    * overwrites it.
+    * overwrites it. The previous version's envelopes CARRY FORWARD
+    * (merged under any newly provided ones, filtered to the committed
+    * file list): data files are immutable, so a file's envelope can
+    * never go stale — a daily merge keeps skipping stats for every
+    * untouched file, and only the files it rewrote read conservatively
+    * until the next stats collection.
+    *
+    * `schema` (optional, round 11): pins the TABLE schema as the
+    * version's `.schema` sidecar; once pinned it also carries forward,
+    * so every later version stays readable under the evolved schema
+    * without re-stating it. See [[addColumn]].
     */
   def commit(spark: SparkSession, path: String, files: Seq[String],
-      stats: FileStats.TableStats = Map.empty): Long = {
+      stats: FileStats.TableStats = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val fs = fsOf(spark, path)
-    val next = currentVersion(spark, path).getOrElse(0L) + 1
+    val prev = currentVersion(spark, path)
+    val next = prev.getOrElse(0L) + 1
     val d = mdir(path)
     fs.mkdirs(d)
-    FileStats.write(spark, path, next, stats)
+    val fileSet = files.toSet
+    val carried = prev.map(v => FileStats.read(spark, path, v))
+      .getOrElse(Map.empty)
+    FileStats.write(spark, path, next,
+      (carried ++ stats).filter { case (f, _) => fileSet(f) })
+    schema.orElse(prev.flatMap(v => schemaAsOf(spark, path, v)))
+      .foreach(st => writeSchemaSidecar(spark, path, next, st))
     val tmp = new Path(d, f"v$next%020d.list.tmp")
     val out = fs.create(tmp, true)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
@@ -111,6 +129,70 @@ object Manifest {
       throw new java.io.IOException(s"manifest commit failed: $tmp -> $fin")
     next
   }
+
+  private def schemaFile(path: String, v: Long): Path =
+    new Path(mdir(path), f"v$v%020d.schema")
+
+  private def writeSchemaSidecar(spark: SparkSession, path: String, v: Long,
+      st: org.apache.spark.sql.types.StructType): Unit = {
+    val out = fsOf(spark, path).create(schemaFile(path, v), true)
+    try out.write(st.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The schema pinned at version `v`, if any. Versions before the first
+    * [[addColumn]] have no sidecar and read with footer-derived schemas
+    * (all their files agree — drift was rejected at write time), which
+    * also makes time travel to a pre-migration version return the
+    * pre-migration shape.
+    */
+  def schemaAsOf(spark: SparkSession, path: String,
+      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fsOf(spark, path)
+    val f = schemaFile(path, v)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  private def deleteSchemaSidecar(spark: SparkSession, path: String,
+      v: Long): Unit = {
+    fsOf(spark, path).delete(schemaFile(path, v), false); ()
+  }
+
+  /** SCHEMA EVOLUTION as an explicit migration (round 11) — the widening
+    * path [[Upsert]]'s drift rejection points callers at. Adding a
+    * column to a manifest-managed table is METADATA-ONLY: one commit of
+    * the UNCHANGED file list with the widened schema pinned as the new
+    * version's sidecar — at 100 TB this costs one manifest write, zero
+    * data rewrite. Readers of any version at or after the migration
+    * apply the pinned schema, so rows in pre-migration files surface
+    * the new column as NULL (parquet by-name resolution); time travel
+    * to older versions still returns the old shape. The column must be
+    * nullable — its value IS null until a later merge writes it — and
+    * after the migration, old-shape batches are rejected by the same
+    * drift gate that rejected new-shape batches before it (the contract
+    * stays "a fixed schema per table VERSION", it just versions now).
+    */
+  def addColumn(spark: SparkSession, path: String,
+      field: org.apache.spark.sql.types.StructField): Long =
+    WriterLease.withLease(spark, path) {
+      require(field.nullable,
+        s"addColumn ${field.name}: an added column must be nullable — " +
+          "every pre-migration row reads it as NULL")
+      val cur = read(spark, path).schema
+      require(!cur.fieldNames.map(_.toLowerCase)
+        .contains(field.name.toLowerCase),
+        s"addColumn: $path already has a column named ${field.name}")
+      commit(spark, path, currentLive(spark, path),
+        schema = Some(org.apache.spark.sql.types.StructType(
+          cur.fields :+ field)))
+    }
 
   /** Plan-time file skipping (round 11): resolve the current snapshot,
     * load its stats sidecar, and keep only files whose min/max envelopes
@@ -143,8 +225,12 @@ object Manifest {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, path).schema)
-    else spark.read.option("basePath", path)
-      .parquet(kept.map(f => s"$path/$f"): _*)
+    else {
+      val r = spark.read.option("basePath", path)
+      currentVersion(spark, path).flatMap(schemaAsOf(spark, path, _))
+        .fold(r)(r.schema)
+        .parquet(kept.map(f => s"$path/$f"): _*)
+    }
   }
 
   /** Data files currently in the table directory (recursive, hidden
@@ -190,12 +276,16 @@ object Manifest {
       case None => spark.read.parquet(path)
     }
 
-  /** Time travel to a committed version (until [[vacuum]] retires it). */
+  /** Time travel to a committed version (until [[vacuum]] retires it).
+    * A version with a pinned schema (at or after an [[addColumn]]) is
+    * read under it — columns absent from older files resolve to NULL.
+    */
   def readAsOf(spark: SparkSession, path: String, v: Long): DataFrame = {
     val files = filesAsOf(spark, path, v)
     require(files.nonEmpty,
       s"manifest v$v of $path lists no files — nothing to read")
-    spark.read.option("basePath", path)
+    val r = spark.read.option("basePath", path)
+    schemaAsOf(spark, path, v).fold(r)(r.schema)
       .parquet(files.map(f => s"$path/$f"): _*)
   }
 
@@ -251,6 +341,7 @@ object Manifest {
       vs.filter(_ > v).foreach { n =>
         fs.delete(new Path(mdir(path), f"v$n%020d.list"), false)
         FileStats.delete(spark, path, n)
+        deleteSchemaSidecar(spark, path, n)
       }
     }
 
@@ -293,6 +384,7 @@ object Manifest {
         drop.foreach { v =>
           fs.delete(new Path(mdir(path), f"v$v%020d.list"), false)
           FileStats.delete(spark, path, v)
+          deleteSchemaSidecar(spark, path, v)
         }
         dead.size
       }

@@ -607,7 +607,105 @@ object WarehouseQueries {
       SELECT 'pruned', count(*), CAST(SUM(pc) AS BIGINT) FROM box
       ORDER BY scan"""))
 
+  /** One schema-evolution fixture table per (session, sfDir): an
+    * `orders` slice (keys ≡ 0 mod 11) upserted under the original
+    * (key, cents, month) shape, widened by a metadata-only
+    * [[graft.engine.Manifest.addColumn]] migration, then a second slice
+    * (keys ≡ 5 mod 11) upserted WITH the new `discount_cents` column —
+    * three committed versions whose content the oracle computes from
+    * `orders` arithmetic.
+    */
+  private val seOnce = new graft.engine.SessionKeyedCache[String]
+
+  private def seTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    seOnce.getOrElseUpdate(s, s"se:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(
+        s, s"$dir/orders.parquet"))({
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_se_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      def slice(rem: Int) = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 11 === rem)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("d"))
+      graft.engine.Upsert.upsertPartitioned(s, path, slice(0),
+        Seq("o_orderkey", "d"), "d")
+      graft.engine.Manifest.addColumn(s, path,
+        org.apache.spark.sql.types.StructField("discount_cents",
+          org.apache.spark.sql.types.LongType, nullable = true))
+      // bounded product: key % 1000 < 1000 — no overflow concern
+      graft.engine.Upsert.upsertPartitioned(s, path,
+        slice(5).withColumn("discount_cents",
+          (col("o_orderkey") % 1000).cast("bigint")),
+        Seq("o_orderkey", "d"), "d")
+      path
+    })
+
+  /** SCHEMA EVOLUTION under the oracle gate (round 11): the evolved
+    * table read at the current version (pre-migration rows surface the
+    * added column as NULL — count/sum aggregate over the mixed file
+    * generations) and time-traveled to the pre-migration version (old
+    * shape, no column). A green diff proves the metadata-only migration
+    * preserved every original row bit-exactly AND the null backfill is
+    * sound: `n_discount` counts exactly the post-migration slice, and
+    * `sum_cents` spans both file generations under one pinned schema.
+    * The structural facts (unchanged file list, drift gate now
+    * enforcing the evolved schema, sidecar retirement) are
+    * SchemaEvolutionSpec's half of the split.
+    *
+    * Scale: the migration cost is ONE manifest commit — adding a column
+    * to a 100 TB table rewrites nothing; readers pay zero until a merge
+    * actually writes the column.
+    */
+  val qSchemaEvolution = QueryDef(
+    "q_schema_evolution",
+    (s, dir) => {
+      val path = seTable(s, dir)
+      val v1 = graft.engine.Manifest.versions(s, path).head
+      val old = graft.engine.Manifest.readAsOf(s, path, v1)
+      require(!old.columns.contains("discount_cents"),
+        s"schema-evolution fixture: v$v1 must predate the migration")
+      val cur = graft.engine.Manifest.read(s, path)
+      cur.agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).cast("long").as("sum_cents"),
+          count(col("discount_cents")).as("n_discount"),
+          coalesce(sum(col("discount_cents")), lit(0L)).cast("long")
+            .as("sum_discount"))
+        .select(lit("current").as("snap"), col("n_rows"), col("sum_cents"),
+          col("n_discount"), col("sum_discount"))
+        .unionByName(old
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("price_cents")).cast("long").as("sum_cents"))
+          .select(lit("v1").as("snap"), col("n_rows"), col("sum_cents"),
+            lit(0L).as("n_discount"), lit(0L).as("sum_discount")))
+        .orderBy(col("snap"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders),
+      cur AS (
+        SELECT pc, CAST(NULL AS BIGINT) AS dc FROM b WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT pc, CAST(o_orderkey % 1000 AS BIGINT) FROM b
+        WHERE o_orderkey % 11 = 5)
+      SELECT 'current' AS snap, count(*) AS n_rows,
+             CAST(SUM(pc) AS BIGINT) AS sum_cents,
+             count(dc) AS n_discount,
+             CAST(COALESCE(SUM(dc), 0) AS BIGINT) AS sum_discount
+      FROM cur
+      UNION ALL
+      SELECT 'v1', count(*), CAST(SUM(pc) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM b WHERE o_orderkey % 11 = 0
+      ORDER BY snap"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
-    qTimeTravel, qStatsSkipping)
+    qTimeTravel, qStatsSkipping, qSchemaEvolution)
 }

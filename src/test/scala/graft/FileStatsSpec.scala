@@ -79,13 +79,24 @@ class FileStatsSpec extends AnyFunSuite {
     val (keptNoStats, _) =
       Manifest.planSkipping(spark, path, Seq(("payload", 0.0, 1.0)))
     assert(keptNoStats.size === total)
-    // version without a sidecar -> unskipped
+    // a stats-less commit CARRIES the envelopes forward (files are
+    // immutable, so they can never go stale — round-11 schema-evolution
+    // wave); a table that never collected stats reads unskipped
     WriterLease.withLease(spark, path) {
       Manifest.commit(spark, path, Manifest.currentLive(spark, path))
     }
-    val (keptNoSidecar, totalNoSidecar) =
+    val (keptCarried, totalCarried) =
       Manifest.planSkipping(spark, path, ranges)
-    assert(keptNoSidecar.size === totalNoSidecar)
+    assert(keptCarried.toSet === kept.toSet && totalCarried === total)
+    val bare = tmp()
+    (0 until 100).map(_.toLong).toDF("x")
+      .repartitionByRange(4, col("x")).write.parquet(bare)
+    WriterLease.withLease(spark, bare) {
+      Manifest.commit(spark, bare, Manifest.listDataFiles(spark, bare))
+    }
+    val (keptBare, totalBare) =
+      Manifest.planSkipping(spark, bare, Seq(("x", 0.0, 10.0)))
+    assert(keptBare.size === totalBare && totalBare === 4)
   }
 
   test("compaction with statsCols yields a skipping-capable snapshot") {

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{FileStats, Manifest, Upsert, WriterLease}
+
+/** Schema evolution as an explicit manifest migration (round 11):
+  * `Manifest.addColumn` is metadata-only (same file list, one new
+  * version pinning the widened schema), old rows read the new column as
+  * NULL, time travel keeps the old shape, the drift gate now enforces
+  * the EVOLVED schema, and per-file skipping stats carry forward across
+  * unrelated commits because data files are immutable.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-schevo").resolve("t").toString
+
+  private val d1 = Date.valueOf("2024-06-01")
+  private val d2 = Date.valueOf("2024-06-02")
+
+  test("addColumn is metadata-only and null-backfills at read") {
+    val path = tmp()
+    Upsert.upsertPartitioned(spark, path,
+      Seq((1, d1, 100L), (2, d2, 200L)).toDF("k", "d", "cents"),
+      Seq("k", "d"), "d")
+    val filesBefore = Manifest.currentLive(spark, path).sorted
+    val v2 = Manifest.addColumn(spark, path,
+      StructField("discount", LongType, nullable = true))
+    assert(Manifest.currentVersion(spark, path) === Some(v2))
+    // metadata-only: the live file list is bit-identical
+    assert(Manifest.currentLive(spark, path).sorted === filesBefore)
+    val now = Manifest.read(spark, path)
+    assert(now.columns.contains("discount"))
+    assert(now.filter(col("discount").isNull).count() === 2)
+    // time travel to the pre-migration version keeps the old shape
+    val v1 = Manifest.versions(spark, path).head
+    assert(!Manifest.readAsOf(spark, path, v1).columns.contains("discount"))
+  }
+
+  test("after migration the drift gate enforces the evolved schema") {
+    val path = tmp()
+    Upsert.upsertPartitioned(spark, path,
+      Seq((1, d1, 100L)).toDF("k", "d", "cents"), Seq("k", "d"), "d")
+    Manifest.addColumn(spark, path,
+      StructField("discount", LongType, nullable = true))
+    // old-shape batch: rejected, pointing at the migration contract
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertPartitioned(spark, path,
+        Seq((9, d2, 900L)).toDF("k", "d", "cents"), Seq("k", "d"), "d")
+    }
+    assert(e.getMessage.contains("schema drift"))
+    // new-shape batch: lands; old row keeps NULL, new row carries value
+    Upsert.upsertPartitioned(spark, path,
+      Seq((9, d2, 900L, 5L)).toDF("k", "d", "cents", "discount"),
+      Seq("k", "d"), "d")
+    val got = Manifest.read(spark, path)
+      .select("k", "discount").as[(Int, Option[Long])].collect().toMap
+    assert(got === Map(1 -> None, 9 -> Some(5L)))
+    // merge path replaces under the evolved schema too
+    Upsert.mergePartitioned(spark, path,
+      Seq((1, d1, 111L, 7L)).toDF("k", "d", "cents", "discount"),
+      Seq("k", "d"), "d")
+    val merged = Manifest.read(spark, path)
+      .select("k", "discount").as[(Int, Option[Long])].collect().toMap
+    assert(merged === Map(1 -> Some(7L), 9 -> Some(5L)))
+  }
+
+  test("addColumn rejects duplicates and non-nullable fields") {
+    val path = tmp()
+    Upsert.upsertParquet(spark, path,
+      Seq((1, 10L)).toDF("k", "cents"), Seq("k"))
+    intercept[IllegalArgumentException] {
+      Manifest.addColumn(spark, path,
+        StructField("cents", LongType, nullable = true))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.addColumn(spark, path,
+        StructField("x", LongType, nullable = false))
+    }
+  }
+
+  test("skipping stats carry forward across commits; migration keeps them") {
+    val path = tmp()
+    (0 until 256).map(i => (i.toLong, i * 3L)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).write.parquet(path)
+    WriterLease.withLease(spark, path) {
+      val files = Manifest.listDataFiles(spark, path)
+      Manifest.commit(spark, path, files,
+        FileStats.collect(spark, path, files, Seq("k")))
+    }
+    val (kept1, total1) =
+      Manifest.planSkipping(spark, path, Seq(("k", 0.0, 31.0)))
+    assert(kept1.size < total1)
+    // a stats-less metadata commit (the migration) must not lose them
+    Manifest.addColumn(spark, path,
+      StructField("discount", LongType, nullable = true))
+    val (kept2, total2) =
+      Manifest.planSkipping(spark, path, Seq(("k", 0.0, 31.0)))
+    assert(kept2.sorted === kept1.sorted && total2 === total1)
+    // an append commit without stats: old files keep envelopes, the new
+    // file is conservative-kept
+    (1000L until 1010L).map(i => (i, i)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(path)
+    WriterLease.withLease(spark, path) {
+      Manifest.commit(spark, path, Manifest.listDataFiles(spark, path))
+    }
+    val (kept3, total3) =
+      Manifest.planSkipping(spark, path, Seq(("k", 0.0, 31.0)))
+    assert(total3 === total1 + 1)
+    assert(kept3.size === kept1.size + 1,
+      "appended stat-less file must be kept; carried envelopes still prune")
+    // dropped files' stale entries are filtered at commit: a commit that
+    // removes files must not retain their envelopes in the sidecar
+    val live = Manifest.currentLive(spark, path)
+    val dropped = kept1.head
+    WriterLease.withLease(spark, path) {
+      Manifest.commit(spark, path, live.filterNot(_ == dropped))
+    }
+    val v = Manifest.currentVersion(spark, path).get
+    assert(!FileStats.read(spark, path, v).contains(dropped))
+  }
+
+  test("vacuum and rollback retire schema sidecars with their versions") {
+    val path = tmp()
+    Upsert.upsertParquet(spark, path,
+      Seq((1, 10L)).toDF("k", "cents"), Seq("k"))
+    val vMig = Manifest.addColumn(spark, path,
+      StructField("discount", LongType, nullable = true))
+    Manifest.rollback(spark, path, vMig - 1)
+    assert(Manifest.schemaAsOf(spark, path, vMig).isEmpty)
+    assert(!Manifest.read(spark, path).columns.contains("discount"))
+    // re-migrate, then vacuum away the pre-migration version: current
+    // still reads evolved
+    Manifest.addColumn(spark, path,
+      StructField("discount", LongType, nullable = true))
+    Manifest.vacuum(spark, path, keep = 1)
+    assert(Manifest.read(spark, path).columns.contains("discount"))
+  }
+}
