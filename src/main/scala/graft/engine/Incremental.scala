@@ -1,0 +1,160 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Incremental materialized-view maintenance driven by MANIFEST DIFFS —
+  * the pipeline pattern the reference approximates with Airflow
+  * date-scoped reruns (each DAG run recomputes one execution date's
+  * mart slice), generalized so the engine itself knows WHICH slices
+  * need recomputation: two manifest versions of a partitioned source
+  * diff to the exact set of partitions whose live file set changed,
+  * and only those partitions' mart rows are recomputed and swapped in.
+  *
+  * At 100 TB this is the difference between a daily O(history) mart
+  * rebuild and an O(day) refresh: a merge touches one date partition
+  * of ~3650; `changedPartitions` names it from two driver-side file
+  * lists (no data I/O at all), the recompute scans only that
+  * partition's files, and the swap is one snapshot-isolated commit on
+  * the mart.
+  *
+  * Contract: `compute` must be PER-PARTITION DECOMPOSABLE over
+  * `dateCol` — its output for a set of partitions depends only on the
+  * source rows of those partitions (true of any aggregation that
+  * groups by the partition column; false of cross-date windows). The
+  * refresh recomputes changed partitions WHOLESALE (dynamic partition
+  * overwrite, [[Upsert.overwritePartitions]]), so mart groups that
+  * vanish from a partition vanish from the mart — merge-based
+  * maintenance would leak them.
+  *
+  * Crash safety: the applied-source-version bookmark is written (atomic
+  * rename) AFTER the mart commit. A crash between the two replays the
+  * same partitions against the same source snapshot — overwrite is
+  * idempotent, so the retry converges. Lease-guarded like every writer.
+  */
+object Incremental {
+
+  /** The result of one refresh: source versions walked and the
+    * partition directory names recomputed. */
+  final case class Refresh(fromVersion: Option[Long], toVersion: Long,
+      recomputed: Seq[String])
+
+  private def bookmarkFile(martPath: String): Path =
+    new Path(new Path(martPath, "_graft_manifest"), "source_version")
+
+  /** The source version the mart currently reflects, if any. */
+  def appliedSourceVersion(spark: SparkSession,
+      martPath: String): Option[Long] = {
+    val fs = bookmarkFile(martPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = bookmarkFile(martPath)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .toLongOption
+      finally in.close()
+    }
+  }
+
+  private def writeBookmark(spark: SparkSession, martPath: String,
+      v: Long): Unit = {
+    val f = bookmarkFile(martPath)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(f.getParent)
+    val tmp = new Path(f.getParent, "source_version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new java.io.IOException(s"bookmark write failed: $tmp -> $f")
+  }
+
+  /** Top-level partition directories (`col=value`) whose live file set
+    * differs between two committed versions of `sourcePath` — added,
+    * dropped, or rewritten. Pure driver arithmetic over the two
+    * manifests; no data I/O.
+    */
+  def changedPartitions(spark: SparkSession, sourcePath: String,
+      vFrom: Long, vTo: Long): Seq[String] = {
+    def byPart(v: Long): Map[String, Set[String]] =
+      Manifest.filesAsOf(spark, sourcePath, v)
+        .filter(_.contains("/"))
+        .groupBy(_.takeWhile(_ != '/'))
+        .map { case (p, fs) => p -> fs.toSet }
+    val a = byPart(vFrom)
+    val b = byPart(vTo)
+    (a.keySet ++ b.keySet).toSeq.sorted
+      .filter(p => a.get(p) != b.get(p))
+  }
+
+  /** Bring the mart at `martPath` up to the source's current snapshot.
+    *
+    *  - first run (no bookmark): full compute over the whole source;
+    *  - bookmark == current source version: no-op;
+    *  - otherwise: recompute ONLY the partitions [[changedPartitions]]
+    *    names, swap them into the mart wholesale.
+    *
+    * `compute` maps source rows to mart rows and must carry `dateCol`
+    * through (per-partition decomposability, see object scaladoc).
+    * Partition values are re-typed from the directory names via the
+    * source schema (date/string/integral), so the changed-partition
+    * filter PRUNES the source scan rather than post-filtering it.
+    */
+  def refresh(spark: SparkSession, sourcePath: String, martPath: String,
+      dateCol: String)(compute: DataFrame => DataFrame): Refresh =
+    WriterLease.withLease(spark, martPath) {
+      val toV = Manifest.currentVersion(spark, sourcePath).getOrElse(
+        throw new IllegalStateException(
+          s"incremental refresh needs a manifest-managed source: " +
+            s"$sourcePath has no committed version"))
+      appliedSourceVersion(spark, martPath) match {
+        case None =>
+          val mart = compute(Manifest.read(spark, sourcePath))
+          Upsert.overwritePartitions(spark, martPath, mart, dateCol)
+          writeBookmark(spark, martPath, toV)
+          Refresh(None, toV, Seq("<full>"))
+        case Some(fromV) if fromV == toV =>
+          Refresh(Some(fromV), toV, Seq.empty)
+        case Some(fromV) =>
+          val changed = changedPartitions(spark, sourcePath, fromV, toV)
+          if (changed.nonEmpty) {
+            val src = Manifest.read(spark, sourcePath)
+            val values = changed.map(_.dropWhile(_ != '=').drop(1))
+            val typed = typedPartitionValues(src, dateCol, values)
+            val delta = compute(src.filter(col(dateCol).isin(typed: _*)))
+            Upsert.overwritePartitions(spark, martPath, delta, dateCol,
+              expectedValues = Some(values))
+          }
+          writeBookmark(spark, martPath, toV)
+          Refresh(Some(fromV), toV, changed)
+      }
+    }
+
+  /** Directory-name partition values re-typed through the source
+    * schema, so `isin` compares (and prunes) in the column's own type.
+    * `__HIVE_DEFAULT_PARTITION__` (NULL) is rejected: a NULL-dated
+    * changed partition cannot be expressed as an `isin` prune, and a
+    * mart keyed on NULL dates is a modeling error worth failing loudly.
+    */
+  private def typedPartitionValues(src: DataFrame, dateCol: String,
+      values: Seq[String]): Seq[Any] = {
+    require(!values.contains("__HIVE_DEFAULT_PARTITION__"),
+      s"incremental refresh: NULL $dateCol partition changed — " +
+        "a NULL-dated mart slice is not refreshable by partition value")
+    import org.apache.spark.sql.types._
+    val dt = src.schema(dateCol).dataType
+    values.map { v =>
+      dt match {
+        case DateType => java.sql.Date.valueOf(v)
+        case StringType => v
+        case IntegerType => v.toInt
+        case LongType => v.toLong
+        case ShortType => v.toShort
+        case other => throw new IllegalArgumentException(
+          s"incremental refresh: unsupported partition column type $other")
+      }
+    }
+  }
+}

@@ -171,29 +171,9 @@ object Upsert {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         try {
-          val stagedParts =
-            fs.listStatus(new org.apache.hadoop.fs.Path(stagingPath))
-              .filter(_.isDirectory).map(_.getPath)
-              .filter(_.getName.startsWith(s"$dateCol="))
-          // move each staged FILE (not the partition dir) into the live
-          // partition directory under its job-unique name; previous
-          // files stay in place, invisible to the new manifest
-          val movedIn = stagedParts.flatMap { part =>
-            val targetDir = new org.apache.hadoop.fs.Path(path, part.getName)
-            fs.mkdirs(targetDir)
-            fs.listStatus(part).filter(_.isFile).map(_.getPath)
-              .filterNot(f => f.getName.startsWith("_") ||
-                f.getName.startsWith("."))
-              .map { f =>
-                val dst = new org.apache.hadoop.fs.Path(targetDir, f.getName)
-                if (!fs.rename(f, dst))
-                  throw new java.io.IOException(
-                    s"merge stage-in failed: $f -> $dst (manifest not " +
-                      "committed; table snapshot unaffected — re-run)")
-                s"${part.getName}/${f.getName}"
-              }
-          }
-          val replacedParts = stagedParts.map(_.getName + "/").toSeq
+          val (movedIn, stagedParts) =
+            moveStagedPartitions(fs, path, stagingPath, dateCol)
+          val replacedParts = stagedParts.map(_ + "/")
           val newLive = preLive
             .filterNot(f => replacedParts.exists(f.startsWith)) ++ movedIn
           Manifest.commit(spark, path, newLive)
@@ -204,6 +184,106 @@ object Upsert {
       }
     }
   }
+
+  /** Move each staged FILE (not the partition dir) into the live
+    * partition directory under its job-unique name; previous files stay
+    * in place, invisible to the next manifest. Returns (table-relative
+    * moved file paths, staged partition dir names).
+    */
+  private def moveStagedPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, stagingPath: String,
+      dateCol: String): (Seq[String], Seq[String]) = {
+    val stagedParts =
+      fs.listStatus(new org.apache.hadoop.fs.Path(stagingPath))
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(s"$dateCol="))
+    val movedIn = stagedParts.flatMap { part =>
+      val targetDir = new org.apache.hadoop.fs.Path(path, part.getName)
+      fs.mkdirs(targetDir)
+      fs.listStatus(part).filter(_.isFile).map(_.getPath)
+        .filterNot(f => f.getName.startsWith("_") ||
+          f.getName.startsWith("."))
+        .map { f =>
+          val dst = new org.apache.hadoop.fs.Path(targetDir, f.getName)
+          if (!fs.rename(f, dst))
+            throw new java.io.IOException(
+              s"merge stage-in failed: $f -> $dst (manifest not " +
+                "committed; table snapshot unaffected — re-run)")
+          s"${part.getName}/${f.getName}"
+        }
+    }
+    (movedIn.toSeq, stagedParts.map(_.getName).toSeq)
+  }
+
+  /** Dynamic-partition OVERWRITE (round 11): every `dateCol` partition
+    * present in `incoming` is replaced WHOLESALE; partitions absent from
+    * `incoming` are untouched. This is the correct primitive for
+    * recomputed mart slices ([[Incremental.refresh]]) — unlike
+    * [[mergePartitioned]], groups that vanished from the recomputed
+    * slice vanish from the table. Snapshot-isolated like every mutation
+    * here: replacement files land under fresh names and become visible
+    * through ONE atomic manifest commit; replaced files survive for
+    * older snapshots until [[Manifest.vacuum]].
+    *
+    * `expectedValues` (optional): the exact partition VALUES the caller
+    * intends to replace. Staged output outside that set fails the write
+    * pre-commit (a per-partition-decomposable compute must not leak
+    * rows into foreign partitions), and expected partitions with NO
+    * staged output are DROPPED from the snapshot — an empty recomputed
+    * slice means the slice no longer exists, which `incoming`'s rows
+    * alone cannot express.
+    *
+    * Returns the number of rows written.
+    */
+  def overwritePartitions(spark: SparkSession, path: String,
+      incoming: DataFrame, dateCol: String,
+      expectedValues: Option[Seq[String]] = None): Long =
+    WriterLease.withLease(spark, path) {
+      if (!tableExists(spark, path)) {
+        stagedAppend(spark, path, incoming, Some(dateCol))
+      } else {
+        val table = Manifest.read(spark, path)
+        requireSameColumns(incoming, table, path)
+        val preLive = Manifest.currentLive(spark, path)
+        val stagingPath = s"$path.__overwrite_staging"
+        incoming.write.mode("overwrite").partitionBy(dateCol)
+          .parquet(stagingPath)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          val staged = fs.listStatus(
+            new org.apache.hadoop.fs.Path(stagingPath))
+            .filter(_.isDirectory)
+            .filter(_.getPath.getName.startsWith(s"$dateCol="))
+          val n =
+            if (staged.isEmpty) 0L
+            else spark.read.option("basePath", stagingPath)
+              .parquet(staged.map(_.getPath.toString).toIndexedSeq: _*)
+              .count()
+          val (movedIn, stagedParts) =
+            moveStagedPartitions(fs, path, stagingPath, dateCol)
+          val replaced = expectedValues match {
+            case Some(vals) =>
+              val expected = vals.map(v => s"$dateCol=$v").toSet
+              val leaked = stagedParts.filterNot(expected)
+              require(leaked.isEmpty,
+                s"overwritePartitions into $path: staged output for " +
+                  s"unexpected partitions ${leaked.mkString("[", ",", "]")}" +
+                  " — the compute leaked rows outside the declared set " +
+                  "(manifest not committed; table snapshot unaffected)")
+              expected.toSeq
+            case None => stagedParts
+          }
+          val replacedPrefixes = replaced.map(_ + "/")
+          val newLive = preLive
+            .filterNot(f => replacedPrefixes.exists(f.startsWith)) ++ movedIn
+          Manifest.commit(spark, path, newLive)
+          n
+        } finally {
+          fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+        }
+      }
+    }
 
   /** Materialize the delta to a STAGING DIRECTORY, then append from that.
     * The delta's plan reads the target it is about to write; a cache
