@@ -68,7 +68,13 @@ object Plans {
     // branch's scan must list ONLY the envelope-overlapping files (a
     // smaller FileScan than the full branch) with the box predicate
     // still pushed; skipping changes task scheduling, not semantics
-    "q_stats_skipping")
+    "q_stats_skipping",
+    // round-11 third part: the incrementally-maintained mart read
+    // (plan = a plain manifest snapshot scan — the maintenance work
+    // happened at write time, which is the point) and the CDC feed
+    // (scans ONLY the changed-file subsets, full-outer join on the
+    // key, explode classification — no scan of the unchanged table)
+    "q_incremental_mart", "q_cdc_feed")
 
   /** Queries whose scale story rests on RUNTIME exchange reuse across
     * the K levels of an analysis-time TVF expansion (one shuffle of the

@@ -1,0 +1,114 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level CDC: the NET changes between two committed snapshots of a
+  * manifest-managed table, reconstructed from the manifest file diff —
+  * no change log is ever written. Every writer in this engine produces
+  * IMMUTABLE files and commits by swapping the manifest, so the rows
+  * that differ between snapshot vFrom and snapshot vTo can only live in
+  * files RETIRED from vFrom's list or ADDED to vTo's list; files common
+  * to both versions contribute nothing and are NEVER READ. At 100 TB
+  * with a one-partition daily merge, a day's change feed reads two
+  * partitions' worth of files, not the table — O(delta) I/O, and the
+  * classification join shuffles only delta rows on the key.
+  *
+  * This is the capability a warehouse exposes as a change feed (the
+  * reference's consumers would poll Postgres for new rows); here any
+  * two retained versions diff on demand, which also makes the feed
+  * replayable: the same (vFrom, vTo] range always yields the same rows.
+  *
+  * Semantics are NET over the version range: a row inserted after vFrom
+  * and deleted before vTo appears in neither snapshot's live files and
+  * so emits nothing; a row rewritten with identical values (compaction,
+  * clustering, or a merge that touched its partition but not its
+  * values) is filtered by a null-safe whole-row comparison and emits
+  * nothing. Per-change rows carry `_change_type`:
+  * `insert` | `delete` | `update_preimage` | `update_postimage`
+  * (updates emit both images, postimage-after-preimage under a
+  * (key, _change_type) sort).
+  *
+  * Both sides read under vTo's pinned schema when one exists
+  * ([[Manifest.addColumn]] sidecars), so a column added mid-range
+  * backfills NULL on the old side and value drift surfaces as updates.
+  */
+object ChangeFeed {
+
+  val ChangeCol = "_change_type"
+
+  def changes(spark: SparkSession, path: String, vFrom: Long, vTo: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "change feed needs at least one key column")
+    require(vFrom <= vTo, s"change feed range is backwards: $vFrom > $vTo")
+    val from = Manifest.filesAsOf(spark, path, vFrom).toSet
+    val to = Manifest.filesAsOf(spark, path, vTo).toSet
+    val removed = (from -- to).toSeq.sorted
+    val added = (to -- from).toSeq.sorted
+    val pinned = Manifest.schemaAsOf(spark, path, vTo)
+
+    def readSubset(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else {
+        val r = spark.read.option("basePath", path)
+        Some(pinned.fold(r)(r.schema)
+          .parquet(files.map(f => s"$path/$f"): _*))
+      }
+
+    def emptyLike(d: DataFrame): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], d.schema)
+
+    (readSubset(removed), readSubset(added)) match {
+      case (None, None) =>
+        // no file changed in the range: an empty feed, typed off the
+        // snapshot schema (cheap — limit 0 prunes the scan to nothing)
+        val t = Manifest.readAsOf(spark, path, vTo)
+        t.limit(0).withColumn(ChangeCol, lit(""))
+      case (o, n) =>
+        val oldRows = o.getOrElse(emptyLike(n.get))
+        val newRows = n.getOrElse(emptyLike(o.get))
+        classify(oldRows, newRows, keyCols)
+    }
+  }
+
+  /** One-pass classification: full outer join on the (null-safe) key,
+    * then each joined row explodes into its change rows — zero for a
+    * value-identical rewrite, one for insert/delete, two for an update
+    * (preimage + postimage). A single select over the join output, so
+    * the join is computed once and the whole pipeline stays in
+    * whole-stage codegen.
+    */
+  private def classify(oldRows: DataFrame, newRows: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val cols = newRows.columns.toSeq
+    require(keyCols.forall(cols.contains),
+      s"key columns ${keyCols.filterNot(cols.contains)} missing from " +
+        s"table columns $cols")
+    val valCols = cols.filterNot(keyCols.contains)
+    // presence indicators that survive the outer join: a non-null
+    // constant on each side (keys may in principle be null; `<=>`
+    // pairs them, the indicator says which sides exist)
+    val ol = oldRows.withColumn("_op", lit(true)).alias("o")
+    val nw = newRows.withColumn("_np", lit(true)).alias("n")
+    val joinCond = keyCols.map(k => col(s"o.$k") <=> col(s"n.$k"))
+      .reduce(_ && _)
+    val j = ol.join(nw, joinCond, "full_outer")
+    def image(side: String, tag: String) =
+      struct(
+        keyCols.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++
+          valCols.map(c => col(s"$side.$c").as(c)) :+
+          lit(tag).as(ChangeCol): _*)
+    val sameVals =
+      if (valCols.isEmpty) lit(true)
+      else valCols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+    // no `otherwise` branch: a value-identical rewrite falls through to
+    // NULL, and explode(NULL) emits zero rows — the compaction filter
+    val changeRows =
+      when(col("o._op").isNull, array(image("n", "insert")))
+        .when(col("n._np").isNull, array(image("o", "delete")))
+        .when(!sameVals, array(image("o", "update_preimage"),
+          image("n", "update_postimage")))
+    j.select(explode(changeRows).as("_c")).select(col("_c.*"))
+  }
+}

@@ -785,7 +785,113 @@ object WarehouseQueries {
       SELECT d, count(*) AS n_orders, CAST(SUM(pc) AS BIGINT) AS sum_cents
       FROM s GROUP BY d ORDER BY d"""))
 
+  /** One CDC fixture per (session, sfDir): a month-partitioned `orders`
+    * slice (keys ≡ 0 mod 7) committed as the FROM snapshot, then ONE
+    * dynamic partition overwrite of the 1996 months that deletes ≡ 0
+    * mod 21 keys, bumps ≡ 0 mod 14 keys by a cent, and inserts ≡ 0
+    * mod 3 (∧ ≢ 0 mod 7) keys — all three change types in one commit,
+    * scoped to 12 of ~80 partitions so the feed's O(delta) read is
+    * real, not vacuous. `expectedValues` = every live 1996 month, so a
+    * month whose recomputed slice is empty is dropped (its rows must
+    * surface as deletes) rather than silently untouched.
+    * Returns (srcPath, vFrom, vTo).
+    */
+  private val cdcOnce =
+    new graft.engine.SessionKeyedCache[(String, Long, Long)]
+
+  private def cdcTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Long, Long) =
+    cdcOnce.getOrElseUpdate(s, s"cdc:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(
+        s, s"$dir/orders.parquet"))({
+      val srcPath = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}_src"
+      val fs = new org.apache.hadoop.fs.Path(srcPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(srcPath), true)
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("d"))
+      graft.engine.Upsert.upsertPartitioned(s, srcPath,
+        base.filter(col("o_orderkey") % 7 === 0),
+        Seq("o_orderkey", "d"), "d")
+      val vFrom = graft.engine.Manifest.currentVersion(s, srcPath).get
+      val in96 = year(col("d")) === 1996
+      val incoming = base
+        .filter(in96 && col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 21 =!= 0)
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 14 === 0, col("price_cents") + 1)
+            .otherwise(col("price_cents")))
+        .unionByName(base.filter(in96 && col("o_orderkey") % 3 === 0 &&
+          col("o_orderkey") % 7 =!= 0))
+      // expected = EVERY 1996 month present in orders, not just months
+      // live in v1: on sparse data the insert branch can introduce a
+      // month with no v1 rows, and a v1-only month with an empty
+      // recomputed slice must be DROPPED (its rows become deletes);
+      // expected-but-absent months are a no-op by construction
+      val live96 = base.filter(in96).select(col("d")).distinct()
+        .collect().map(_.getDate(0).toString).sorted.toSeq
+      graft.engine.Upsert.overwritePartitions(s, srcPath, incoming, "d",
+        expectedValues = Some(live96))
+      val vTo = graft.engine.Manifest.currentVersion(s, srcPath).get
+      (srcPath, vFrom, vTo)
+    })
+
+  /** ROW-LEVEL CDC FEED from manifest file diffs (round 11,
+    * [[graft.engine.ChangeFeed]]): the net insert/update/delete rows
+    * between two committed snapshots, reconstructed on demand — no
+    * change log is written. Files common to both versions are never
+    * read (immutability makes them changeless by construction), so the
+    * feed's I/O is O(changed files): here 12 month partitions of ~80,
+    * CdcSpec proves the scan-file set. The oracle recomputes all three
+    * change classes from `orders` arithmetic, so a green hash proves
+    * classification, the value-identical-rewrite filter (≡ 0 mod 7
+    * non-multiples-of-14 rows in touched partitions are rewritten
+    * byte-identical and must NOT appear), and both update images.
+    */
+  val qCdcFeed = QueryDef(
+    "q_cdc_feed",
+    (s, dir) => {
+      val (srcPath, vFrom, vTo) = cdcTable(s, dir)
+      graft.engine.ChangeFeed.changes(s, srcPath, vFrom, vTo,
+        Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("price_cents"), col("d"),
+          col(graft.engine.ChangeFeed.ChangeCol).as("change_type"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS d
+        FROM orders),
+      v1 AS (SELECT k, pc, d FROM base
+             WHERE k % 7 = 0 AND EXTRACT(year FROM d) = 1996),
+      v2 AS (SELECT k, pc + CASE WHEN k % 14 = 0 THEN 1 ELSE 0 END AS pc, d
+             FROM base
+             WHERE k % 7 = 0 AND k % 21 <> 0 AND EXTRACT(year FROM d) = 1996
+             UNION ALL
+             SELECT k, pc, d FROM base
+             WHERE k % 3 = 0 AND k % 7 <> 0 AND EXTRACT(year FROM d) = 1996),
+      upd AS (SELECT v1.k FROM v1 JOIN v2 ON v1.k = v2.k
+              WHERE v1.pc <> v2.pc)
+      SELECT k AS o_orderkey, pc AS price_cents, d, change_type FROM (
+        SELECT k, pc, d, 'insert' AS change_type FROM v2
+        WHERE k NOT IN (SELECT k FROM v1)
+        UNION ALL
+        SELECT k, pc, d, 'delete' FROM v1
+        WHERE k NOT IN (SELECT k FROM v2)
+        UNION ALL
+        SELECT v1.k, v1.pc, v1.d, 'update_preimage'
+        FROM v1 JOIN upd ON v1.k = upd.k
+        UNION ALL
+        SELECT v2.k, v2.pc, v2.d, 'update_postimage'
+        FROM v2 JOIN upd ON v2.k = upd.k)
+      ORDER BY o_orderkey, change_type"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
-    qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart)
+    qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart, qCdcFeed)
 }
