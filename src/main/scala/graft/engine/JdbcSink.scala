@@ -144,6 +144,145 @@ object JdbcSink {
     } finally conn.close()
   }
 
+  /** The replica's applied source version, from the transactional
+    * offset ledger — the SOURCE OF TRUTH for where a CDC sync resumes
+    * (a file-side bookmark could diverge from the replica after a
+    * crash; this one is committed in the same transaction as the rows
+    * it describes, so it cannot).
+    */
+  def readOffset(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): Option[Long] = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      ensureTable(conn, "graft_cdc_offsets",
+        "tbl VARCHAR(128) NOT NULL, ver BIGINT NOT NULL, PRIMARY KEY (tbl)")
+      val st = conn.prepareStatement(
+        "SELECT ver FROM graft_cdc_offsets WHERE tbl = ?")
+      try {
+        st.setString(1, table)
+        val rs = st.executeQuery()
+        try { if (rs.next()) Some(rs.getLong(1)) else None }
+        finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Apply one CDC change batch ([[ChangeFeed]] rows) to a JDBC replica
+    * of the source table, EXACTLY ONCE — the transactional
+    * offset-commit idiom: the applied-version offset lives in the SAME
+    * transaction as the row changes, so the replica and its resume
+    * point cannot diverge (a crash either commits both or neither; a
+    * replay of a committed range is a detected no-op; a feed computed
+    * from a stale offset is a loud error, because net-change semantics
+    * are only valid against the exact snapshot the replica is at).
+    *
+    * In ONE transaction: (1) CAS the offset `fromVersion → toVersion`
+    * in `graft_cdc_offsets` (PRIMARY KEY serializes racing writers;
+    * the loser rolls back), (2) DELETE every key appearing in the
+    * batch, (3) INSERT the `insert` and `update_postimage` rows.
+    * Driver-side bounded like [[publishEpoch]] (`maxRows` loud guard —
+    * replicas synced this way are dim/mart-sized; the fact table's
+    * system of record stays parquet).
+    *
+    * @return true iff this call applied the batch (false = replay of an
+    *         already-applied range)
+    */
+  def applyChanges(feed: DataFrame, url: String, table: String,
+      keyCols: Seq[String], fromVersion: Option[Long], toVersion: Long,
+      props: java.util.Properties = new java.util.Properties,
+      maxRows: Int = 1 << 20): Boolean = {
+    val changeCol = ChangeFeed.ChangeCol
+    val schema = feed.schema
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"applyChanges: key columns $keyCols not all in " +
+        schema.fieldNames.mkString(","))
+    require(schema.fieldNames.contains(changeCol),
+      s"applyChanges: feed has no $changeCol column — not a change feed")
+    val rows = feed.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"applyChanges into $table: batch exceeds $maxRows rows — this " +
+        "path replicates dim/mart-sized tables; backfill big tables " +
+        "in parquet and re-seed the replica")
+    val dataFields = schema.fields.filterNot(_.name == changeCol)
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      ensureTable(conn, "graft_cdc_offsets",
+        "tbl VARCHAR(128) NOT NULL, ver BIGINT NOT NULL, PRIMARY KEY (tbl)")
+      val current = {
+        val st = conn.prepareStatement(
+          "SELECT ver FROM graft_cdc_offsets WHERE tbl = ?")
+        try {
+          st.setString(1, table)
+          val rs = st.executeQuery()
+          try { if (rs.next()) Some(rs.getLong(1)) else None }
+          finally rs.close()
+        } finally st.close()
+      }
+      if (current.exists(_ >= toVersion)) { conn.rollback(); false }
+      else if (current != fromVersion)
+        throw new IllegalStateException(
+          s"applyChanges into $table: feed computed from version " +
+            s"$fromVersion but the replica is at $current — recompute " +
+            "the feed from the replica's own offset")
+      else {
+        fromVersion match {
+          case Some(v) =>
+            val up = conn.prepareStatement(
+              "UPDATE graft_cdc_offsets SET ver = ? WHERE tbl = ? AND ver = ?")
+            try {
+              up.setLong(1, toVersion); up.setString(2, table)
+              up.setLong(3, v)
+              require(up.executeUpdate() == 1,
+                s"applyChanges into $table: lost the offset race")
+            } finally up.close()
+          case None =>
+            val ins = conn.prepareStatement(
+              "INSERT INTO graft_cdc_offsets (tbl, ver) VALUES (?, ?)")
+            try { ins.setString(1, table); ins.setLong(2, toVersion)
+              ins.executeUpdate(); () }
+            finally ins.close()
+        }
+        ensureTable(conn, table, dataFields.map(f =>
+          s""""${f.name}" ${ddlType(f.dataType)}""").mkString(", "))
+        val keyTuples = rows
+          .map(r => keyCols.map(c => r.getAs[Any](c))).distinct
+        if (keyTuples.nonEmpty) {
+          val del = conn.prepareStatement(s"DELETE FROM $table WHERE " +
+            keyCols.map(c => s""""$c" = ?""").mkString(" AND "))
+          try keyTuples.foreach { tuple =>
+            tuple.zipWithIndex.foreach { case (v, i) =>
+              del.setObject(i + 1, v) }
+            del.executeUpdate()
+          } finally del.close()
+        }
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $table (${dataFields.map("\"" + _.name + "\"").mkString(", ")}) " +
+            s"VALUES (${dataFields.map(_ => "?").mkString(", ")})")
+        try {
+          rows.filter { r =>
+            val t = r.getAs[String](changeCol)
+            t == "insert" || t == "update_postimage"
+          }.foreach { r =>
+            dataFields.zipWithIndex.foreach { case (f, i) =>
+              val v = r.getAs[Any](f.name)
+              if (v == null) ins.setNull(i + 1, sqlType(f.dataType))
+              else ins.setObject(i + 1, v)
+            }
+            ins.addBatch()
+          }
+          ins.executeBatch()
+        } finally ins.close()
+        conn.commit()
+        true
+      }
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: java.sql.SQLException => }
+        throw e
+    } finally conn.close()
+  }
+
   private def ensureTable(conn: Connection, table: String,
       columnsDdl: String): Unit = {
     val exists = {
