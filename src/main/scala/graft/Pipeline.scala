@@ -101,6 +101,18 @@ object Pipeline {
     Upsert.upsertPartitioned(spark, martRoyaltiesPath(warehouse),
       Marts.expectedArtistRoyaltiesByDate(dayFact, dimArtist),
       Seq("date", "artist_name"), "date")
+
+    // 6. one atomic publication pinning the day's consistent star
+    //    (ODS + dims + fact + marts): a reader resolving the
+    //    publication mid-load of the NEXT day still sees THIS day's
+    //    coherent set — the cross-table transactionality the reference
+    //    gets from Postgres ([[engine.Publication]])
+    engine.Publication.publish(spark, warehouse, Seq(
+      odsPath(warehouse), dimArtistPath(warehouse),
+      dimCountryPath(warehouse), dimSongPath(warehouse),
+      factPath(warehouse), martAvgPath(warehouse),
+      martAppearancesPath(warehouse), martRoyaltiesPath(warehouse))
+      .map(_.stripPrefix(s"$warehouse/")))
   }
 
   /** Optional relational landing for the day's marts — the reference's
