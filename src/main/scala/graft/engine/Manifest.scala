@@ -361,15 +361,23 @@ object Manifest {
     * of data files deleted. `keep >= 1`; readers of retired versions
     * fail their NEXT file open, which is the documented reader-grace
     * trade (size retention to the longest expected query).
+    *
+    * `protect`: versions that survive REGARDLESS of the keep-count —
+    * the hook [[Publication.vacuumWarehouse]] uses to keep every
+    * version a retained publication pins, so cross-table time travel
+    * never dangles ([[Publication]]).
     */
-  def vacuum(spark: SparkSession, path: String, keep: Int = 2): Int = {
+  def vacuum(spark: SparkSession, path: String, keep: Int = 2,
+      protect: Set[Long] = Set.empty): Int = {
     require(keep >= 1, s"vacuum must keep at least the current version")
     WriterLease.withLease(spark, path) {
       val fs = fsOf(spark, path)
       val vs = versions(spark, path)
       if (vs.isEmpty) 0
       else {
-        val (drop, kept) = vs.splitAt(math.max(0, vs.size - keep))
+        val byCount = vs.drop(math.max(0, vs.size - keep)).toSet
+        val kept = vs.filter(v => byCount(v) || protect(v))
+        val drop = vs.filterNot(kept.contains)
         val live = kept.flatMap(filesAsOf(spark, path, _)).toSet
         val dead = listDataFiles(spark, path).filterNot(live)
         dead.foreach(f => fs.delete(new Path(s"$path/$f"), false))

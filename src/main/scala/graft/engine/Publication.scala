@@ -105,6 +105,38 @@ object Publication {
   def resolve(spark: SparkSession, root: String): Option[Map[String, Long]] =
     currentVersion(spark, root).map(resolveAsOf(spark, root, _))
 
+  /** Warehouse-wide history retirement that CANNOT dangle a retained
+    * publication: keep the newest `keepPubs` publications (deleting
+    * older publication files), then vacuum every table ANY retained
+    * publication names, protecting exactly the manifest versions those
+    * publications pin — [[Manifest.vacuum]]'s `protect` hook. A table's
+    * own keep-count still applies on top, so unpinned intermediate
+    * versions retire normally. Per-table vacuum without this guard
+    * could delete a version an old publication still points at,
+    * breaking cross-table time travel; this is the one safe entry
+    * point once a warehouse publishes. Returns (publications deleted,
+    * data files deleted across tables).
+    */
+  def vacuumWarehouse(spark: SparkSession, root: String,
+      keepPubs: Int = 2, keepTables: Int = 2): (Int, Int) = {
+    require(keepPubs >= 1, "vacuumWarehouse must keep the current publication")
+    WriterLease.withLease(spark, pdir(root).toString) {
+      val fs = fsOf(spark, root)
+      val vs = versions(spark, root)
+      val (dropPubs, keptPubs) =
+        vs.splitAt(math.max(0, vs.size - keepPubs))
+      val pins: Map[String, Set[Long]] = keptPubs
+        .flatMap(v => resolveAsOf(spark, root, v).toSeq)
+        .groupBy(_._1).map { case (t, tv) => t -> tv.map(_._2).toSet }
+      val filesDeleted = pins.map { case (table, protectVs) =>
+        Manifest.vacuum(spark, s"$root/$table", keepTables, protectVs)
+      }.sum
+      dropPubs.foreach(v =>
+        fs.delete(new Path(pdir(root), f"v$v%020d.pub"), false))
+      (dropPubs.size, filesDeleted)
+    }
+  }
+
   /** Read `table` AS OF the latest publication — the star-consistent
     * read path. A table the publication does not name is a loud error:
     * silently falling back to its latest version would reintroduce

@@ -88,6 +88,39 @@ class PublicationSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuumWarehouse retires history without dangling a retained publication") {
+    val wh = tmp()
+    writeFact(wh, 100L); writeMart(wh)
+    val p1 = Publication.publish(spark, wh, Seq("fact", "mart"))
+    // churn: three more fact versions, only the last published
+    writeFact(wh, 200L); writeFact(wh, 300L); writeFact(wh, 400L)
+    writeMart(wh)
+    val p2 = Publication.publish(spark, wh, Seq("fact", "mart"))
+    // keep both pubs, keep only 1 version per table by count: p1's
+    // pinned fact version (v1) is far outside the keep-count yet MUST
+    // survive via protect; the unpinned v2/v3 must be gone
+    val (pubsDropped, _) =
+      Publication.vacuumWarehouse(spark, wh, keepPubs = 2, keepTables = 1)
+    assert(pubsDropped === 0)
+    val pins1 = Publication.resolveAsOf(spark, wh, p1)
+    assert(factSum(Manifest.readAsOf(spark, s"$wh/fact", pins1("fact"))) === 200L)
+    assert(martSum(Manifest.readAsOf(spark, s"$wh/mart", pins1("mart"))) === 200L)
+    val survivors = Manifest.versions(spark, s"$wh/fact").toSet
+    assert(survivors.contains(pins1("fact")))
+    assert(!survivors.contains(pins1("fact") + 1) &&
+      !survivors.contains(pins1("fact") + 2),
+      s"unpinned intermediate fact versions survived: $survivors")
+    // retiring p1 releases its pins: the next vacuum reclaims them
+    val (dropped2, _) =
+      Publication.vacuumWarehouse(spark, wh, keepPubs = 1, keepTables = 1)
+    assert(dropped2 === 1)
+    assert(!Manifest.versions(spark, s"$wh/fact").contains(pins1("fact")))
+    // the retained publication still reads coherently
+    assert(factSum(Publication.readTable(spark, wh, "fact")) === 800L)
+    assert(martSum(Publication.readTable(spark, wh, "mart")) === 800L)
+    assert(Publication.currentVersion(spark, wh) === Some(p2))
+  }
+
   test("the daily pipeline publishes a consistent star every run") {
     val wh = tmp()
     val landing = Files.createTempDirectory("graft-pub-landing").toString
