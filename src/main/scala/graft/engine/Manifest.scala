@@ -75,7 +75,8 @@ object Manifest {
     versions(spark, path).lastOption
 
   /** Table-relative live-file list of version `v`. */
-  def filesAsOf(spark: SparkSession, path: String, v: Long): Seq[String] = {
+  private def listLines(spark: SparkSession, path: String,
+      v: Long): Seq[String] = {
     val fs = fsOf(spark, path)
     val f = new Path(mdir(path), f"v$v%020d.list")
     val in = fs.open(f)
@@ -83,6 +84,33 @@ object Manifest {
       .filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  def filesAsOf(spark: SparkSession, path: String, v: Long): Seq[String] =
+    // '#'-prefixed lines are metadata headers (txn markers), not files;
+    // pre-round-11 manifests have none, so old tables parse unchanged
+    listLines(spark, path, v).filterNot(_.startsWith("#"))
+
+  /** The (writer appId → highest committed batchId) markers of a
+    * version — the manifest-side idempotency ledger for streaming
+    * appends ([[Upsert.appendEpoch]]). Markers CARRY FORWARD across
+    * commits (like schema and stats), so the CURRENT version always
+    * holds every app's latest batch and replay detection is one
+    * metadata read, never a data scan.
+    */
+  def txnsAsOf(spark: SparkSession, path: String,
+      v: Long): Map[String, Long] =
+    listLines(spark, path, v).filter(_.startsWith("#txn "))
+      .map { line =>
+        val kv = line.stripPrefix("#txn ")
+        val i = kv.lastIndexOf('=')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }.toMap
+
+  /** The latest committed batchId for `appId`, if any. */
+  def lastTxn(spark: SparkSession, path: String,
+      appId: String): Option[Long] =
+    currentVersion(spark, path).flatMap(v =>
+      txnsAsOf(spark, path, v).get(appId))
 
   /** Atomically commit `files` (table-relative) as the next version.
     * Callers hold the table's [[WriterLease]], so versions never race;
@@ -107,7 +135,11 @@ object Manifest {
     */
   def commit(spark: SparkSession, path: String, files: Seq[String],
       stats: FileStats.TableStats = Map.empty,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists(c => c == '\n' || c == '\r'),
+        s"txn appId must be a non-empty single line, got ${app.take(40)}") }
     val fs = fsOf(spark, path)
     val prev = currentVersion(spark, path)
     val next = prev.getOrElse(0L) + 1
@@ -120,9 +152,16 @@ object Manifest {
       (carried ++ stats).filter { case (f, _) => fileSet(f) })
     schema.orElse(prev.flatMap(v => schemaAsOf(spark, path, v)))
       .foreach(st => writeSchemaSidecar(spark, path, next, st))
+    // txn markers ride INSIDE the atomically-renamed list file — a
+    // marker and the files it admits become visible together or not at
+    // all; previous apps' markers carry forward
+    val txns = prev.map(v => txnsAsOf(spark, path, v))
+      .getOrElse(Map.empty) ++ txn
+    val header = txns.toSeq.sortBy(_._1)
+      .map { case (app, b) => s"#txn $app=$b" }
     val tmp = new Path(d, f"v$next%020d.list.tmp")
     val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write((header ++ files.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(d, f"v$next%020d.list")
     if (!fs.rename(tmp, fin))

@@ -292,8 +292,37 @@ object Upsert {
     * corrupts the delta mid-write. A durably written staging copy makes
     * the append's input independent of the target.
     */
+  /** EXACTLY-ONCE streaming append — the manifest-side twin of
+    * [[JdbcSink.publishEpoch]]'s ledger, for `foreachBatch` sinks that
+    * LAND IN THE LAKE: `foreachBatch` is at-least-once, and while the
+    * keyed upsert paths absorb replays via the anti-join, an APPEND
+    * sink (event logs with no natural key worth enforcing) would
+    * duplicate, and the anti-join's existing-side read is a data scan
+    * a high-frequency stream shouldn't pay per trigger. Here the
+    * (appId → batchId) marker rides INSIDE the atomically-renamed
+    * manifest list, so the marker and the files it admits become
+    * visible together or not at all: a replayed batch is detected by
+    * ONE metadata read and skipped; a crash after the data write but
+    * before the commit leaves unreferenced orphans (vacuum reclaims)
+    * and the replay lands cleanly. Markers carry forward across other
+    * writers' commits. Returns true iff this call appended.
+    */
+  def appendEpoch(spark: SparkSession, path: String, incoming: DataFrame,
+      dateCol: Option[String], appId: String, batchId: Long): Boolean =
+    WriterLease.withLease(spark, path) {
+      if (Manifest.lastTxn(spark, path, appId).exists(_ >= batchId)) false
+      else {
+        if (tableExists(spark, path))
+          requireSameColumns(incoming, Manifest.read(spark, path), path)
+        stagedAppend(spark, path, incoming, dateCol,
+          txn = Some(appId -> batchId))
+        true
+      }
+    }
+
   private def stagedAppend(spark: SparkSession, path: String,
-      delta: DataFrame, dateCol: Option[String]): Long = {
+      delta: DataFrame, dateCol: Option[String],
+      txn: Option[(String, Long)] = None): Long = {
     val stagingPath = s"$path.__delta_staging"
     delta.write.mode("overwrite").parquet(stagingPath)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -314,7 +343,15 @@ object Upsert {
         dateCol.fold(w)(c => w.partitionBy(c)).parquet(path)
         val appended =
           Manifest.listDataFiles(spark, path).filterNot(preAll)
-        Manifest.commit(spark, path, preLive ++ appended)
+        Manifest.commit(spark, path, preLive ++ appended, txn = txn)
+      } else {
+        // an EMPTY epoch still records its marker (metadata-only
+        // commit) so a replay is detected — but only once the table
+        // has a first manifest (an empty-list v1 would be an
+        // unreadable husk; re-running an empty batch is harmless)
+        txn.foreach(_ => Manifest.currentVersion(spark, path).foreach(_ =>
+          Manifest.commit(spark, path,
+            Manifest.currentLive(spark, path), txn = txn)))
       }
       n
     } finally {

@@ -44,6 +44,31 @@ object GraftStreaming {
       .start()
   }
 
+  /** EXACTLY-ONCE streaming append INTO THE LAKE — the manifest-ledger
+    * twin of [[martPublishStream]]'s JDBC epoch publish, for event-log
+    * streams with no natural key worth enforcing: each trigger's rows
+    * land via [[graft.engine.Upsert.appendEpoch]], whose
+    * (appId → batchId) marker rides inside the atomically-renamed
+    * manifest commit. A failure-retried batch (or a full replay under
+    * the same checkpoint lineage) is detected by one metadata read and
+    * skipped — no anti-join data scan per trigger, no duplicates, and
+    * readers see each batch all-or-nothing (manifest snapshot
+    * isolation). Same ledger caveat as every transactional sink:
+    * deleting the checkpoint restarts batchIds at 0, which the marker
+    * will skip — a deliberate reprocess needs a fresh appId or table.
+    */
+  def appendLogStream(events: DataFrame, path: String, dateCol: String,
+      appId: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Upsert.appendEpoch(batch.sparkSession, path, batch,
+          Some(dateCol), appId, batchId)
+        ()
+      }
+      .start()
+
   /** Streaming mart publish with EXACTLY-ONCE landing: each trigger's
     * aggregate slice goes through [[graft.engine.JdbcSink.publishEpoch]]
     * keyed by the `foreachBatch` batchId, so a failure-retried batch (or
