@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "connected_components"),
       (children: Seq[Expression]) =>
         graft.plans.ComponentsTvf.fromArgs(children)))
+    ext.injectResolutionRule(s =>
+      graft.engine.MaterializedViews.RewriteToMv(s))
+    ext.injectResolutionRule(s => graft.plans.ExpandTableChanges(s))
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[graft.plans.TableChangesPlan].getName,
+        "table_changes"),
+      (children: Seq[Expression]) =>
+        graft.plans.TableChangesTvf.fromArgs(children)))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(

@@ -710,13 +710,24 @@ object WarehouseQueries {
     * v1, a FULL mart refresh (per-month count + exact-cent sum), then
     * an SCD1 merge bumping every ≡ 0 mod 14 key's price by one cent and
     * an INCREMENTAL refresh that recomputes only the months the merge's
-    * manifest diff names. Returns (martPath, recomputedPartitions).
+    * manifest diff names. Returns (srcPath, martPath,
+    * recomputedPartitions).
     */
   private val imOnce =
-    new graft.engine.SessionKeyedCache[(String, Seq[String])]
+    new graft.engine.SessionKeyedCache[(String, String, Seq[String])]
+
+  /** The im fixture's mart computation — shared verbatim by the
+    * incremental refresh, the MV registration, and q_mv_rewrite's
+    * defining query (the rewrite matches PLAN SHAPE, so all three must
+    * be the same function, not lookalike code).
+    */
+  private def imMartCompute(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).cast("long").as("sum_cents"))
 
   private def imTable(s: org.apache.spark.sql.SparkSession,
-      dir: String): (String, Seq[String]) =
+      dir: String): (String, String, Seq[String]) =
     imOnce.getOrElseUpdate(s, s"im:$dir",
       graft.engine.SessionKeyedCache.fileFingerprint(
         s, s"$dir/orders.parquet"))({
@@ -735,19 +746,17 @@ object WarehouseQueries {
           date_trunc("month", col("o_orderdate")).cast("date").as("d"))
       graft.engine.Upsert.upsertPartitioned(s, srcPath, src,
         Seq("o_orderkey", "d"), "d")
-      def mart(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy(col("d"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(col("price_cents")).cast("long").as("sum_cents"))
-      graft.engine.Incremental.refresh(s, srcPath, martPath, "d")(mart)
+      graft.engine.Incremental.refresh(s, srcPath, martPath, "d")(
+        imMartCompute)
       val bumped = src.filter(col("o_orderkey") % 14 === 0)
         .withColumn("price_cents", col("price_cents") + 1)
       graft.engine.Upsert.mergePartitioned(s, srcPath, bumped,
         Seq("o_orderkey", "d"), "d")
-      val r = graft.engine.Incremental.refresh(s, srcPath, martPath, "d")(mart)
+      val r = graft.engine.Incremental.refresh(s, srcPath, martPath, "d")(
+        imMartCompute)
       require(r.recomputed.nonEmpty && r.recomputed != Seq("<full>"),
         s"incremental fixture expected a partial refresh, got $r")
-      (martPath, r.recomputed)
+      (srcPath, martPath, r.recomputed)
     })
 
   /** INCREMENTAL MART MAINTENANCE from manifest diffs (round 11): the
@@ -771,7 +780,7 @@ object WarehouseQueries {
   val qIncrementalMart = QueryDef(
     "q_incremental_mart",
     (s, dir) => {
-      val (martPath, _) = imTable(s, dir)
+      val (_, martPath, _) = imTable(s, dir)
       graft.engine.Manifest.read(s, martPath)
         .select(col("d"), col("n_orders"), col("sum_cents"))
         .orderBy(col("d"))
@@ -891,7 +900,51 @@ object WarehouseQueries {
         FROM v2 JOIN upd ON v2.k = upd.k)
       ORDER BY o_orderkey, change_type"""))
 
+  /** The change feed through the SQL surface: `table_changes(path,
+    * vFrom, vTo, keys)` ([[graft.plans.TableChangesTvf]]) on the same
+    * fixture and against the same from-scratch oracle as q_cdc_feed —
+    * the TVF expansion and the DataFrame API mutually pin each other,
+    * and a SQL-only consumer provably gets the identical feed.
+    */
+  val qSqlCdcFeed = QueryDef(
+    "q_sql_cdc_feed",
+    (s, dir) => {
+      val (srcPath, vFrom, vTo) = cdcTable(s, dir)
+      s.sql(
+        s"""SELECT o_orderkey, price_cents, d,
+                   ${graft.engine.ChangeFeed.ChangeCol} AS change_type
+            FROM table_changes('$srcPath', $vFrom, $vTo, 'o_orderkey')
+            ORDER BY o_orderkey, change_type""")
+    },
+    qCdcFeed.oracle)
+
+  /** AUTOMATIC MV REWRITE ([[graft.engine.MaterializedViews]]): this
+    * query is written against the SOURCE — it re-states the mart's
+    * defining aggregation over the month-partitioned orders slice —
+    * and the engine answers it from the incrementally-maintained mart
+    * (plan-shape match + freshness gate; MaterializedViewSpec proves
+    * the scan actually lands on the mart and that a stale mart falls
+    * back to the honest source scan). The oracle recomputes from
+    * `orders` arithmetic, so a green hash proves the rewrite is
+    * SEMANTICS-PRESERVING — with q_incremental_mart (direct mart read)
+    * and the from-scratch oracle this pins all three formulations to
+    * one answer. At 100 TB: the analyst's fact-scan aggregation
+    * becomes a read of an ~KB mart, automatically and only when fresh.
+    */
+  val qMvRewrite = QueryDef(
+    "q_mv_rewrite",
+    (s, dir) => {
+      val (srcPath, martPath, _) = imTable(s, dir)
+      graft.engine.MaterializedViews.register(
+        s, s"im:$dir", srcPath, martPath)(imMartCompute)
+      imMartCompute(graft.engine.Manifest.read(s, srcPath))
+        .select(col("d"), col("n_orders"), col("sum_cents"))
+        .orderBy(col("d"))
+    },
+    qIncrementalMart.oracle)
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
-    qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart, qCdcFeed)
+    qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart, qCdcFeed,
+    qSqlCdcFeed, qMvRewrite)
 }

@@ -172,4 +172,36 @@ class SqlTvfSpec extends AnyFunSuite {
       "SELECT * FROM ppr('ppr_edges2', 'a', 'b', 2)").collect())
     assert(arity.getMessage != null)
   }
+
+  test("table_changes TVF matches ChangeFeed.changes and composes downstream") {
+    val p = java.nio.file.Files.createTempDirectory("graft-tvf-cdc")
+      .resolve("t").toString
+    val d1 = java.sql.Date.valueOf("2024-07-01")
+    graft.engine.Upsert.upsertPartitioned(spark, p,
+      Seq((1, d1, 100L), (2, d1, 200L)).toDF("k", "d", "cents"),
+      Seq("k", "d"), "d")
+    val v1 = graft.engine.Manifest.currentVersion(spark, p).get
+    graft.engine.Upsert.overwritePartitions(spark, p,
+      Seq((1, d1, 100L), (3, d1, 300L)).toDF("k", "d", "cents"), "d")
+    val v2 = graft.engine.Manifest.currentVersion(spark, p).get
+    val got = spark.sql(
+      s"SELECT k, cents, _change_type FROM table_changes('$p', $v1, $v2, 'k')")
+      .as[(Int, Long, String)].collect().toSet
+    val want = graft.engine.ChangeFeed.changes(spark, p, v1, v2, Seq("k"))
+      .select("k", "cents", "_change_type")
+      .as[(Int, Long, String)].collect().toSet
+    assert(got === want)
+    assert(got === Set((2, 200L, "delete"), (3, 300L, "insert")))
+    // composes: aggregate over the feed in plain SQL
+    val n = spark.sql(
+      s"""SELECT count(*) FROM table_changes('$p', $v1, $v2, 'k')
+          WHERE _change_type = 'delete'""").as[Long].head()
+    assert(n === 1L)
+    val arity2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('$p', $v1, $v2)").collect())
+    assert(arity2.getMessage != null)
+    val badVer = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('$p', 'x', $v2, 'k')").collect())
+    assert(badVer.getMessage.contains("integer literal"), badVer.getMessage)
+  }
 }
