@@ -292,6 +292,75 @@ object Upsert {
     * corrupts the delta mid-write. A durably written staging copy makes
     * the append's input independent of the target.
     */
+  /** Row-level DELETE — the last DML verb (append/upsert/merge/
+    * overwrite exist; the reference gets `DELETE` from Postgres): keep
+    * every file WITHOUT a matching row untouched, rewrite ONLY the
+    * files that contain matches (minus their matching rows), and swap
+    * the file set in one snapshot-isolated manifest commit. Finding
+    * the touched files is a predicate-pushed scan collecting DISTINCT
+    * `input_file_name()` — partition pruning and parquet stats make it
+    * skip-heavy, and the driver holds file NAMES (O(matched files)),
+    * never rows. At 100 TB a GDPR-style delete of one user rewrites
+    * the handful of files whose row groups can contain that user —
+    * cost is O(files touched), not O(table) — and prior snapshots
+    * retain the rows until [[Manifest.vacuum]], which is also the
+    * compliance erasure point. A fully-emptied file simply drops from
+    * the new manifest (parquet writes no file for an empty partition).
+    * The deletion is visible to [[ChangeFeed]] as `delete` rows, like
+    * every other mutation. Returns the number of rows deleted.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long =
+    WriterLease.withLease(spark, path) {
+      val table = Manifest.read(spark, path)
+      val pathUri = new org.apache.hadoop.fs.Path(path)
+        .toUri.getPath.stripSuffix("/")
+      def toRel(uri: String): String = {
+        val p = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+        val i = p.indexOf(pathUri)
+        require(i >= 0, s"deleteWhere: scanned file $uri outside $path")
+        p.substring(i + pathUri.length).stripPrefix("/")
+      }
+      val touched = table.filter(predicate)
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(r => toRel(r.getString(0))).sorted
+      if (touched.isEmpty) 0L
+      else {
+        val live = Manifest.currentLive(spark, path)
+        val touchedSet = touched.toSet
+        require(touchedSet.subsetOf(live.toSet),
+          s"deleteWhere into $path: scan saw files outside the live " +
+            s"snapshot: ${(touchedSet -- live.toSet).mkString(", ")}")
+        // re-read ONLY the touched files; partition columns come back
+        // via basePath, and the rewrite preserves the partition layout
+        val sub = spark.read.option("basePath", path)
+          .parquet(touched.map(f => s"$path/$f"): _*)
+        val partCols = touched.head.split("/").dropRight(1)
+          .map(_.takeWhile(_ != '=')).toSeq
+        val before = sub.count()
+        val kept = sub.filter(!predicate)
+        val stagingPath = s"$path.__delete_staging"
+        val w = kept.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(stagingPath)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          // explicit schema: a delete that empties EVERY touched file
+          // leaves a staging dir with no data files, where inference
+          // would fail — with the schema pinned it reads as 0 rows
+          val after = spark.read.schema(sub.schema)
+            .parquet(stagingPath).count()
+          val movedIn = Manifest.stageIn(spark, path, stagingPath)
+          Manifest.commit(spark, path,
+            live.filterNot(touchedSet) ++ movedIn)
+          before - after
+        } finally {
+          fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+        }
+      }
+    }
+
   /** EXACTLY-ONCE streaming append — the manifest-side twin of
     * [[JdbcSink.publishEpoch]]'s ledger, for `foreachBatch` sinks that
     * LAND IN THE LAKE: `foreachBatch` is at-least-once, and while the

@@ -943,8 +943,54 @@ object WarehouseQueries {
     },
     qIncrementalMart.oracle)
 
+  private val delOnce = new graft.engine.SessionKeyedCache[String]
+
+  /** ROW-LEVEL DELETE ([[graft.engine.Upsert.deleteWhere]], round 11):
+    * a month-partitioned orders slice (keys ≡ 0 mod 3) with every
+    * ≡ 0 mod 15 key DELETED through the manifest path — files without
+    * a matching row are not rewritten (DeleteSpec pins the file names),
+    * prior snapshots retain the rows, and the change feed reports the
+    * deletions. The oracle recomputes the survivor set from `orders`
+    * arithmetic, so a green hash proves the delete removed exactly the
+    * matching rows and nothing else. At 100 TB a targeted delete
+    * rewrites O(files containing matches), not the table.
+    */
+  val qDeleteWhere = QueryDef(
+    "q_delete_where",
+    (s, dir) => {
+      val tbl = delOnce.getOrElseUpdate(s, s"del:$dir",
+        graft.engine.SessionKeyedCache.fileFingerprint(
+          s, s"$dir/orders.parquet"))({
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_del_" +
+          s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        graft.engine.Upsert.upsertPartitioned(s, p,
+          t(s, dir, "orders")
+            .filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"),
+              floor(col("o_totalprice") * 100).cast("bigint")
+                .as("price_cents"),
+              date_trunc("month", col("o_orderdate")).cast("date").as("d")),
+          Seq("o_orderkey", "d"), "d")
+        graft.engine.Upsert.deleteWhere(s, p, col("o_orderkey") % 15 === 0)
+        p
+      })
+      graft.engine.Manifest.read(s, tbl)
+        .select(col("o_orderkey"), col("price_cents"), col("d"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS d
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0
+      ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
     qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart, qCdcFeed,
-    qSqlCdcFeed, qMvRewrite)
+    qSqlCdcFeed, qMvRewrite, qDeleteWhere)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{ChangeFeed, Manifest, Upsert}
+
+/** Row-level DELETE ([[graft.engine.Upsert.deleteWhere]]): matching
+  * rows vanish, files without matches are NOT rewritten (bit-identical
+  * names across the commit), prior snapshots retain the rows, the
+  * change feed reports the deletion, a no-match delete is a version
+  * no-op, and emptying every touched file still commits cleanly.
+  */
+class DeleteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-del").resolve("t").toString
+
+  private val d1 = Date.valueOf("2024-07-01")
+  private val d2 = Date.valueOf("2024-07-02")
+
+  private def seed(p: String): Unit =
+    Upsert.upsertPartitioned(spark, p,
+      Seq((1, d1, 100L), (2, d1, 200L), (3, d2, 300L), (4, d2, 400L))
+        .toDF("k", "d", "cents"), Seq("k", "d"), "d")
+
+  private def keys(p: String): Set[Int] =
+    Manifest.read(spark, p).select("k").as[Int].collect().toSet
+
+  test("deletes matching rows, leaves untouched files bit-identical, time-travels") {
+    val p = tmp(); seed(p)
+    val v1 = Manifest.currentVersion(spark, p).get
+    val pre = Manifest.currentLive(spark, p)
+    val n = Upsert.deleteWhere(spark, p, col("k") === 2)
+    assert(n === 1L)
+    assert(keys(p) === Set(1, 3, 4))
+    val v2 = Manifest.currentVersion(spark, p).get
+    val post = Manifest.currentLive(spark, p)
+    // d2's file contains no match: same file name survives the commit
+    assert(pre.filter(_.startsWith("d=2024-07-02/")).toSet ===
+      post.filter(_.startsWith("d=2024-07-02/")).toSet)
+    assert(pre.filter(_.startsWith("d=2024-07-01/")).toSet !==
+      post.filter(_.startsWith("d=2024-07-01/")).toSet)
+    // the pre-delete snapshot still has the row
+    assert(Manifest.readAsOf(spark, p, v1).select("k").as[Int]
+      .collect().toSet === Set(1, 2, 3, 4))
+    // and the change feed reports exactly the deletion
+    assert(ChangeFeed.changes(spark, p, v1, v2, Seq("k"))
+      .select("k", ChangeFeed.ChangeCol).as[(Int, String)]
+      .collect().toSet === Set((2, "delete")))
+  }
+
+  test("a predicate with no matches is a version no-op") {
+    val p = tmp(); seed(p)
+    val v = Manifest.currentVersion(spark, p).get
+    assert(Upsert.deleteWhere(spark, p, col("k") === 99) === 0L)
+    assert(Manifest.currentVersion(spark, p) === Some(v))
+    assert(keys(p) === Set(1, 2, 3, 4))
+  }
+
+  test("emptying every touched file drops it from the snapshot") {
+    val p = tmp(); seed(p)
+    assert(Upsert.deleteWhere(spark, p, col("d") === d1) === 2L)
+    assert(keys(p) === Set(3, 4))
+    assert(Manifest.currentLive(spark, p)
+      .forall(_.startsWith("d=2024-07-02/")))
+    // everything: the table empties but stays a readable manifest? No —
+    // an empty live set is rejected at read; the delete itself commits
+    assert(Upsert.deleteWhere(spark, p, col("cents") > 0L) === 2L)
+    assert(Manifest.currentLive(spark, p).isEmpty)
+  }
+}
