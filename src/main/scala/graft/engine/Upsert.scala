@@ -311,6 +311,32 @@ object Upsert {
     */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Long =
+    rewriteMatching(spark, path, predicate, None)
+
+  /** Row-level UPDATE — `deleteWhere`'s sibling, completing the DML
+    * verb set: rewrite ONLY the files containing predicate matches,
+    * with each matching row's `set` columns replaced (non-matching
+    * rows in touched files are carried byte-equal; untouched files
+    * keep their names). Updating a PARTITION column is allowed and
+    * does the right thing — the rewrite re-partitions, so the row
+    * moves to its new partition directory in the same snapshot commit.
+    * Returns the number of rows updated.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    rewriteMatching(spark, path, predicate, Some(set))
+  }
+
+  /** Shared DELETE/UPDATE engine: find touched files via a
+    * predicate-pushed `input_file_name()` scan, rewrite only those,
+    * swap via one manifest commit. `set` None = delete matches;
+    * Some = update matches in place.
+    */
+  private def rewriteMatching(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Option[Map[String, org.apache.spark.sql.Column]]): Long =
     WriterLease.withLease(spark, path) {
       val table = Manifest.read(spark, path)
       val pathUri = new org.apache.hadoop.fs.Path(path)
@@ -337,24 +363,33 @@ object Upsert {
           .parquet(touched.map(f => s"$path/$f"): _*)
         val partCols = touched.head.split("/").dropRight(1)
           .map(_.takeWhile(_ != '=')).toSeq
-        val before = sub.count()
-        val kept = sub.filter(!predicate)
-        val stagingPath = s"$path.__delete_staging"
+        val matched = sub.filter(predicate).count()
+        val kept = set match {
+          case None => sub.filter(!predicate)
+          case Some(assignments) =>
+            assignments.keys.foreach(c => require(
+              sub.columns.contains(c),
+              s"updateWhere into $path: SET column $c not in " +
+                sub.columns.mkString(",")))
+            sub.select(sub.columns.toIndexedSeq.map { c =>
+              assignments.get(c) match {
+                case Some(v) => org.apache.spark.sql.functions
+                  .when(predicate, v).otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }: _*)
+        }
+        val stagingPath = s"$path.__rewrite_staging"
         val w = kept.write.mode("overwrite")
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
           .parquet(stagingPath)
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         try {
-          // explicit schema: a delete that empties EVERY touched file
-          // leaves a staging dir with no data files, where inference
-          // would fail — with the schema pinned it reads as 0 rows
-          val after = spark.read.schema(sub.schema)
-            .parquet(stagingPath).count()
           val movedIn = Manifest.stageIn(spark, path, stagingPath)
           Manifest.commit(spark, path,
             live.filterNot(touchedSet) ++ movedIn)
-          before - after
+          matched
         } finally {
           fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
         }

@@ -989,8 +989,56 @@ object WarehouseQueries {
       WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0
       ORDER BY o_orderkey"""))
 
+  private val updOnce = new graft.engine.SessionKeyedCache[String]
+
+  /** ROW-LEVEL UPDATE ([[graft.engine.Upsert.updateWhere]], round 11):
+    * deleteWhere's sibling — a month-partitioned orders slice (keys
+    * ≡ 0 mod 4) with every ≡ 0 mod 8 key's price bumped 7 cents
+    * through the touched-files-only rewrite. The oracle recomputes the
+    * post-update table from `orders` arithmetic: a green hash proves
+    * matches were updated in place, non-matches carried byte-equal,
+    * and nothing was lost or duplicated across the file swap.
+    */
+  val qUpdateWhere = QueryDef(
+    "q_update_where",
+    (s, dir) => {
+      val tbl = updOnce.getOrElseUpdate(s, s"upd:$dir",
+        graft.engine.SessionKeyedCache.fileFingerprint(
+          s, s"$dir/orders.parquet"))({
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_upd_" +
+          s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        graft.engine.Upsert.upsertPartitioned(s, p,
+          t(s, dir, "orders")
+            .filter(col("o_orderkey") % 4 === 0)
+            .select(col("o_orderkey"),
+              floor(col("o_totalprice") * 100).cast("bigint")
+                .as("price_cents"),
+              date_trunc("month", col("o_orderdate")).cast("date").as("d")),
+          Seq("o_orderkey", "d"), "d")
+        graft.engine.Upsert.updateWhere(s, p,
+          col("o_orderkey") % 8 === 0,
+          Map("price_cents" -> (col("price_cents") + 7L)))
+        p
+      })
+      graft.engine.Manifest.read(s, tbl)
+        .select(col("o_orderkey"), col("price_cents"), col("d"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 8 = 0 THEN 7 ELSE 0 END
+               AS price_cents,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS d
+      FROM orders
+      WHERE o_orderkey % 4 = 0
+      ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
     qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart, qCdcFeed,
-    qSqlCdcFeed, qMvRewrite, qDeleteWhere)
+    qSqlCdcFeed, qMvRewrite, qDeleteWhere, qUpdateWhere)
 }

@@ -53,6 +53,40 @@ class DeleteSpec extends AnyFunSuite {
       .collect().toSet === Set((2, "delete")))
   }
 
+  test("updateWhere rewrites matches in place, leaves the rest alone") {
+    val p = tmp(); seed(p)
+    val v1 = Manifest.currentVersion(spark, p).get
+    val pre = Manifest.currentLive(spark, p)
+    val n = Upsert.updateWhere(spark, p, col("k") === 3,
+      Map("cents" -> (col("cents") + 1L)))
+    assert(n === 1L)
+    assert(Manifest.read(spark, p).select("k", "cents")
+      .as[(Int, Long)].collect().toSet ===
+      Set((1, 100L), (2, 200L), (3, 301L), (4, 400L)))
+    // d1 untouched (no match there), d2 rewritten
+    val post = Manifest.currentLive(spark, p)
+    assert(pre.filter(_.startsWith("d=2024-07-01/")).toSet ===
+      post.filter(_.startsWith("d=2024-07-01/")).toSet)
+    // the change feed reports exactly the update, both images
+    val v2 = Manifest.currentVersion(spark, p).get
+    assert(ChangeFeed.changes(spark, p, v1, v2, Seq("k"))
+      .select("k", "cents", ChangeFeed.ChangeCol)
+      .as[(Int, Long, String)].collect().toSet ===
+      Set((3, 300L, "update_preimage"), (3, 301L, "update_postimage")))
+  }
+
+  test("updateWhere on a partition column moves the row to its new partition") {
+    val p = tmp(); seed(p)
+    assert(Upsert.updateWhere(spark, p, col("k") === 1,
+      Map("d" -> org.apache.spark.sql.functions.lit(d2))) === 1L)
+    assert(Manifest.read(spark, p).filter(col("d") === d2)
+      .select("k").as[Int].collect().toSet === Set(1, 3, 4))
+    intercept[IllegalArgumentException] {
+      Upsert.updateWhere(spark, p, col("k") === 1,
+        Map("nope" -> org.apache.spark.sql.functions.lit(0)))
+    }
+  }
+
   test("a predicate with no matches is a version no-op") {
     val p = tmp(); seed(p)
     val v = Manifest.currentVersion(spark, p).get
