@@ -74,7 +74,13 @@ object Plans {
     // happened at write time, which is the point) and the CDC feed
     // (scans ONLY the changed-file subsets, full-outer join on the
     // key, explode classification — no scan of the unchanged table)
-    "q_incremental_mart", "q_cdc_feed")
+    "q_incremental_mart", "q_cdc_feed",
+    // round-11 fourth part: the MV rewrite's plan IS the evidence —
+    // the query is authored against the SOURCE, the dumped plan must
+    // scan the mart (plan-shape match + freshness gate); the DML-verb
+    // fixtures read back their post-mutation tables (the mutation work
+    // is write-time; the read plan shows the plain snapshot scan)
+    "q_mv_rewrite", "q_delete_where")
 
   /** Queries whose scale story rests on RUNTIME exchange reuse across
     * the K levels of an analysis-time TVF expansion (one shuffle of the

@@ -17,8 +17,8 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * so the convention cannot be violated by accident.
   *
   * Matching is by PLAN SHAPE, not text: the registered `compute` is
-  * re-planned over the source's CURRENT snapshot (cached on the source
-  * fingerprint), scans are normalized to their file lists, expression
+  * re-planned over the source's CURRENT snapshot (cached on the
+  * manifest versions), scans are normalized to their file lists, expression
   * ids are canonicalized away, and any query subtree whose normalized
   * shape + scanned files equal the definition's is substituted with a
   * manifest read of the mart, column-mapped by name onto the subtree's
@@ -41,11 +41,19 @@ object MaterializedViews {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Mv]
 
-  /** Cache of the definition's normalized (shape, scan file lists),
-    * keyed on the source fingerprint — a source commit invalidates it.
+  /** Cache of everything the rule needs per (source, mart) state:
+    * the definition's normalized shape + scan file lists AND the
+    * mart's analyzed read plan with its by-name output map. Keyed on
+    * the MANIFEST VERSIONS of both tables (plus the mart bookmark) —
+    * a source commit or a mart refresh invalidates it. Without this
+    * the rule would rebuild both reads (explicit-file-list relation
+    * construction + parquet schema inference) on every analyzer
+    * fixpoint iteration of every matching query — measured at seconds
+    * per plan build; with it, a rule pass is three tiny metadata
+    * reads and tree walks.
     */
-  private val shapeCache =
-    new SessionKeyedCache[(LogicalPlan, Seq[Seq[String]])]
+  private val shapeCache = new SessionKeyedCache[(LogicalPlan,
+    Seq[Seq[String]], LogicalPlan, Map[String, Attribute])]
 
   /** Guard against self-recursion: building the definition plan inside
     * the rule re-enters the analyzer (and so the rule).
@@ -86,10 +94,6 @@ object MaterializedViews {
     (normalized.canonicalized, scans.toSeq)
   }
 
-  private def fresh(spark: SparkSession, mv: Mv): Boolean =
-    Incremental.appliedSourceVersion(spark, mv.martPath).exists(v =>
-      Manifest.currentVersion(spark, mv.sourcePath).contains(v))
-
   /** The analysis rule (registered in GraftExtensions). Per MV: skip
     * unless fresh; build (cached) the definition's shape over the
     * current snapshot; substitute every matching resolved subtree with
@@ -117,18 +121,32 @@ object MaterializedViews {
         case _ => false
       }
       if (!touchesSource) return plan
-      if (!fresh(spark, mv)) return plan
+      // freshness + cache key from MANIFEST VERSIONS, not file
+      // fingerprints: files are immutable and the version uniquely
+      // identifies table state, so three tiny metadata reads replace
+      // two recursive directory walks — this rule runs per analyzer
+      // fixpoint iteration of every query that touches the source,
+      // and a measured ~2 s fingerprint pass per iteration turned a
+      // sub-second mart read into a 5 s plan build before this
+      val srcV = Manifest.currentVersion(spark, mv.sourcePath)
+      val bookV = Incremental.appliedSourceVersion(spark, mv.martPath)
+      if (srcV.isEmpty || bookV != srcV) return plan
+      val martV = Manifest.currentVersion(spark, mv.martPath)
       expanding.set(true)
       try {
-        val (defShape, defScans) = shapeCache.getOrElseUpdate(spark,
-          s"mv:${mv.name}",
-          SessionKeyedCache.fileFingerprint(spark, mv.sourcePath))(
-          shape(mv.compute(Manifest.read(spark, mv.sourcePath))
-            .queryExecution.analyzed))
-        val mart = Manifest.read(spark, mv.martPath)
-          .queryExecution.analyzed
-        val martByName: Map[String, Attribute] =
-          mart.output.map(a => a.name -> a).toMap
+        val fp = s"${srcV.get}|${bookV.get}|${martV.getOrElse(-1L)}"
+        val (defShape, defScans, martPlan, martByName) =
+          shapeCache.getOrElseUpdate(spark, s"mv:${mv.name}", fp)({
+            val d = shape(mv.compute(Manifest.read(spark, mv.sourcePath))
+              .queryExecution.analyzed)
+            val m = Manifest.read(spark, mv.martPath)
+              .queryExecution.analyzed
+            (d._1, d._2, m, m.output.map(a => a.name -> a).toMap)
+          })
+        // the cached mart plan carries fixed expression ids — safe to
+        // splice once per plan; a SECOND matching subtree in the same
+        // plan gets a freshly-built copy so ids never collide
+        var usedCached = false
         plan.transformUp {
           case sub if sub.resolved && !sub.isInstanceOf[LocalRelation] &&
               sub.output.forall(a => martByName.get(a.name)
@@ -136,8 +154,15 @@ object MaterializedViews {
                 val (s, scans) = shape(sub)
                 s == defShape && scans == defScans
               } =>
+            val (mart, byName) =
+              if (!usedCached) { usedCached = true; (martPlan, martByName) }
+              else {
+                val m = Manifest.read(spark, mv.martPath)
+                  .queryExecution.analyzed
+                (m, m.output.map(a => a.name -> a).toMap)
+              }
             Project(sub.output.map(a =>
-              Alias(martByName(a.name), a.name)(exprId = a.exprId)), mart)
+              Alias(byName(a.name), a.name)(exprId = a.exprId)), mart)
         }
       } finally expanding.set(false)
     }

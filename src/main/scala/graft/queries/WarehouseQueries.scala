@@ -739,17 +739,23 @@ object WarehouseQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(srcPath, martPath).foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      // one file per month partition: without the repartition every
+      // partition gets up to spark.sql.shuffle.partitions files and the
+      // fixture becomes a thousands-of-tiny-files table whose listings
+      // and footer reads dominate every later plan build
       val src = t(s, dir, "orders")
         .filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"),
           floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
           date_trunc("month", col("o_orderdate")).cast("date").as("d"))
+        .repartition(col("d"))
       graft.engine.Upsert.upsertPartitioned(s, srcPath, src,
         Seq("o_orderkey", "d"), "d")
       graft.engine.Incremental.refresh(s, srcPath, martPath, "d")(
         imMartCompute)
       val bumped = src.filter(col("o_orderkey") % 14 === 0)
         .withColumn("price_cents", col("price_cents") + 1)
+        .repartition(col("d"))
       graft.engine.Upsert.mergePartitioned(s, srcPath, bumped,
         Seq("o_orderkey", "d"), "d")
       val r = graft.engine.Incremental.refresh(s, srcPath, martPath, "d")(
@@ -823,7 +829,7 @@ object WarehouseQueries {
           floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
           date_trunc("month", col("o_orderdate")).cast("date").as("d"))
       graft.engine.Upsert.upsertPartitioned(s, srcPath,
-        base.filter(col("o_orderkey") % 7 === 0),
+        base.filter(col("o_orderkey") % 7 === 0).repartition(col("d")),
         Seq("o_orderkey", "d"), "d")
       val vFrom = graft.engine.Manifest.currentVersion(s, srcPath).get
       val in96 = year(col("d")) === 1996
@@ -835,6 +841,7 @@ object WarehouseQueries {
             .otherwise(col("price_cents")))
         .unionByName(base.filter(in96 && col("o_orderkey") % 3 === 0 &&
           col("o_orderkey") % 7 =!= 0))
+        .repartition(col("d"))
       // expected = EVERY 1996 month present in orders, not just months
       // live in v1: on sparse data the insert branch can introduce a
       // month with no v1 rows, and a v1-only month with an empty
@@ -972,7 +979,8 @@ object WarehouseQueries {
             .select(col("o_orderkey"),
               floor(col("o_totalprice") * 100).cast("bigint")
                 .as("price_cents"),
-              date_trunc("month", col("o_orderdate")).cast("date").as("d")),
+              date_trunc("month", col("o_orderdate")).cast("date").as("d"))
+            .repartition(col("d")),
           Seq("o_orderkey", "d"), "d")
         graft.engine.Upsert.deleteWhere(s, p, col("o_orderkey") % 15 === 0)
         p
@@ -1016,7 +1024,8 @@ object WarehouseQueries {
             .select(col("o_orderkey"),
               floor(col("o_totalprice") * 100).cast("bigint")
                 .as("price_cents"),
-              date_trunc("month", col("o_orderdate")).cast("date").as("d")),
+              date_trunc("month", col("o_orderdate")).cast("date").as("d"))
+            .repartition(col("d")),
           Seq("o_orderkey", "d"), "d")
         graft.engine.Upsert.updateWhere(s, p,
           col("o_orderkey") % 8 === 0,
