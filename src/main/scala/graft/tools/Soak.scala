@@ -54,7 +54,15 @@ object Soak {
     "q_span_dedup",           // positional n-gram hashes (GC-sensitive rep
                               //   spread under contention; characterize it)
     "q_grouping_sets",        // native Expand: cost scales with set count
-    "q21_waiting_supplier")   // TPC-H's heaviest: EXISTS/NOT-EXISTS aggs
+    "q21_waiting_supplier",   // TPC-H's heaviest: EXISTS/NOT-EXISTS aggs
+    // round-11 lakehouse family: each builds its manifest-table fixture
+    // from the copied source, so the curve measures fixture build +
+    // the operator at scale; q_mv_rewrite's EXECUTION is a mart read,
+    // so its slope should be the mart's, not the source's
+    "q_incremental_mart",     // manifest-diff refresh, O(touched slice)
+    "q_cdc_feed",             // net change feed, O(changed files)
+    "q_delete_where",         // touched-files-only rewrite
+    "q_mv_rewrite")           // plan-shape rewrite onto the mart
 
   /** Per-copy entity-key shift. Shared with GraphQueries' soak-only
     * spread-seed variants, which undo it modulo-wise to re-spread the
