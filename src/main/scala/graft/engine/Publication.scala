@@ -137,20 +137,45 @@ object Publication {
     }
   }
 
-  /** Read `table` AS OF the latest publication — the star-consistent
-    * read path. A table the publication does not name is a loud error:
-    * silently falling back to its latest version would reintroduce
-    * exactly the mixed-snapshot read this exists to prevent.
+  /** A RESOLVED publication: every `readTable` on the same snapshot
+    * serves the same pinned version set, no matter how many publishes
+    * land in between. This is the handle a multi-table query must use —
+    * two bare [[Publication.readTable]] calls each re-resolve the
+    * latest publication and can STRADDLE a publish (fact from pub N,
+    * mart from pub N+1), which is exactly the mixed read publications
+    * exist to prevent. Resolve once, read many.
     */
-  def readTable(spark: SparkSession, root: String,
-      table: String): DataFrame = {
-    val pins = resolve(spark, root).getOrElse(
+  final case class Snapshot(root: String, version: Long,
+      pins: Map[String, Long]) {
+    def readTable(spark: SparkSession, table: String): DataFrame = {
+      val v = pins.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"table $table is not in publication v$version of $root " +
+            s"(${pins.keys.toSeq.sorted.mkString(", ")})"))
+      Manifest.readAsOf(spark, s"$root/$table", v)
+    }
+  }
+
+  /** Resolve the latest publication ONCE into a [[Snapshot]] handle. */
+  def snapshot(spark: SparkSession, root: String): Snapshot = {
+    val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no publication under $root — nothing consistent to read"))
-    val v = pins.getOrElse(table,
-      throw new IllegalArgumentException(
-        s"table $table is not in the current publication " +
-          s"(${pins.keys.toSeq.sorted.mkString(", ")})"))
-    Manifest.readAsOf(spark, s"$root/$table", v)
+    Snapshot(root, v, resolveAsOf(spark, root, v))
   }
+
+  def snapshotAsOf(spark: SparkSession, root: String, v: Long): Snapshot =
+    Snapshot(root, v, resolveAsOf(spark, root, v))
+
+  /** Read `table` AS OF the latest publication — the star-consistent
+    * read path for a SINGLE-table read. A table the publication does
+    * not name is a loud error: silently falling back to its latest
+    * version would reintroduce exactly the mixed-snapshot read this
+    * exists to prevent. For a query touching SEVERAL tables, resolve a
+    * [[snapshot]] once and read all tables through it — independent
+    * `readTable` calls can straddle a publish.
+    */
+  def readTable(spark: SparkSession, root: String,
+      table: String): DataFrame =
+    snapshot(spark, root).readTable(spark, table)
 }

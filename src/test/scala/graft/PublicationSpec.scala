@@ -60,6 +60,24 @@ class PublicationSpec extends AnyFunSuite {
     assert(martSum(Publication.readTable(spark, wh, "mart")) === 500L)
   }
 
+  test("a resolved snapshot cannot straddle a publish; bare readTable can") {
+    val wh = tmp()
+    writeFact(wh, 100L); writeMart(wh)
+    Publication.publish(spark, wh, Seq("fact", "mart"))
+    // resolve ONCE, then a full new load + publish lands in between
+    val snap = Publication.snapshot(spark, wh)
+    val factOld = factSum(snap.readTable(spark, "fact"))
+    writeFact(wh, 250L); writeMart(wh)
+    Publication.publish(spark, wh, Seq("fact", "mart"))
+    // the snapshot handle still serves the OLD coherent pair
+    assert(factOld === 200L)
+    assert(martSum(snap.readTable(spark, "mart")) === 200L)
+    assert(factSum(snap.readTable(spark, "fact")) === 200L)
+    // bare readTable re-resolves per call: across the publish it serves
+    // the NEW pair — which is why multi-table queries must use snapshot
+    assert(factSum(Publication.readTable(spark, wh, "fact")) === 500L)
+  }
+
   test("old publications stay resolvable: cross-table time travel") {
     val wh = tmp()
     writeFact(wh, 100L); writeMart(wh)
