@@ -85,6 +85,28 @@ class CdcSpec extends AnyFunSuite {
     assert(df.count() === 0)
   }
 
+  test("a column added mid-range backfills NULL on the old side") {
+    val p = tmp()
+    Upsert.upsertPartitioned(spark, p, rows((1, d1, 100L), (2, d1, 200L)),
+      Seq("k", "d"), "d")
+    val v1 = Manifest.currentVersion(spark, p).get
+    // schema evolution, then a rewrite that fills the new column for k=1
+    Manifest.addColumn(spark, p, org.apache.spark.sql.types.StructField(
+      "tag", org.apache.spark.sql.types.StringType, nullable = true))
+    Upsert.overwritePartitions(spark, p,
+      Seq((1, d1, 100L, "hot"), (2, d1, 200L, null: String))
+        .toDF("k", "d", "cents", "tag"), "d")
+    val v3 = Manifest.currentVersion(spark, p).get
+    val feed = ChangeFeed.changes(spark, p, v1, v3, Seq("k"))
+      .select("k", "cents", "tag", ChangeFeed.ChangeCol)
+      .as[(Int, Long, Option[String], String)].collect().toSet
+    // k=1: NULL -> 'hot' is an update with both images under the
+    // evolved schema; k=2: NULL -> NULL is value-identical — silent
+    assert(feed === Set(
+      (1, 100L, None, "update_preimage"),
+      (1, 100L, Some("hot"), "update_postimage")))
+  }
+
   test("a pure append is all inserts") {
     val p = tmp()
     Upsert.upsertPartitioned(spark, p, rows((1, d1, 100L)),
