@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   * Both sides read under vTo's pinned schema when one exists
   * ([[Manifest.addColumn]] sidecars), so a column added mid-range
   * backfills NULL on the old side and value drift surfaces as updates.
+  *
+  * `keyCols` must be a UNIQUE key of both snapshots (for this engine's
+  * tables: the upsert key, typically including the partition column).
+  * With duplicate key tuples the full-outer classification join pairs
+  * rows across the duplicates and the feed is not a set difference —
+  * CdcPropertySpec documents the failure mode (its first draft keyed a
+  * (k, d)-keyed table on k alone and the model diverged immediately).
   */
 object ChangeFeed {
 
