@@ -119,6 +119,19 @@ object Incremental {
           Refresh(Some(fromV), toV, Seq.empty)
         case Some(fromV) =>
           val changed = changedPartitions(spark, sourcePath, fromV, toV)
+          // loud guard: changedPartitions only sees `col=value/` files,
+          // so a source whose changed files live at the table ROOT
+          // (an unpartitioned write slipped in) would silently refresh
+          // NOTHING and advance the bookmark past real changes
+          if (changed.isEmpty) {
+            val a = Manifest.filesAsOf(spark, sourcePath, fromV).toSet
+            val b = Manifest.filesAsOf(spark, sourcePath, toV).toSet
+            require(a == b,
+              s"incremental refresh of $martPath: source $sourcePath " +
+                s"changed between v$fromV and v$toV but no '$dateCol=' " +
+                "partition moved — the source has unpartitioned data " +
+                "files, which this maintenance cannot scope")
+          }
           if (changed.nonEmpty) {
             val src = Manifest.read(spark, sourcePath)
             val values = changed.map(_.dropWhile(_ != '=').drop(1))

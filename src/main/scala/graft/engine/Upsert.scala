@@ -308,6 +308,11 @@ object Upsert {
     * the new manifest (parquet writes no file for an empty partition).
     * The deletion is visible to [[ChangeFeed]] as `delete` rows, like
     * every other mutation. Returns the number of rows deleted.
+    *
+    * The predicate (here and in [[updateWhere]]) must be DETERMINISTIC:
+    * it is evaluated twice — once to name the touched files, once in
+    * the rewrite — and a flaky predicate would mutate a different row
+    * set than it counted.
     */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Long =

@@ -115,6 +115,22 @@ class IncrementalSpec extends AnyFunSuite {
     assert(martRows(m).map(_._1) === Set(d1, d2))
   }
 
+  test("unpartitioned data slipping into the source fails the refresh loudly") {
+    val s = tmp(); val m = tmp()
+    mkSource(s)
+    Incremental.refresh(spark, s, m, "d")(computeMart)
+    // a FLAT write into the partitioned source: the new files live at
+    // the table root, so no 'd=' partition moves and a silent refresh
+    // would advance the bookmark past real changes
+    Upsert.upsertParquet(spark, s, src((9, d1, "a", 900L)), Seq("k", "d"))
+    val e = intercept[IllegalArgumentException] {
+      Incremental.refresh(spark, s, m, "d")(computeMart)
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+    // the bookmark did NOT advance: fixing the source re-enables refresh
+    assert(Incremental.appliedSourceVersion(spark, m).isDefined)
+  }
+
   test("refresh requires a manifest-managed source") {
     val bare = tmp()
     Seq((1, d1, "a", 1L)).toDF("k", "d", "cat", "cents")
