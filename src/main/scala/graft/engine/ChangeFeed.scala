@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * values) is filtered by a null-safe whole-row comparison and emits
   * nothing. Per-change rows carry `_change_type`:
   * `insert` | `delete` | `update_preimage` | `update_postimage`
-  * (updates emit both images, postimage-after-preimage under a
-  * (key, _change_type) sort).
+  * (updates emit both images; note an ascending (key, _change_type)
+  * sort yields `update_postimage` BEFORE `update_preimage` —
+  * lexicographic order, not apply order. A consumer applying images
+  * must key on the tag, not the sort position; [[CdcSync]] does).
   *
   * Both sides read under vTo's pinned schema when one exists
   * ([[Manifest.addColumn]] sidecars), so a column added mid-range

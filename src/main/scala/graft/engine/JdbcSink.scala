@@ -32,12 +32,7 @@ object JdbcSink {
       props: java.util.Properties = new java.util.Properties): Unit = {
     val conn = DriverManager.getConnection(url, props)
     try {
-      val exists = {
-        val rs = conn.getMetaData.getTables(
-          null, null, table.toUpperCase(java.util.Locale.ROOT), null)
-        try rs.next() finally rs.close()
-      }
-      if (exists) {
+      if (tableExistsJdbc(conn, table)) {
         val del = conn.prepareStatement(
           s"""DELETE FROM $table WHERE "$dateCol" = ?""")
         try { del.setDate(1, date); del.executeUpdate(); () }
@@ -283,14 +278,30 @@ object JdbcSink {
     } finally conn.close()
   }
 
-  private def ensureTable(conn: Connection, table: String,
-      columnsDdl: String): Unit = {
-    val exists = {
-      val rs = conn.getMetaData.getTables(
-        null, null, table.toUpperCase(java.util.Locale.ROOT), null)
+  /** Existence probe under the database's own identifier folding:
+    * Derby stores unquoted names UPPER, Postgres stores them lower —
+    * a fixed-case probe misses on the other family, and the caller
+    * then re-issues CREATE TABLE into an already-exists failure. Probe
+    * the fold the driver reports, falling back to trying both.
+    */
+  private def tableExistsJdbc(conn: Connection, table: String): Boolean = {
+    val md = conn.getMetaData
+    val candidates: Seq[String] =
+      if (md.storesUpperCaseIdentifiers)
+        Seq(table.toUpperCase(java.util.Locale.ROOT))
+      else if (md.storesLowerCaseIdentifiers)
+        Seq(table.toLowerCase(java.util.Locale.ROOT))
+      else Seq(table, table.toUpperCase(java.util.Locale.ROOT),
+        table.toLowerCase(java.util.Locale.ROOT)).distinct
+    candidates.exists { name =>
+      val rs = md.getTables(null, null, name, null)
       try rs.next() finally rs.close()
     }
-    if (!exists) {
+  }
+
+  private def ensureTable(conn: Connection, table: String,
+      columnsDdl: String): Unit = {
+    if (!tableExistsJdbc(conn, table)) {
       val st = conn.createStatement()
       try { st.executeUpdate(s"CREATE TABLE $table ($columnsDdl)"); () }
       finally st.close()

@@ -128,11 +128,19 @@ object Publication {
       val pins: Map[String, Set[Long]] = keptPubs
         .flatMap(v => resolveAsOf(spark, root, v).toSeq)
         .groupBy(_._1).map { case (t, tv) => t -> tv.map(_._2).toSet }
+      // Delete the dropped .pub files FIRST: a concurrent reader can
+      // only resolve publications still listed, so retiring the
+      // listing before vacuuming the versions it pinned closes the
+      // window where a just-resolved old publication points at files
+      // the vacuum below is about to delete. (Tables named ONLY by
+      // dropped publications are not vacuumed here — they keep their
+      // own history until a retained publication or a direct
+      // Manifest.vacuum names them; documented, not silent.)
+      dropPubs.foreach(v =>
+        fs.delete(new Path(pdir(root), f"v$v%020d.pub"), false))
       val filesDeleted = pins.map { case (table, protectVs) =>
         Manifest.vacuum(spark, s"$root/$table", keepTables, protectVs)
       }.sum
-      dropPubs.foreach(v =>
-        fs.delete(new Path(pdir(root), f"v$v%020d.pub"), false))
       (dropPubs.size, filesDeleted)
     }
   }

@@ -363,14 +363,28 @@ object Upsert {
           s"deleteWhere into $path: scan saw files outside the live " +
             s"snapshot: ${(touchedSet -- live.toSet).mkString(", ")}")
         // re-read ONLY the touched files; partition columns come back
-        // via basePath, and the rewrite preserves the partition layout
-        val sub = spark.read.option("basePath", path)
+        // via basePath, and the rewrite preserves the partition layout.
+        // The manifest's pinned schema (if any) applies here exactly as
+        // in Manifest.readAsOf: after addColumn, touched files can mix
+        // pre/post-migration shapes, and a footer-inferred schema could
+        // drop the added column's values from newer files.
+        val pinned = Manifest.currentVersion(spark, path)
+          .flatMap(Manifest.schemaAsOf(spark, path, _))
+        val subR = spark.read.option("basePath", path)
+        val sub = pinned.fold(subR)(subR.schema)
           .parquet(touched.map(f => s"$path/$f"): _*)
         val partCols = touched.head.split("/").dropRight(1)
           .map(_.takeWhile(_ != '=')).toSeq
         val matched = sub.filter(predicate).count()
         val kept = set match {
-          case None => sub.filter(!predicate)
+          // SQL DELETE semantics: remove rows where the predicate is
+          // TRUE; keep rows where it is FALSE *or NULL*. A bare
+          // filter(!predicate) would drop NULL-evaluating rows too
+          // (they fail both the positive and the negated filter under
+          // three-valued logic) — silently deleting uncounted rows.
+          case None => sub.filter(org.apache.spark.sql.functions
+            .coalesce(!predicate, org.apache.spark.sql.functions
+              .lit(true)))
           case Some(assignments) =>
             assignments.keys.foreach(c => require(
               sub.columns.contains(c),

@@ -95,6 +95,55 @@ class DeleteSpec extends AnyFunSuite {
     assert(keys(p) === Set(1, 2, 3, 4))
   }
 
+  test("NULL-evaluating rows survive a delete (predicate not TRUE = keep)") {
+    // SQL DELETE removes rows where the predicate is TRUE; a row where
+    // it evaluates NULL is kept. The trap: such a row co-located in a
+    // touched file fails BOTH filter(p) and filter(!p) under
+    // three-valued logic, so a naive rewrite silently drops it.
+    val p = tmp()
+    Upsert.upsertPartitioned(spark, p,
+      Seq((1, d1, Some(10L)), (2, d1, None), (3, d1, Some(99L)))
+        .toDF("k", "d", "cents"), Seq("k", "d"), "d")
+    // k=3 matches (cents > 50); k=2 has NULL cents → predicate NULL →
+    // must survive, in the SAME file (same partition d1) as the match
+    val n = Upsert.deleteWhere(spark, p, col("cents") > 50L)
+    assert(n === 1L)
+    assert(keys(p) === Set(1, 2))
+    assert(Manifest.read(spark, p).filter(col("cents").isNull)
+      .select("k").as[Int].collect().toSet === Set(2))
+    // and updateWhere leaves the NULL row's values untouched
+    assert(Upsert.updateWhere(spark, p, col("cents") > 5L,
+      Map("cents" -> (col("cents") + 1L))) === 1L)
+    assert(Manifest.read(spark, p).select("k", "cents")
+      .as[(Int, Option[Long])].collect().toSet ===
+      Set((1, Some(11L)), (2, None)))
+  }
+
+  test("delete/update after addColumn reads touched files under the pinned schema") {
+    // Touched files can mix pre/post-migration shapes; without the
+    // manifest's pinned schema the rewrite would footer-infer from one
+    // file and could drop the added column's values (or throw on a
+    // predicate referencing it).
+    val p = tmp(); seed(p)
+    Manifest.addColumn(spark, p,
+      org.apache.spark.sql.types.StructField("tier",
+        org.apache.spark.sql.types.StringType))
+    // land a post-migration row into the SAME d1 partition
+    Upsert.upsertPartitioned(spark, p,
+      Seq((5, d1, 500L, "gold")).toDF("k", "d", "cents", "tier"),
+      Seq("k", "d"), "d")
+    // delete keyed on the ADDED column: only the post-migration row
+    // matches; pre-migration rows (tier NULL) survive
+    assert(Upsert.deleteWhere(spark, p, col("tier") === "gold") === 1L)
+    assert(keys(p) === Set(1, 2, 3, 4))
+    // update SETTING the added column on a pre-migration row
+    assert(Upsert.updateWhere(spark, p, col("k") === 1,
+      Map("tier" -> org.apache.spark.sql.functions.lit("silver"))) === 1L)
+    assert(Manifest.read(spark, p).select("k", "tier")
+      .as[(Int, Option[String])].collect().toSet ===
+      Set((1, Some("silver")), (2, None), (3, None), (4, None)))
+  }
+
   test("emptying every touched file drops it from the snapshot") {
     val p = tmp(); seed(p)
     assert(Upsert.deleteWhere(spark, p, col("d") === d1) === 2L)
