@@ -1,0 +1,257 @@
+package graft.catalog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.{Manifest, Upsert, WriterLease}
+
+/** SQL-addressable warehouse: a DataSource V2 [[TableCatalog]] that
+  * resolves manifest-managed tables (`graft.engine.Manifest`) by NAME,
+  * so every table the engine's writers maintain is reachable from any
+  * SQL client session as `SELECT … FROM <cat>.<ns>.<table>` — the
+  * reference's whole BI story is name-based SQL against Postgres
+  * (`README.md:65-67`: Metabase/DBeaver over the star schema); this
+  * closes the same gap for the lakehouse layer without a second copy
+  * of the data.
+  *
+  * Registration (any number of catalogs, one per warehouse root):
+  * {{{
+  *   spark.sql.catalog.wh      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.wh.root = /data/warehouse
+  * }}}
+  * Layout convention: `root/<namespace>/<table>` — one directory level
+  * of namespaces, each table a manifest-managed parquet directory.
+  *
+  * What resolves through here:
+  *  - **Reads** delegate to Spark's own parquet DSv2 scan over the
+  *    manifest's EXPLICIT file list — predicate pushdown, column
+  *    pruning, partition pruning, and parquet aggregate pushdown are
+  *    all the stock `ParquetScanBuilder` machinery; the catalog adds
+  *    manifest-level FILE skipping on top ([[GraftScanBuilder]]): the
+  *    pushed data filters are intersected with the snapshot's
+  *    `.stats` sidecar envelopes BEFORE the scan is built, so tasks
+  *    are never scheduled for files whose min/max cannot match. At
+  *    100 TB this is the difference between opening every footer and
+  *    opening the overlapping handful — and because the file list is
+  *    explicit, no object-store directory listing happens at all.
+  *  - **Time travel**: `VERSION AS OF v` routes to the same pinned
+  *    file list + schema sidecar as `Manifest.readAsOf`, and its
+  *    stats skipping prunes against THAT version's sidecar.
+  *  - **DML**: `DELETE FROM … WHERE …` translates the V2 predicates
+  *    back to Column expressions and runs [[Upsert.deleteWhere]]
+  *    (touched-files-only rewrite, snapshot commit); `TRUNCATE TABLE`
+  *    is the always-true delete. `INSERT INTO` lands through the V1
+  *    write fallback as [[Upsert.append]] — one atomic manifest
+  *    commit per statement, same as every library writer.
+  *  - **DDL**: `CREATE TABLE` pins the schema as a v1 sidecar over an
+  *    empty file list; `ALTER TABLE … ADD COLUMN` is
+  *    [[Manifest.addColumn]]'s metadata-only migration; `DROP TABLE`
+  *    removes the directory under the writer lease.
+  *
+  * Deliberately NOT here: partitioned `CREATE TABLE` (the library
+  * writers derive partition layout physically — `INSERT INTO` an
+  * existing partitioned table derives its partition column from the
+  * live layout), `UPDATE` (library verb [[Upsert.updateWhere]]; SQL
+  * UPDATE needs the row-level-operation API and a full write path),
+  * and `RENAME` across filesystems.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.root to the " +
+          "warehouse root directory"))
+      .stripSuffix("/")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tablePath(ident: Identifier): String =
+    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_graft_manifest"))
+
+  // ---- namespaces -------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) Array.empty
+    else fs.listStatus(r).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+      .sorted.map(Array(_))
+  }
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(name() +: ns.toSeq)
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.length == 1 && fs.exists(new Path(s"$root/${ns.head}"))
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] =
+    if (namespaceExists(ns))
+      Map("location" -> s"$root/${ns.head}").asJava
+    else throw new NoSuchNamespaceException(name() +: ns.toSeq)
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(ns.length == 1,
+      s"catalog ${name()} supports one namespace level, got " +
+        ns.mkString("."))
+    if (namespaceExists(ns))
+      throw new NamespaceAlreadyExistsException(name() +: ns.toSeq)
+    fs.mkdirs(new Path(s"$root/${ns.head}")); ()
+  }
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog ${name()}: namespaces carry no mutable metadata")
+
+  override def dropNamespace(ns: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) return false
+    val p = new Path(s"$root/${ns.head}")
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${ns.head} is not empty (use CASCADE)")
+    fs.delete(p, true)
+  }
+
+  // ---- tables -----------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(ns))
+      throw new NoSuchNamespaceException(name() +: ns.toSeq)
+    val p = new Path(s"$root/${ns.head}")
+    fs.listStatus(p).filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(ns, st.getPath.getName)).sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      isTableDir(new Path(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(
+        name() +: ident.namespace.toSeq :+ ident.name)
+    GraftTable(spark, fullName(ident), tablePath(ident), version = None)
+  }
+
+  /** `VERSION AS OF v` — the SQL surface of [[Manifest.readAsOf]]. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(
+        name() +: ident.namespace.toSeq :+ ident.name)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"catalog ${name()}: VERSION AS OF takes a manifest version " +
+            s"number, got '$version'")
+    }
+    val path = tablePath(ident)
+    require(Manifest.versions(spark, path).contains(v),
+      s"table ${fullName(ident)} has no committed version $v " +
+        s"(versions: ${Manifest.versions(spark, path).mkString(", ")})")
+    GraftTable(spark, s"${fullName(ident)}@v$v", path, version = Some(v))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (name() +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  /** `CREATE TABLE` — pins the declared schema as the v1 sidecar over
+    * an empty file list, so the table is immediately SELECTable
+    * (empty) and `INSERT INTO` lands against a checked shape.
+    * Partitioned creates are refused: partition layout in this engine
+    * is physical and comes from the library writers.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(ident.namespace.length == 1,
+      s"catalog ${name()} expects <namespace>.<table>, got " +
+        fullName(ident))
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(
+        name() +: ident.namespace.toSeq :+ ident.name)
+    require(partitions.isEmpty,
+      s"catalog ${name()}: partitioned CREATE TABLE is not supported — " +
+        "partition layout is physical; land data with " +
+        "Upsert.upsertPartitioned and the table resolves here")
+    val path = tablePath(ident)
+    fs.mkdirs(new Path(path))
+    Manifest.commit(spark, path, Seq.empty, schema = Some(schema))
+    GraftTable(spark, fullName(ident), path, version = None)
+  }
+
+  /** `ALTER TABLE … ADD COLUMN` routes to [[Manifest.addColumn]]'s
+    * metadata-only migration; everything else is refused loudly.
+    */
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(
+        name() +: ident.namespace.toSeq :+ ident.name)
+    val path = tablePath(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"catalog ${name()}: only top-level ADD COLUMN is supported")
+        Manifest.addColumn(spark, path,
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames.head, add.dataType, add.isNullable))
+      case other => throw new UnsupportedOperationException(
+        s"catalog ${name()}: unsupported ALTER ${other.getClass.getSimpleName} " +
+          "— schema evolution here is additive (ADD COLUMN)")
+    }
+    GraftTable(spark, fullName(ident), path, version = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val path = tablePath(ident)
+    WriterLease.withLease(spark, path) {
+      fs.delete(new Path(path), true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent))
+      throw new NoSuchTableException(
+        name() +: oldIdent.namespace.toSeq :+ oldIdent.name)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(
+        name() +: newIdent.namespace.toSeq :+ newIdent.name)
+    require(namespaceExists(newIdent.namespace),
+      s"namespace ${newIdent.namespace.mkString(".")} does not exist")
+    WriterLease.withLease(spark, tablePath(oldIdent)) {
+      require(fs.rename(new Path(tablePath(oldIdent)),
+        new Path(tablePath(newIdent))),
+        s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+    }
+  }
+}

@@ -1,0 +1,146 @@
+package graft.catalog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.{Manifest, Upsert}
+
+/** One manifest snapshot as a DSv2 [[Table]]. The file list and pinned
+  * schema are resolved ONCE at load (analysis) time, so a query —
+  * however many scans of the table it contains — reads one consistent
+  * snapshot even while writers commit concurrently: the SQL twin of
+  * [[Manifest.read]]'s snapshot isolation.
+  *
+  * Reads delegate to Spark's stock parquet DSv2 table over the
+  * snapshot's EXPLICIT absolute file list (`basePath` keeps partition
+  * column derivation identical to a directory read), wrapped by
+  * [[GraftScanBuilder]] for manifest-stats file skipping. Writes and
+  * deletes go through the engine's snapshot-committing verbs — never
+  * through the parquet table, whose directory-append path would land
+  * files the manifest (correctly) ignores.
+  */
+final case class GraftTable(spark: SparkSession, tableName: String,
+    path: String, version: Option[Long])
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
+
+  /** The version this table object serves; None only for a
+    * pre-manifest (adopted) directory.
+    */
+  private val snapshotVersion: Option[Long] =
+    version.orElse(Manifest.currentVersion(spark, path))
+
+  private val relFiles: Seq[String] = snapshotVersion match {
+    case Some(v) => Manifest.filesAsOf(spark, path, v)
+    case None => Manifest.listDataFiles(spark, path)
+  }
+
+  private val pinnedSchema: Option[StructType] =
+    snapshotVersion.flatMap(Manifest.schemaAsOf(spark, path, _))
+
+  require(relFiles.nonEmpty || pinnedSchema.nonEmpty,
+    s"table $tableName at $path: empty snapshot with no pinned schema — " +
+      "nothing to derive a shape from")
+
+  /** Partition columns as laid out on disk (`d=.../file.parquet`),
+    * derived from the snapshot's own paths — the layout IS the
+    * partitioning metadata, exactly like a directory-scan read.
+    */
+  private[catalog] def partitionCols: Seq[String] =
+    relFiles.headOption.map(_.split("/").dropRight(1).toSeq
+      .map(_.takeWhile(_ != '='))).getOrElse(Seq.empty)
+
+  private def scanOptions(extra: CaseInsensitiveStringMap)
+      : CaseInsensitiveStringMap = {
+    val m = new util.HashMap[String, String](extra)
+    m.put("basePath", path)
+    new CaseInsensitiveStringMap(m)
+  }
+
+  private[catalog] def delegate(files: Seq[String],
+      options: CaseInsensitiveStringMap): ParquetTable =
+    ParquetTable(tableName, spark, scanOptions(options),
+      files.map(f => s"$path/$f"),
+      pinnedSchema, classOf[ParquetFileFormat])
+
+  private lazy val fullTable: ParquetTable =
+    delegate(relFiles, CaseInsensitiveStringMap.empty())
+
+  override def name(): String = tableName
+
+  override def schema(): StructType =
+    if (relFiles.isEmpty) pinnedSchema.get else fullTable.schema()
+
+  override def properties(): util.Map[String, String] =
+    (Map("provider" -> "graft", "location" -> path) ++
+      snapshotVersion.map(v => "version" -> v.toString)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    if (relFiles.isEmpty)
+      // a just-created empty table: scan its pinned shape, zero files
+      delegate(Seq.empty, options).newScanBuilder(scanOptions(options))
+    else new GraftScanBuilder(spark, path, snapshotVersion,
+      fullTable.newScanBuilder(scanOptions(options)),
+      kept => delegate(kept, options).newScanBuilder(scanOptions(options)))
+
+  // ---- INSERT INTO (V1 fallback -> manifest-committed append) -----
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    version.foreach(v => throw new UnsupportedOperationException(
+      s"cannot write to $tableName: VERSION AS OF $v is a read-only " +
+        "snapshot"))
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                s"INSERT OVERWRITE into $tableName: overwrite through " +
+                  "SQL is not supported — use the library's upsert/" +
+                  "merge verbs for keyed replacement")
+              val pc = partitionCols
+              require(pc.size <= 1,
+                s"INSERT INTO $tableName: multi-level partition layout " +
+                  s"(${pc.mkString("/")}) has no SQL insert path")
+              Upsert.append(spark, path, data, pc.headOption); ()
+            }
+          }
+      }
+    }
+  }
+
+  // ---- DELETE FROM / TRUNCATE TABLE --------------------------------
+
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
+    version.isEmpty &&
+      V2PredicateColumns.translateAll(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    version.foreach(v => throw new UnsupportedOperationException(
+      s"cannot delete from $tableName: VERSION AS OF $v is a " +
+        "read-only snapshot"))
+    val cond = V2PredicateColumns.translateAll(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE FROM $tableName: cannot translate " +
+          predicates.mkString(" AND ") + " — use Upsert.deleteWhere " +
+          "with an arbitrary Column predicate"))
+    Upsert.deleteWhere(spark, path, cond); ()
+  }
+}

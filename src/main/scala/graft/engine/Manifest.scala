@@ -247,6 +247,15 @@ object Manifest {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"planSkipping needs a manifest-managed table: $path has none"))
+    planSkippingAsOf(spark, path, v, ranges)
+  }
+
+  /** [[planSkipping]] pinned to a committed version — the time-travel
+    * variant the SQL catalog uses, so a `VERSION AS OF` read prunes
+    * against ITS OWN snapshot's stats sidecar, never the current one.
+    */
+  def planSkippingAsOf(spark: SparkSession, path: String, v: Long,
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) = {
     val files = filesAsOf(spark, path, v)
     val stats = FileStats.read(spark, path, v)
     (FileStats.prune(stats, files, ranges), files.size)

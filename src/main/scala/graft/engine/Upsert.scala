@@ -443,6 +443,20 @@ object Upsert {
       }
     }
 
+  /** Plain snapshot-committed append — the `INSERT INTO` verb. One
+    * atomically-renamed manifest commit admits exactly this batch's
+    * files; no keys, no dedup (use the upsert/merge verbs for keyed
+    * semantics). `dateCol` partitions the landing like every other
+    * writer. Returns rows appended.
+    */
+  def append(spark: SparkSession, path: String, incoming: DataFrame,
+      dateCol: Option[String]): Long =
+    WriterLease.withLease(spark, path) {
+      if (tableExists(spark, path))
+        requireSameColumns(incoming, Manifest.read(spark, path), path)
+      stagedAppend(spark, path, incoming, dateCol)
+    }
+
   private def stagedAppend(spark: SparkSession, path: String,
       delta: DataFrame, dateCol: Option[String],
       txn: Option[(String, Long)] = None): Long = {
