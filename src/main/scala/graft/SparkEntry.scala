@@ -20,7 +20,7 @@ object SparkEntry {
       WarehouseQueries.all ++ CurationQueries.all ++ RelationalMore.all ++
       TpchFull.all ++ TrainingQueries.all ++ SearchQueries.all ++
       SqlSurfaceQueries.all ++ GraphQueries.all ++ FrontierQueries.all ++
-      BpeQueries.all
+      BpeQueries.all ++ CatalogQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The raw-JSON end-to-end royalties mart exercises the whole reference

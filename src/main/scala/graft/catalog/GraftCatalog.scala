@@ -121,7 +121,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"catalog ${name()} supports one namespace level, got " +
         ns.mkString("."))
     if (namespaceExists(ns))
-      throw new NamespaceAlreadyExistsException(name() +: ns.toSeq)
+      throw new NamespaceAlreadyExistsException((name() +: ns.toSeq).toArray)
     fs.mkdirs(new Path(s"$root/${ns.head}")); ()
   }
 
@@ -137,6 +137,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!cascade && fs.listStatus(p).nonEmpty)
       throw new IllegalStateException(
         s"namespace ${ns.head} is not empty (use CASCADE)")
+    // CASCADE drops every table under ITS writer lease (mirroring
+    // dropTable) so a concurrent writer cannot commit into a table
+    // mid-delete and resurrect a partial directory
+    if (cascade) listTables(ns).foreach(dropTable)
     fs.delete(p, true)
   }
 
@@ -158,7 +162,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident))
       throw new NoSuchTableException(
         name() +: ident.namespace.toSeq :+ ident.name)
-    GraftTable(spark, fullName(ident), tablePath(ident), version = None)
+    GraftTable(spark, fullName(ident), tablePath(ident), asOfVersion = None)
   }
 
   /** `VERSION AS OF v` — the SQL surface of [[Manifest.readAsOf]]. */
@@ -176,7 +180,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(Manifest.versions(spark, path).contains(v),
       s"table ${fullName(ident)} has no committed version $v " +
         s"(versions: ${Manifest.versions(spark, path).mkString(", ")})")
-    GraftTable(spark, s"${fullName(ident)}@v$v", path, version = Some(v))
+    GraftTable(spark, s"${fullName(ident)}@v$v", path, asOfVersion = Some(v))
   }
 
   private def fullName(ident: Identifier): String =
@@ -204,7 +208,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = tablePath(ident)
     fs.mkdirs(new Path(path))
     Manifest.commit(spark, path, Seq.empty, schema = Some(schema))
-    GraftTable(spark, fullName(ident), path, version = None)
+    GraftTable(spark, fullName(ident), path, asOfVersion = None)
   }
 
   /** `ALTER TABLE … ADD COLUMN` routes to [[Manifest.addColumn]]'s
@@ -227,7 +231,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"catalog ${name()}: unsupported ALTER ${other.getClass.getSimpleName} " +
           "— schema evolution here is additive (ADD COLUMN)")
     }
-    GraftTable(spark, fullName(ident), path, version = None)
+    GraftTable(spark, fullName(ident), path, asOfVersion = None)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -239,7 +243,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = {
+      rawNewIdent: Identifier): Unit = {
+    // Spark passes the RENAME TO identifier through unresolved, so a
+    // user writing the natural `RENAME TO <cat>.<ns>.<t>` arrives with
+    // the catalog name still prefixed — strip it (it can only mean us)
+    val newIdent =
+      if (rawNewIdent.namespace.length == 2 &&
+        rawNewIdent.namespace.head == name())
+        Identifier.of(rawNewIdent.namespace.tail, rawNewIdent.name)
+      else rawNewIdent
     if (!tableExists(oldIdent))
       throw new NoSuchTableException(
         name() +: oldIdent.namespace.toSeq :+ oldIdent.name)

@@ -31,7 +31,7 @@ import graft.engine.{Manifest, Upsert}
   * files the manifest (correctly) ignores.
   */
 final case class GraftTable(spark: SparkSession, tableName: String,
-    path: String, version: Option[Long])
+    path: String, asOfVersion: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2 {
 
@@ -39,7 +39,7 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     * pre-manifest (adopted) directory.
     */
   private val snapshotVersion: Option[Long] =
-    version.orElse(Manifest.currentVersion(spark, path))
+    asOfVersion.orElse(Manifest.currentVersion(spark, path))
 
   private val relFiles: Seq[String] = snapshotVersion match {
     case Some(v) => Manifest.filesAsOf(spark, path, v)
@@ -80,7 +80,7 @@ final case class GraftTable(spark: SparkSession, tableName: String,
   override def name(): String = tableName
 
   override def schema(): StructType =
-    if (relFiles.isEmpty) pinnedSchema.get else fullTable.schema()
+    if (relFiles.isEmpty) pinnedSchema.get else fullTable.schema
 
   override def properties(): util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> path) ++
@@ -102,7 +102,7 @@ final case class GraftTable(spark: SparkSession, tableName: String,
   // ---- INSERT INTO (V1 fallback -> manifest-committed append) -----
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    version.foreach(v => throw new UnsupportedOperationException(
+    asOfVersion.foreach(v => throw new UnsupportedOperationException(
       s"cannot write to $tableName: VERSION AS OF $v is a read-only " +
         "snapshot"))
     new WriteBuilder {
@@ -129,11 +129,11 @@ final case class GraftTable(spark: SparkSession, tableName: String,
   // ---- DELETE FROM / TRUNCATE TABLE --------------------------------
 
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
-    version.isEmpty &&
+    asOfVersion.isEmpty &&
       V2PredicateColumns.translateAll(predicates).isDefined
 
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
-    version.foreach(v => throw new UnsupportedOperationException(
+    asOfVersion.foreach(v => throw new UnsupportedOperationException(
       s"cannot delete from $tableName: VERSION AS OF $v is a " +
         "read-only snapshot"))
     val cond = V2PredicateColumns.translateAll(predicates).getOrElse(

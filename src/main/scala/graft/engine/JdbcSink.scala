@@ -293,8 +293,18 @@ object JdbcSink {
         Seq(table.toLowerCase(java.util.Locale.ROOT))
       else Seq(table, table.toUpperCase(java.util.Locale.ROOT),
         table.toLowerCase(java.util.Locale.ROOT)).distinct
+    // getTables treats its table argument as a SEARCH PATTERN: '_'
+    // (ubiquitous in these names) is a single-char wildcard, so an
+    // unescaped probe for daily_rev would also match daily0rev and
+    // silently skip CREATE TABLE. Escape with the driver's own escape
+    // string (empty/null → no escaping supported; probe raw).
+    val esc = Option(md.getSearchStringEscape).getOrElse("")
+    def literal(name: String): String =
+      if (esc.isEmpty) name
+      else name.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
     candidates.exists { name =>
-      val rs = md.getTables(null, null, name, null)
+      val rs = md.getTables(null, null, literal(name), null)
       try rs.next() finally rs.close()
     }
   }

@@ -48,11 +48,11 @@ object Upsert {
   def upsertParquet(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String]): Long = WriterLease.withLease(spark, path) {
     val toAppend =
-      if (tableExists(spark, path)) {
-        val existing = Manifest.read(spark, path)
-        requireSameColumns(incoming, existing, path)
-        newRows(incoming, existing, keys)
-      } else incoming
+      if (tableExists(spark, path))
+        checkedSnapshot(spark, path, incoming)
+          .map(existing => newRows(incoming, existing, keys))
+          .getOrElse(incoming)
+      else incoming
     stagedAppend(spark, path, toAppend, None)
   }
 
@@ -66,9 +66,15 @@ object Upsert {
     * file-level property, not a footer conflict).
     */
   private def requireSameColumns(incoming: DataFrame, existing: DataFrame,
+      path: String): Unit =
+    requireSameShape(incoming.schema, existing.schema, path)
+
+  private def requireSameShape(
+      incoming: org.apache.spark.sql.types.StructType,
+      existing: org.apache.spark.sql.types.StructType,
       path: String): Unit = {
-    val in = incoming.schema.map(f => f.name -> f.dataType).toMap
-    val ex = existing.schema.map(f => f.name -> f.dataType).toMap
+    val in = incoming.map(f => f.name -> f.dataType).toMap
+    val ex = existing.map(f => f.name -> f.dataType).toMap
     val onlyIn = (in.keySet -- ex.keySet).toSeq.sorted
     val onlyEx = (ex.keySet -- in.keySet).toSeq.sorted
     require(onlyIn.isEmpty && onlyEx.isEmpty,
@@ -79,6 +85,28 @@ object Upsert {
     require(retyped.isEmpty,
       s"schema drift on upsert into $path: column types differ — ${retyped.mkString("; ")}")
   }
+
+  /** The current snapshot's rows, validated against `incoming`'s shape.
+    * `None` ⇔ the table is a freshly CREATE TABLE'd empty shell (a
+    * manifest version listing ZERO files): its only shape is the pinned
+    * schema sidecar — reading an empty file list is impossible — so the
+    * drift check runs against the pinned shape and callers treat the
+    * table as fresh (nothing to dedup, replace, or survive). This is
+    * what makes the catalog's documented `CREATE TABLE` → `INSERT INTO`
+    * flow work on the first insert (ADVICE r12).
+    */
+  private def checkedSnapshot(spark: SparkSession, path: String,
+      incoming: DataFrame): Option[DataFrame] =
+    Manifest.currentVersion(spark, path) match {
+      case Some(v) if Manifest.filesAsOf(spark, path, v).isEmpty =>
+        Manifest.schemaAsOf(spark, path, v).foreach(st =>
+          requireSameShape(incoming.schema, st, path))
+        None
+      case _ =>
+        val table = Manifest.read(spark, path)
+        requireSameColumns(incoming, table, path)
+        Some(table)
+    }
 
   /** Date-partitioned variant (S7): `partitionBy(dateCol)` makes every
     * run-date predicate downstream a partition-pruned scan (SURVEY §4
@@ -94,16 +122,16 @@ object Upsert {
       s"partitioned upsert requires the date column '$dateCol' in the key $keys")
     WriterLease.withLease(spark, path) {
       val toAppend =
-        if (tableExists(spark, path)) {
-          val dates = incoming.select(col(dateCol)).distinct()
-          // Existing side pruned to the dates present in this batch — at
-          // scale this is the difference between scanning one day and the
-          // whole history.
-          val table = Manifest.read(spark, path)
-          requireSameColumns(incoming, table, path)
-          val existing = table.join(dates, Seq(dateCol), "left_semi")
-          newRows(incoming, existing, keys)
-        } else incoming
+        if (tableExists(spark, path))
+          checkedSnapshot(spark, path, incoming).map { table =>
+            // Existing side pruned to the dates present in this batch —
+            // at scale this is the difference between scanning one day
+            // and the whole history.
+            val dates = incoming.select(col(dateCol)).distinct()
+            val existing = table.join(dates, Seq(dateCol), "left_semi")
+            newRows(incoming, existing, keys)
+          }.getOrElse(incoming)
+        else incoming
       stagedAppend(spark, path, toAppend, Some(dateCol))
     }
   }
@@ -148,12 +176,13 @@ object Upsert {
     require(dupKeys.isEmpty,
       s"merge into $path: incoming affects the key ${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
     WriterLease.withLease(spark, path) {
-      if (!tableExists(spark, path)) {
+      val shell = tableExists(spark, path) &&
+        checkedSnapshot(spark, path, incoming).isEmpty
+      if (!tableExists(spark, path) || shell) {
         stagedAppend(spark, path, incoming, Some(dateCol))
         nIncoming
       } else {
         val table = Manifest.read(spark, path)
-        requireSameColumns(incoming, table, path)
         // null-safe date match: a NULL-date incoming row must pull the
         // existing NULL partition into `kept`, or its surviving rows
         // would be dropped by the __HIVE_DEFAULT_PARTITION__ replacement
@@ -242,8 +271,9 @@ object Upsert {
       if (!tableExists(spark, path)) {
         stagedAppend(spark, path, incoming, Some(dateCol))
       } else {
-        val table = Manifest.read(spark, path)
-        requireSameColumns(incoming, table, path)
+        // drift check only — the body below is pure live-list arithmetic,
+        // so an empty CREATE TABLE'd shell (None) flows through unchanged
+        checkedSnapshot(spark, path, incoming)
         val preLive = Manifest.currentLive(spark, path)
         val stagingPath = s"$path.__overwrite_staging"
         incoming.write.mode("overwrite").partitionBy(dateCol)
@@ -436,7 +466,7 @@ object Upsert {
       if (Manifest.lastTxn(spark, path, appId).exists(_ >= batchId)) false
       else {
         if (tableExists(spark, path))
-          requireSameColumns(incoming, Manifest.read(spark, path), path)
+          checkedSnapshot(spark, path, incoming)
         stagedAppend(spark, path, incoming, dateCol,
           txn = Some(appId -> batchId))
         true
@@ -453,7 +483,7 @@ object Upsert {
       dateCol: Option[String]): Long =
     WriterLease.withLease(spark, path) {
       if (tableExists(spark, path))
-        requireSameColumns(incoming, Manifest.read(spark, path), path)
+        checkedSnapshot(spark, path, incoming)
       stagedAppend(spark, path, incoming, dateCol)
     }
 

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.{SessionKeyedCache, Tables}
+
+/** The name-based SQL surface of the warehouse (`graft.catalog
+  * .GraftCatalog`): every verb a SQL-only client needs — CREATE
+  * NAMESPACE / CREATE TABLE / INSERT INTO / DELETE FROM / SELECT /
+  * VERSION AS OF — executed as `spark.sql` text against a registered
+  * catalog, and hash-gated against a DuckDB oracle computing the same
+  * result straight from `orders`. The reference's BI story is
+  * name-based SQL over Postgres (`README.md:65-67`); these queries
+  * prove the lakehouse layer answers the same way, with the manifest's
+  * snapshot isolation and stats skipping underneath.
+  */
+object CatalogQueries {
+
+  private val catOnce = new SessionKeyedCache[String]
+
+  /** Register the catalog once per session and run the DDL/DML fixture
+    * once per (session, sfDir): CREATE TABLE pins the schema over an
+    * empty snapshot (v1), INSERT INTO lands one manifest-committed
+    * append (v2), DELETE FROM rewrites only the touched files (v3).
+    * Returns the catalog-qualified table name.
+    */
+  private def fixture(s: SparkSession, dir: String): String =
+    catOnce.getOrElseUpdate(s, s"cat:$dir",
+      SessionKeyedCache.fileFingerprint(s, s"$dir/orders.parquet"))({
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cat_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      s.conf.set("spark.sql.catalog.graftwh", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftwh.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftwh.marts")
+      s.sql("""CREATE TABLE graftwh.marts.ord_slice (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)""")
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+          col("o_orderpriority").as("pri"))
+        .createOrReplaceTempView("__cat_src")
+      s.sql("""INSERT INTO graftwh.marts.ord_slice
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""DELETE FROM graftwh.marts.ord_slice
+               WHERE pri = '1-URGENT' AND o_orderkey < 1000""")
+      "graftwh.marts.ord_slice"
+    })
+
+  /** CREATE TABLE → INSERT INTO → DELETE FROM → SELECT, all through
+    * SQL text against the catalog; the oracle restates insert+delete
+    * as a filter over `orders`. Exercises the V1-write append path,
+    * the V2 predicate → Column DELETE translation, and the
+    * manifest-resolved read.
+    */
+  val qSqlCatalog = QueryDef(
+    "q_sql_catalog",
+    (s, dir) => {
+      val tbl = fixture(s, dir)
+      s.sql(s"""SELECT pri, count(*) AS n,
+                       CAST(sum(price_cents) AS BIGINT) AS cents
+                FROM $tbl GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      SELECT o_orderpriority AS pri, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_orderkey % 7 = 0
+        AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey < 1000)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** SQL time travel: `VERSION AS OF 2` is the post-insert, pre-delete
+    * snapshot — the deleted rows must still be there, priced exactly.
+    * Proves the catalog pins the OLD snapshot's file list and schema,
+    * not the current one.
+    */
+  val qSqlCatalogTravel = QueryDef(
+    "q_sql_catalog_travel",
+    (s, dir) => {
+      val tbl = fixture(s, dir)
+      s.sql(s"""SELECT count(*) AS n,
+                       CAST(sum(price_cents) AS BIGINT) AS cents
+                FROM $tbl VERSION AS OF 2""")
+    },
+    Some("""
+      SELECT count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 7 = 0"""))
+
+  val all: Seq[QueryDef] = Seq(qSqlCatalog, qSqlCatalogTravel)
+}

@@ -1,0 +1,207 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Manifest, Upsert}
+
+/** The DSv2 catalog (`graft.catalog.GraftCatalog`): name-based SQL over
+  * manifest-managed tables. Covers the verbs the oracle-gated
+  * `q_sql_catalog*` queries don't: library-written partitioned tables
+  * resolving by name, partition-pruned + stats-skipped SQL scans,
+  * ALTER TABLE ADD COLUMN, TRUNCATE, RENAME, DROP TABLE / CASCADE
+  * namespace drops, read-only `VERSION AS OF` snapshots, and the
+  * refusal paths (untranslatable DELETE, INSERT OVERWRITE, schema
+  * drift on first insert into a CREATE TABLE'd shell).
+  */
+class CatalogSpec extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.tcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tcat.root", r)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.ns")
+    r
+  }
+
+  private val d1 = Date.valueOf("2024-07-01")
+  private val d2 = Date.valueOf("2024-07-02")
+
+  /** The final physical plan — under AQE the top node is adaptive and
+    * its real plan only exists after execution, so run the query first.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  private def parquetFilesScanned(
+      df: org.apache.spark.sql.DataFrame): Seq[Array[String]] =
+    // `collect` from AdaptiveSparkPlanHelper — descends into the
+    // materialized query stages AQE hides behind leaf nodes
+    collect(finalPlan(df)) {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan
+    }.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.inputFiles
+    }
+
+  private def seedPartitioned(name: String): String = {
+    val p = s"$root/ns/$name"
+    Upsert.upsertPartitioned(spark, p,
+      Seq((1, d1, 100L), (2, d1, 200L), (3, d2, 300L), (4, d2, 400L))
+        .toDF("k", "d", "cents"), Seq("k", "d"), "d")
+    p
+  }
+
+  test("library-written partitioned table resolves by name; partition filter prunes") {
+    seedPartitioned("lib_t")
+    val df = spark.sql(
+      "SELECT k, cents FROM tcat.ns.lib_t WHERE d = DATE'2024-07-01' ORDER BY k")
+    assert(df.as[(Int, Long)].collect().toSeq === Seq((1, 100L), (2, 200L)))
+    // the partition predicate must reach the scan as a partition filter
+    // (pruned at planning), not survive as a post-scan row filter
+    val scans = collect(finalPlan(df)) {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan
+    }.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan => p
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "expected the date predicate to be planned as a partition filter")
+  }
+
+  test("SQL INSERT INTO a partitioned table lands through the manifest append") {
+    val p = seedPartitioned("ins_t")
+    val v1 = Manifest.currentVersion(spark, p).get
+    // DSv2 table schema is data columns then partition columns: (k, cents, d)
+    spark.sql(
+      "INSERT INTO tcat.ns.ins_t VALUES (5, 500, DATE'2024-07-02')")
+    assert(Manifest.currentVersion(spark, p).get === v1 + 1)
+    assert(spark.sql("SELECT sum(cents) FROM tcat.ns.ins_t")
+      .as[Long].head() === 1500L)
+    // landed INTO the partition layout, not as a flat file
+    assert(Manifest.currentLive(spark, p)
+      .exists(f => f.startsWith("d=2024-07-02/") && {
+        val pre = Manifest.filesAsOf(spark, p, v1).toSet; !pre(f)
+      }))
+  }
+
+  test("CREATE TABLE shell: first INSERT validates against the pinned schema") {
+    spark.sql("CREATE TABLE tcat.ns.shell (k BIGINT, v STRING)")
+    val p = s"$root/ns/shell"
+    // empty shell is SELECTable with the pinned shape
+    assert(spark.sql("SELECT * FROM tcat.ns.shell").columns.toSeq ===
+      Seq("k", "v"))
+    assert(spark.sql("SELECT * FROM tcat.ns.shell").count() === 0L)
+    // drift against the pinned schema is rejected on the FIRST insert
+    val e = intercept[Exception] {
+      Upsert.append(spark, p, Seq((1L, 2L)).toDF("k", "other"), None)
+    }
+    assert(e.getMessage.contains("schema drift"))
+    // the documented flow works
+    spark.sql("INSERT INTO tcat.ns.shell VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM tcat.ns.shell")
+      .as[Long].head() === 2L)
+  }
+
+  test("DELETE FROM translates predicates; untranslatable ones are refused loudly") {
+    spark.sql("CREATE TABLE tcat.ns.del_t (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO tcat.ns.del_t VALUES (1,'a'), (2,'b'), (3,'ab'), (4, NULL)")
+    spark.sql("DELETE FROM tcat.ns.del_t WHERE v LIKE 'a%' OR k >= 4")
+    // three-valued logic: the NULL-v row matched via k >= 4; 'b' survives
+    assert(spark.sql("SELECT k FROM tcat.ns.del_t").as[Long]
+      .collect().toSet === Set(2L))
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM tcat.ns.del_t WHERE length(v) = 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    assert(spark.sql("SELECT count(*) FROM tcat.ns.del_t")
+      .as[Long].head() === 1L)
+  }
+
+  test("TRUNCATE TABLE is the always-true delete; table stays SELECTable") {
+    spark.sql("CREATE TABLE tcat.ns.tr_t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcat.ns.tr_t VALUES (1,'a'), (2,'b')")
+    spark.sql("TRUNCATE TABLE tcat.ns.tr_t")
+    assert(spark.sql("SELECT count(*) FROM tcat.ns.tr_t")
+      .as[Long].head() === 0L)
+    assert(spark.sql("SELECT * FROM tcat.ns.tr_t").columns.toSeq ===
+      Seq("k", "v"))
+  }
+
+  test("VERSION AS OF reads its own snapshot and is read-only") {
+    spark.sql("CREATE TABLE tcat.ns.tt_t (k BIGINT)")
+    spark.sql("INSERT INTO tcat.ns.tt_t VALUES (1), (2)") // v2
+    spark.sql("INSERT INTO tcat.ns.tt_t VALUES (3)")      // v3
+    assert(spark.sql("SELECT count(*) FROM tcat.ns.tt_t VERSION AS OF 2")
+      .as[Long].head() === 2L)
+    assert(spark.sql("SELECT count(*) FROM tcat.ns.tt_t")
+      .as[Long].head() === 3L)
+    intercept[Exception] {
+      spark.sql("DELETE FROM tcat.ns.tt_t VERSION AS OF 2 WHERE k = 1")
+    }
+    ()
+  }
+
+  test("ALTER TABLE ADD COLUMN is the metadata-only migration") {
+    spark.sql("CREATE TABLE tcat.ns.ev_t (k BIGINT)")
+    spark.sql("INSERT INTO tcat.ns.ev_t VALUES (1)")
+    spark.sql("ALTER TABLE tcat.ns.ev_t ADD COLUMN note STRING")
+    val rows = spark.sql("SELECT k, note FROM tcat.ns.ev_t")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(rows === Seq((1L, None)))
+    spark.sql("INSERT INTO tcat.ns.ev_t VALUES (2, 'x')")
+    assert(spark.sql(
+      "SELECT count(*) FROM tcat.ns.ev_t WHERE note IS NULL")
+      .as[Long].head() === 1L)
+  }
+
+  test("stats skipping: a selective predicate schedules fewer files through SQL") {
+    val p = s"$root/ns/sk_t"
+    val df = (1 to 4000).map(i => (i.toLong, i % 97L)).toDF("k", "m")
+      .repartitionByRange(8, col("k"))
+    graft.engine.WriterLease.withLease(spark, p) {
+      df.write.mode("overwrite").parquet(p)
+      val files = Manifest.listDataFiles(spark, p)
+      val stats = graft.engine.FileStats.collect(spark, p, files, Seq("k"))
+      Manifest.commit(spark, p, files, stats)
+    }
+    val q = spark.sql("SELECT sum(m) FROM tcat.ns.sk_t WHERE k BETWEEN 10 AND 20")
+    val expected = (10 to 20).map(_ % 97).sum.toLong
+    assert(q.as[Long].head() === expected)
+    val scanned = parquetFilesScanned(q).map(_.length)
+    assert(scanned.nonEmpty && scanned.head < 8,
+      s"expected the k-range scan to skip files, scanned $scanned of 8")
+  }
+
+  test("RENAME, DROP TABLE, and CASCADE namespace drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.tmpns")
+    spark.sql("CREATE TABLE tcat.tmpns.a (k BIGINT)")
+    spark.sql("INSERT INTO tcat.tmpns.a VALUES (1)")
+    spark.sql("ALTER TABLE tcat.tmpns.a RENAME TO tcat.tmpns.b")
+    assert(spark.sql("SELECT count(*) FROM tcat.tmpns.b")
+      .as[Long].head() === 1L)
+    assert(spark.sql("SHOW TABLES IN tcat.tmpns").collect()
+      .map(_.getString(1)).toSet === Set("b"))
+    spark.sql("DROP TABLE tcat.tmpns.b")
+    assert(spark.sql("SHOW TABLES IN tcat.tmpns").collect().isEmpty)
+    spark.sql("CREATE TABLE tcat.tmpns.c (k BIGINT)")
+    spark.sql("DROP NAMESPACE tcat.tmpns CASCADE")
+    assert(!new java.io.File(s"$root/tmpns").exists())
+  }
+}
