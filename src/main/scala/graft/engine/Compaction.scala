@@ -80,7 +80,17 @@ object Compaction {
       // compaction is the natural moment to (re)build skipping stats:
       // the files just changed shape, and the footer read is O(files)
       val stats = FileStats.collect(spark, path, moved, statsCols)
-      Manifest.commit(spark, path, moved, stats)
+      if (Manifest.currentVersion(spark, path).isEmpty)
+        // pre-manifest adoption commit (single-writer)
+        Manifest.commit(spark, path, moved, stats)
+      else
+        // optimistic: retire exactly the files this pass read — a
+        // lease-less append landing mid-compaction survives the commit
+        // (uncompacted until the next pass) instead of being dropped
+        // by a whole-live-set replacement
+        Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+          scope = before.toSet, expected = before.toSet,
+          retire = before.toSet, add = moved, stats = stats))
       (before.size.toLong, moved.size.toLong)
     } finally {
       fs.delete(staging, true); ()

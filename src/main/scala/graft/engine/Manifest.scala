@@ -47,6 +47,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * write ADOPTS the current directory listing as the prior version's
   * live set, upgrading the table in place.
   */
+/** A concurrent commit changed the files this prepared commit was
+  * computed against: its snapshot basis is gone (files it retires were
+  * already retired, or foreign files appeared in the partition scope it
+  * replaces wholesale). The mutation did NOT land; data files staged in
+  * are unreferenced orphans for [[Manifest.vacuum]]. Recompute against
+  * the current snapshot and try again — [[graft.engine.Upsert]]'s
+  * merge/overwrite/rewrite verbs do exactly that, bounded.
+  */
+final class CommitConflictException(msg: String)
+  extends RuntimeException(msg)
+
 object Manifest {
 
   private val DirName = "_graft_manifest"
@@ -136,7 +147,16 @@ object Manifest {
   def commit(spark: SparkSession, path: String, files: Seq[String],
       stats: FileStats.TableStats = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    withCommitLock(spark, path) {
+      commitLocked(spark, path, files, stats, schema, txn)
+    }
+
+  private def commitLocked(spark: SparkSession, path: String,
+      files: Seq[String],
+      stats: FileStats.TableStats,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      txn: Option[(String, Long)]): Long = {
     txn.foreach { case (app, _) =>
       require(app.nonEmpty && !app.exists(c => c == '\n' || c == '\r'),
         s"txn appId must be a non-empty single line, got ${app.take(40)}") }
@@ -167,6 +187,165 @@ object Manifest {
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"manifest commit failed: $tmp -> $fin")
     next
+  }
+
+  // ---- commit serialization & optimistic concurrency (round 13) ----
+
+  private val lockHeld = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** In-process commit monitors, one per table path. The lock FILE is
+    * atomic-exclusive on HDFS-like stores, but the local filesystem's
+    * `create(overwrite=false)` is check-then-act — two threads of one
+    * JVM can both win it. Since a local[] deployment IS one JVM, a
+    * JVM-level monitor closes that hole deterministically; the file
+    * still guards cross-process writers on stores where create is
+    * atomic.
+    */
+  private val commitMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Serialize the version-allocation window — read current version,
+    * write tmp, rename — across ALL writers of a table: lease-holding
+    * library verbs and lease-less optimistic appenders alike. Unlike
+    * [[WriterLease]] (held for a whole staged publish; contention means
+    * a racing WRITER and fails loud), this lock is held for
+    * milliseconds per commit, so acquisition SPINS with backoff —
+    * contention here is normal life under concurrent writers. A dead
+    * local holder's lock is broken exactly like a stale lease. The
+    * exclusive CREATE (not rename) is what makes version allocation
+    * safe even on local filesystems, where rename(2) silently
+    * overwrites an existing destination.
+    */
+  private def withCommitLock[A](spark: SparkSession, path: String)(
+      body: => A): A = {
+    if (lockHeld.get().contains(path)) return body
+    commitMonitors.getOrElseUpdate(path, new Object).synchronized {
+      withCommitFileLock(spark, path)(body)
+    }
+  }
+
+  private def withCommitFileLock[A](spark: SparkSession, path: String)(
+      body: => A): A = {
+    val fs = fsOf(spark, path)
+    val lock = new Path(mdir(path), "_commit.lock")
+    fs.mkdirs(mdir(path))
+    val holder =
+      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"pid=${ProcessHandle.current.pid} " +
+        s"acquired=${java.time.Instant.now}"
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    var attempt = 0
+    while (out == null) {
+      try out = fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          val txt =
+            try {
+              val in = fs.open(lock)
+              try new String(in.readAllBytes(), "UTF-8").trim
+              finally in.close()
+            } catch { case _: java.io.IOException => "" }
+          if (txt.nonEmpty && WriterLease.isStaleLocalHolder(txt)) {
+            fs.delete(lock, false); ()
+          } else if (System.nanoTime() > deadline)
+            throw new java.io.IOException(
+              s"commit lock for $path held too long by [$txt] — a " +
+                "crashed non-local committer? delete " +
+                s"${lock} after inspecting", e)
+          else {
+            attempt += 1
+            Thread.sleep(math.min(100L, 2L * attempt))
+          }
+      }
+    }
+    try { out.write(holder.getBytes("UTF-8")); out.close() }
+    catch { case t: Throwable => fs.delete(lock, false); throw t }
+    lockHeld.set(lockHeld.get() + path)
+    try body
+    finally {
+      lockHeld.set(lockHeld.get() - path)
+      fs.delete(lock, false)
+    }
+  }
+
+  /** One computed-but-uncommitted snapshot mutation, expressed so its
+    * validity can be RE-CHECKED against whatever the live snapshot is
+    * at commit time (optimistic concurrency control, the Delta/Iceberg
+    * commit protocol at minimum viable size):
+    *
+    *  - `scope`: the region of the table the op claims exclusively —
+    *    the exact files a rewrite retires (delete/update/compaction),
+    *    or a partition-prefix predicate for wholesale partition
+    *    replacement (merge/overwrite). A pure append's scope is empty
+    *    (`_ => false`): blind appends never conflict with anything.
+    *  - `expected`: the live files in `scope` when the op computed its
+    *    output. The commit validates `live.filter(scope) == expected`;
+    *    anything else means a concurrent commit either retired a basis
+    *    file or landed a foreign file inside a partition this op
+    *    replaces wholesale — both would silently lose rows if the
+    *    commit proceeded, so it throws [[CommitConflictException]].
+    *  - `retire` ⊆ expected leaves the snapshot; `add` joins it. The
+    *    new live set is built from the snapshot AT COMMIT TIME
+    *    (`live -- retire ++ add`), so concurrent appends OUTSIDE the
+    *    scope are preserved — the stale-preLive row-loss a captured
+    *    list would cause cannot happen.
+    *
+    * Isolation level: WriteSerializable (Delta's default). A rewrite
+    * validates only its scope, so a blind append racing a DELETE can
+    * land rows matching the delete predicate that the delete never saw
+    * — serializable as delete-then-append, which is the documented
+    * contract.
+    */
+  final case class PreparedCommit(
+      scope: String => Boolean,
+      expected: Set[String],
+      retire: Set[String],
+      add: Seq[String],
+      stats: FileStats.TableStats = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      txn: Option[(String, Long)] = None)
+
+  /** Validate `p` against the CURRENT snapshot and commit it as the
+    * next version, atomically (under the commit lock). Returns None
+    * iff `p.txn` names a (appId, batchId) already at-or-behind the
+    * table's committed marker — the exactly-once replay no-op,
+    * re-checked under the lock so two concurrent replays of one epoch
+    * land once. Requires a manifest-managed table (adoption of a
+    * pre-manifest directory is a single-writer upgrade; use [[commit]]).
+    * @throws CommitConflictException when the snapshot basis is gone
+    */
+  def commitOptimistic(spark: SparkSession, path: String,
+      p: PreparedCommit): Option[Long] = withCommitLock(spark, path) {
+    require(p.retire.subsetOf(p.expected),
+      s"commitOptimistic into $path: retire set must be within the " +
+        s"expected scope (${(p.retire -- p.expected).take(3).mkString(", ")} is not)")
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"commitOptimistic needs a manifest-managed table: $path has none"))
+    val replayed = p.txn.exists { case (app, b) =>
+      txnsAsOf(spark, path, v).get(app).exists(_ >= b)
+    }
+    if (replayed) None
+    else {
+      val live = filesAsOf(spark, path, v)
+      val inScope = live.filter(p.scope).toSet
+      if (inScope != p.expected) {
+        val appeared = (inScope -- p.expected).take(3)
+        val vanished = (p.expected -- inScope).take(3)
+        throw new CommitConflictException(
+          s"optimistic commit into $path lost its snapshot basis at " +
+            s"v$v: ${p.expected.size} files expected in scope, " +
+            s"${inScope.size} found" +
+            (if (appeared.nonEmpty) s"; appeared: ${appeared.mkString(", ")}" else "") +
+            (if (vanished.nonEmpty) s"; vanished: ${vanished.mkString(", ")}" else "") +
+            " — recompute against the current snapshot and retry")
+      }
+      Some(commitLocked(spark, path,
+        live.filterNot(p.retire) ++ p.add, p.stats, p.schema, p.txn))
+    }
   }
 
   private def schemaFile(path: String, v: Long): Path =

@@ -181,37 +181,80 @@ object Upsert {
       if (!tableExists(spark, path) || shell) {
         stagedAppend(spark, path, incoming, Some(dateCol))
         nIncoming
-      } else {
-        val table = Manifest.read(spark, path)
-        // null-safe date match: a NULL-date incoming row must pull the
-        // existing NULL partition into `kept`, or its surviving rows
-        // would be dropped by the __HIVE_DEFAULT_PARTITION__ replacement
-        val dates = incoming.select(col(dateCol).as("__m_date")).distinct()
-        val touched =
-          table.join(dates, col(dateCol) <=> col("__m_date"), "left_semi")
-        val kept = newRows(touched, incoming, keys) // existing rows NOT replaced
-        val merged = kept.unionByName(incoming.select(table.columns.map(col): _*))
-        // the live set of the snapshot this merge replaces — captured
-        // before any new file lands, so the commit below is an exact
-        // (old minus touched-partitions) ∪ (new files) transition
-        val preLive = Manifest.currentLive(spark, path)
-        val stagingPath = s"$path.__merge_staging"
-        merged.write.mode("overwrite").partitionBy(dateCol).parquet(stagingPath)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        try {
-          val (movedIn, stagedParts) =
-            moveStagedPartitions(fs, path, stagingPath, dateCol)
-          val replacedParts = stagedParts.map(_ + "/")
-          val newLive = preLive
-            .filterNot(f => replacedParts.exists(f.startsWith)) ++ movedIn
-          Manifest.commit(spark, path, newLive)
-          nIncoming
-        } finally {
-          fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
-        }
+      } else retryingConflicts(s"merge into $path") {
+        mergeOnce(spark, path, incoming, keys, dateCol)
+        nIncoming
       }
     }
+  }
+
+  /** One merge attempt against ONE pinned snapshot version: compute the
+    * surviving rows of the touched partitions, stage, and commit
+    * optimistically — the commit validates that the touched partitions
+    * still hold exactly the files this attempt read (a lease-less
+    * append racing into one of them conflicts and triggers a recompute
+    * in [[retryingConflicts]]) and preserves any files a concurrent
+    * append landed OUTSIDE them.
+    */
+  private def mergeOnce(spark: SparkSession, path: String,
+      incoming: DataFrame, keys: Seq[String], dateCol: String): Unit = {
+    val version = Manifest.currentVersion(spark, path)
+    // pin table rows and file list to the SAME snapshot — resolving
+    // them independently could straddle a concurrent append's commit
+    val table = version.fold(Manifest.read(spark, path))(
+      Manifest.readAsOf(spark, path, _))
+    val preLive = version.fold(Manifest.listDataFiles(spark, path))(
+      Manifest.filesAsOf(spark, path, _))
+    // null-safe date match: a NULL-date incoming row must pull the
+    // existing NULL partition into `kept`, or its surviving rows
+    // would be dropped by the __HIVE_DEFAULT_PARTITION__ replacement
+    val dates = incoming.select(col(dateCol).as("__m_date")).distinct()
+    val touched =
+      table.join(dates, col(dateCol) <=> col("__m_date"), "left_semi")
+    val kept = newRows(touched, incoming, keys) // existing rows NOT replaced
+    val merged = kept.unionByName(incoming.select(table.columns.map(col): _*))
+    val stagingPath = s"$path.__merge_staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    merged.write.mode("overwrite").partitionBy(dateCol).parquet(stagingPath)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val (movedIn, stagedParts) =
+        moveStagedPartitions(fs, path, stagingPath, dateCol)
+      val replacedParts = stagedParts.map(_ + "/")
+      val scope = (f: String) => replacedParts.exists(f.startsWith)
+      version match {
+        case None => // pre-manifest adoption commit (single-writer)
+          Manifest.commit(spark, path,
+            preLive.filterNot(scope) ++ movedIn)
+        case Some(_) =>
+          Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+            scope = scope, expected = preLive.filter(scope).toSet,
+            retire = preLive.filter(scope).toSet, add = movedIn))
+      }
+      ()
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+    }
+  }
+
+  /** Bounded optimistic-conflict retry: recompute-from-scratch is the
+    * body's job (it re-pins the now-current snapshot); three strikes
+    * rethrows — at that contention level the caller should serialize
+    * writers explicitly.
+    */
+  private def retryingConflicts[A](what: String)(body: => A): A = {
+    var attempt = 0
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > 2) throw e
+      }
+    }
+    out.get
   }
 
   /** Move each staged FILE (not the partition dir) into the live
@@ -274,8 +317,22 @@ object Upsert {
         // drift check only — the body below is pure live-list arithmetic,
         // so an empty CREATE TABLE'd shell (None) flows through unchanged
         checkedSnapshot(spark, path, incoming)
-        val preLive = Manifest.currentLive(spark, path)
-        val stagingPath = s"$path.__overwrite_staging"
+        retryingConflicts(s"overwritePartitions into $path") {
+          overwriteOnce(spark, path, incoming, dateCol, expectedValues)
+        }
+      }
+    }
+
+  /** One overwrite attempt against one pinned snapshot — optimistic
+    * commit over the replaced-partition scope, like [[mergeOnce]]. */
+  private def overwriteOnce(spark: SparkSession, path: String,
+      incoming: DataFrame, dateCol: String,
+      expectedValues: Option[Seq[String]]): Long = {
+        val version = Manifest.currentVersion(spark, path)
+        val preLive = version.fold(Manifest.listDataFiles(spark, path))(
+          Manifest.filesAsOf(spark, path, _))
+        val stagingPath = s"$path.__overwrite_staging_" +
+          java.util.UUID.randomUUID().toString.take(8)
         incoming.write.mode("overwrite").partitionBy(dateCol)
           .parquet(stagingPath)
         val fs = new org.apache.hadoop.fs.Path(path)
@@ -305,14 +362,20 @@ object Upsert {
             case None => stagedParts
           }
           val replacedPrefixes = replaced.map(_ + "/")
-          val newLive = preLive
-            .filterNot(f => replacedPrefixes.exists(f.startsWith)) ++ movedIn
-          Manifest.commit(spark, path, newLive)
+          val scope = (f: String) => replacedPrefixes.exists(f.startsWith)
+          version match {
+            case None => // pre-manifest adoption commit (single-writer)
+              Manifest.commit(spark, path,
+                preLive.filterNot(scope) ++ movedIn)
+            case Some(_) =>
+              Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+                scope = scope, expected = preLive.filter(scope).toSet,
+                retire = preLive.filter(scope).toSet, add = movedIn))
+          }
           n
         } finally {
           fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
         }
-      }
     }
 
   /** Materialize the delta to a STAGING DIRECTORY, then append from that.
@@ -436,8 +499,19 @@ object Upsert {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         try {
           val movedIn = Manifest.stageIn(spark, path, stagingPath)
-          Manifest.commit(spark, path,
-            live.filterNot(touchedSet) ++ movedIn)
+          if (Manifest.currentVersion(spark, path).isEmpty)
+            // pre-manifest directory: adoption commit (single-writer)
+            Manifest.commit(spark, path, live.filterNot(touchedSet) ++ movedIn)
+          else
+            // optimistic commit: scope = exactly the files this rewrite
+            // retires. The live set is re-resolved AT COMMIT, so a
+            // concurrent blind append's files are preserved (its rows
+            // are not re-matched against the predicate —
+            // WriteSerializable, serializing this delete BEFORE the
+            // append)
+            Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+              scope = touchedSet, expected = touchedSet,
+              retire = touchedSet, add = movedIn))
           matched
         } finally {
           fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
@@ -461,66 +535,103 @@ object Upsert {
     * writers' commits. Returns true iff this call appended.
     */
   def appendEpoch(spark: SparkSession, path: String, incoming: DataFrame,
-      dateCol: Option[String], appId: String, batchId: Long): Boolean =
-    WriterLease.withLease(spark, path) {
-      if (Manifest.lastTxn(spark, path, appId).exists(_ >= batchId)) false
-      else {
-        if (tableExists(spark, path))
-          checkedSnapshot(spark, path, incoming)
-        stagedAppend(spark, path, incoming, dateCol,
-          txn = Some(appId -> batchId))
-        true
-      }
+      dateCol: Option[String], appId: String, batchId: Long): Boolean = {
+    // OPTIMISTIC (round 13): no writer lease — a streaming epoch append
+    // composes with a concurrent runDaily merge; the marker is
+    // re-checked atomically inside commitOptimistic, so even two
+    // racing replayers of one epoch land it exactly once (the loser's
+    // staged files become vacuum-collected orphans). This pre-check is
+    // only the cheap common-case skip.
+    if (Manifest.lastTxn(spark, path, appId).exists(_ >= batchId)) false
+    else {
+      if (tableExists(spark, path))
+        checkedSnapshot(spark, path, incoming)
+      stagedAppendTxn(spark, path, incoming, dateCol,
+        txn = Some(appId -> batchId))._2
     }
+  }
 
   /** Plain snapshot-committed append — the `INSERT INTO` verb. One
     * atomically-renamed manifest commit admits exactly this batch's
     * files; no keys, no dedup (use the upsert/merge verbs for keyed
     * semantics). `dateCol` partitions the landing like every other
     * writer. Returns rows appended.
+    *
+    * OPTIMISTIC (round 13): appends take no writer lease — a blind
+    * append's snapshot basis is empty, so it can never conflict; any
+    * number of concurrent appenders land on a linear version history,
+    * serialized only through the millisecond commit lock, and compose
+    * with a concurrent lease-holding merge (whose own commit re-resolves
+    * the live set, so it keeps files this append landed mid-flight).
+    * The schema drift check runs unlocked — racing an `addColumn` is
+    * benign (additive, rejected at worst one commit later).
     */
   def append(spark: SparkSession, path: String, incoming: DataFrame,
-      dateCol: Option[String]): Long =
-    WriterLease.withLease(spark, path) {
-      if (tableExists(spark, path))
-        checkedSnapshot(spark, path, incoming)
-      stagedAppend(spark, path, incoming, dateCol)
-    }
+      dateCol: Option[String]): Long = {
+    if (tableExists(spark, path))
+      checkedSnapshot(spark, path, incoming)
+    stagedAppend(spark, path, incoming, dateCol)
+  }
 
   private def stagedAppend(spark: SparkSession, path: String,
+      delta: DataFrame, dateCol: Option[String]): Long =
+    stagedAppendTxn(spark, path, delta, dateCol, txn = None)._1
+
+  /** Returns (rows in the batch, true iff THIS call's commit landed).
+    * The second component is false only when `txn` names an epoch whose
+    * marker was already at-or-behind — re-checked ATOMICALLY inside the
+    * commit lock, so two racing replayers of one epoch land it once.
+    */
+  private def stagedAppendTxn(spark: SparkSession, path: String,
       delta: DataFrame, dateCol: Option[String],
-      txn: Option[(String, Long)] = None): Long = {
-    val stagingPath = s"$path.__delta_staging"
-    delta.write.mode("overwrite").parquet(stagingPath)
+      txn: Option[(String, Long)]): (Long, Boolean) = {
+    // staging dir is call-unique: two concurrent appends must not
+    // clobber each other's staged files
+    val stagingPath = s"$path.__delta_staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val w0 = delta.write.mode("overwrite")
+    dateCol.fold(w0)(c => w0.partitionBy(c)).parquet(stagingPath)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val staged = spark.read.parquet(stagingPath)
-      val n = staged.count()
-      if (n > 0) {
-        // snapshot commit: live set before the append (adopting the
-        // directory listing on a pre-manifest table), plus exactly the
-        // files this append's job commit added — a concurrent reader
-        // sees the whole batch or none of it, and orphans from a
-        // previously crashed writer are never resurrected into the
-        // snapshot
-        val preLive = Manifest.currentLive(spark, path)
-        val preAll = Manifest.listDataFiles(spark, path).toSet
-        val w = staged.write.mode("append")
-        dateCol.fold(w)(c => w.partitionBy(c)).parquet(path)
-        val appended =
-          Manifest.listDataFiles(spark, path).filterNot(preAll)
-        Manifest.commit(spark, path, preLive ++ appended, txn = txn)
-      } else {
-        // an EMPTY epoch still records its marker (metadata-only
-        // commit) so a replay is detected — but only once the table
-        // has a first manifest (an empty-list v1 would be an
-        // unreadable husk; re-running an empty batch is harmless)
-        txn.foreach(_ => Manifest.currentVersion(spark, path).foreach(_ =>
-          Manifest.commit(spark, path,
-            Manifest.currentLive(spark, path), txn = txn)))
-      }
-      n
+      // explicit schema: an EMPTY partitioned batch stages zero files,
+      // which would fail schema inference
+      val n = spark.read.schema(delta.schema).parquet(stagingPath).count()
+      val committed: Boolean =
+        if (n > 0) {
+          // stage-in under job-unique names, then ONE snapshot commit
+          // of exactly this batch's files — a concurrent reader sees
+          // the whole batch or none of it, orphans from crashed writers
+          // are never resurrected, and a concurrent appender's files
+          // (preserved via the commit-time live resolution) are never
+          // dropped
+          Manifest.currentVersion(spark, path) match {
+            case Some(_) =>
+              val moved = Manifest.stageIn(spark, path, stagingPath)
+              Manifest.commitOptimistic(spark, path,
+                Manifest.PreparedCommit(
+                  scope = _ => false, expected = Set.empty,
+                  retire = Set.empty, add = moved, txn = txn)).isDefined
+            case None =>
+              // adoption of a pre-manifest directory: the first
+              // manifest-aware write upgrades the table in place —
+              // single-writer by construction, like every adoption
+              val preLive = Manifest.listDataFiles(spark, path)
+              val moved = Manifest.stageIn(spark, path, stagingPath)
+              Manifest.commit(spark, path, preLive ++ moved, txn = txn)
+              true
+          }
+        } else {
+          // an EMPTY epoch still records its marker (metadata-only
+          // commit) so a replay is detected — but only once the table
+          // has a first manifest (an empty-list v1 would be an
+          // unreadable husk; re-running an empty batch is harmless)
+          txn.nonEmpty && Manifest.currentVersion(spark, path).exists(_ =>
+            Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+              scope = _ => false, expected = Set.empty,
+              retire = Set.empty, add = Seq.empty, txn = txn)).isDefined)
+        }
+      (n, committed)
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
     }

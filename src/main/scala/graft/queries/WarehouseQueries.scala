@@ -1046,8 +1046,85 @@ object WarehouseQueries {
       WHERE o_orderkey % 4 = 0
       ORDER BY o_orderkey"""))
 
+  /** One maintained-mart fixture per (session, sfDir): a partitioned
+    * source built from `orders` in two commits (history load, then an
+    * append + a keyed merge bump), with the STREAMING maintenance loop
+    * ([[graft.streaming.GraftStreaming.martMaintainStream]]) run after
+    * each — the manifest-tailing trigger wakes, `Incremental.refresh`
+    * recomputes only the touched partitions. Returns the mart path.
+    */
+  private val mmOnce = new graft.engine.SessionKeyedCache[String]
+
+  private def mmTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    mmOnce.getOrElseUpdate(s, s"mm:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(
+        s, s"$dir/orders.parquet"))({
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_mm_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = s"$base/src"; val mart = s"$base/mart"
+      val rows = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("d"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      def maintain(): Unit = {
+        val q = graft.streaming.GraftStreaming.martMaintainStream(
+          s, src, mart, "d", Seq("d", "bucket"), s"$base/ckpt")(srcDf =>
+          srcDf.groupBy(col("d"), (col("k") % 10).as("bucket"))
+            .agg(sum("cents").as("cents")))
+        q.awaitTermination(300000); ()
+      }
+      // commit 1: the pre-1998 history; first refresh is the full build
+      graft.engine.Upsert.upsertPartitioned(s, src,
+        rows.filter(col("d") < lit("1998-01-01").cast("date")),
+        Seq("k", "d"), "d")
+      maintain()
+      // commit 2+3: append the rest, then a keyed merge bumping 1996
+      // cents by one — the second loop recomputes ONLY those partitions
+      graft.engine.Upsert.append(s, src,
+        rows.filter(col("d") >= lit("1998-01-01").cast("date")), Some("d"))
+      graft.engine.Upsert.mergePartitioned(s, src,
+        rows.filter(col("k") % 14 === 0 && year(col("d")) === 1996)
+          .withColumn("cents", col("cents") + 1),
+        Seq("k", "d"), "d")
+      maintain()
+      mart
+    })
+
+  /** Batch twin of the streaming CDC-to-mart loop: after two maintained
+    * rounds (full build, then scoped refresh of appended + merged
+    * partitions), the mart must equal the FROM-SCRATCH aggregate the
+    * oracle computes over `orders` — incremental maintenance is
+    * invisible in the result, only in the work done.
+    */
+  val qMartMaintain = QueryDef(
+    "q_mart_maintain",
+    (s, dir) => {
+      val mart = mmTable(s, dir)
+      graft.engine.Manifest.read(s, mart)
+        .select(col("d"), col("bucket").cast("bigint").as("bucket"),
+          col("cents").cast("bigint").as("cents"))
+        .orderBy(col("d"), col("bucket"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_orderkey AS k,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS d,
+               CAST(floor(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 14 = 0
+                       AND EXTRACT(year FROM o_orderdate) = 1996
+                      THEN 1 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 7 = 0)
+      SELECT d, k % 10 AS bucket, CAST(sum(cents) AS BIGINT) AS cents
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = false)
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
     qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart, qCdcFeed,
-    qSqlCdcFeed, qMvRewrite, qDeleteWhere, qUpdateWhere)
+    qSqlCdcFeed, qMvRewrite, qDeleteWhere, qUpdateWhere, qMartMaintain)
 }

@@ -69,6 +69,61 @@ object GraftStreaming {
       }
       .start()
 
+  /** STREAMING CDC-TO-MART MAINTENANCE LOOP (round 13): keep a derived
+    * mart — and optionally its JDBC replica — continuously caught up
+    * with a manifest-managed source table, end-to-end exactly-once.
+    * The reference's equivalent is the Airflow sensor chain re-running
+    * the day's mart SQL after each load (`transformed_from_s3_to_pg
+    * .py:119-126`); here the engine itself knows what changed.
+    *
+    * Composition of three independently idempotent legs:
+    *
+    *  1. **Change detection** — the stream TAILS THE SOURCE'S MANIFEST
+    *     (`_graft_manifest/v*.list` as a file source): each committed
+    *     version is one new tiny text file, so a trigger fires exactly
+    *     when the source changes, reading bytes proportional to the
+    *     manifest, never the data. The batch CONTENT is deliberately
+    *     ignored — it is only the wake-up signal.
+    *  2. **Mart refresh** — [[graft.engine.Incremental.refresh]]
+    *     recomputes ONLY the partitions whose live file set moved
+    *     (manifest diff against the mart's own bookmark) and swaps
+    *     them in via dynamic partition overwrite.
+    *  3. **Replica publish** — [[graft.engine.CdcSync.syncReplica]]
+    *     applies the MART's net change feed to the JDBC replica, the
+    *     offset CASed forward in the same transaction as the rows.
+    *
+    * Exactly-once does NOT rest on the stream checkpoint: legs 2 and 3
+    * each carry their own transactional offset (mart bookmark, replica
+    * offset row), so deleting the checkpoint and replaying every
+    * trigger produces zero duplicate rows — replays are detected
+    * no-ops. The checkpoint only prevents redundant wake-ups.
+    *
+    * `compute` must be per-partition decomposable over `dateCol` (see
+    * [[graft.engine.Incremental]]). `keyCols` is the mart's full
+    * grouping key — the replica's primary key.
+    */
+  def martMaintainStream(spark: SparkSession, sourcePath: String,
+      martPath: String, dateCol: String, keyCols: Seq[String],
+      checkpoint: String,
+      publishTo: Option[(String, String)] = None,
+      trigger: Trigger = Trigger.AvailableNow())(
+      compute: DataFrame => DataFrame): StreamingQuery =
+    spark.readStream
+      .text(s"$sourcePath/_graft_manifest/v*.list")
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val s = spark
+        graft.engine.Incremental.refresh(s, sourcePath, martPath,
+          dateCol)(compute)
+        publishTo.foreach { case (url, table) =>
+          graft.engine.CdcSync.syncReplica(s, martPath, keyCols, url, table)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming mart publish with EXACTLY-ONCE landing: each trigger's
     * aggregate slice goes through [[graft.engine.JdbcSink.publishEpoch]]
     * keyed by the `foreachBatch` batchId, so a failure-retried batch (or
