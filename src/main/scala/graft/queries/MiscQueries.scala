@@ -191,31 +191,44 @@ object MiscQueries {
       FROM smp GROUP BY doc_id, n
       ORDER BY doc_id"""))
 
-  /** Frame-sampling plumbing over the media blobs (every 5th frame as
-    * (offset, length) refs) — the one-to-many mapPartitions shape of
-    * per-frame feature extraction, mirrored in SQL via range unnesting
-    * over the same deterministic geometry.
+  /** REAL multi-frame decode + frame sampling (round 13, retiring the
+    * last multimodal stub): every document becomes a genuine ANIMATED
+    * GIF (`nFrames` frames of indexed-gray raster, JDK GIF writer's
+    * sequence API), and every ${Multimodal.FrameStride}-th frame is
+    * decoded back executor-side — frame count header-true from
+    * `getNumImages`, per-frame dimensions and exact raster checksums
+    * from the decoded pixels. The oracle mirrors every pixel of every
+    * sampled frame from the synthesis formula by range-unnesting, so a
+    * green diff pins the whole multi-frame encode→container→decode
+    * round trip, not just the fan-out cardinality.
     */
   val qMultimodalFrames = QueryDef(
     "q_multimodal_frames",
     (s, dir) => {
-      import s.implicits._
-      Multimodal.sampleFrames(
-        Multimodal.deriveMedia(t(s, dir, "documents")).as[Multimodal.MediaRow])
+      Multimodal.decodeGifFrames(
+        Multimodal.deriveGif(t(s, dir, "documents")))
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     },
     Some(s"""
+      WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS o FROM documents),
+      g AS (SELECT doc_id,
+                   o % ${Multimodal.GifWidthMod} + 1 AS w,
+                   (o * 7) % ${Multimodal.GifHeightMod} + 1 AS h,
+                   o % ${Multimodal.FramesMod} + 1 AS nf
+            FROM d),
+      fr AS (SELECT doc_id, w, h,
+                    unnest(range(0, nf, ${Multimodal.FrameStride}))
+                      AS frame_idx FROM g),
+      px AS (SELECT doc_id, w, h, frame_idx,
+                    unnest(range(0, w)) AS x FROM fr),
+      pxy AS (SELECT doc_id, w, h, frame_idx, x,
+                     unnest(range(0, h)) AS y FROM px)
       SELECT doc_id, frame_idx,
-             (frame_idx * 7) % n_bytes AS frame_off,
-             LEAST(16, n_bytes - (frame_idx * 7) % n_bytes) AS frame_len
-      FROM (
-        SELECT doc_id, n_bytes,
-               unnest(range(0, n_bytes % ${Multimodal.FramesMod} + 1,
-                            ${Multimodal.FrameStride})) AS frame_idx
-        FROM (SELECT doc_id,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-              FROM documents)
-        WHERE n_bytes > 0)
+             CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             CAST(SUM(((doc_id % 1048573) * 31 + frame_idx * 131
+                       + x * 31 + y * 7) % 256) AS BIGINT) AS pixel_sum
+      FROM pxy GROUP BY doc_id, frame_idx, w, h
       ORDER BY doc_id, frame_idx"""))
 
   /** Columnar-format breadth beyond parquet: the same ODS rows pushed

@@ -11,30 +11,57 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("empty media payloads produce no frames and a zero-byte meta row") {
+  test("empty media payloads still carry a zero-byte meta row") {
     val media = Seq(MediaRow(1L, Array.emptyByteArray),
       MediaRow(2L, "hello world".getBytes("UTF-8"))).toDS()
-    val frames = Multimodal.sampleFrames(media).collect()
-    assert(frames.forall(_.doc_id == 2L), "empty payload must yield no frames")
-    assert(frames.nonEmpty)
     val meta = Multimodal.decodeMeta(media).collect().map(m => m.doc_id -> m).toMap
     assert(meta(1L).n_bytes === 0L)
     assert(meta(2L).n_bytes === 11L)
   }
 
-  test("a non-positive stride is rejected") {
-    val media = Seq(MediaRow(1L, "x".getBytes)).toDS()
+  test("a non-positive frame stride is rejected") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
     assertThrows[IllegalArgumentException] {
-      Multimodal.sampleFrames(media, everyK = 0)
+      Multimodal.decodeGifFrames(Multimodal.deriveGif(docs), everyK = 0)
     }
   }
 
-  test("sampled frame indices agree with the decoded frame count") {
-    val media = Seq(MediaRow(7L, ("a" * 100).getBytes("UTF-8"))).toDS()
-    val n = Multimodal.decodeMeta(media).collect().head.n_frames
-    val idxs = Multimodal.sampleFrames(media, everyK = 1).collect().map(_.frame_idx)
-    assert(idxs.toSeq === (0L until n.toLong))
-    assert(idxs.forall(i => i < n))
+  test("synthesized GIFs are real multi-frame GIFs: header-true frame " +
+      "count, bit-exact rasters through the container") {
+    val docs = Seq((7L, "a" * 100), (3L, ""), (11L, "b" * 37))
+      .toDF("doc_id", "text")
+    val media = Multimodal.deriveGif(docs).collect()
+    // genuine GIF byte stream: signature on every payload
+    media.foreach(m => assert(
+      new String(m.media.take(6), "US-ASCII").startsWith("GIF8"),
+      s"doc ${m.doc_id} payload is not a GIF"))
+    // stride 1: EVERY frame decodes, count matches the geometry formula
+    val frames = Multimodal.decodeGifFrames(
+      Multimodal.deriveGif(docs), everyK = 1).collect()
+    for ((id, text) <- Seq(7L -> ("a" * 100), 3L -> "", 11L -> ("b" * 37))) {
+      val o = text.getBytes("UTF-8").length.toLong
+      val fs = frames.filter(_.doc_id == id).sortBy(_.frame_idx)
+      assert(fs.map(_.frame_idx).toSeq ===
+        (0L until (o % Multimodal.FramesMod + 1)))
+      // every frame's decoded raster checksum equals the synthesis
+      // formula — the GIF round trip is pixel-exact
+      fs.foreach { fr =>
+        val w = fr.width; val h = fr.height
+        var expect = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          expect += (((id % 1048573L) * 31 + fr.frame_idx * 131 +
+            x * 31 + y * 7) % 256)
+        assert(fr.pixel_sum === expect,
+          s"doc $id frame ${fr.frame_idx} raster checksum drifted")
+      }
+    }
+    // default stride samples every FrameStride-th frame only
+    val sampled = Multimodal.decodeGifFrames(
+      Multimodal.deriveGif(docs)).collect()
+      .filter(_.doc_id == 7L).map(_.frame_idx).sorted
+    assert(sampled.toSeq ===
+      (0L until (100L % Multimodal.FramesMod + 1)
+        by Multimodal.FrameStride.toLong))
   }
 
   test("synthesized PNGs are real PNGs and decode to header-true geometry") {
