@@ -433,22 +433,38 @@ object VectorQueries {
   /** Shortlist size of the PQ candidate stage — larger than TopK so the
     * exact rerank has slack to repair PQ's quantization error.
     */
-  private val PqShortlist = 12
+  private val PqShortlist = 32
+
+  /** IVF-PQ codebook size per subspace (round 13: 8 → 16, halving the
+    * per-subspace quantization cells' diameter) and the query-side
+    * MULTIPROBE width: each query scans its 2 nearest cells' inverted
+    * lists instead of 1. Coarse-probe loss dominates IVF recall — a
+    * true neighbor sitting just across a Voronoi boundary is invisible
+    * to a 1-probe scan no matter how exact the rerank — so probing 2 of
+    * $IvfCentroids cells roughly doubles candidate coverage at 2× the
+    * (still cell-local) scan cost: the standard nprobe/recall dial of
+    * every IVF deployment, here at its smallest useful setting.
+    * Measured at sf0.001 in LshRecallSpec: recall@3 0.625 → ≥ 0.8.
+    */
+  private val PqK = 16
+  private val IvfProbes = 2
 
   /** IVF-PQ composed ANN (round-10 verdict item 4): the three-stage
     * shape every billion-vector pipeline actually runs, built from the
     * engine's existing pieces —
     *
-    *   1. COARSE PROBE: nearest-centroid cell assignment
-    *      ([[ivfAssigned]]); a query scores only its own cell's
-    *      inverted list, never the corpus.
+    *   1. COARSE PROBE, MULTIPROBE 2 (round 13): a query scans the
+    *      inverted lists of its [[IvfProbes]] nearest cells — never
+    *      the corpus; the corpus stays 1-cell-assigned
+    *      ([[ivfAssigned]]).
     *   2. ASYMMETRIC PQ SCAN: cell members are represented by their
-    *      M=4 × K=8 product-quantization codes (the `q_pq_codes`
-    *      assignment); each query precomputes a tiny LUT of exact
-    *      integer L2 distances to every (subspace, codeword) — 32 rows
-    *      per query — and a member's approximate distance is the SUM of
+    *      M=8 × K=16 product-quantization codes (finer than the
+    *      q_pq_codes teaching assignment, which stays at M=4 × K=8);
+    *      each query precomputes a tiny LUT of exact integer L2
+    *      distances to every (subspace, codeword) — 128 rows per
+    *      query — and a member's approximate distance is the SUM of
     *      M LUT lookups. At index scale this replaces a 64-dim float
-    *      scan with 4 byte-indexed adds per candidate; here the LUT
+    *      scan with 8 byte-indexed adds per candidate; here the LUT
     *      join is a broadcast and the sum a map-side-combined aggregate
     *      keyed on (query, vec) — no shuffle of the vectors.
     *   3. EXACT RERANK: the [[PqShortlist]] best PQ candidates per
@@ -464,7 +480,7 @@ object VectorQueries {
   val qAnnIvfpqTopk = QueryDef(
     "q_ann_ivfpq_topk",
     (s, dir) => {
-      val M = 4
+      val M = 8
       val Sub = Dim / M
       val assigned = ivfAssigned(s, dir)
       val subs = assigned.select(col("vec_id"),
@@ -472,7 +488,7 @@ object VectorQueries {
           slice(col("v"), m * Sub + 1, Sub).as("sub"))): _*)).as("e"))
         .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
         .withColumn("sn2", dot(col("sub"), col("sub")))
-      val cents = subs.filter(col("vec_id") < 8)
+      val cents = subs.filter(col("vec_id") < PqK)
         .select(col("m"), col("vec_id").as("code"), col("sub").as("csub"),
           col("sn2").as("cn2"))
       val codes = subs.join(broadcast(cents), Seq("m"))
@@ -485,7 +501,23 @@ object VectorQueries {
         .select(col("vec_id"), col("m"), col("code"))
       val qs = assigned.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("n2").as("qn2"), col("cent_id"))
+          col("n2").as("qn2"))
+      // MULTIPROBE: each query's IvfProbes nearest cells, not just its
+      // own — the corpus stays 1-cell-assigned; only the probe widens
+      val base = quantized(s, dir)
+      val cent = base.filter(col("vec_id") < IvfCentroids)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("n2").as("cn2c"))
+      val probes = base.filter(col("vec_id") < NQueries)
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id").as("query_id"), col("cent_id"),
+          cosine(dot(col("v"), col("cv")), col("n2"), col("cn2c"))
+            .as("ccos"))
+        .withColumn("prk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("ccos").desc, col("cent_id"))))
+        .filter(col("prk") <= IvfProbes)
+        .select(col("query_id"), col("cent_id"))
       val lut = subs.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("m"),
           col("sub").as("qsub"), col("sn2").as("qsn2"))
@@ -494,8 +526,7 @@ object VectorQueries {
           (col("qsn2") + col("cn2") - lit(2L) * dot(col("qsub"), col("csub")))
             .as("lut_d2"))
       val cand = assigned.select(col("vec_id"), col("cent_id"))
-        .join(broadcast(qs.select(col("query_id"), col("cent_id"))),
-          Seq("cent_id"))
+        .join(broadcast(probes), Seq("cent_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .join(codes, Seq("vec_id"))
         .join(broadcast(lut), Seq("query_id", "m", "code"))
@@ -525,15 +556,15 @@ object VectorQueries {
       WITH $ivfAssignedSql,
       subs AS (
         SELECT vec_id, CAST(m AS BIGINT) AS m,
-               list_slice(v, m * ${Dim / 4} + 1, (m + 1) * ${Dim / 4}) AS sub
-        FROM assigned, (SELECT unnest([0, 1, 2, 3]) AS m)),
+               list_slice(v, m * ${Dim / 8} + 1, (m + 1) * ${Dim / 8}) AS sub
+        FROM assigned, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS m)),
       sn AS (
         SELECT vec_id, m, sub,
                CAST(list_sum([x * x for x in sub]) AS BIGINT) AS sn2
         FROM subs),
       cents AS (
         SELECT m, vec_id AS code, sub AS csub, sn2 AS cn2
-        FROM sn WHERE vec_id < 8),
+        FROM sn WHERE vec_id < $PqK),
       codes AS (
         SELECT vec_id, m, code FROM (
           SELECT s.vec_id, s.m, c.code,
@@ -542,18 +573,26 @@ object VectorQueries {
                    AS rn
           FROM sn s JOIN cents c USING (m))
         WHERE rn = 1),
-      q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cent_id
+      q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2
             FROM assigned WHERE vec_id < $NQueries),
+      qp AS (
+        SELECT query_id, cent_id FROM (
+          SELECT n.vec_id AS query_id, cent.cent_id,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   ${cosineSql(dotSql("n.v", "cent.cv"), "n.n2", "cent.cn2")}
+                     DESC, cent.cent_id) AS prk
+          FROM n, cent WHERE n.vec_id < $NQueries)
+        WHERE prk <= $IvfProbes),
       lut AS (
         SELECT s.vec_id AS query_id, s.m, c.code,
                s.sn2 + c.cn2 - 2 * ${dotSql("s.sub", "c.csub")} AS lut_d2
         FROM sn s JOIN cents c USING (m) WHERE s.vec_id < $NQueries),
       cand AS (
-        SELECT q.query_id, a.vec_id, CAST(SUM(l.lut_d2) AS BIGINT) AS pq_d2
+        SELECT p.query_id, a.vec_id, CAST(SUM(l.lut_d2) AS BIGINT) AS pq_d2
         FROM assigned a
-        JOIN q ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+        JOIN qp p ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
         JOIN codes cd ON cd.vec_id = a.vec_id
-        JOIN lut l ON l.query_id = q.query_id AND l.m = cd.m
+        JOIN lut l ON l.query_id = p.query_id AND l.m = cd.m
                   AND l.code = cd.code
         GROUP BY 1, 2),
       short AS (

@@ -61,15 +61,17 @@ class LshRecallSpec extends AnyFunSuite {
     assert(ivfpq.nonEmpty)
     val overlap = ivfpq.count(exact.contains).toDouble / exact.size
     info(s"IVF-PQ overlap with exact top-3: $overlap")
-    // recall is bounded by the coarse probe (both variants scan one
-    // cell); the composed path must stay comparable to IVF-flat — the
-    // PQ stage + rerank should lose at most a third of the flat-scan
-    // hits, far above the ~0.6% chance floor
+    // round 13: 2-cell multiprobe + M=8 × K=16 codebooks + shortlist 32.
+    // Measured on this data the PQ ORDERING, not the coarse probe,
+    // dominated the old 0.625 (flat single-probe already hit 0.917):
+    // finer subspaces + a deeper rerank shortlist recovered it. Gate 0.8.
     val flatOverlap = ivfFlat.count(exact.contains).toDouble / exact.size
     info(s"IVF-flat overlap with exact top-3: $flatOverlap")
-    assert(overlap >= 0.1)
-    assert(overlap >= flatOverlap * 0.66,
-      s"PQ stage lost too much recall: $overlap vs flat $flatOverlap")
+    assert(overlap >= 0.8,
+      s"IVF-PQ recall gate: $overlap < 0.8 vs exact top-3")
+    // and multiprobe must not fall below the single-probe flat scan
+    assert(overlap >= flatOverlap,
+      s"PQ+multiprobe lost recall vs flat: $overlap vs $flatOverlap")
   }
 
   test("prefix-filtered setsim join equals brute-force trigram Jaccard >= 0.6") {
