@@ -49,7 +49,9 @@ object Pipeline {
     * don't duplicate reject rows.
     */
   def runDaily(spark: SparkSession, landingRoot: String, warehouse: String,
-      date: String, checked: Boolean = false): Unit = {
+      date: String, checked: Boolean = false,
+      autoCompactPolicy: engine.Compaction.AutoPolicy =
+        engine.Compaction.AutoPolicy()): Unit = {
     // 1. ingest ONLY the day's prefix (the reference's date-scoped key
     //    listing, `transformed_from_s3_to_pg.py:22-25`) → idempotent ODS
     val day =
@@ -113,6 +115,19 @@ object Pipeline {
       factPath(warehouse), martAvgPath(warehouse),
       martAppearancesPath(warehouse), martRoyaltiesPath(warehouse))
       .map(_.stripPrefix(s"$warehouse/")))
+
+    // 7. self-healing maintenance (round 13): the daily appends leave a
+    //    few small files per table per day; once the accumulating
+    //    date-partitioned tables trip the small-file policy (~16 daily
+    //    commits at defaults), ONE lease-guarded compaction pass
+    //    rewrites them at target size — snapshot-isolated, so readers
+    //    (and the publication pinned above, which names VERSIONS) are
+    //    untouched. The reference would need a separate maintenance DAG.
+    engine.Compaction.autoCompact(spark, odsPath(warehouse),
+      partitionCol = Some("source_date"), policy = autoCompactPolicy)
+    engine.Compaction.autoCompact(spark, factPath(warehouse),
+      partitionCol = Some("date"), policy = autoCompactPolicy)
+    ()
   }
 
   /** Optional relational landing for the day's marts — the reference's

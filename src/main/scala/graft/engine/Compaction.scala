@@ -15,6 +15,48 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   */
 object Compaction {
 
+  /** When to auto-compact (round 13): a table trips the policy when its
+    * live snapshot holds at least `minFiles` files AND at least
+    * `smallFraction` of them are under `smallBytes`. Defaults are the
+    * daily-append regime's numbers — after ~16 small daily commits the
+    * pass fires once, replaces them with target-sized files, and the
+    * counter effectively resets (compacted files are no longer small).
+    * Deciding costs ONE file listing of the live set; no data I/O.
+    */
+  final case class AutoPolicy(
+      minFiles: Int = 16,
+      smallBytes: Long = 64L * 1024 * 1024,
+      smallFraction: Double = 0.5)
+
+  /** Run [[compact]] iff `policy` trips on the live snapshot — the
+    * maintenance hook `Pipeline.runDaily` calls after each day's
+    * publishes, so small-file debt self-heals on the write path the
+    * reference would handle with a separate Airflow maintenance DAG.
+    * Returns Some((before, after)) when a compaction ran, None when the
+    * policy didn't trip (including: table absent / pre-manifest).
+    * Lease semantics are [[compact]]'s own (whole-table writer lease;
+    * readers snapshot-isolated throughout).
+    */
+  def autoCompact(spark: SparkSession, path: String,
+      partitionCol: Option[String] = None,
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      statsCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
+      policy: AutoPolicy = AutoPolicy()): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || Manifest.currentVersion(spark, path).isEmpty)
+      return None
+    val live = Manifest.currentLive(spark, path)
+    if (live.size < policy.minFiles) return None
+    val sizes = live.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$f")).getLen)
+    val small = sizes.count(_ < policy.smallBytes)
+    if (small.toDouble < policy.smallFraction * live.size) None
+    else Some(compact(spark, path, partitionCol, targetBytesPerFile,
+      statsCols, clusterBy))
+  }
+
   /** Rewrite `path` with ~`targetBytesPerFile` files. Returns
     * (filesBefore, filesAfter).
     *
