@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(s =>
       graft.engine.MaterializedViews.RewriteToMv(s))
     ext.injectResolutionRule(s => graft.plans.ExpandTableChanges(s))
+    // SQL UPDATE / MERGE INTO over catalog-resolved warehouse tables →
+    // the engine's snapshot-committing verbs (round 13)
+    ext.injectResolutionRule(s => graft.plans.RewriteGraftDml(s))
     ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       new ExpressionInfo(classOf[graft.plans.TableChangesPlan].getName,

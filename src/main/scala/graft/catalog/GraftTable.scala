@@ -57,7 +57,7 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     * derived from the snapshot's own paths — the layout IS the
     * partitioning metadata, exactly like a directory-scan read.
     */
-  private[catalog] def partitionCols: Seq[String] =
+  private[graft] def partitionCols: Seq[String] =
     relFiles.headOption.map(_.split("/").dropRight(1).toSeq
       .map(_.takeWhile(_ != '='))).getOrElse(Seq.empty)
 

@@ -165,6 +165,66 @@ object Upsert {
     * merged (counted before any target mutation — the incoming plan may
     * read the target table itself).
     */
+  /** SCD Type-1 merge for UNPARTITIONED tables — [[mergePartitioned]]'s
+    * semantics (incoming replaces same-key rows, unmatched rows
+    * survive) when there is no partition column to scope the rewrite
+    * by, so the WHOLE table rewrites: O(table), the honest cost of
+    * keyed replacement without physical key locality — use the
+    * partitioned verb for anything that accumulates. Snapshot-committed
+    * and conflict-checked like every rewrite (the optimistic scope is
+    * the entire live set; a concurrent blind append conflicts and the
+    * merge recomputes, bounded). Duplicate incoming keys are rejected
+    * up front, same as the partitioned verb.
+    */
+  def mergeParquet(spark: SparkSession, path: String, incoming: DataFrame,
+      keys: Seq[String]): Long = {
+    val nIncoming = incoming.count()
+    val dupKeys = incoming.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"merge into $path: incoming affects the key ${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
+    WriterLease.withLease(spark, path) {
+      val shell = tableExists(spark, path) &&
+        checkedSnapshot(spark, path, incoming).isEmpty
+      if (!tableExists(spark, path) || shell) {
+        stagedAppend(spark, path, incoming, None)
+        nIncoming
+      } else retryingConflicts(s"merge into $path") {
+        val version = Manifest.currentVersion(spark, path)
+        val table = version.fold(Manifest.read(spark, path))(
+          Manifest.readAsOf(spark, path, _))
+        val preLive = version.fold(Manifest.listDataFiles(spark, path))(
+          Manifest.filesAsOf(spark, path, _))
+        val kept = newRows(table, incoming, keys)
+        val merged =
+          kept.unionByName(incoming.select(table.columns.map(col): _*))
+        val stagingPath = s"$path.__merge_staging_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        merged.write.mode("overwrite").parquet(stagingPath)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          val movedIn = Manifest.stageIn(spark, path, stagingPath)
+          version match {
+            case None => Manifest.commit(spark, path, movedIn)
+            case Some(_) =>
+              // whole-table scope: even a blind append into ANY file
+              // set conflicts (its rows could share keys with
+              // `incoming`, and silently keeping both would break the
+              // table's unique-key contract) — the merge recomputes
+              // over the post-append snapshot instead
+              Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+                scope = _ => true, expected = preLive.toSet,
+                retire = preLive.toSet, add = movedIn))
+          }
+          nIncoming
+        } finally {
+          fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+        }
+      }
+    }
+  }
+
   def mergePartitioned(spark: SparkSession, path: String, incoming: DataFrame,
       keys: Seq[String], dateCol: String): Long = {
     require(keys.contains(dateCol),

@@ -48,6 +48,24 @@ object CatalogQueries {
                SELECT o_orderkey, price_cents, pri FROM __cat_src""")
       s.sql("""DELETE FROM graftwh.marts.ord_slice
                WHERE pri = '1-URGENT' AND o_orderkey < 1000""")
+      // second table: the SQL UPDATE + MERGE INTO round trip (round 13)
+      s.sql("""CREATE TABLE graftwh.marts.ord_upd (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)""")
+      s.sql("""INSERT INTO graftwh.marts.ord_upd
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""UPDATE graftwh.marts.ord_upd
+               SET price_cents = price_cents + 7 WHERE pri = '5-LOW'""")
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          (floor(col("o_totalprice") * 100).cast("bigint") * 2 + 1)
+            .as("price_cents"),
+          col("o_orderpriority").as("pri"))
+        .createOrReplaceTempView("__cat_merge_src")
+      s.sql("""MERGE INTO graftwh.marts.ord_upd t
+               USING __cat_merge_src s ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
       "graftwh.marts.ord_slice"
     })
 
@@ -93,5 +111,39 @@ object CatalogQueries {
                AS cents
       FROM orders WHERE o_orderkey % 7 = 0"""))
 
-  val all: Seq[QueryDef] = Seq(qSqlCatalog, qSqlCatalogTravel)
+  /** SQL `UPDATE` then `MERGE INTO` (SCD1: matched keys replaced,
+    * unmatched inserted, survivors untouched), both through catalog
+    * SQL text ([[graft.plans.RewriteGraftDml]] → the engine's
+    * snapshot-committing rewrite/merge verbs); the oracle restates all
+    * three DML statements as set algebra over `orders`. The reference's
+    * equivalent is Postgres UPDATE + `INSERT … ON CONFLICT DO UPDATE`
+    * (`transformed_from_s3_to_pg.py:143-152`).
+    */
+  val qSqlUpdateMerge = QueryDef(
+    "q_sql_update_merge",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_upd GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (
+        SELECT k, pc + CASE WHEN pri = '5-LOW' THEN 7 ELSE 0 END AS pc, pri
+        FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pc * 2 + 1 AS pc, pri FROM base WHERE k % 5 = 0),
+      fin AS (
+        SELECT * FROM s5
+        UNION ALL
+        SELECT * FROM t7 WHERE k NOT IN (SELECT k FROM s5))
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge)
 }

@@ -189,6 +189,77 @@ class CatalogSpec extends AnyFunSuite
       s"expected the k-range scan to skip files, scanned $scanned of 8")
   }
 
+  test("SQL UPDATE routes to the touched-files-only rewrite") {
+    val _ = root
+    spark.sql("CREATE TABLE tcat.ns.up_t (k BIGINT, v STRING, cents BIGINT)")
+    spark.sql(
+      "INSERT INTO tcat.ns.up_t VALUES (1,'a',10), (2,'b',20), (3,'a',30)")
+    val v1 = Manifest.currentVersion(spark, s"$root/ns/up_t").get
+    spark.sql(
+      "UPDATE tcat.ns.up_t SET cents = cents + 100, v = upper(v) " +
+        "WHERE v = 'a'")
+    assert(spark.sql(
+      "SELECT k, v, cents FROM tcat.ns.up_t ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "A", 110L), (2L, "b", 20L), (3L, "A", 130L)))
+    // one snapshot commit; time travel still sees the pre-update rows
+    assert(Manifest.currentVersion(spark, s"$root/ns/up_t").get === v1 + 1)
+    assert(spark.sql(
+      s"SELECT cents FROM tcat.ns.up_t VERSION AS OF $v1 WHERE k = 1")
+      .as[Long].head() === 10L)
+    // subqueries are refused loudly, not silently mis-run
+    val e = intercept[Exception](spark.sql(
+      "UPDATE tcat.ns.up_t SET cents = 0 WHERE k IN " +
+        "(SELECT k FROM tcat.ns.up_t WHERE v = 'b')"))
+    assert(e.getMessage.toLowerCase.contains("subquer"))
+  }
+
+  test("SQL MERGE INTO an unpartitioned table: SCD1 upsert semantics") {
+    val _ = root
+    spark.sql("CREATE TABLE tcat.ns.mg_t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO tcat.ns.mg_t VALUES (1,'old1'), (2,'old2')")
+    Seq((2L, "new2"), (3L, "new3")).toDF("k", "v")
+      .createOrReplaceTempView("mg_src")
+    spark.sql("""MERGE INTO tcat.ns.mg_t t USING mg_src s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT k, v FROM tcat.ns.mg_t ORDER BY k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "old1"), (2L, "new2"), (3L, "new3")))
+    // a non-canonical shape is refused loudly
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO tcat.ns.mg_t t USING mg_src s ON t.k = s.k
+         WHEN MATCHED THEN DELETE"""))
+    assert(e.getMessage.contains("MERGE INTO"))
+  }
+
+  test("SQL MERGE INTO a date-partitioned table rewrites only touched " +
+      "partitions") {
+    val p = seedPartitioned("mgp_t")
+    val v1 = Manifest.currentVersion(spark, p).get
+    Seq((2, d1, 201L), (9, d1, 900L)).toDF("k", "d", "cents")
+      .createOrReplaceTempView("mgp_src")
+    spark.sql(
+      """MERGE INTO tcat.ns.mgp_t t USING mgp_src s
+         ON t.k = s.k AND t.d = s.d
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT k, cents FROM tcat.ns.mgp_t ORDER BY k")
+      .as[(Int, Long)].collect().toSeq ===
+      Seq((1, 100L), (2, 201L), (3, 300L), (4, 400L), (9, 900L)))
+    // the untouched d2 partition's files survived bit-identical
+    val pre = Manifest.filesAsOf(spark, p, v1)
+      .filter(_.startsWith("d=2024-07-02/")).toSet
+    assert(Manifest.currentLive(spark, p)
+      .filter(_.startsWith("d=2024-07-02/")).toSet === pre)
+    // partition column missing from the keys: refused loudly
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO tcat.ns.mgp_t t USING mgp_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("RENAME, DROP TABLE, and CASCADE namespace drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.tmpns")
     spark.sql("CREATE TABLE tcat.tmpns.a (k BIGINT)")
