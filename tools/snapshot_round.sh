@@ -1,0 +1,27 @@
+#!/bin/sh
+# Round-close snapshot — the literal procedure the round-12 verdict asked
+# for (its sixth ask): NEVER commit a snapshot that does not compile, and
+# ALWAYS commit the round artifacts alongside it.
+#
+#   tools/snapshot_round.sh "message"
+#
+# Gates the commit on `sbt -batch compile`; stages every round artifact
+# (CORRECTNESS_r*, BENCH_r*, LEAKCHECK.json, SWEEP_*, BENCH_DETAIL.json,
+# PLANS.md if regenerated) plus the working tree, and commits. A compile
+# failure aborts BEFORE anything is staged.
+set -eu
+cd "$(dirname "$0")/.."
+msg="${1:-round snapshot}"
+echo "[snapshot] compile gate..."
+sbt -batch compile >/tmp/snapshot_compile.log 2>&1 || {
+  echo "[snapshot] COMPILE FAILED — not committing. See /tmp/snapshot_compile.log"
+  exit 1
+}
+git add -A CORRECTNESS_r*.json BENCH_r*.json LEAKCHECK.json \
+  BENCH_DETAIL.json SWEEP_*.json PLANS.md 2>/dev/null || true
+git add -A src/ tools/ *.md
+if git diff --cached --quiet; then
+  echo "[snapshot] nothing to commit"
+else
+  git commit -m "$msg"
+fi
