@@ -80,7 +80,15 @@ object Plans {
     // scan the mart (plan-shape match + freshness gate); the DML-verb
     // fixtures read back their post-mutation tables (the mutation work
     // is write-time; the read plan shows the plain snapshot scan)
-    "q_mv_rewrite", "q_delete_where")
+    "q_mv_rewrite", "q_delete_where",
+    // round-13: the SQL catalog's read path — the plan must show the
+    // stock parquet BatchScan over the manifest's explicit file list
+    // (PushedFilters intact through the GraftScanBuilder wrapper) with
+    // the grouped aggregate on top, exactly as a path-based read would;
+    // the DML work (insert/delete/update/merge) is write-time, which is
+    // the point. And the maintained mart read: a plain snapshot scan —
+    // the streaming maintenance loop left no runtime residue.
+    "q_sql_catalog", "q_mart_maintain")
 
   /** Queries whose scale story rests on RUNTIME exchange reuse across
     * the K levels of an analysis-time TVF expansion (one shuffle of the

@@ -56,14 +56,20 @@ import graft.engine.{Manifest, Upsert, WriterLease}
   *    [[Manifest.addColumn]]'s metadata-only migration; `DROP TABLE`
   *    removes the directory under the writer lease.
   *
+  * `UPDATE` and `MERGE INTO` also resolve against these tables —
+  * through [[graft.plans.RewriteGraftDml]] (a GraftExtensions
+  * resolution rule routing them to the engine's snapshot-committing
+  * verbs), not this class. Maintenance is SQL-callable too:
+  * `CALL <cat>.system.{compact,vacuum,vacuum_warehouse}`
+  * ([[GraftProcedures]]).
+  *
   * Deliberately NOT here: partitioned `CREATE TABLE` (the library
   * writers derive partition layout physically — `INSERT INTO` an
   * existing partitioned table derives its partition column from the
-  * live layout), `UPDATE` (library verb [[Upsert.updateWhere]]; SQL
-  * UPDATE needs the row-level-operation API and a full write path),
-  * and `RENAME` across filesystems.
+  * live layout) and `RENAME` across filesystems.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -240,6 +246,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     WriterLease.withLease(spark, path) {
       fs.delete(new Path(path), true)
     }
+  }
+
+  // ---- maintenance procedures (`CALL <cat>.system.…`) --------------
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"catalog ${name()}: procedures live in the 'system' namespace " +
+        s"(got ${(ident.namespace :+ ident.name).mkString(".")})")
+    GraftProcedures.load(ident.name, root).getOrElse(
+      throw new UnsupportedOperationException(
+        s"catalog ${name()}: no procedure system.${ident.name} — " +
+          s"available: ${GraftProcedures.names.mkString(", ")}"))
   }
 
   override def renameTable(oldIdent: Identifier,

@@ -260,6 +260,36 @@ class CatalogSpec extends AnyFunSuite
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("CALL system.compact / system.vacuum run the maintenance verbs " +
+      "with inspectable results") {
+    val _ = root
+    spark.sql("CREATE TABLE tcat.ns.pc_t (k BIGINT)")
+    (1 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO tcat.ns.pc_t VALUES ($i)"))
+    val p = s"$root/ns/pc_t"
+    val nFilesBefore = Manifest.currentLive(spark, p).size
+    assert(nFilesBefore === 5)
+    val res = spark.sql(
+      "CALL tcat.system.compact('ns.pc_t', target_file_mb => 1)")
+      .as[(Long, Long)].head()
+    assert(res._1 === 5L && res._2 < 5L)
+    assert(spark.sql("SELECT sum(k) FROM tcat.ns.pc_t")
+      .as[Long].head() === 15L)
+    // vacuum retires pre-compaction versions and their files
+    val deleted = spark.sql("CALL tcat.system.vacuum('ns.pc_t', keep => 1)")
+      .as[Long].head()
+    assert(deleted > 0L)
+    assert(Manifest.versions(spark, p).size === 1)
+    assert(spark.sql("SELECT sum(k) FROM tcat.ns.pc_t")
+      .as[Long].head() === 15L)
+    // unknown procedure: loud (Spark wraps our listing message in
+    // FAILED_TO_LOAD_ROUTINE; the available-procedures hint rides the
+    // cause)
+    val e = intercept[Exception](
+      spark.sql("CALL tcat.system.no_such_proc()"))
+    assert(e.getMessage.contains("no_such_proc"))
+  }
+
   test("RENAME, DROP TABLE, and CASCADE namespace drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.tmpns")
     spark.sql("CREATE TABLE tcat.tmpns.a (k BIGINT)")
