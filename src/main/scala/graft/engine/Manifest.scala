@@ -348,6 +348,37 @@ object Manifest {
     }
   }
 
+  /** Lease-less append with the STAGE-IN inside the commit-lock
+    * critical section. A plain stage-then-commit append has a window
+    * where its files sit in the table directory referenced by NO
+    * manifest — exactly what [[vacuum]]'s dead-file sweep deletes — and
+    * since round 13 appends hold no writer lease to serialize with
+    * vacuum. Moving the rename-in under the same lock vacuum sweeps
+    * under closes the window: vacuum sees the batch either still in its
+    * external staging directory (invisible) or fully committed (live).
+    * The lock is held for O(batch files) renames plus one manifest
+    * write — milliseconds at sane batch sizes. Returns None on a txn
+    * replay (checked in-lock, staging left for the caller's cleanup).
+    */
+  def appendStagedOptimistic(spark: SparkSession, path: String,
+      stagingPath: String,
+      txn: Option[(String, Long)] = None): Option[Long] =
+    withCommitLock(spark, path) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"appendStagedOptimistic needs a manifest-managed table: " +
+            s"$path has none"))
+      val replayed = txn.exists { case (app, b) =>
+        txnsAsOf(spark, path, v).get(app).exists(_ >= b)
+      }
+      if (replayed) None
+      else {
+        val moved = stageIn(spark, path, stagingPath)
+        Some(commitLocked(spark, path,
+          filesAsOf(spark, path, v) ++ moved, Map.empty, None, txn))
+      }
+    }
+
   private def schemaFile(path: String, v: Long): Path =
     new Path(mdir(path), f"v$v%020d.schema")
 
@@ -561,14 +592,22 @@ object Manifest {
     */
   def rollback(spark: SparkSession, path: String, v: Long): Unit =
     WriterLease.withLease(spark, path) {
-      val vs = versions(spark, path)
-      require(vs.contains(v),
-        s"cannot roll $path back to v$v — committed versions: $vs")
-      val fs = fsOf(spark, path)
-      vs.filter(_ > v).foreach { n =>
-        fs.delete(new Path(mdir(path), f"v$n%020d.list"), false)
-        FileStats.delete(spark, path, n)
-        deleteSchemaSidecar(spark, path, n)
+      // the COMMIT lock too (round 13): appends are lease-less now, so
+      // without it an optimistic commit could allocate current+1 from a
+      // version this rollback is mid-way through deleting — rolled-back
+      // files would resurrect into the appended snapshot. Under the
+      // lock, a concurrent append lands wholly before (rolled back with
+      // the rest) or wholly after (on the rolled-back base).
+      withCommitLock(spark, path) {
+        val vs = versions(spark, path)
+        require(vs.contains(v),
+          s"cannot roll $path back to v$v — committed versions: $vs")
+        val fs = fsOf(spark, path)
+        vs.filter(_ > v).foreach { n =>
+          fs.delete(new Path(mdir(path), f"v$n%020d.list"), false)
+          FileStats.delete(spark, path, n)
+          deleteSchemaSidecar(spark, path, n)
+        }
       }
     }
 
@@ -597,7 +636,11 @@ object Manifest {
   def vacuum(spark: SparkSession, path: String, keep: Int = 2,
       protect: Set[Long] = Set.empty): Int = {
     require(keep >= 1, s"vacuum must keep at least the current version")
-    WriterLease.withLease(spark, path) {
+    // commit lock as well as the lease (round 13): lease-less appends
+    // stage-in + commit under it ([[appendStagedOptimistic]]), so the
+    // dead-file computation below can never observe an append's files
+    // between their rename-in and their commit
+    WriterLease.withLease(spark, path) { withCommitLock(spark, path) {
       val fs = fsOf(spark, path)
       val vs = versions(spark, path)
       if (vs.isEmpty) 0
@@ -623,6 +666,6 @@ object Manifest {
         }
         dead.size
       }
-    }
+    } }
   }
 }

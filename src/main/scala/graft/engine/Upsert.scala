@@ -667,11 +667,10 @@ object Upsert {
           // dropped
           Manifest.currentVersion(spark, path) match {
             case Some(_) =>
-              val moved = Manifest.stageIn(spark, path, stagingPath)
-              Manifest.commitOptimistic(spark, path,
-                Manifest.PreparedCommit(
-                  scope = _ => false, expected = Set.empty,
-                  retire = Set.empty, add = moved, txn = txn)).isDefined
+              // stage-in happens INSIDE the commit lock — see
+              // Manifest.appendStagedOptimistic (vacuum-vs-append race)
+              Manifest.appendStagedOptimistic(spark, path, stagingPath,
+                txn).isDefined
             case None =>
               // adoption of a pre-manifest directory: the first
               // manifest-aware write upgrades the table in place —

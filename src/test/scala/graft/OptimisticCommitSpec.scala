@@ -173,6 +173,35 @@ class OptimisticCommitSpec extends AnyFunSuite {
     assert(!Upsert.appendEpoch(spark, p, batch, Some("d"), "appA", 7L))
   }
 
+  test("vacuum racing lease-less appends never deletes a staged batch " +
+      "(stage-in rides inside the commit lock)") {
+    val p = tmp()
+    Upsert.append(spark, p, Seq((0, d1, 0L)).toDF("k", "d", "cents"),
+      Some("d"))
+    // interleave appends with aggressive vacuums: before round 13's
+    // in-lock stage-in, a vacuum sweeping between an append's rename-in
+    // and its commit would delete the batch's files as dead and the
+    // commit would reference vanished files
+    val results = inThreads(Seq(
+      () => {
+        (1 to 12).foreach(i => Upsert.append(spark, p,
+          Seq((i, d1, i * 1L)).toDF("k", "d", "cents"), Some("d")))
+        "appends-done"
+      },
+      () => {
+        (1 to 12).foreach { _ =>
+          Manifest.vacuum(spark, p, keep = 1); Thread.sleep(5)
+        }
+        "vacuums-done"
+      }))
+    assert(results.forall(_.isRight), s"racers failed: $results")
+    // every appended row is present AND readable (no dangling refs)
+    val t = Manifest.read(spark, p)
+    assert(t.count() === 13)
+    assert(t.agg(org.apache.spark.sql.functions.sum("cents")).as[Long]
+      .head() === (1 to 12).map(_.toLong).sum)
+  }
+
   test("compaction keeps a concurrently appended file instead of dropping it") {
     val p = tmp()
     (1 to 4).foreach(i => Upsert.append(spark, p,
