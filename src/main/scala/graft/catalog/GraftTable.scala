@@ -88,7 +88,8 @@ final case class GraftTable(spark: SparkSession, tableName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -99,27 +100,46 @@ final case class GraftTable(spark: SparkSession, tableName: String,
       fullTable.newScanBuilder(scanOptions(options)),
       kept => delegate(kept, options).newScanBuilder(scanOptions(options)))
 
-  // ---- INSERT INTO (V1 fallback -> manifest-committed append) -----
+  // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback -> engine verbs) --
 
+  /** `INSERT INTO` lands as [[Upsert.append]] (one manifest-committed
+    * batch); `INSERT OVERWRITE` (round 14) replaces the WHOLE live set
+    * atomically via [[Upsert.overwriteTable]] — the analyzer signals it
+    * through `SupportsOverwriteV2.truncate()` (static mode, no
+    * partition spec ⇒ the delete filter is ALWAYS_TRUE). A FILTERED
+    * overwrite (partition-spec'd) is refused loudly: partition layout
+    * here is physical and partition-scoped replacement is the library's
+    * [[Upsert.overwritePartitions]].
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     asOfVersion.foreach(v => throw new UnsupportedOperationException(
       s"cannot write to $tableName: VERSION AS OF $v is a read-only " +
         "snapshot"))
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
+      private var replaceAll = false
+      override def overwrite(predicates: Array[V2Predicate]): WriteBuilder = {
+        require(predicates.forall(_.name() == "ALWAYS_TRUE"),
+          s"INSERT OVERWRITE $tableName: only whole-table overwrite is " +
+            "supported through SQL (got " + predicates.mkString(" AND ") +
+            ") — partition-scoped replacement is the library's " +
+            "Upsert.overwritePartitions")
+        replaceAll = true
+        this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                s"INSERT OVERWRITE into $tableName: overwrite through " +
-                  "SQL is not supported — use the library's upsert/" +
-                  "merge verbs for keyed replacement")
               val pc = partitionCols
               require(pc.size <= 1,
                 s"INSERT INTO $tableName: multi-level partition layout " +
                   s"(${pc.mkString("/")}) has no SQL insert path")
-              Upsert.append(spark, path, data, pc.headOption); ()
+              if (replaceAll || overwrite)
+                Upsert.overwriteTable(spark, path, data, pc.headOption)
+              else Upsert.append(spark, path, data, pc.headOption)
+              ()
             }
           }
       }

@@ -742,4 +742,279 @@ object Upsert {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
+
+  /** Whole-table OVERWRITE — SQL `INSERT OVERWRITE TABLE t SELECT …`
+    * (static mode, no partition spec; Postgres-side the reference would
+    * `TRUNCATE` + `INSERT` in one transaction): the ENTIRE live set is
+    * replaced by `incoming` through one snapshot commit — readers see
+    * the table wholly old or wholly new, prior versions stay time-
+    * travelable until vacuum. Optimistic whole-table scope: a
+    * concurrent lease-less append conflicts (its rows would be silently
+    * erased by a blind replacement) and the overwrite recomputes,
+    * bounded. Returns rows written.
+    */
+  def overwriteTable(spark: SparkSession, path: String, incoming: DataFrame,
+      dateCol: Option[String]): Long =
+    WriterLease.withLease(spark, path) {
+      if (!tableExists(spark, path))
+        stagedAppend(spark, path, incoming, dateCol)
+      else {
+        checkedSnapshot(spark, path, incoming) // drift check; shell flows
+        retryingConflicts(s"overwriteTable into $path") {
+          val version = Manifest.currentVersion(spark, path)
+          val preLive = version.fold(Manifest.listDataFiles(spark, path))(
+            Manifest.filesAsOf(spark, path, _))
+          val stagingPath = s"$path.__overwrite_staging_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val w0 = incoming.write.mode("overwrite")
+          dateCol.fold(w0)(c => w0.partitionBy(c)).parquet(stagingPath)
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          try {
+            val n = spark.read.schema(incoming.schema).parquet(stagingPath)
+              .count()
+            val moved = Manifest.stageIn(spark, path, stagingPath)
+            version match {
+              case None => Manifest.commit(spark, path, moved)
+              case Some(_) =>
+                Manifest.commitOptimistic(spark, path,
+                  Manifest.PreparedCommit(
+                    scope = _ => true, expected = preLive.toSet,
+                    retire = preLive.toSet, add = moved))
+            }
+            n
+          } finally {
+            fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+          }
+        }
+      }
+    }
+
+  // ---- generalized MERGE (round 14): conditional actions + DELETE ---
+
+  /** One `WHEN MATCHED` clause of a generalized merge. `cond` (over the
+    * merge's combined row — target columns by their own names, source
+    * NON-KEY columns as `__src_<name>`) guards the action; None = always.
+    */
+  sealed trait MatchedAction { def cond: Option[org.apache.spark.sql.Column] }
+  final case class MatchedUpdate(cond: Option[org.apache.spark.sql.Column])
+    extends MatchedAction
+  final case class MatchedDelete(cond: Option[org.apache.spark.sql.Column])
+    extends MatchedAction
+
+  /** Generalized merge — SQL `MERGE INTO` with ordered, optionally
+    * CONDITIONAL `WHEN MATCHED THEN UPDATE SET * / DELETE` clauses and
+    * an optional `WHEN NOT MATCHED [AND cond] THEN INSERT *`
+    * (round 14; the SCD1 fast path stays [[mergePartitioned]]/
+    * [[mergeParquet]]). Semantics are SQL MERGE's: per matched target
+    * row, the FIRST clause whose condition holds applies; no clause →
+    * the row survives unchanged; `update` replaces the full row with
+    * the source's (SET *), `delete` drops it. Key matching is NULL-SAFE
+    * like every verb in this module (a NULL key component matches a
+    * NULL — the engine's idempotency contract), unlike strict-SQL `=`.
+    *
+    * Scale shape: the rewrite is TOUCHED-FILES-ONLY, same as
+    * [[deleteWhere]] — one semi-join scan names the files containing
+    * matched keys (`input_file_name`), only those rewrite, inserts land
+    * as fresh files, and the whole mutation commits as ONE optimistic
+    * snapshot swap with the touched files as its conflict scope. At
+    * 100 TB a merge touching one day rewrites that day's matched files,
+    * not the table. Duplicate source keys are rejected up front (SQL:
+    * "cannot update the same row twice"). `source` must be
+    * DETERMINISTIC — it is evaluated more than once (file scan +
+    * rewrite), like [[deleteWhere]]'s predicate.
+    *
+    * `partitionCols`: the table's physical layout (staged rewrite files
+    * land back in their partition dirs; inserts create new ones).
+    * Returns (matched rows affected, rows inserted).
+    */
+  def mergeActions(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], matched: Seq[MatchedAction],
+      insert: Option[Option[org.apache.spark.sql.Column]],
+      partitionCols: Seq[String]): (Long, Long) = {
+    require(matched.nonEmpty || insert.nonEmpty,
+      s"mergeActions into $path: at least one action clause is required")
+    val dupKeys = source.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"merge into $path: source affects the key " +
+        s"${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
+    WriterLease.withLease(spark, path) {
+      retryingConflicts(s"mergeActions into $path") {
+        mergeActionsOnce(spark, path, source, keys, matched, insert,
+          partitionCols)
+      }
+    }
+  }
+
+  private def mergeActionsOnce(spark: SparkSession, path: String,
+      source: DataFrame, keys: Seq[String], matched: Seq[MatchedAction],
+      insert: Option[Option[org.apache.spark.sql.Column]],
+      partitionCols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, when}
+    val version = Manifest.currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"mergeActions needs a manifest-managed table: $path has none"))
+    val table = Manifest.readAsOf(spark, path, version)
+    val preLive = Manifest.filesAsOf(spark, path, version)
+    val targetCols = table.columns.toSeq
+    require(!targetCols.exists(_.startsWith("__src_")),
+      s"mergeActions into $path: target columns may not start with __src_")
+    val needFullRow = insert.nonEmpty ||
+      matched.exists(_.isInstanceOf[MatchedUpdate])
+    val srcCols = source.columns.toSet
+    if (needFullRow)
+      require(targetCols.forall(srcCols),
+        s"mergeActions into $path: UPDATE SET * / INSERT * need a " +
+          s"full-row source; missing ${targetCols.filterNot(srcCols)
+            .mkString(", ")}")
+    else require(keys.forall(srcCols),
+      s"mergeActions into $path: source must carry the keys $keys")
+    // source with non-key columns renamed __src_<c>: one frame serves
+    // the matched conditions (target names + __src_ names), the update
+    // values, and the insert projection. ALL source columns ride along
+    // — a clause condition may reference source columns outside the
+    // target schema (e.g. a side-channel flag)
+    val renamed = source.select(
+      keys.map(col) ++
+        source.columns.toSeq.filterNot(keys.contains)
+          .map(c => col(c).as(s"__src_$c")) :+
+        lit(true).as("__src_matched"): _*)
+
+    // touched files = files containing at least one key-matched row
+    // (null-safe semi join; predicate/partition pruning applies).
+    // input_file_name() must bind BEFORE the join — with the source in
+    // the same plan the expression would see two file sources and the
+    // analyzer refuses it (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION).
+    val srcKeys = source.select(keys.map(k => col(k).as(s"__mk_$k")): _*)
+      .distinct()
+    val pathUri = new org.apache.hadoop.fs.Path(path)
+      .toUri.getPath.stripSuffix("/")
+    def toRel(uri: String): String = {
+      val p = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+      val i = p.indexOf(pathUri)
+      require(i >= 0, s"mergeActions: scanned file $uri outside $path")
+      p.substring(i + pathUri.length).stripPrefix("/")
+    }
+    val touched: Seq[String] =
+      if (matched.isEmpty) Seq.empty // insert-only: no rewrite needed
+      else {
+        val withFile = table.withColumn("__graft_file", input_file_name())
+        val matchCond = keys.map(k => withFile(k) <=> srcKeys(s"__mk_$k"))
+          .reduce(_ && _)
+        withFile.join(srcKeys, matchCond, "left_semi")
+          .select(col("__graft_file")).distinct()
+          .collect().map(r => toRel(r.getString(0))).sorted.toSeq
+      }
+    val touchedSet = touched.toSet
+    require(touchedSet.subsetOf(preLive.toSet),
+      s"mergeActions into $path: scan saw files outside the snapshot: " +
+        (touchedSet -- preLive.toSet).take(3).mkString(", "))
+
+    // rewrite of the touched files: first-match-wins action resolution
+    val (rewritten, nMatchedAffected) =
+      if (touched.isEmpty) (None, 0L)
+      else {
+        val pinned = Manifest.schemaAsOf(spark, path, version)
+        val subR = spark.read.option("basePath", path)
+        val sub = pinned.fold(subR)(subR.schema)
+          .parquet(touched.map(f => s"$path/$f"): _*)
+        val joinedRaw = sub.join(renamed,
+          keys.map(k => sub(k) <=> renamed(k)).reduce(_ && _), "left_outer")
+        // drop the source's copy of the key columns (same names; the
+        // target's survive for the projection below)
+        val joinedClean = keys.foldLeft(joinedRaw)((d, k) =>
+          d.drop(renamed(k)))
+        val isMatched = coalesce(col("__src_matched"), lit(false))
+        var actionExpr: org.apache.spark.sql.Column = null
+        matched.zipWithIndex.foreach { case (a, i) =>
+          val p = a.cond.fold(isMatched)(c => isMatched && c)
+          actionExpr =
+            if (actionExpr == null) when(p, lit(i))
+            else actionExpr.when(p, lit(i))
+        }
+        val decided = joinedClean.withColumn("__action",
+          if (actionExpr == null) lit(-1) else actionExpr.otherwise(lit(-1)))
+        val deleteIdx = matched.zipWithIndex.collect {
+          case (_: MatchedDelete, i) => i }
+        val updateIdx = matched.zipWithIndex.collect {
+          case (_: MatchedUpdate, i) => i }
+        val affected = decided.filter(col("__action") =!= -1).count()
+        val survivors =
+          if (deleteIdx.isEmpty) decided
+          else decided.filter(!col("__action")
+            .isin(deleteIdx.map(Int.box): _*))
+        val out = survivors.select(targetCols.map { c =>
+          val tgt = col(c)
+          if (updateIdx.isEmpty || keys.contains(c)) tgt.as(c)
+          else when(col("__action").isin(updateIdx.map(Int.box): _*),
+            col(s"__src_$c")).otherwise(tgt).as(c)
+        }: _*)
+        (Some(out), affected)
+      }
+
+    // inserts: source keys matched NOWHERE in the table (not only in
+    // touched files — a key matching any row makes its file touched,
+    // so anti-joining the touched subset is equivalent and cheaper…
+    // except when matched is empty; then anti-join the whole table)
+    val insertRows = insert.map { condOpt =>
+      val against =
+        if (matched.nonEmpty && touched.isEmpty)
+          // no key matched anything: every source row is unmatched
+          renamed
+        else {
+          // anti-join against the touched subset when a rewrite ran: a
+          // source key matching ANY target row makes its file touched,
+          // so the subset carries every matchable key — anti against it
+          // is equivalent to anti against the whole table, minus a scan
+          val base =
+            if (matched.isEmpty) table
+            else {
+              val pinned = Manifest.schemaAsOf(spark, path, version)
+              val subR = spark.read.option("basePath", path)
+              pinned.fold(subR)(subR.schema)
+                .parquet(touched.map(f => s"$path/$f"): _*)
+            }
+          val exKeys = base.select(keys.map(k => col(k).as(s"__ex_$k")): _*)
+          renamed.join(exKeys,
+            keys.map(k => renamed(k) <=> exKeys(s"__ex_$k")).reduce(_ && _),
+            "left_anti")
+        }
+      val filtered = condOpt.fold(against)(c => against.filter(c))
+      filtered.select(targetCols.map { c =>
+        (if (keys.contains(c)) col(c) else col(s"__src_$c")).as(c)
+      }: _*)
+    }
+    val nInserted = insertRows.fold(0L)(_.count())
+
+    if (touched.isEmpty && nInserted == 0L) (nMatchedAffected, 0L)
+    else {
+      val df = (rewritten, insertRows) match {
+        case (Some(r), Some(i)) => r.unionByName(i)
+        case (Some(r), None) => r
+        case (None, Some(i)) => i
+        case (None, None) => return (0L, 0L) // unreachable: guarded above
+      }
+      val stagingPath = s"$path.__merge_staging_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val w0 = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
+       else w0).parquet(stagingPath)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        val moved = Manifest.stageIn(spark, path, stagingPath)
+        // conflict scope: exactly the files this merge read and
+        // retires — a concurrent rewrite of one conflicts (recompute);
+        // a concurrent blind append composes, serialized merge-first
+        // (WriteSerializable, the same contract as deleteWhere)
+        Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+          scope = touchedSet, expected = touchedSet,
+          retire = touchedSet, add = moved))
+        (nMatchedAffected, nInserted)
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+      }
+    }
+  }
 }

@@ -71,34 +71,57 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
       def refuse(what: String): Nothing =
         throw new UnsupportedOperationException(
           s"MERGE INTO ${t.name()}: $what — the supported shape is " +
-            "ON <same-named key equalities> WHEN MATCHED THEN UPDATE " +
-            "SET * WHEN NOT MATCHED THEN INSERT *")
+            "ON <same-named key equalities> with ordered WHEN MATCHED " +
+            "[AND cond] THEN UPDATE SET * | DELETE clauses and an " +
+            "optional WHEN NOT MATCHED [AND cond] THEN INSERT *")
       if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
       if (notMatchedBySource.nonEmpty) refuse("WHEN NOT MATCHED BY SOURCE")
       val targetCols = r.output.map(_.name)
-      matched match {
-        case Seq(UpdateAction(None, as, _)) =>
-          if (!isFullRowByName(as, targetCols))
-            refuse("WHEN MATCHED must be UPDATE SET * (full-row, by name)")
-        case Seq() => refuse(
-          "WHEN MATCHED THEN UPDATE SET * is required (DO NOTHING " +
-            "on match is the library's upsert verb)")
-        case _ => refuse("unsupported WHEN MATCHED action")
-      }
-      notMatched match {
-        case Seq(InsertAction(None, as)) =>
-          if (!isFullRowByName(as, targetCols))
-            refuse("WHEN NOT MATCHED must be INSERT * (full-row, by name)")
-        case Seq() => refuse(
-          "WHEN NOT MATCHED THEN INSERT * is required (update-only " +
-            "merges are not restated)")
-        case _ => refuse("unsupported WHEN NOT MATCHED action")
-      }
       val keys = keyEqualities(cond, r.output.toSeq, source.output)
         .getOrElse(refuse(
           s"ON must be a conjunction of same-named key equalities, got " +
             cond.sql))
-      GraftMergeCommand(t, source, keys)
+      // clause conditions re-expressed over the merge's combined row:
+      // target columns by name, source non-key columns as __src_<name>
+      // (the frame [[Upsert.mergeActions]] evaluates them against)
+      val targetIds = r.output.map(_.exprId).toSet
+      val sourceIds = source.output.map(_.exprId).toSet
+      def clauseCond(e: Expression, where: String): Column = {
+        require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+          s"$where: subqueries are not supported in graft DML")
+        Shims.column(e.transform {
+          case a: AttributeReference if targetIds(a.exprId) =>
+            UnresolvedAttribute.quoted(a.name)
+          case a: AttributeReference if sourceIds(a.exprId) =>
+            if (keys.contains(a.name)) UnresolvedAttribute.quoted(a.name)
+            else UnresolvedAttribute.quoted(s"__src_${a.name}")
+        })
+      }
+      val actions = matched.map {
+        case UpdateAction(c, as, _) =>
+          if (!isFullRowByName(as, targetCols))
+            refuse("WHEN MATCHED UPDATE must be SET * (full-row, by name)")
+          Upsert.MatchedUpdate(
+            c.map(clauseCond(_, s"MERGE INTO ${t.name()} WHEN MATCHED AND")))
+        case DeleteAction(c) =>
+          Upsert.MatchedDelete(
+            c.map(clauseCond(_, s"MERGE INTO ${t.name()} WHEN MATCHED AND")))
+        case other =>
+          refuse(s"unsupported WHEN MATCHED action " +
+            other.getClass.getSimpleName)
+      }
+      val insertSpec: Option[Option[Column]] = notMatched match {
+        case Seq(InsertAction(c, as)) =>
+          if (!isFullRowByName(as, targetCols))
+            refuse("WHEN NOT MATCHED must be INSERT * (full-row, by name)")
+          Some(c.map(clauseCond(_,
+            s"MERGE INTO ${t.name()} WHEN NOT MATCHED AND")))
+        case Seq() => None
+        case _ => refuse("at most one WHEN NOT MATCHED THEN INSERT * clause")
+      }
+      if (actions.isEmpty && insertSpec.isEmpty)
+        refuse("the merge has no action clauses")
+      GraftMergeCommand(t, source, keys, actions, insertSpec)
 
     case _ => plan
   }
@@ -166,29 +189,47 @@ final case class GraftUpdateCommand(table: GraftTable, condition: Column,
   }
 }
 
-/** `MERGE INTO <cat>.<ns>.<t> USING src ON keys …` → the engine's SCD1
-  * merge: partition-scoped ([[Upsert.mergePartitioned]]) when the table
-  * is date-partitioned — its partition column must then be among the
-  * merge keys — or the whole-table [[Upsert.mergeParquet]] otherwise.
+/** `MERGE INTO <cat>.<ns>.<t> USING src ON keys …` — two engine routes:
+  *
+  *  - the CANONICAL SCD1 shape (one unconditional `UPDATE SET *` + one
+  *    unconditional `INSERT *`) keeps its battle-tested fast path:
+  *    partition-wholesale [[Upsert.mergePartitioned]] when the table is
+  *    date-partitioned (the partition column must be among the keys) or
+  *    [[Upsert.mergeParquet]] otherwise;
+  *  - every other accepted shape (conditional clauses, `DELETE`,
+  *    insert-only / matched-only merges) runs the generalized
+  *    [[Upsert.mergeActions]]: touched-files-only rewrite,
+  *    first-match-wins clause resolution, one optimistic snapshot
+  *    commit.
   */
 final case class GraftMergeCommand(table: GraftTable,
-    source: LogicalPlan, keys: Seq[String]) extends LeafRunnableCommand {
+    source: LogicalPlan, keys: Seq[String],
+    actions: Seq[Upsert.MatchedAction],
+    insert: Option[Option[Column]]) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val targetCols = table.schema().fieldNames.toSeq
-    val src = Shims.ofRows(session, source).select(targetCols.map(col): _*)
-    table.partitionCols match {
-      case Seq(dateCol) =>
-        require(keys.contains(dateCol),
-          s"MERGE INTO ${table.name()}: the table is partitioned by " +
-            s"'$dateCol', which must be among the merge keys " +
-            s"(got ${keys.mkString(", ")})")
-        Upsert.mergePartitioned(session, table.path, src, keys, dateCol)
-      case Seq() =>
-        Upsert.mergeParquet(session, table.path, src, keys)
-      case deep => throw new UnsupportedOperationException(
-        s"MERGE INTO ${table.name()}: multi-level partition layout " +
-          s"(${deep.mkString("/")}) has no SQL merge path")
+    (actions, insert) match {
+      case (Seq(Upsert.MatchedUpdate(None)), Some(None)) =>
+        val src = Shims.ofRows(session, source)
+          .select(targetCols.map(col): _*)
+        table.partitionCols match {
+          case Seq(dateCol) =>
+            require(keys.contains(dateCol),
+              s"MERGE INTO ${table.name()}: the table is partitioned by " +
+                s"'$dateCol', which must be among the merge keys " +
+                s"(got ${keys.mkString(", ")})")
+            Upsert.mergePartitioned(session, table.path, src, keys, dateCol)
+          case Seq() =>
+            Upsert.mergeParquet(session, table.path, src, keys)
+          case deep => throw new UnsupportedOperationException(
+            s"MERGE INTO ${table.name()}: multi-level partition layout " +
+              s"(${deep.mkString("/")}) has no SQL merge path")
+        }
+      case _ =>
+        Upsert.mergeActions(session, table.path,
+          Shims.ofRows(session, source), keys, actions, insert,
+          table.partitionCols)
     }
     Seq.empty
   }

@@ -66,6 +66,22 @@ object CatalogQueries {
                USING __cat_merge_src s ON t.o_orderkey = s.o_orderkey
                WHEN MATCHED THEN UPDATE SET *
                WHEN NOT MATCHED THEN INSERT *""")
+      // round 14: CTAS, INSERT OVERWRITE, generalized merge
+      s.sql("""CREATE TABLE graftwh.marts.ord_ctas AS
+               SELECT o_orderkey, price_cents, pri FROM __cat_src
+               WHERE pri <> '5-LOW'""")
+      s.sql("""INSERT OVERWRITE graftwh.marts.ord_ctas
+               SELECT o_orderkey, price_cents * 3, pri FROM __cat_src
+               WHERE o_orderkey % 2 = 0""")
+      s.sql("""CREATE TABLE graftwh.marts.ord_gm (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)""")
+      s.sql("""INSERT INTO graftwh.marts.ord_gm
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""MERGE INTO graftwh.marts.ord_gm t
+               USING __cat_merge_src s ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED AND t.pri = '1-URGENT' THEN DELETE
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED AND s.pri = '3-MEDIUM' THEN INSERT *""")
       "graftwh.marts.ord_slice"
     })
 
@@ -144,6 +160,64 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** `CREATE TABLE AS SELECT` then `INSERT OVERWRITE` (round 14): the
+    * CTAS result is wholly replaced by the overwrite's SELECT in one
+    * snapshot commit — the oracle restates only the overwrite (the CTAS
+    * rows must be gone; any survivor breaks the hash).
+    */
+  val qSqlCtasOverwrite = QueryDef(
+    "q_sql_ctas_overwrite",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_ctas GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      SELECT o_orderpriority AS pri, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT) * 3)
+               AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Generalized `MERGE INTO` (round 14): ordered conditional clauses —
+    * matched URGENT rows DELETE, other matches UPDATE SET *, unmatched
+    * source rows INSERT only when MEDIUM. The oracle restates the
+    * first-match-wins algebra over `orders`.
+    */
+  val qSqlMergeActions = QueryDef(
+    "q_sql_merge_actions",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_gm GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pc * 2 + 1 AS pc, pri FROM base WHERE k % 5 = 0),
+      fin AS (
+        -- unmatched target rows survive unchanged
+        SELECT k, pc, pri FROM t7 WHERE k NOT IN (SELECT k FROM s5)
+        UNION ALL
+        -- matched, first clause (t.pri URGENT -> DELETE) not taken:
+        -- second clause updates to the source row
+        SELECT s.k, s.pc, s.pri FROM s5 s JOIN t7 t ON s.k = t.k
+        WHERE t.pri <> '1-URGENT'
+        UNION ALL
+        -- unmatched source rows insert only under the clause condition
+        SELECT k, pc, pri FROM s5
+        WHERE k NOT IN (SELECT k FROM t7) AND pri = '3-MEDIUM')
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge)
+    Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
+      qSqlCtasOverwrite, qSqlMergeActions)
 }

@@ -226,10 +226,17 @@ class CatalogSpec extends AnyFunSuite
     assert(spark.sql("SELECT k, v FROM tcat.ns.mg_t ORDER BY k")
       .as[(Long, String)].collect().toSeq ===
       Seq((1L, "old1"), (2L, "new2"), (3L, "new3")))
-    // a non-canonical shape is refused loudly
+    // WHEN MATCHED THEN DELETE is a supported shape since round 14
+    // (generalized merge) — it removes exactly the matched keys
+    spark.sql("""MERGE INTO tcat.ns.mg_t t USING mg_src s ON t.k = s.k
+                 WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT k, v FROM tcat.ns.mg_t ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "old1")))
+    // a genuinely unsupported shape is still refused loudly
     val e = intercept[Exception](spark.sql(
       """MERGE INTO tcat.ns.mg_t t USING mg_src s ON t.k = s.k
-         WHEN MATCHED THEN DELETE"""))
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
     assert(e.getMessage.contains("MERGE INTO"))
   }
 

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Manifest, Upsert}
+
+/** Round-14 SQL-surface edges (verdict item 4): CTAS, INSERT OVERWRITE,
+  * and the generalized MERGE (conditional UPDATE clauses, WHEN MATCHED
+  * THEN DELETE, insert-only / matched-only shapes) — plus the library
+  * verbs underneath them ([[Upsert.overwriteTable]],
+  * [[Upsert.mergeActions]]).
+  */
+class SqlEdgesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-edges").toString
+    spark.conf.set("spark.sql.catalog.ecat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ecat.root", r)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ecat.ns")
+    r
+  }
+
+  private val d1 = Date.valueOf("2024-07-01")
+  private val d2 = Date.valueOf("2024-07-02")
+
+  private def rowsOf(tbl: String): Map[Long, Long] =
+    spark.sql(s"SELECT k, cents FROM $tbl").as[(Long, Long)]
+      .collect().toMap
+
+  test("CREATE TABLE AS SELECT lands the query result as v1+insert") {
+    root
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "cents")
+      .createOrReplaceTempView("__ctas_src")
+    spark.sql("""CREATE TABLE ecat.ns.ctas AS
+                 SELECT k, cents FROM __ctas_src WHERE k <> 2""")
+    assert(rowsOf("ecat.ns.ctas") === Map(1L -> 10L, 3L -> 30L))
+    // and it is a real manifest-managed table: versioned, SELECTable,
+    // DML-able
+    spark.sql("DELETE FROM ecat.ns.ctas WHERE k = 3")
+    assert(rowsOf("ecat.ns.ctas") === Map(1L -> 10L))
+  }
+
+  test("CTAS into an existing table fails loudly; partitioned CTAS refused") {
+    root
+    Seq((1L, 1L)).toDF("k", "cents").createOrReplaceTempView("__ctas_src2")
+    spark.sql("CREATE TABLE ecat.ns.ctas2 AS SELECT * FROM __ctas_src2")
+    intercept[Exception](
+      spark.sql("CREATE TABLE ecat.ns.ctas2 AS SELECT * FROM __ctas_src2"))
+    val e = intercept[Exception](
+      spark.sql("""CREATE TABLE ecat.ns.ctas3 PARTITIONED BY (k) AS
+                   SELECT * FROM __ctas_src2"""))
+    assert(e.getMessage.contains("partition"))
+  }
+
+  test("INSERT OVERWRITE replaces the whole table in one snapshot commit") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.ovw (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.ovw VALUES (1, 10), (2, 20)")
+    val path = s"$root/ns/ovw"
+    val vBefore = Manifest.currentVersion(spark, path).get
+    spark.sql("INSERT OVERWRITE ecat.ns.ovw VALUES (7, 70), (8, 80)")
+    assert(rowsOf("ecat.ns.ovw") === Map(7L -> 70L, 8L -> 80L))
+    // exactly one version advanced, and time travel still sees the old
+    assert(Manifest.currentVersion(spark, path).get === vBefore + 1)
+    assert(Manifest.readAsOf(spark, path, vBefore)
+      .select("k").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("overwriteTable on a partitioned table keeps the layout") {
+    val p = Files.createTempDirectory("graft-ovw").resolve("t").toString
+    Upsert.append(spark, p,
+      Seq((1, d1, 10L), (2, d2, 20L)).toDF("k", "d", "cents"), Some("d"))
+    Upsert.overwriteTable(spark, p,
+      Seq((9, d1, 90L)).toDF("k", "d", "cents"), Some("d"))
+    assert(Manifest.read(spark, p).select("k").as[Int].collect().toSet
+      === Set(9))
+    assert(Manifest.livePartitions(spark, p) === Seq("d=2024-07-01"))
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE removes matches, keeps the rest") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.mdel (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.mdel VALUES (1, 10), (2, 20), (3, 30)")
+    Seq(1L, 3L, 99L).toDF("k").createOrReplaceTempView("__del_src")
+    spark.sql("""MERGE INTO ecat.ns.mdel t USING __del_src s
+                 ON t.k = s.k
+                 WHEN MATCHED THEN DELETE""")
+    assert(rowsOf("ecat.ns.mdel") === Map(2L -> 20L))
+  }
+
+  test("MERGE with conditional UPDATE, conditional DELETE and conditional " +
+      "INSERT resolves clauses first-match-wins") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.mcond (k BIGINT, cents BIGINT)")
+    spark.sql(
+      "INSERT INTO ecat.ns.mcond VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    Seq((1L, 111L), (2L, 5L), (3L, 333L), (8L, 800L), (9L, 9L))
+      .toDF("k", "cents").createOrReplaceTempView("__cond_src")
+    spark.sql("""MERGE INTO ecat.ns.mcond t USING __cond_src s
+                 ON t.k = s.k
+                 WHEN MATCHED AND s.cents < t.cents THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED AND s.cents > 100 THEN INSERT *""")
+    // k=1: source 111 >= 10 → update to 111; k=2: 5 < 20 → delete;
+    // k=3: update to 333; k=4: untouched; k=8: insert (800 > 100);
+    // k=9: not inserted (9 <= 100)
+    assert(rowsOf("ecat.ns.mcond")
+      === Map(1L -> 111L, 3L -> 333L, 4L -> 40L, 8L -> 800L))
+  }
+
+  test("matched-only merge needs no full-row source; delete-only source " +
+      "can be keys-only") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.mkey (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.mkey VALUES (1, 10), (2, 20)")
+    // source has ONLY the key column — fine for a delete-only merge
+    Seq(2L).toDF("k").createOrReplaceTempView("__key_src")
+    spark.sql("""MERGE INTO ecat.ns.mkey t USING __key_src s ON t.k = s.k
+                 WHEN MATCHED THEN DELETE""")
+    assert(rowsOf("ecat.ns.mkey") === Map(1L -> 10L))
+  }
+
+  test("generalized merge on a date-partitioned table rewrites only " +
+      "touched files and keeps partition layout") {
+    val p = Files.createTempDirectory("graft-mact").resolve("t").toString
+    Upsert.upsertPartitioned(spark, p,
+      Seq((1, d1, 10L), (2, d1, 20L), (3, d2, 30L))
+        .toDF("k", "d", "cents"), Seq("k", "d"), "d")
+    val before = Manifest.currentLive(spark, p).toSet
+    val (affected, inserted) = Upsert.mergeActions(spark, p,
+      Seq((2, d1, 999L)).toDF("k", "d", "cents"), Seq("k"),
+      Seq(Upsert.MatchedUpdate(None)), None, Seq("d"))
+    assert(affected === 1L && inserted === 0L)
+    val t = Manifest.read(spark, p)
+    assert(t.filter(col("k") === 2).select("cents").as[Long].head() === 999L)
+    assert(t.count() === 3)
+    // d2's file was untouched: still live under its original name
+    val after = Manifest.currentLive(spark, p).toSet
+    val d2Files = before.filter(_.startsWith("d=2024-07-02/"))
+    assert(d2Files.subsetOf(after), "untouched partition files must survive")
+  }
+
+  test("insert-only merge (WHEN NOT MATCHED alone) appends just the new keys") {
+    val p = Files.createTempDirectory("graft-mins").resolve("t").toString
+    Upsert.append(spark, p, Seq((1L, 10L), (2L, 20L)).toDF("k", "cents"),
+      None)
+    val (affected, inserted) = Upsert.mergeActions(spark, p,
+      Seq((2L, 999L), (5L, 50L)).toDF("k", "cents"), Seq("k"),
+      Seq.empty, Some(None), Seq.empty)
+    assert(affected === 0L && inserted === 1L)
+    assert(Manifest.read(spark, p).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 5L -> 50L))
+  }
+
+  test("merge refusal paths stay loud: NOT MATCHED BY SOURCE, non-star " +
+      "update, duplicate source keys") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.mref (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.mref VALUES (1, 10)")
+    Seq((1L, 100L)).toDF("k", "cents").createOrReplaceTempView("__ref_src")
+    val e1 = intercept[Exception](spark.sql(
+      """MERGE INTO ecat.ns.mref t USING __ref_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+    assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"))
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO ecat.ns.mref t USING __ref_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET cents = s.cents + 1"""))
+    assert(e2.getMessage.contains("SET *"))
+    Seq((1L, 1L), (1L, 2L)).toDF("k", "cents")
+      .createOrReplaceTempView("__dup_src")
+    val e3 = intercept[Exception](spark.sql(
+      """MERGE INTO ecat.ns.mref t USING __dup_src s ON t.k = s.k
+         WHEN MATCHED THEN DELETE"""))
+    assert(e3.getMessage.contains("more than once"))
+  }
+}
