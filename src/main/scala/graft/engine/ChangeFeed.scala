@@ -46,11 +46,17 @@ object ChangeFeed {
 
   val ChangeCol = "_change_type"
 
+  /** `vFrom = 0` (round 14) is the from-the-beginning baseline: an
+    * empty prior snapshot, so every live row of `vTo` emits as an
+    * `insert` — the first read of a new change-feed consumer.
+    */
   def changes(spark: SparkSession, path: String, vFrom: Long, vTo: Long,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "change feed needs at least one key column")
     require(vFrom <= vTo, s"change feed range is backwards: $vFrom > $vTo")
-    val from = Manifest.filesAsOf(spark, path, vFrom).toSet
+    val from =
+      if (vFrom == 0L) Set.empty[String]
+      else Manifest.filesAsOf(spark, path, vFrom).toSet
     val to = Manifest.filesAsOf(spark, path, vTo).toSet
     val removed = (from -- to).toSeq.sorted
     val added = (to -- from).toSeq.sorted
@@ -78,6 +84,84 @@ object ChangeFeed {
         val oldRows = o.getOrElse(emptyLike(n.get))
         val newRows = n.getOrElse(emptyLike(o.get))
         classify(oldRows, newRows, keyCols)
+    }
+  }
+
+  // ---- durable change-feed consumers (round 14) ---------------------
+
+  private def offsetFile(path: String, consumerId: String)
+      : org.apache.hadoop.fs.Path = {
+    require(consumerId.matches("[A-Za-z0-9_.-]+"),
+      s"consumer id must be a safe file-name token, got '$consumerId'")
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, "_graft_manifest"),
+      s"_consumer_$consumerId.offset")
+  }
+
+  /** The last table version consumer `consumerId` has fully processed,
+    * if any. Durable (a file beside the manifests), so it survives
+    * stream-checkpoint loss — the property the exactly-once story of
+    * [[consumeNew]] rests on.
+    */
+  def consumerOffset(spark: SparkSession, path: String,
+      consumerId: String): Option[Long] = {
+    val f = offsetFile(path, consumerId)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .toLongOption
+      finally in.close()
+    }
+  }
+
+  /** Position (or reposition) a consumer: its next [[consumeNew]] reads
+    * `(v, current]`. `v = 0` replays from the beginning.
+    */
+  def seekConsumer(spark: SparkSession, path: String, consumerId: String,
+      v: Long): Unit = {
+    val f = offsetFile(path, consumerId)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(f.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(f.getParent,
+      f.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new java.io.IOException(s"consumer offset write failed: $f")
+  }
+
+  /** Deliver every change committed since this consumer's offset to
+    * `sink`, then advance the offset durably — the batch leg of
+    * [[graft.streaming.GraftStreaming.changeFeedStream]] and a
+    * standalone polling API. First call (no offset) delivers the whole
+    * current snapshot as `insert`s. Returns the `(vFrom, vTo]` range
+    * delivered, or None when the consumer is already caught up.
+    *
+    * Delivery contract: the offset advances only AFTER `sink` returns,
+    * so losing the STREAM CHECKPOINT (or the poller's own scheduling
+    * state) replays nothing — zero duplicate change rows. A crash
+    * BETWEEN sink success and the offset write replays that one range:
+    * at-least-once at the seam, so the sink must be idempotent per
+    * range (or use [[CdcSync.syncReplica]], which couples the offset
+    * and the rows in one JDBC transaction). Consumer lag vs vacuum: the
+    * offset's version must stay retained — size `vacuum`'s keep /
+    * retainMillis to the slowest consumer, or lease it
+    * ([[Manifest.withSnapshotLease]]).
+    */
+  def consumeNew(spark: SparkSession, path: String, keyCols: Seq[String],
+      consumerId: String)(sink: DataFrame => Unit): Option[(Long, Long)] = {
+    val vTo = Manifest.currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"change feed needs a manifest-managed table: $path has none"))
+    val vFrom = consumerOffset(spark, path, consumerId).getOrElse(0L)
+    if (vTo <= vFrom) None
+    else {
+      sink(changes(spark, path, vFrom, vTo, keyCols))
+      seekConsumer(spark, path, consumerId, vTo)
+      Some((vFrom, vTo))
     }
   }
 

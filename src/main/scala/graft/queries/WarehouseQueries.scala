@@ -1123,8 +1123,50 @@ object WarehouseQueries {
       FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
     bench = false)
 
+  private val cdcStreamOnce = new graft.engine.SessionKeyedCache[String]
+
+  /** The change feed through the PUBLIC STREAMING API
+    * ([[graft.streaming.GraftStreaming.changeFeedStream]], round 14):
+    * the consumer is positioned at the fixture's vFrom, the
+    * manifest-tailing stream drains with `AvailableNow`, each delivered
+    * batch appends to a sink directory, and the accumulated rows are
+    * checked against the SAME from-scratch oracle as q_cdc_feed — the
+    * streaming, TVF, and DataFrame formulations of the feed mutually
+    * pin each other to one answer. The stream runs once per session
+    * (durable consumer offset: a re-run delivers nothing new).
+    */
+  val qCdcStream = QueryDef(
+    "q_cdc_stream",
+    (s, dir) => {
+      val (srcPath, vFrom, _) = cdcTable(s, dir)
+      val outPath = cdcStreamOnce.getOrElseUpdate(s, s"cdcstream:$dir",
+        graft.engine.SessionKeyedCache.fileFingerprint(
+          s, s"$dir/orders.parquet"))({
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_cdcs_" +
+          s"${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val sinkPath = s"$base/out"
+        graft.engine.ChangeFeed.seekConsumer(s, srcPath, "q_cdc_stream",
+          vFrom)
+        graft.streaming.GraftStreaming.changeFeedStream(s, srcPath,
+          Seq("o_orderkey"), "q_cdc_stream", s"$base/ckpt")(batch =>
+          batch.write.mode("append").parquet(sinkPath))
+          .awaitTermination()
+        sinkPath
+      })
+      s.read.parquet(outPath)
+        .select(col("o_orderkey"), col("price_cents"), col("d"),
+          col(graft.engine.ChangeFeed.ChangeCol).as("change_type"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    },
+    qCdcFeed.oracle)
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
     qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart, qCdcFeed,
-    qSqlCdcFeed, qMvRewrite, qDeleteWhere, qUpdateWhere, qMartMaintain)
+    qSqlCdcFeed, qMvRewrite, qDeleteWhere, qUpdateWhere, qMartMaintain,
+    qCdcStream)
 }

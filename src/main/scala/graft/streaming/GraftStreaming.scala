@@ -124,6 +124,41 @@ object GraftStreaming {
       }
       .start()
 
+  /** PUBLIC STREAMING CHANGE-DATA FEED over a manifest-managed table
+    * (round 14; the user-facing sibling of [[martMaintainStream]]'s
+    * internal manifest tailing): tail the source's manifest directory as
+    * a file-source stream — one tiny text file per committed version, so
+    * a trigger fires exactly when the table changes and reads bytes
+    * proportional to the manifest, never the data — and deliver each
+    * newly committed version range as row-level changes
+    * ([[graft.engine.ChangeFeed.changes]]: `_change_type` ∈ insert |
+    * delete | update_preimage | update_postimage) to `sink`.
+    *
+    * Exactly-once does NOT rest on the stream checkpoint: the consumer's
+    * offset is a DURABLE file beside the manifests, advanced only after
+    * `sink` returns ([[graft.engine.ChangeFeed.consumeNew]]) — deleting
+    * the checkpoint and replaying every trigger delivers zero duplicate
+    * change rows (StreamingSpec proves it). The checkpoint only prevents
+    * redundant wake-ups. First delivery (new consumer) is the whole
+    * current snapshot as `insert`s; `ChangeFeed.seekConsumer` repositions.
+    * `keyCols` must be a unique key of the table (the upsert key).
+    */
+  def changeFeedStream(spark: SparkSession, sourcePath: String,
+      keyCols: Seq[String], consumerId: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: DataFrame => Unit): StreamingQuery =
+    spark.readStream
+      .text(s"$sourcePath/_graft_manifest/v*.list")
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.engine.ChangeFeed.consumeNew(spark, sourcePath, keyCols,
+          consumerId)(sink)
+        ()
+      }
+      .start()
+
   /** Streaming mart publish with EXACTLY-ONCE landing: each trigger's
     * aggregate slice goes through [[graft.engine.JdbcSink.publishEpoch]]
     * keyed by the `foreachBatch` batchId, so a failure-retried batch (or

@@ -402,4 +402,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted() === Set(1L, 2L, 11L),
       "replay after checkpoint loss must admit nothing new")
   }
+
+  test("public change-feed stream delivers each commit once; checkpoint " +
+      "loss replays zero duplicate change rows") {
+    import java.sql.Date
+    val root = Files.createTempDirectory("graft-cdcstream").toString
+    val src = s"$root/src"; val sink = s"$root/sink"
+    val d1 = Date.valueOf("2024-07-01")
+    graft.engine.Upsert.append(spark, src,
+      Seq((1, d1, 10L), (2, d1, 20L)).toDF("k", "d", "cents"), Some("d"))
+    def drain(ckpt: String): Unit =
+      GraftStreaming.changeFeedStream(spark, src, Seq("k", "d"), "c1",
+        ckpt)(b => b.write.mode("append").parquet(sink))
+        .awaitTermination()
+    def delivered(): Seq[(Int, Long, String)] =
+      spark.read.parquet(sink)
+        .select(col("k"), col("cents"),
+          col(graft.engine.ChangeFeed.ChangeCol))
+        .as[(Int, Long, String)].collect().toSeq.sorted
+
+    // first delivery: the whole snapshot as inserts (new consumer)
+    drain(s"$root/ckpt1")
+    assert(delivered() === Seq((1, 10L, "insert"), (2, 20L, "insert")))
+
+    // checkpoint LOST: a fresh stream replays every manifest file, but
+    // the durable consumer offset absorbs it — zero new rows
+    drain(s"$root/ckpt2")
+    assert(delivered() === Seq((1, 10L, "insert"), (2, 20L, "insert")),
+      "checkpoint-loss replay must deliver zero duplicate change rows")
+
+    // a new commit delivers exactly its delta (update = two images)
+    graft.engine.Upsert.mergePartitioned(spark, src,
+      Seq((2, d1, 999L)).toDF("k", "d", "cents"), Seq("k", "d"), "d")
+    drain(s"$root/ckpt3")
+    assert(delivered() === Seq((1, 10L, "insert"), (2, 20L, "insert"),
+      (2, 20L, "update_preimage"), (2, 999L, "update_postimage")))
+
+    // seek rewinds: replaying from 0 re-delivers the current snapshot
+    graft.engine.ChangeFeed.seekConsumer(spark, src, "c1", 0L)
+    val sink2 = s"$root/sink2"
+    GraftStreaming.changeFeedStream(spark, src, Seq("k", "d"), "c1",
+      s"$root/ckpt4")(b => b.write.mode("append").parquet(sink2))
+      .awaitTermination()
+    assert(spark.read.parquet(sink2)
+      .select(col("k"), col("cents"),
+        col(graft.engine.ChangeFeed.ChangeCol))
+      .as[(Int, Long, String)].collect().toSeq.sorted ===
+      Seq((1, 10L, "insert"), (2, 999L, "insert")))
+  }
 }
