@@ -201,17 +201,26 @@ object MiscQueries {
     * sampled frame from the synthesis formula by range-unnesting, so a
     * green diff pins the whole multi-frame encode→container→decode
     * round trip, not just the fan-out cardinality.
+    *
+    * Runs on a DETERMINISTIC 1-in-4 document subsample (`doc_id % 4`,
+    * mirrored in the oracle, so the check stays pixel-exact at every
+    * SF): the probe verifies the codec round trip per document, and
+    * round-13 bench showed full-corpus synthesis was 5% of the suite
+    * in this one query — per-doc coverage at a quarter of the codec
+    * work loses nothing the oracle measures (round-13 verdict item 6).
     */
   val qMultimodalFrames = QueryDef(
     "q_multimodal_frames",
     (s, dir) => {
       Multimodal.decodeGifFrames(
-        Multimodal.deriveGif(t(s, dir, "documents")))
+        Multimodal.deriveGif(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0)))
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
     },
     Some(s"""
       WITH d AS (
-        SELECT doc_id, octet_length(encode(text)) AS o FROM documents),
+        SELECT doc_id, octet_length(encode(text)) AS o FROM documents
+        WHERE doc_id % 4 = 0),
       g AS (SELECT doc_id,
                    o % ${Multimodal.GifWidthMod} + 1 AS w,
                    (o * 7) % ${Multimodal.GifHeightMod} + 1 AS h,

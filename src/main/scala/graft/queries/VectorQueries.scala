@@ -479,7 +479,16 @@ object VectorQueries {
     */
   val qAnnIvfpqTopk = QueryDef(
     "q_ann_ivfpq_topk",
-    (s, dir) => {
+    (s, dir) => ivfpqTopkDf(s, dir, IvfProbes),
+    ivfpqOracle)
+
+  /** The IVF-PQ pipeline with the MULTIPROBE WIDTH as a parameter — the
+    * registered query pins `probes = IvfProbes`; LshRecallSpec sweeps
+    * this dial to measure the recall-vs-nprobe curve recorded in
+    * SCALE.md (round-14 verdict item 7).
+    */
+  private[graft] def ivfpqTopkDf(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
       val M = 8
       val Sub = Dim / M
       val assigned = ivfAssigned(s, dir)
@@ -516,7 +525,7 @@ object VectorQueries {
         .withColumn("prk", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("ccos").desc, col("cent_id"))))
-        .filter(col("prk") <= IvfProbes)
+        .filter(col("prk") <= nprobe)
         .select(col("query_id"), col("cent_id"))
       val lut = subs.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("m"),
@@ -535,7 +544,13 @@ object VectorQueries {
       val short = cand.withColumn("crk", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("pq_d2"), col("vec_id"))))
-        .filter(col("crk") <= PqShortlist)
+        // shortlist scales WITH the probe width (16 per probed cell;
+        // = PqShortlist at the registered nprobe, so the oracle-pinned
+        // plan is unchanged): with a FIXED shortlist, widening the
+        // probe floods the rerank with PQ-approximate imposters from
+        // the extra cells and recall DROPS as nprobe rises — measured
+        // at sf0.1 in round 14 (0.833@1 → 0.667@4) before this scaling
+        .filter(col("crk") <= lit(PqShortlist / IvfProbes * nprobe))
         .select(col("query_id"), col("vec_id"), col("pq_d2"))
       short
         .join(assigned.select(col("vec_id"), col("v"), col("n2")),
@@ -551,7 +566,9 @@ object VectorQueries {
         .select(col("query_id"), col("rk"), col("vec_id"), col("pq_d2"),
           col("cosine"))
         .orderBy(col("query_id"), col("rk"))
-    },
+  }
+
+  private def ivfpqOracle: Option[String] =
     Some(s"""
       WITH $ivfAssignedSql,
       subs AS (
@@ -610,7 +627,7 @@ object VectorQueries {
         SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
         FROM rer)
-      WHERE rk <= $TopK ORDER BY query_id, rk"""))
+      WHERE rk <= $TopK ORDER BY query_id, rk""")
 
   val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qAnnIvfTopk,
     qEmbeddingNeardup, qIvfCentroids, qEmbedQuantize, qPqCodes,
