@@ -88,7 +88,11 @@ object Plans {
     // the DML work (insert/delete/update/merge) is write-time, which is
     // the point. And the maintained mart read: a plain snapshot scan —
     // the streaming maintenance loop left no runtime residue.
-    "q_sql_catalog", "q_mart_maintain")
+    "q_sql_catalog", "q_mart_maintain",
+    // round 14: CTAS+overwrite catalog read, generalized-merge result,
+    // streamed change feed (the read side of each — the DML itself is
+    // command-shaped, not plan-shaped)
+    "q_sql_ctas_overwrite", "q_sql_merge_actions", "q_cdc_stream")
 
   /** Queries whose scale story rests on RUNTIME exchange reuse across
     * the K levels of an analysis-time TVF expansion (one shuffle of the
