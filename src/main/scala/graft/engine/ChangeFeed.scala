@@ -77,9 +77,21 @@ object ChangeFeed {
     (readSubset(removed), readSubset(added)) match {
       case (None, None) =>
         // no file changed in the range: an empty feed, typed off the
-        // snapshot schema (cheap — limit 0 prunes the scan to nothing)
-        val t = Manifest.readAsOf(spark, path, vTo)
-        t.limit(0).withColumn(ChangeCol, lit(""))
+        // snapshot schema (cheap — limit 0 prunes the scan to nothing).
+        // An EMPTY snapshot (freshly CREATE TABLE'd shell, or a fully
+        // deleted table) has no files to derive a shape from — its only
+        // shape is the pinned schema sidecar, so a new consumer on a
+        // shell gets a correctly-typed empty feed instead of a crash
+        val base =
+          if (to.nonEmpty) Manifest.readAsOf(spark, path, vTo).limit(0)
+          else pinned match {
+            case Some(st) => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], st)
+            case None => throw new IllegalStateException(
+              s"change feed of $path at v$vTo: empty snapshot with no " +
+                "pinned schema — nothing to derive the feed's shape from")
+          }
+        base.withColumn(ChangeCol, lit(""))
       case (o, n) =>
         val oldRows = o.getOrElse(emptyLike(n.get))
         val newRows = n.getOrElse(emptyLike(o.get))
@@ -101,19 +113,26 @@ object ChangeFeed {
   /** The last table version consumer `consumerId` has fully processed,
     * if any. Durable (a file beside the manifests), so it survives
     * stream-checkpoint loss — the property the exactly-once story of
-    * [[consumeNew]] rests on.
+    * [[consumeNew]] rests on. Crash recovery: [[seekConsumer]] writes
+    * tmp → delete → rename, so a crash between the delete and the
+    * rename leaves ONLY the (complete, already-closed) tmp — read it as
+    * the offset rather than falling back to 0 and re-delivering the
+    * whole snapshot.
     */
   def consumerOffset(spark: SparkSession, path: String,
       consumerId: String): Option[Long] = {
     val f = offsetFile(path, consumerId)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        .toLongOption
-      finally in.close()
-    }
+    def readLong(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          .toLongOption
+        finally in.close()
+      }
+    readLong(f).orElse(readLong(new org.apache.hadoop.fs.Path(
+      f.getParent, f.getName + ".tmp")))
   }
 
   /** Position (or reposition) a consumer: its next [[consumeNew]] reads

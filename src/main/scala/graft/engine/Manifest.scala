@@ -188,17 +188,27 @@ object Manifest {
       // version number a CAS — the tmp+rename dance is both unnecessary
       // and UNSAFE here, because object-store rename is a non-atomic
       // client-side copy+delete that can silently overwrite a racer's
-      // committed manifest. Under the commit lock the precondition
-      // should never fire; if it does, fail loud rather than lose a
-      // commit.
-      val out = fs.create(fin, false)
-      try { out.write(bytes); out.close() }
-      catch {
+      // committed manifest. The store's conditional-create honesty is
+      // verified once per filesystem ([[requireConditionalCreate]]) —
+      // stock S3A without `fs.s3a.create.conditional.enabled` would
+      // silently degrade the CAS to check-then-act. Under the commit
+      // lock the precondition should never fire; if the PUT fails,
+      // distinguish loudly but don't guess which (a lost CAS and a
+      // transient store failure look identical here; neither committed).
+      requireConditionalCreate(fs, d)
+      try {
+        val out = fs.create(fin, false)
+        try { out.write(bytes); out.close() }
+        catch { case t: Throwable => try out.close() catch {
+          case _: Throwable => () }; throw t }
+      } catch {
         case e: java.io.IOException =>
           throw new java.io.IOException(
-            s"manifest commit lost a version CAS at $fin despite " +
-              "holding the commit lock — concurrent committer outside " +
-              "the lock protocol?", e)
+            s"manifest conditional PUT at $fin failed — either a " +
+              "transient store error (nothing committed; retry the " +
+              "mutation) or a committer outside the lock protocol won " +
+              "the version CAS (inspect the manifest dir before " +
+              "retrying)", e)
       }
     } else {
       val tmp = new Path(d, f"v$next%020d.list.tmp")
@@ -220,11 +230,20 @@ object Manifest {
     * key ([[commitLocked]]) instead of tmp+rename, because object-store
     * rename is a non-atomic copy+delete. Overridable per-deployment via
     * hadoop conf `graft.manifest.publish` = `rename` | `condput`; by
-    * scheme otherwise. Stores with NEITHER atomic rename nor
-    * conditional create (pre-2024 S3 without a consistency layer)
-    * cannot host the manifest root safely — point the conf at `condput`
-    * only if the store honors it, or front the table with an
-    * HDFS-semantics path.
+    * scheme otherwise.
+    *
+    * IMPORTANT (real S3A): the Hadoop client only sends the
+    * `If-None-Match` precondition when `fs.s3a.create.conditional
+    * .enabled` is on (Hadoop 3.4.1+) — stock S3A's
+    * `create(overwrite=false)` is a HEAD at open plus an UNCONDITIONAL
+    * PUT at close, which would silently degrade the version CAS to
+    * check-then-act. [[requireConditionalCreate]] therefore PROBES the
+    * store once per filesystem before the first conditional publish and
+    * refuses loudly if the second exclusive create of one key is
+    * accepted. Stores with NEITHER atomic rename nor conditional create
+    * cannot host the manifest root safely — enable the store's
+    * conditional writes, or front the tables with an HDFS-semantics
+    * path.
     */
   private def conditionalPutStore(fs: FileSystem): Boolean =
     fs.getConf.get("graft.manifest.publish", "") match {
@@ -233,6 +252,75 @@ object Manifest {
       case _ =>
         Set("s3a", "s3", "s3n", "s3x").contains(fs.getUri.getScheme)
     }
+
+  /** Once-per-filesystem honesty probe for the conditional-PUT publish
+    * path. A SEQUENTIAL double-create cannot tell the stores apart —
+    * stock S3A also HEAD-fails the second create at open; the unsafe
+    * behavior is at CLOSE under overlap. So the probe opens TWO
+    * exclusive-create streams for one absent key (both pass the HEAD —
+    * nothing exists until a PUT completes), closes the second (its
+    * object lands), then closes the first: an honest store throws the
+    * precondition failure there; a store where this close SUCCEEDS just
+    * silently overwrote a committed object — the lost-commit behavior —
+    * and is refused. A store that instead rejects the second create AT
+    * OPEN is exclusive-at-open (HDFS/local semantics) and also safe.
+    * Runs under the caller's commit lock, once per JVM per store; the
+    * probe key is cleaned up afterwards.
+    */
+  private val condCreateVerified =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def requireConditionalCreate(fs: FileSystem, mdir: Path): Unit = {
+    val key = fs.getUri.toString
+    val honest = condCreateVerified.get(key).getOrElse {
+      val probe = new Path(mdir,
+        s"_condcreate.probe.${ProcessHandle.current.pid}." +
+          s"${System.nanoTime()}")
+      val verdict =
+        try {
+          val s1 = fs.create(probe, false)
+          val openExclusive =
+            try { fs.create(probe, false) match {
+              case s2 =>
+                try { s2.write('b'.toInt); s2.close() }
+                catch { case _: java.io.IOException => () }
+                false
+            } }
+            catch { case _: java.io.IOException =>
+              // second OPEN rejected: exclusive-at-open semantics — safe
+              try s1.close() catch { case _: java.io.IOException => () }
+              true
+            }
+          if (openExclusive) true
+          else {
+            // both streams were open; s2's object landed. An honest
+            // store must now REFUSE s1's close (If-None-Match).
+            try { s1.write('a'.toInt); s1.close(); false }
+            catch { case _: java.io.IOException => true }
+          }
+        } catch {
+          case _: java.io.IOException =>
+            // first create failed outright: transient — no verdict
+            throw new java.io.IOException(
+              s"conditional-create probe failed to open on $key — " +
+                "transient store error? retry the commit")
+        } finally {
+          try { fs.delete(probe, false); () }
+          catch { case _: java.io.IOException => () }
+        }
+      condCreateVerified.put(key, verdict)
+      verdict
+    }
+    if (!honest)
+      throw new IllegalStateException(
+        s"store $key accepted two exclusive creates of one key — it " +
+          "does not enforce the create precondition, so conditional-" +
+          "PUT manifest publishing would silently lose commits. Enable " +
+          "the store's conditional writes (S3A: " +
+          "fs.s3a.create.conditional.enabled, Hadoop 3.4.1+; MinIO and " +
+          "S3 proper support If-None-Match natively) or host the " +
+          "warehouse on an HDFS-semantics path")
+  }
 
   // ---- commit serialization & optimistic concurrency (round 13) ----
 
@@ -341,7 +429,18 @@ object Manifest {
       acquired = won && readLockText(fs, lock) == holder
       if (!acquired) {
         val txt = readLockText(fs, lock)
-        if (txt.nonEmpty && WriterLease.isStaleLocalHolder(txt)) {
+        // an EMPTY but EXISTING lock is either a holder whose write
+        // failed mid-acquisition (orphaned — nobody's nonce can ever
+        // match it, so without this it would block every committer
+        // until manual deletion) or another creator inside its
+        // microsecond create→write window (breaking it merely sends
+        // that creator's nonce read-back around the loop) — both safe
+        // to break
+        val emptyOrphan =
+          txt.isEmpty && (try fs.exists(lock)
+            catch { case _: java.io.IOException => false })
+        if (emptyOrphan ||
+          (txt.nonEmpty && WriterLease.isStaleLocalHolder(txt))) {
           // Break the dead holder's lock by ATOMIC RENAME-ASIDE, never
           // read-then-delete: with delete, two waiters can both observe
           // the stale text, the faster one breaks + re-creates, and the
@@ -350,11 +449,29 @@ object Manifest {
           // commit (ADVICE r13, medium). rename's source-must-exist
           // lets exactly one breaker win on rename-atomic stores; on
           // conditional-PUT stores the subsequent exclusive create plus
-          // the nonce read-back arbitrate instead.
-          val aside = new Path(mdir(path),
-            s"_commit.lock.broken.${ProcessHandle.current.pid}." +
-              s"${System.nanoTime()}")
-          if (fs.rename(lock, aside)) { fs.delete(aside, false); () }
+          // the nonce read-back arbitrate instead. Residual TOCTOU
+          // (the break decision is older than the rename): re-read
+          // IMMEDIATELY before renaming and only proceed on unchanged
+          // text, then VERIFY the grabbed file is the one decided on —
+          // a live holder's lock grabbed by mistake is restored
+          // best-effort. Same-JVM waiters are fully serialized by the
+          // commit monitor regardless.
+          if (readLockText(fs, lock) == txt) {
+            val aside = new Path(mdir(path),
+              s"_commit.lock.broken.${ProcessHandle.current.pid}." +
+                s"${System.nanoTime()}")
+            if (fs.rename(lock, aside)) {
+              val grabbed = readLockText(fs, aside)
+              if (grabbed != txt && grabbed.nonEmpty) {
+                try {
+                  val back = fs.create(lock, false)
+                  try { back.write(grabbed.getBytes("UTF-8")); back.close() }
+                  catch { case _: java.io.IOException => () }
+                } catch { case _: java.io.IOException => () }
+              }
+              fs.delete(aside, false); ()
+            }
+          }
         } else if (System.nanoTime() > deadline) {
           // A live holder can legitimately sit here for a while: an
           // appendStagedOptimistic stages O(batch files) renames inside
@@ -664,15 +781,20 @@ object Manifest {
     *         readable across concurrent vacuums
     */
   def readAsOf(spark: SparkSession, path: String, v: Long): DataFrame = {
-    val vs = versions(spark, path)
-    if (!vs.contains(v))
-      throw new IllegalStateException(
-        s"version $v of $path is not committed or was retired by " +
-          s"vacuum (committed: ${vs.headOption.getOrElse("-")}.." +
-          s"${vs.lastOption.getOrElse("-")}); long-running readers " +
-          "should pin their snapshot with Manifest.withSnapshotLease, " +
-          "and vacuum callers can set retainMillis as a grace floor")
-    val files = filesAsOf(spark, path, v)
+    // hot path stays ONE metadata op (the manifest GET); the committed-
+    // version listing is only paid on the miss path, for the diagnostic
+    val files =
+      try filesAsOf(spark, path, v)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          val vs = versions(spark, path)
+          throw new IllegalStateException(
+            s"version $v of $path is not committed or was retired by " +
+              s"vacuum (committed: ${vs.headOption.getOrElse("-")}.." +
+              s"${vs.lastOption.getOrElse("-")}); long-running readers " +
+              "should pin their snapshot with Manifest.withSnapshotLease, " +
+              "and vacuum callers can set retainMillis as a grace floor")
+      }
     require(files.nonEmpty,
       s"manifest v$v of $path lists no files — nothing to read")
     val r = spark.read.option("basePath", path)
@@ -759,19 +881,24 @@ object Manifest {
 
   private final case class ReaderPin(file: Path, v: Long, expires: Long)
 
+  /** Parsed reader pins; an unparseable pin file (a reader that died
+    * mid-write) reads as already-expired so vacuum's sweep collects it
+    * instead of it accumulating invisibly forever.
+    */
   private def readerPins(spark: SparkSession, path: String): Seq[ReaderPin] = {
     val fs = fsOf(spark, path)
     val d = readersDir(path)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".pin"))
-      .flatMap { st =>
+      .map { st =>
         val txt = readLockText(fs, st.getPath)
         val kv = txt.split("\\s+").iterator.map(_.split("=", 2))
           .collect { case Array(k, value) => k -> value }.toMap
-        for {
-          v <- kv.get("v").flatMap(_.toLongOption)
-          exp <- kv.get("expires").flatMap(_.toLongOption)
-        } yield ReaderPin(st.getPath, v, exp)
+        (kv.get("v").flatMap(_.toLongOption),
+          kv.get("expires").flatMap(_.toLongOption)) match {
+          case (Some(v), Some(exp)) => ReaderPin(st.getPath, v, exp)
+          case _ => ReaderPin(st.getPath, -1L, 0L) // junk → sweepable
+        }
       }
   }
 
@@ -803,12 +930,18 @@ object Manifest {
           s"${vs.headOption.getOrElse("-")}..${vs.lastOption.getOrElse("-")}" +
           " (already retired by vacuum?)")
       fs.mkdirs(readersDir(path))
-      val out = fs.create(pin, true)
-      try out.write(
-        (s"v=$v expires=${System.currentTimeMillis() + ttlMillis} " +
-          s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-          s"pid=${ProcessHandle.current.pid}").getBytes("UTF-8"))
-      finally out.close()
+      // a failed pin write deletes its own debris — a truncated pin
+      // would otherwise sit unreadable until vacuum's junk sweep
+      try {
+        val out = fs.create(pin, true)
+        try out.write(
+          (s"v=$v expires=${System.currentTimeMillis() + ttlMillis} " +
+            s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+            s"pid=${ProcessHandle.current.pid}").getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case t: Throwable => fs.delete(pin, false); throw t
+      }
     }
     try body
     finally { fs.delete(pin, false); () }

@@ -860,6 +860,12 @@ object Upsert {
     val targetCols = table.columns.toSeq
     require(!targetCols.exists(_.startsWith("__src_")),
       s"mergeActions into $path: target columns may not start with __src_")
+    // the match sentinel lives OUTSIDE the __src_ namespace: a source
+    // column named `matched` renames to __src_matched, which a sentinel
+    // of that name would collide with (ambiguous-reference at plan time)
+    require(!keys.contains("__graft_matched") &&
+      !targetCols.contains("__graft_matched"),
+      s"mergeActions into $path: __graft_matched is a reserved name")
     val needFullRow = insert.nonEmpty ||
       matched.exists(_.isInstanceOf[MatchedUpdate])
     val srcCols = source.columns.toSet
@@ -879,7 +885,7 @@ object Upsert {
       keys.map(col) ++
         source.columns.toSeq.filterNot(keys.contains)
           .map(c => col(c).as(s"__src_$c")) :+
-        lit(true).as("__src_matched"): _*)
+        lit(true).as("__graft_matched"): _*)
 
     // touched files = files containing at least one key-matched row
     // (null-safe semi join; predicate/partition pruning applies).
@@ -925,7 +931,7 @@ object Upsert {
         // target's survive for the projection below)
         val joinedClean = keys.foldLeft(joinedRaw)((d, k) =>
           d.drop(renamed(k)))
-        val isMatched = coalesce(col("__src_matched"), lit(false))
+        val isMatched = coalesce(col("__graft_matched"), lit(false))
         var actionExpr: org.apache.spark.sql.Column = null
         matched.zipWithIndex.foreach { case (a, i) =>
           val p = a.cond.fold(isMatched)(c => isMatched && c)
@@ -1004,12 +1010,21 @@ object Upsert {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       try {
         val moved = Manifest.stageIn(spark, path, stagingPath)
-        // conflict scope: exactly the files this merge read and
-        // retires — a concurrent rewrite of one conflicts (recompute);
-        // a concurrent blind append composes, serialized merge-first
-        // (WriteSerializable, the same contract as deleteWhere)
+        // conflict scope: the touched files this merge read and
+        // retires — plus, when an INSERT clause exists, the WHOLE live
+        // set, because the insert's anti-join read the table and a
+        // concurrent lease-less append could land the same key between
+        // that read and this commit (the unique-key hole ADVICE r13
+        // flagged on the shell path; mergeParquet makes the same
+        // whole-table choice). Matched-only merges keep the narrow
+        // file scope: an unseen appended row is merely not-updated —
+        // merge-before-append serialization, the same WriteSerializable
+        // contract as deleteWhere.
+        val (scopeFn, expect): (String => Boolean, Set[String]) =
+          if (insert.nonEmpty) ((_: String) => true, preLive.toSet)
+          else (touchedSet, touchedSet)
         Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
-          scope = touchedSet, expected = touchedSet,
+          scope = scopeFn, expected = expect,
           retire = touchedSet, add = moved))
         (nMatchedAffected, nInserted)
       } finally {

@@ -248,6 +248,30 @@ class S3SemanticsSpec extends AnyFunSuite {
     assert(t.select("k").as[Int].collect().toSet === Set(1, 2, 3))
   }
 
+  test("a store WITHOUT close-time conditional create is refused by the " +
+      "honesty probe instead of silently losing commits") {
+    // models stock S3A before fs.s3a.create.conditional.enabled: HEAD
+    // at open, UNCONDITIONAL PUT at close (last writer wins) — the
+    // manifest CAS would be check-then-act there, so the first
+    // conditional publish on such a store must refuse loudly
+    val tbl = freshTable() // fresh bucket -> fresh per-store verdict
+    upload(Seq((0, d1, 0L)).toDF("k", "d", "cents"), s"$tbl.__seed",
+      Some("d"))
+    S3SemanticsFileSystem.enforceConditionalCreate = false
+    try {
+      val e = intercept[IllegalStateException](
+        Manifest.commit(spark, tbl,
+          Manifest.stageIn(spark, tbl, s"$tbl.__seed")))
+      assert(e.getMessage.contains("conditional"))
+    } finally S3SemanticsFileSystem.enforceConditionalCreate = true
+    // the honest mode on a fresh bucket still commits fine (probe green)
+    val tbl2 = freshTable()
+    upload(Seq((0, d1, 0L)).toDF("k", "d", "cents"), s"$tbl2.__seed",
+      Some("d"))
+    assert(Manifest.commit(spark, tbl2,
+      Manifest.stageIn(spark, tbl2, s"$tbl2.__seed")) === 1L)
+  }
+
   test("commit-lock keys normalize path aliases to one monitor") {
     val local = java.nio.file.Files.createTempDirectory("graft-alias")
       .resolve("t").toString

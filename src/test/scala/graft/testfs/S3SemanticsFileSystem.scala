@@ -124,9 +124,13 @@ class S3SemanticsFileSystem extends FileSystem {
       override def close(): Unit = if (!closed) {
         closed = true
         // … and the ATOMIC precondition at close: the whole object
-        // lands iff the key is still absent (If-None-Match: *)
+        // lands iff the key is still absent (If-None-Match: *). With
+        // [[S3SemanticsFileSystem.enforceConditionalCreate]] off, the
+        // mock models STOCK S3A (HEAD at open, UNCONDITIONAL PUT at
+        // close — last writer wins), which is what Manifest's
+        // conditional-create honesty probe must detect and refuse.
         storeLock.synchronized {
-          if (!overwrite && obj(k).isDefined)
+          if (!overwrite && enforceConditionalCreate && obj(k).isDefined)
             throw new IOException(
               s"PreconditionFailed: If-None-Match on s3x://$bucket/$k")
           store.put((bucket, k),
@@ -217,6 +221,13 @@ object S3SemanticsFileSystem {
   private val store =
     scala.collection.concurrent.TrieMap.empty[(String, String), Obj]
   private val storeLock = new Object
+
+  /** When false, `create(…, overwrite=false)` stops enforcing the
+    * precondition at close — the stock-S3A (pre-conditional-writes)
+    * behavior where the last PUT silently wins. Tests flip this to
+    * prove the manifest layer's honesty probe refuses such stores.
+    */
+  @volatile var enforceConditionalCreate: Boolean = true
 
   /** Drop every object in `bucket` — test isolation. */
   def clearBucket(bucket: String): Unit =
