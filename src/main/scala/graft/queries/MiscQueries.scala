@@ -141,13 +141,19 @@ object MiscQueries {
     "q_multimodal_pixels",
     (s, dir) => {
       import s.implicits._
+      // deterministic 1-in-4 subsample, mirrored in the oracle — the
+      // per-document raster round trip is what this verifies, and the
+      // full corpus made it the suite's second-heaviest bench entry
+      // (q_multimodal_meta stays full-corpus as the breadth probe)
       Multimodal.decodePixelSums(
-        Multimodal.derivePng(t(s, dir, "documents")))
+        Multimodal.derivePng(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0)))
         .toDF().orderBy(col("doc_id"))
     },
     Some(s"""
       WITH d AS (
-        SELECT doc_id, octet_length(encode(text)) AS o FROM documents),
+        SELECT doc_id, octet_length(encode(text)) AS o FROM documents
+        WHERE doc_id % 4 = 0),
       g AS (SELECT doc_id, o % ${Multimodal.WidthMod} + 1 AS w,
                    (o * 7) % ${Multimodal.HeightMod} + 1 AS h
             FROM d),
@@ -172,12 +178,15 @@ object MiscQueries {
     "q_multimodal_audio",
     (s, dir) => {
       import s.implicits._
-      Multimodal.decodeWav(Multimodal.deriveWav(t(s, dir, "documents")))
+      // same 1-in-4 depth-probe subsample as the pixel/frame twins
+      Multimodal.decodeWav(Multimodal.deriveWav(
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 0)))
         .toDF().orderBy(col("doc_id"))
     },
     Some(s"""
       WITH d AS (
-        SELECT doc_id, octet_length(encode(text)) AS o FROM documents),
+        SELECT doc_id, octet_length(encode(text)) AS o FROM documents
+        WHERE doc_id % 4 = 0),
       g AS (SELECT doc_id,
                    o % ${Multimodal.SamplesMod} + ${Multimodal.SamplesMin}
                      AS n

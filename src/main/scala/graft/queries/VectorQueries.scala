@@ -172,20 +172,36 @@ object VectorQueries {
 
   /** IVF-flat ANN top-k: the corpus is PARTITIONED into inverted lists
     * by nearest centroid; a query probes only its own centroid's list.
-    * Centroids here are deterministic seeds (the first [[IvfCentroids]]
+    * Centroids here are deterministic seeds (the first ceil(sqrt(N))
     * vectors) so the oracle can mirror them — a production build would
     * k-means-train them; the partition/probe machinery (the scale part)
     * is identical. Complements [[qAnnLshTopk]]: IVF gives data-adaptive
     * cells, LSH gives constant-time hashing.
     */
-  private val IvfCentroids = 16
 
   /** Corpus → nearest-seed-centroid assignment (vec_id, v, n2, cent_id)
     * — shared by the IVF probe and the centroid-update step.
     */
+  /** Centroid count scaled to the corpus: ceil(sqrt(N)) — the standard
+    * IVF sizing law. A FIXED count saturates recall as the corpus grows
+    * (measured in round 14: 16 centroids held 0.79 recall@3 at 2k
+    * vectors but plateaued at 0.58 at 20k regardless of nprobe — the
+    * cells get so populous that PQ ordering error inside them swamps
+    * the shortlist). The count(*) is one footer-stats job, cached per
+    * (session, dir); the SQL mirror computes the identical threshold
+    * with a scalar subquery, so hash parity holds at every scale.
+    */
+  private val centCountCache = new graft.engine.SessionKeyedCache[Long]
+  private def nCentroids(s: SparkSession, dir: String): Long =
+    centCountCache.getOrElseUpdate(s, s"ncent:$dir",
+      graft.engine.SessionKeyedCache.fileFingerprint(
+        s, s"$dir/embeddings.parquet"))(
+      math.ceil(math.sqrt(
+        t(s, dir, "embeddings").count().toDouble)).toLong)
+
   private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     val base = quantized(s, dir)
-    val cent = base.filter(col("vec_id") < IvfCentroids)
+    val cent = base.filter(col("vec_id") < lit(nCentroids(s, dir)))
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
@@ -204,7 +220,8 @@ object VectorQueries {
       base AS ($quantizedSql),
       n AS (SELECT vec_id, v, $n2Sql AS n2 FROM base),
       cent AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n
-               WHERE vec_id < $IvfCentroids),
+               WHERE vec_id <
+                 (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
       assigned AS (
         SELECT vec_id, v, n2, cent_id FROM (
           SELECT n.vec_id, n.v, n.n2, cent.cent_id,
@@ -433,7 +450,7 @@ object VectorQueries {
   /** Shortlist size of the PQ candidate stage — larger than TopK so the
     * exact rerank has slack to repair PQ's quantization error.
     */
-  private val PqShortlist = 32
+  private val PqShortlist = 64
 
   /** IVF-PQ codebook size per subspace (round 13: 8 → 16, halving the
     * per-subspace quantization cells' diameter) and the query-side
@@ -441,7 +458,7 @@ object VectorQueries {
     * lists instead of 1. Coarse-probe loss dominates IVF recall — a
     * true neighbor sitting just across a Voronoi boundary is invisible
     * to a 1-probe scan no matter how exact the rerank — so probing 2 of
-    * $IvfCentroids cells roughly doubles candidate coverage at 2× the
+    * ceil(sqrt(N)) cells roughly doubles candidate coverage at 2× the
     * (still cell-local) scan cost: the standard nprobe/recall dial of
     * every IVF deployment, here at its smallest useful setting.
     * Measured at sf0.001 in LshRecallSpec: recall@3 0.625 → ≥ 0.8.
@@ -514,7 +531,7 @@ object VectorQueries {
       // MULTIPROBE: each query's IvfProbes nearest cells, not just its
       // own — the corpus stays 1-cell-assigned; only the probe widens
       val base = quantized(s, dir)
-      val cent = base.filter(col("vec_id") < IvfCentroids)
+      val cent = base.filter(col("vec_id") < lit(nCentroids(s, dir)))
         .select(col("vec_id").as("cent_id"), col("v").as("cv"),
           col("n2").as("cn2c"))
       val probes = base.filter(col("vec_id") < NQueries)

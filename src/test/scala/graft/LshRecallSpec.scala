@@ -92,8 +92,11 @@ class LshRecallSpec extends AnyFunSuite {
       curve.map { case (np, r) => s"$np->${"%.3f".format(r)}" }
         .mkString(", "))
     val atDefault = curve(1)._2 // nprobe = 2, the registered query's dial
-    assert(atDefault >= 0.7,
-      s"IVF-PQ recall gate at sf0.1: $atDefault < 0.7 vs exact top-3")
+    // with sqrt(N)-scaled centroids + 32-per-probe shortlist (round 14)
+    // the measured value is 1.000; gate well under it but far above the
+    // pre-fix 0.792
+    assert(atDefault >= 0.9,
+      s"IVF-PQ recall gate at sf0.1: $atDefault < 0.9 vs exact top-3")
     // widening the probe never loses recall (candidate sets are nested)
     curve.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
       assert(hi >= lo - 1e-9, s"nprobe curve not monotone: $curve")
