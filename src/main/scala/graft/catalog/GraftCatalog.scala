@@ -63,10 +63,10 @@ import graft.engine.{Manifest, Upsert, WriterLease}
   * `CALL <cat>.system.{compact,vacuum,vacuum_warehouse}`
   * ([[GraftProcedures]]).
   *
-  * Deliberately NOT here: partitioned `CREATE TABLE` (the library
-  * writers derive partition layout physically — `INSERT INTO` an
-  * existing partitioned table derives its partition column from the
-  * live layout) and `RENAME` across filesystems.
+  * Deliberately NOT here: transform/multi-level partitioning (a single
+  * identity `PARTITIONED BY (col)` is supported since round 14 via a
+  * static table property that steers the first insert's physical
+  * layout) and `RENAME` across filesystems.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
@@ -195,8 +195,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `CREATE TABLE` — pins the declared schema as the v1 sidecar over
     * an empty file list, so the table is immediately SELECTable
     * (empty) and `INSERT INTO` lands against a checked shape.
-    * Partitioned creates are refused: partition layout in this engine
-    * is physical and comes from the library writers.
+    *
+    * `PARTITIONED BY (col)` (round 14): ONE top-level identity
+    * partition column is recorded as a static table property — the
+    * empty shell has no files to derive a layout from, and the first
+    * insert (plain, OVERWRITE, or CTAS's write) lands physically
+    * partitioned by it; from then on the layout itself carries the
+    * metadata, exactly like a library-written table. Bucket/days/etc.
+    * transforms and multi-level layouts are refused loudly.
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -207,12 +213,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         name() +: ident.namespace.toSeq :+ ident.name)
-    require(partitions.isEmpty,
-      s"catalog ${name()}: partitioned CREATE TABLE is not supported — " +
-        "partition layout is physical; land data with " +
-        "Upsert.upsertPartitioned and the table resolves here")
+    val partCol: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        val c = t.references.head.fieldNames.head
+        require(schema.fieldNames.contains(c),
+          s"catalog ${name()}: partition column $c is not in the schema")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        s"catalog ${name()}: only a single top-level identity partition " +
+          s"column is supported, got ${other.mkString(", ")}")
+    }
     val path = tablePath(ident)
     fs.mkdirs(new Path(path))
+    partCol.foreach(c =>
+      Manifest.writeTableProperties(spark, path, Map("partition" -> c)))
     Manifest.commit(spark, path, Seq.empty, schema = Some(schema))
     GraftTable(spark, fullName(ident), path, asOfVersion = None)
   }

@@ -55,11 +55,16 @@ final case class GraftTable(spark: SparkSession, tableName: String,
 
   /** Partition columns as laid out on disk (`d=.../file.parquet`),
     * derived from the snapshot's own paths — the layout IS the
-    * partitioning metadata, exactly like a directory-scan read.
+    * partitioning metadata, exactly like a directory-scan read. An
+    * EMPTY shell has no layout yet; a `CREATE TABLE … PARTITIONED BY`
+    * declaration is recorded as a static table property (round 14) and
+    * steers the FIRST insert's physical layout.
     */
   private[graft] def partitionCols: Seq[String] =
     relFiles.headOption.map(_.split("/").dropRight(1).toSeq
-      .map(_.takeWhile(_ != '='))).getOrElse(Seq.empty)
+      .map(_.takeWhile(_ != '=')))
+      .getOrElse(
+        Manifest.tableProperties(spark, path).get("partition").toSeq)
 
   private def scanOptions(extra: CaseInsensitiveStringMap)
       : CaseInsensitiveStringMap = {

@@ -618,6 +618,39 @@ object Manifest {
       }
     }
 
+  // ---- static table properties (round 14) ---------------------------
+
+  private def propsFile(path: String): Path =
+    new Path(mdir(path), "_table.properties")
+
+  /** Write the table's STATIC properties (currently: the declared
+    * partition column of a `CREATE TABLE … PARTITIONED BY` shell, which
+    * has no files to derive a layout from). Written once at create time
+    * — no versioning, no contention; one whole-file PUT (atomic at
+    * close on object stores).
+    */
+  def writeTableProperties(spark: SparkSession, path: String,
+      props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
+        s"table property must be single-line and '='-free: $k=$v") }
+    val fs = fsOf(spark, path)
+    fs.mkdirs(mdir(path))
+    val out = fs.create(propsFile(path), true)
+    try out.write(props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def tableProperties(spark: SparkSession, path: String)
+      : Map[String, String] = {
+    val fs = fsOf(spark, path)
+    val f = propsFile(path)
+    if (!fs.exists(f)) Map.empty
+    else readLockText(fs, f).linesIterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+  }
+
   private def schemaFile(path: String, v: Long): Path =
     new Path(mdir(path), f"v$v%020d.schema")
 

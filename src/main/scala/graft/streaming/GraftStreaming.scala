@@ -159,6 +159,30 @@ object GraftStreaming {
       }
       .start()
 
+  /** [[changeFeedStream]] addressed by CATALOG TABLE NAME
+    * (`<catalog>.<namespace>.<table>`) instead of a path — the SQL-side
+    * consumer's entry point: resolve the warehouse path through the
+    * registered [[graft.catalog.GraftCatalog]]'s root and tail the same
+    * manifest stream.
+    */
+  def changeFeedStreamByName(spark: SparkSession, tableName: String,
+      keyCols: Seq[String], consumerId: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val parts = tableName.split("\\.")
+    require(parts.length == 3,
+      s"expected <catalog>.<namespace>.<table>, got '$tableName'")
+    val root = spark.conf.getOption(s"spark.sql.catalog.${parts(0)}.root")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no catalog '${parts(0)}' registered — set " +
+          s"spark.sql.catalog.${parts(0)} / .root"))
+    val path = s"${root.stripSuffix("/")}/${parts(1)}/${parts(2)}"
+    require(graft.engine.Manifest.currentVersion(spark, path).nonEmpty,
+      s"$tableName ($path) is not a manifest-managed table")
+    changeFeedStream(spark, path, keyCols, consumerId, checkpoint,
+      trigger)(sink)
+  }
+
   /** Streaming mart publish with EXACTLY-ONCE landing: each trigger's
     * aggregate slice goes through [[graft.engine.JdbcSink.publishEpoch]]
     * keyed by the `foreachBatch` batchId, so a failure-retried batch (or

@@ -46,16 +46,45 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(rowsOf("ecat.ns.ctas") === Map(1L -> 10L))
   }
 
-  test("CTAS into an existing table fails loudly; partitioned CTAS refused") {
+  test("CTAS into an existing table fails loudly; transform-partitioned " +
+      "CTAS refused") {
     root
     Seq((1L, 1L)).toDF("k", "cents").createOrReplaceTempView("__ctas_src2")
     spark.sql("CREATE TABLE ecat.ns.ctas2 AS SELECT * FROM __ctas_src2")
     intercept[Exception](
       spark.sql("CREATE TABLE ecat.ns.ctas2 AS SELECT * FROM __ctas_src2"))
     val e = intercept[Exception](
-      spark.sql("""CREATE TABLE ecat.ns.ctas3 PARTITIONED BY (k) AS
-                   SELECT * FROM __ctas_src2"""))
-    assert(e.getMessage.contains("partition"))
+      spark.sql("""CREATE TABLE ecat.ns.ctas3 PARTITIONED BY (bucket(4, k))
+                   AS SELECT * FROM __ctas_src2"""))
+    assert(e.getMessage.contains("identity"))
+  }
+
+  test("PARTITIONED BY CREATE TABLE and CTAS: the declared column steers " +
+      "the first insert's physical layout") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.pshell (k BIGINT, d DATE,
+                 cents BIGINT) PARTITIONED BY (d)""")
+    // Spark's v2 CREATE TABLE normalization moves partition columns to
+    // the END of the schema — insert with an explicit column list
+    spark.sql("""INSERT INTO ecat.ns.pshell (k, d, cents) VALUES
+                 (1, DATE'2024-07-01', 10), (2, DATE'2024-07-02', 20)""")
+    val p1 = s"$root/ns/pshell"
+    assert(Manifest.livePartitions(spark, p1).sorted ===
+      Seq("d=2024-07-01", "d=2024-07-02"))
+    // and the layout survives INSERT OVERWRITE + a date-keyed SQL merge
+    spark.sql("""INSERT OVERWRITE ecat.ns.pshell (k, d, cents) VALUES
+                 (9, DATE'2024-07-03', 90)""")
+    assert(Manifest.livePartitions(spark, p1) === Seq("d=2024-07-03"))
+    // partitioned CTAS: layout derived from the declared column
+    Seq((1L, Date.valueOf("2024-07-01"), 5L),
+      (2L, Date.valueOf("2024-07-02"), 6L)).toDF("k", "d", "cents")
+      .createOrReplaceTempView("__pctas_src")
+    spark.sql("""CREATE TABLE ecat.ns.pctas PARTITIONED BY (d) AS
+                 SELECT k, d, cents FROM __pctas_src""")
+    assert(Manifest.livePartitions(spark, s"$root/ns/pctas").sorted ===
+      Seq("d=2024-07-01", "d=2024-07-02"))
+    assert(spark.sql("SELECT sum(cents) FROM ecat.ns.pctas")
+      .as[Long].head() === 11L)
   }
 
   test("INSERT OVERWRITE replaces the whole table in one snapshot commit") {
@@ -156,6 +185,25 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(affected === 0L && inserted === 1L)
     assert(Manifest.read(spark, p).as[(Long, Long)].collect().toMap
       === Map(1L -> 10L, 2L -> 20L, 5L -> 50L))
+  }
+
+  test("change-feed stream resolves by catalog table name") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.cfs (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.cfs VALUES (1, 10)")
+    val base = Files.createTempDirectory("graft-cfs").toString
+    graft.streaming.GraftStreaming.changeFeedStreamByName(spark,
+      "ecat.ns.cfs", Seq("k"), "byname", s"$base/ckpt")(b =>
+      b.write.mode("append").parquet(s"$base/out"))
+      .awaitTermination()
+    val rows = spark.read.parquet(s"$base/out")
+      .select("k", "cents", graft.engine.ChangeFeed.ChangeCol)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows === Seq((1L, 10L, "insert")))
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.GraftStreaming.changeFeedStreamByName(spark,
+        "nocat.ns.t", Seq("k"), "x", s"$base/ckpt2")(_ => ()))
+    assert(e.getMessage.contains("nocat"))
   }
 
   test("merge refusal paths stay loud: NOT MATCHED BY SOURCE, non-star " +
