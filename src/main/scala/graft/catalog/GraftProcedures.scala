@@ -116,7 +116,8 @@ private[catalog] object GraftProcedures {
         "use vacuum_warehouse)"
     override def parameters(): Array[ProcedureParameter] = Array(
       in("table", StringType),
-      in("keep", IntegerType, "2"))
+      in("keep", IntegerType, "2"),
+      in("retain_hours", IntegerType, "0"))
     override def resultSchema: StructType = StructType(Seq(
       StructField("files_deleted", LongType, nullable = false)))
     override def run(spark: SparkSession, root: String,
@@ -129,9 +130,42 @@ private[catalog] object GraftProcedures {
           "version a publication pins — CALL system.vacuum_warehouse " +
           "instead")
       val n = Manifest.vacuum(spark, tablePathOf(root, str(input, 0)),
-        keep = int(input, 1, 2))
+        keep = int(input, 1, 2),
+        retainMillis = int(input, 2, 0).toLong * 3600 * 1000)
       Seq(row(java.lang.Long.valueOf(n.toLong)))
     }
+  }
+
+  /** `CALL cat.system.history('ns.t')` — the table's commit history
+    * (version, commit instant, live-file count, file diff, txn
+    * markers): the `DESCRIBE HISTORY` surface for a SQL-only operator
+    * deciding vacuum retention or a time-travel target.
+    */
+  final class HistoryProcedure(root: String) extends GraftProcedure(root) {
+    override def name(): String = "history"
+    override def description(): String =
+      "commit history of a table: version, commit time, file counts, " +
+        "file diff vs previous, streaming txn markers"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType))
+    override def resultSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("added", IntegerType, nullable = false),
+      StructField("retired", IntegerType, nullable = false),
+      StructField("txns", StringType, nullable = false)))
+    override def run(spark: SparkSession, root: String,
+        input: InternalRow): Seq[InternalRow] =
+      Manifest.history(spark, tablePathOf(root, str(input, 0))).map { h =>
+        row(java.lang.Long.valueOf(h.version),
+          java.lang.Long.valueOf(h.committedAtMillis * 1000L), // micros
+          java.lang.Integer.valueOf(h.nFiles),
+          java.lang.Integer.valueOf(h.added),
+          java.lang.Integer.valueOf(h.retired),
+          h.txns.toSeq.sortBy(_._1)
+            .map { case (a, b) => s"$a=$b" }.mkString(","))
+      }
   }
 
   /** `CALL cat.system.vacuum_warehouse(keep_pubs => 2, keep_tables => 2)`
@@ -159,7 +193,8 @@ private[catalog] object GraftProcedures {
     }
   }
 
-  val names: Seq[String] = Seq("compact", "vacuum", "vacuum_warehouse")
+  val names: Seq[String] =
+    Seq("compact", "vacuum", "vacuum_warehouse", "history")
 
   /** A fresh instance bound to `root` — procedures carry no state
     * beyond the warehouse root they act on (one per catalog). */
@@ -168,6 +203,7 @@ private[catalog] object GraftProcedures {
       case "compact" => Some(new CompactProcedure(root))
       case "vacuum" => Some(new VacuumProcedure(root))
       case "vacuum_warehouse" => Some(new VacuumWarehouseProcedure(root))
+      case "history" => Some(new HistoryProcedure(root))
       case _ => None
     }
 }

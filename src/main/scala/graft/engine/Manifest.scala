@@ -806,6 +806,31 @@ object Manifest {
       case None => spark.read.parquet(path)
     }
 
+  /** One committed version's metadata — the unit of [[history]]. */
+  final case class VersionInfo(version: Long, committedAtMillis: Long,
+      nFiles: Int, added: Int, retired: Int, txns: Map[String, Long])
+
+  /** The table's commit history, oldest first: per version, the commit
+    * instant (manifest file mtime), live-file count, file-level diff vs
+    * the previous version, and the streaming txn markers visible at it.
+    * Reads every retained manifest — O(versions) small GETs, the
+    * `DESCRIBE HISTORY` surface (`CALL <cat>.system.history('ns.t')`).
+    */
+  def history(spark: SparkSession, path: String): Seq[VersionInfo] = {
+    val fs = fsOf(spark, path)
+    var prev = Set.empty[String]
+    versions(spark, path).map { v =>
+      val files = filesAsOf(spark, path, v).toSet
+      val mtime = fs.getFileStatus(
+        new Path(mdir(path), f"v$v%020d.list")).getModificationTime
+      val info = VersionInfo(v, mtime, files.size,
+        added = (files -- prev).size, retired = (prev -- files).size,
+        txns = txnsAsOf(spark, path, v))
+      prev = files
+      info
+    }
+  }
+
   /** Time travel to a committed version (until [[vacuum]] retires it).
     * A version with a pinned schema (at or after an [[addColumn]]) is
     * read under it — columns absent from older files resolve to NULL.

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Manifest, Upsert}
+
+/** THE generalized-merge property: for ANY target table, source batch,
+  * and ordered clause list, [[Upsert.mergeActions]] must equal the
+  * row-by-row reference semantics of SQL MERGE — per matched target
+  * row, the FIRST clause whose condition holds applies (update = the
+  * full source row, delete = drop); unmatched target rows survive;
+  * unmatched source rows insert iff the insert clause exists and its
+  * condition holds. A seeded random program generates tables, sources
+  * (unique keys), and clause sets over a small condition grammar, and
+  * diffs the engine's committed snapshot against an in-memory model —
+  * the same randomized-differential discipline that pinned PageRank and
+  * the CDC feed in earlier rounds.
+  */
+class MergeActionsPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // condition grammar over the combined row: target cents (plain name)
+  // vs source cents (__src_), and absolute thresholds on either side
+  private type Cond = (Long, Long) => Boolean // (targetCents, srcCents)
+  private def conds(rnd: scala.util.Random): (Option[Column], Option[Cond]) =
+    rnd.nextInt(5) match {
+      case 0 => (None, None) // unconditional
+      case 1 => (Some(col("__src_cents") > col("cents")),
+        Some((t, s) => s > t))
+      case 2 => (Some(col("__src_cents") < col("cents")),
+        Some((t, s) => s < t))
+      case 3 =>
+        val th = rnd.nextInt(900) + 100
+        (Some(col("cents") >= th), Some((t, _) => t >= th))
+      case 4 =>
+        val th = rnd.nextInt(900) + 100
+        (Some(col("__src_cents") % 2 === 0), Some((_, s) => s % 2 == 0))
+    }
+
+  // insert conditions may reference ONLY the source side
+  private def insConds(rnd: scala.util.Random)
+      : (Option[Column], Long => Boolean) =
+    rnd.nextInt(3) match {
+      case 0 => (None, _ => true)
+      case 1 =>
+        val th = rnd.nextInt(900) + 100
+        (Some(col("__src_cents") > th), s => s > th)
+      case 2 => (Some(col("__src_cents") % 3 === 0), s => s % 3 == 0)
+    }
+
+  private def model(target: Map[Long, Long], source: Map[Long, Long],
+      acts: Seq[(Boolean, Option[Cond])],
+      ins: Option[Long => Boolean]): Map[Long, Long] = {
+    val afterMatched = target.flatMap { case (k, t) =>
+      source.get(k) match {
+        case None => Some(k -> t)
+        case Some(s) =>
+          acts.find { case (_, c) => c.forall(f => f(t, s)) } match {
+            case None => Some(k -> t) // no clause applied
+            case Some((isDelete, _)) =>
+              if (isDelete) None else Some(k -> s)
+          }
+      }
+    }
+    val inserts = ins.fold(Map.empty[Long, Long])(p =>
+      source.filter { case (k, s) => !target.contains(k) && p(s) })
+    afterMatched ++ inserts
+  }
+
+  test("random clause programs: engine snapshot == reference semantics, " +
+      "every round") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 12).foreach { round =>
+      val p = Files.createTempDirectory(s"graft-mprop$round")
+        .resolve("t").toString
+      val target = (0 until 25).map(_ => rnd.nextInt(40).toLong)
+        .distinct.map(k => k -> (rnd.nextInt(900) + 100).toLong).toMap
+      Upsert.append(spark, p,
+        target.toSeq.toDF("k", "cents"), None)
+      val source = (0 until 15).map(_ => rnd.nextInt(60).toLong)
+        .distinct.map(k => k -> (rnd.nextInt(900) + 100).toLong).toMap
+      // 0..3 matched clauses (mix of update/delete), optional insert
+      val nActs = rnd.nextInt(4)
+      val acts = Seq.fill(nActs) {
+        val (c, m) = conds(rnd)
+        (rnd.nextBoolean(), c, m) // isDelete, Column cond, model cond
+      }
+      val withInsert = rnd.nextBoolean() || nActs == 0
+      val (insCol, insModel) =
+        if (withInsert) { val (c, m) = insConds(rnd); (Some(c), Some(m)) }
+        else (None, None)
+      val engineActs: Seq[Upsert.MatchedAction] = acts.map {
+        case (true, c, _) => Upsert.MatchedDelete(c)
+        case (false, c, _) => Upsert.MatchedUpdate(c)
+      }
+      Upsert.mergeActions(spark, p, source.toSeq.toDF("k", "cents"),
+        Seq("k"), engineActs, insCol, Seq.empty)
+      val got = Manifest.read(spark, p).as[(Long, Long)].collect().toMap
+      val want = model(target, source,
+        acts.map { case (d, _, m) => (d, m) }, insModel)
+      assert(got === want,
+        s"round $round diverged: acts=${acts.map(a => (a._1, a._2))} " +
+          s"insert=$insCol\n got=$got\nwant=$want")
+    }
+  }
+}

@@ -206,6 +206,32 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nocat"))
   }
 
+  test("CALL system.history lists the commit trail; vacuum retain_hours " +
+      "is the SQL knob for the retention floor") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.hist (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.hist VALUES (1, 10)")
+    spark.sql("INSERT INTO ecat.ns.hist VALUES (2, 20)")
+    spark.sql("DELETE FROM ecat.ns.hist WHERE k = 1")
+    val h = spark.sql("CALL ecat.system.history('ns.hist')")
+      .select("version", "n_files", "added", "retired")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(h.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(h.head === ((1L, 0, 0, 0))) // the shell
+    assert(h(1)._3 === 1 && h(2)._3 === 1) // two inserts
+    assert(h(3)._4 === 1) // the delete retired the k=1 file
+    // retention floor through SQL: everything is seconds old, so a
+    // keep=1 vacuum with retain_hours=1 retires nothing
+    assert(spark.sql(
+      "CALL ecat.system.vacuum('ns.hist', keep => 1, retain_hours => 1)")
+      .as[Long].head() === 0L)
+    assert(spark.sql("CALL ecat.system.history('ns.hist')").count() === 4)
+    // without the floor, history truncates to the kept version
+    spark.sql("CALL ecat.system.vacuum('ns.hist', keep => 1)")
+    assert(spark.sql("CALL ecat.system.history('ns.hist')")
+      .select("version").as[Long].collect().toSeq === Seq(4L))
+  }
+
   test("merge refusal paths stay loud: NOT MATCHED BY SOURCE, non-star " +
       "update, duplicate source keys") {
     root
