@@ -92,7 +92,8 @@ object Plans {
     // round 14: CTAS+overwrite catalog read, generalized-merge result,
     // streamed change feed (the read side of each — the DML itself is
     // command-shaped, not plan-shaped)
-    "q_sql_ctas_overwrite", "q_sql_merge_actions", "q_cdc_stream")
+    "q_sql_ctas_overwrite", "q_sql_merge_actions", "q_cdc_stream",
+    "q_video_frames")
 
   /** Queries whose scale story rests on RUNTIME exchange reuse across
     * the K levels of an analysis-time TVF expansion (one shuffle of the

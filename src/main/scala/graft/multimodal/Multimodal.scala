@@ -445,4 +445,219 @@ object Multimodal {
       }
     }
   }
+
+  // ---- REAL VIDEO (round 14): RIFF/AVI container, uncompressed DIB ----
+
+  /** Video geometry constants — like the GIF family, one definition
+    * shared by the writer, the demuxer, and the oracle SQL. The
+    * container is a REAL AVI (RIFF 'AVI ' with hdrl/avih/strh/strf,
+    * movi '00db' chunks, idx1 — playable by any AVI demuxer) carrying
+    * UNCOMPRESSED 24-bit DIB frames (BI_RGB: bottom-up BGR rows padded
+    * to 4 bytes), the one video codec that is bit-deterministic without
+    * an external library — so the decode side is a genuine container
+    * demux + raster decode with a pixel-exact DuckDB oracle, retiring
+    * the last "video is a documented limitation" row. (Lossy codecs —
+    * jpeg/h264 — would swap in at the same seam but cannot be
+    * hash-mirrored by an oracle.)
+    */
+  val AviWidthMod = 14
+  val AviHeightMod = 10
+  val AviFramesMod = 12
+  val AviFrameStride = 3
+  private[graft] def aviWidth(o: Long): Int = (o % AviWidthMod).toInt + 1
+  private[graft] def aviHeight(o: Long): Int =
+    ((o * 11) % AviHeightMod).toInt + 1
+  private[graft] def aviFrames(o: Long): Int =
+    ((o * 3) % AviFramesMod).toInt + 1
+  private[graft] def aviLum(docId: Long, f: Long, x: Int, y: Int): Int =
+    (((docId % 1048573L) * 37 + f * 151 + x * 29 + y * 11) % 256).toInt
+
+  /** Synthesize a REAL AVI per document: `aviFrames(o)` uncompressed
+    * DIB frames of `aviWidth(o)`×`aviHeight(o)` gray BGR rasters inside
+    * a structurally complete RIFF container (avih/strh/strf headers
+    * carry the true geometry; idx1 indexes every keyframe). Pure byte
+    * assembly — the AVI/BMP layouts are public Microsoft specs.
+    */
+  def deriveAvi(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("o"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, o) =>
+          MediaRow(docId, buildAvi(docId, o))
+        }
+      }
+  }
+
+  private def buildAvi(docId: Long, o: Long): Array[Byte] = {
+    val w = aviWidth(o); val h = aviHeight(o); val nf = aviFrames(o)
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val frameBytes = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(
+      12 + 8 + 4 + 8 + 56 + 12 + 8 + 56 + 8 + 40 + // riff+hdrl+strl
+        12 + nf * (8 + frameBytes) + // movi
+        8 + nf * 16) // idx1
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    // RIFF header (size patched at the end)
+    fcc("RIFF"); buf.putInt(0); fcc("AVI ")
+    // LIST hdrl
+    val hdrlBody = 4 + 8 + 56 + 12 + 8 + 56 + 8 + 40
+    fcc("LIST"); buf.putInt(hdrlBody); fcc("hdrl")
+    // avih: MainAVIHeader
+    fcc("avih"); buf.putInt(56)
+    buf.putInt(100000) // usec per frame (10 fps)
+    buf.putInt(frameBytes * 10) // max bytes/sec
+    buf.putInt(0) // padding granularity
+    buf.putInt(0x10) // AVIF_HASINDEX
+    buf.putInt(nf); buf.putInt(0) // total frames, initial frames
+    buf.putInt(1) // streams
+    buf.putInt(frameBytes) // suggested buffer
+    buf.putInt(w); buf.putInt(h)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // reserved
+    // LIST strl
+    fcc("LIST"); buf.putInt(4 + 8 + 56 + 8 + 40); fcc("strl")
+    // strh: AVISTREAMHEADER
+    fcc("strh"); buf.putInt(56)
+    fcc("vids"); fcc("DIB ")
+    buf.putInt(0) // flags
+    buf.putShort(0); buf.putShort(0) // priority, language
+    buf.putInt(0) // initial frames
+    buf.putInt(1); buf.putInt(10) // scale, rate (10 fps)
+    buf.putInt(0); buf.putInt(nf) // start, LENGTH (header-true count)
+    buf.putInt(frameBytes) // suggested buffer
+    buf.putInt(-1) // quality (default)
+    buf.putInt(0) // sample size
+    buf.putShort(0); buf.putShort(0) // rcFrame left, top
+    buf.putShort(w.toShort); buf.putShort(h.toShort)
+    // strf: BITMAPINFOHEADER
+    fcc("strf"); buf.putInt(40)
+    buf.putInt(40); buf.putInt(w); buf.putInt(h)
+    buf.putShort(1); buf.putShort(24) // planes, bit count
+    buf.putInt(0) // BI_RGB (uncompressed)
+    buf.putInt(frameBytes)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    // LIST movi
+    fcc("LIST"); buf.putInt(4 + nf * (8 + frameBytes)); fcc("movi")
+    var f = 0
+    while (f < nf) {
+      fcc("00db"); buf.putInt(frameBytes)
+      // bottom-up rows, BGR, padded
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val lum = aviLum(docId, f.toLong, x, y).toByte
+          buf.put(lum); buf.put(lum); buf.put(lum) // B G R
+          x += 1
+        }
+        var p = w * 3
+        while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    // idx1: one entry per frame, offsets relative to the movi list data
+    fcc("idx1"); buf.putInt(nf * 16)
+    f = 0
+    while (f < nf) {
+      fcc("00db"); buf.putInt(0x10) // AVIIF_KEYFRAME
+      buf.putInt(4 + f * (8 + frameBytes)); buf.putInt(frameBytes)
+      f += 1
+    }
+    val out = buf.array()
+    // patch the RIFF size (file length minus the 8-byte RIFF header)
+    val riffSize = out.length - 8
+    out(4) = (riffSize & 0xFF).toByte
+    out(5) = ((riffSize >> 8) & 0xFF).toByte
+    out(6) = ((riffSize >> 16) & 0xFF).toByte
+    out(7) = ((riffSize >> 24) & 0xFF).toByte
+    out
+  }
+
+  final case class AviFrame(doc_id: Long, frame_idx: Long, width: Int,
+      height: Int, pixel_sum: Long)
+
+  /** REAL video demux + frame decode: parse the RIFF tree (no
+    * library — the walker below is the whole demuxer), read the
+    * header-true geometry from `strf`/`strh`, iterate the `movi`
+    * `00db` chunks, and decode every `everyK`-th frame's bottom-up
+    * padded BGR raster to an exact luminance checksum. STRICT header
+    * validation: the stream-declared frame count must equal the chunks
+    * actually present, the bitmap must be 24-bit BI_RGB, and every
+    * pixel's three channels must agree (the writer emits gray) — a
+    * corrupt container fails loudly, because these are the engine's
+    * own payloads.
+    */
+  def decodeAviFrames(media: Dataset[MediaRow],
+      everyK: Int = AviFrameStride): Dataset[AviFrame] = {
+    require(everyK > 0, s"frame stride must be positive, got $everyK")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r => demuxAvi(r.doc_id, r.media, everyK) }
+    }
+  }
+
+  private def demuxAvi(docId: Long, b: Array[Byte],
+      everyK: Int): Seq[AviFrame] = {
+    def le32(off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    def le16(off: Int): Int = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    def fourcc(off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+    require(b.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      s"doc $docId: not a RIFF AVI container")
+    require(le32(4) == b.length - 8,
+      s"doc $docId: RIFF size ${le32(4)} != payload ${b.length - 8}")
+    var width = -1; var height = -1; var declaredFrames = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // walk the chunk tree; LIST chunks recurse into their children
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(p); val size = le32(p + 4)
+        if (id == "LIST") walk(p + 12, p + 8 + size)
+        else if (id == "strh") {
+          require(fourcc(p + 8) == "vids" && fourcc(p + 12) == "DIB ",
+            s"doc $docId: expected an uncompressed video stream")
+          declaredFrames = le32(p + 8 + 32)
+        } else if (id == "strf") {
+          require(le32(p + 8) == 40 && le16(p + 8 + 14) == 24 &&
+            le32(p + 8 + 16) == 0,
+            s"doc $docId: expected a 24-bit BI_RGB BITMAPINFOHEADER")
+          width = le32(p + 8 + 4); height = le32(p + 8 + 8)
+        } else if (id == "00db") frames += (p + 8)
+        p += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, b.length)
+    require(width > 0 && height > 0 && declaredFrames >= 0,
+      s"doc $docId: missing stream headers")
+    require(frames.size == declaredFrames,
+      s"doc $docId: header declares $declaredFrames frames, " +
+        s"container holds ${frames.size}")
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    (0 until frames.size by everyK).map { f =>
+      val base = frames(f)
+      var sum = 0L
+      var y = 0
+      while (y < height) {
+        val rowOff = base + (height - 1 - y) * rowBytes // bottom-up
+        var x = 0
+        while (x < width) {
+          val blue = b(rowOff + x * 3) & 0xFF
+          val g = b(rowOff + x * 3 + 1) & 0xFF
+          val red = b(rowOff + x * 3 + 2) & 0xFF
+          require(blue == g && g == red,
+            s"doc $docId frame $f: non-gray pixel at ($x,$y)")
+          sum += blue
+          x += 1
+        }
+        y += 1
+      }
+      AviFrame(docId, f.toLong, width, height, sum)
+    }
+  }
 }

@@ -172,7 +172,7 @@ object MiscQueries {
     * count are HEADER-TRUE values parsed from the container, and the
     * exact integer sum of every decoded PCM sample is mirrored in SQL
     * from the synthesis formula. Image, audio: real bytes through real
-    * codecs; only video remains a documented stub (no JDK codec).
+    * codecs; video joined them in round 14 ([[qVideoFrames]]).
     */
   val qMultimodalAudio = QueryDef(
     "q_multimodal_audio",
@@ -304,7 +304,50 @@ object MiscQueries {
       FROM documents ORDER BY doc_id"""),
     bench = false)
 
+  /** REAL video (round 14, retiring the last multimodal limitation):
+    * every sampled document becomes a structurally complete AVI — RIFF
+    * container, avih/strh/strf headers, movi `00db` chunks, idx1 —
+    * carrying uncompressed 24-bit DIB frames, and the decode side is a
+    * genuine hand-rolled RIFF DEMUX (header-true geometry and frame
+    * counts cross-validated against the chunks actually present) plus a
+    * bottom-up padded-BGR raster decode. Uncompressed DIB is the one
+    * video codec that is bit-deterministic without external libraries,
+    * so the oracle mirrors every pixel of every sampled frame — the
+    * pixel-exact contract of the PNG/WAV/GIF family extended to a real
+    * video container. Same 1-in-4 depth-probe subsample.
+    */
+  val qVideoFrames = QueryDef(
+    "q_video_frames",
+    (s, dir) => {
+      Multimodal.decodeAviFrames(
+        Multimodal.deriveAvi(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0)))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS o FROM documents
+        WHERE doc_id % 4 = 0),
+      g AS (SELECT doc_id,
+                   o % ${Multimodal.AviWidthMod} + 1 AS w,
+                   (o * 11) % ${Multimodal.AviHeightMod} + 1 AS h,
+                   (o * 3) % ${Multimodal.AviFramesMod} + 1 AS nf
+            FROM d),
+      fr AS (SELECT doc_id, w, h,
+                    unnest(range(0, nf, ${Multimodal.AviFrameStride}))
+                      AS frame_idx FROM g),
+      px AS (SELECT doc_id, w, h, frame_idx,
+                    unnest(range(0, w)) AS x FROM fr),
+      pxy AS (SELECT doc_id, w, h, frame_idx, x,
+                     unnest(range(0, h)) AS y FROM px)
+      SELECT doc_id, frame_idx,
+             CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             CAST(SUM(((doc_id % 1048573) * 37 + frame_idx * 151
+                       + x * 29 + y * 11) % 256) AS BIGINT) AS pixel_sum
+      FROM pxy GROUP BY doc_id, frame_idx, w, h
+      ORDER BY doc_id, frame_idx"""))
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonlRoundtrip, qToJson,
     qMultimodalMeta, qMultimodalPixels, qMultimodalAudio, qMultimodalFrames,
-    qOrcRoundtrip, qTextRoundtrip)
+    qVideoFrames, qOrcRoundtrip, qTextRoundtrip)
 }

@@ -135,4 +135,54 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("quarantined"))
   }
+
+  test("synthesized AVIs are structurally real RIFF containers: demux " +
+      "geometry is header-true, frames decode pixel-exact, corruption " +
+      "fails loudly") {
+    val docs = Seq((3L, "abcdefgh"), (4L, "a much longer document body " +
+      "to vary the geometry of the second container"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.deriveAvi(docs).collect()
+    media.foreach { r =>
+      // RIFF framing invariants any AVI demuxer relies on
+      assert(new String(r.media.take(4), "US-ASCII") === "RIFF")
+      assert(new String(r.media.slice(8, 12), "US-ASCII") === "AVI ")
+      val declared = (r.media(4) & 0xFF) | ((r.media(5) & 0xFF) << 8) |
+        ((r.media(6) & 0xFF) << 16) | ((r.media(7) & 0xFF) << 24)
+      assert(declared === r.media.length - 8)
+      assert(new String(r.media, "ISO-8859-1").contains("idx1"))
+    }
+    // every frame (stride 1) matches the synthesis formula exactly
+    val frames = Multimodal.decodeAviFrames(media.toSeq.toDS(), everyK = 1)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val o = text.getBytes("UTF-8").length.toLong
+      val (w, h, nf) = (Multimodal.aviWidth(o), Multimodal.aviHeight(o),
+        Multimodal.aviFrames(o))
+      (0 until nf).foreach { f =>
+        val got = frames((id, f.toLong))
+        assert(got.width === w && got.height === h)
+        val want = (for { x <- 0 until w; y <- 0 until h }
+          yield Multimodal.aviLum(id, f.toLong, x, y).toLong).sum
+        assert(got.pixel_sum === want, s"doc $id frame $f")
+      }
+    }
+    assert(frames.size === docs.as[(Long, String)].collect().map {
+      case (_, t) => Multimodal.aviFrames(t.getBytes("UTF-8").length.toLong)
+    }.sum)
+    // a truncated container fails loudly (strict: own payloads)
+    val broken = media.head.media.take(media.head.media.length - 10)
+    val e = intercept[Exception](
+      Multimodal.decodeAviFrames(
+        Seq(MediaRow(99L, broken)).toDS(), everyK = 1).collect())
+    assert(e.getMessage.contains("99"))
+    // a frame-count header lie is caught (declared != present)
+    val lied = media.head.media.clone()
+    // strh length field sits at offset 12+8+4+8+56+12+8 + 32 = 140
+    lied(140) = (lied(140) + 1).toByte
+    val e2 = intercept[Exception](
+      Multimodal.decodeAviFrames(
+        Seq(MediaRow(98L, lied)).toDS(), everyK = 1).collect())
+    assert(e2.getMessage.contains("declares"))
+  }
 }
