@@ -92,7 +92,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def tablePath(ident: Identifier): String =
-    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    GraftPaths.tablePath(root, ident.namespace.mkString("/"), ident.name)
 
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_graft_manifest"))
@@ -218,9 +218,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Seq(t) if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         val c = t.references.head.fieldNames.head
-        require(schema.fieldNames.contains(c),
+        // resolve like the analyzer does (case-insensitive by default)
+        // and store the SCHEMA's canonical spelling
+        val canonical = schema.fieldNames.find(_.equalsIgnoreCase(c))
+        require(canonical.nonEmpty,
           s"catalog ${name()}: partition column $c is not in the schema")
-        Some(c)
+        canonical
       case other => throw new UnsupportedOperationException(
         s"catalog ${name()}: only a single top-level identity partition " +
           s"column is supported, got ${other.mkString(", ")}")

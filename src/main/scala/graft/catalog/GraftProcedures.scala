@@ -46,12 +46,8 @@ private[catalog] object GraftProcedures {
       }).iterator()
     }
 
-    protected def tablePathOf(root: String, qualified: String): String = {
-      val parts = qualified.split("\\.")
-      require(parts.length == 2,
-        s"expected '<namespace>.<table>', got '$qualified'")
-      s"$root/${parts(0)}/${parts(1)}"
-    }
+    protected def tablePathOf(root: String, qualified: String): String =
+      GraftPaths.tablePathOf(root, qualified)
     protected def str(r: InternalRow, i: Int): String =
       if (r.isNullAt(i)) "" else r.getUTF8String(i).toString
     protected def int(r: InternalRow, i: Int, dflt: Int): Int =

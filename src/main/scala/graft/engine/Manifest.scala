@@ -647,8 +647,18 @@ object Manifest {
     val fs = fsOf(spark, path)
     val f = propsFile(path)
     if (!fs.exists(f)) Map.empty
-    else readLockText(fs, f).linesIterator.map(_.split("=", 2))
-      .collect { case Array(k, v) => k -> v }.toMap
+    else {
+      // read STRICTLY (unlike lock files, where empty-on-error is the
+      // right degradation): swallowing a transient IOException here
+      // would silently erase the declared partition column and the
+      // first insert would land unpartitioned, permanently
+      val in = fs.open(f)
+      val txt =
+        try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      txt.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+    }
   }
 
   private def schemaFile(path: String, v: Long): Path =
@@ -820,12 +830,20 @@ object Manifest {
     val fs = fsOf(spark, path)
     var prev = Set.empty[String]
     versions(spark, path).map { v =>
-      val files = filesAsOf(spark, path, v).toSet
+      // ONE read per manifest: files and txn markers both derive from
+      // the same line list (filesAsOf + txnsAsOf would double the GETs)
+      val lines = listLines(spark, path, v)
+      val files = lines.filterNot(_.startsWith("#")).toSet
+      val txns = lines.filter(_.startsWith("#txn ")).map { line =>
+        val kv = line.stripPrefix("#txn ")
+        val i = kv.lastIndexOf('=')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }.toMap
       val mtime = fs.getFileStatus(
         new Path(mdir(path), f"v$v%020d.list")).getModificationTime
       val info = VersionInfo(v, mtime, files.size,
         added = (files -- prev).size, retired = (prev -- files).size,
-        txns = txnsAsOf(spark, path, v))
+        txns = txns)
       prev = files
       info
     }

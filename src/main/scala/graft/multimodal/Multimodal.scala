@@ -618,6 +618,14 @@ object Multimodal {
       var p = start
       while (p + 8 <= end) {
         val id = fourcc(p); val size = le32(p + 4)
+        // validate the size field BEFORE advancing: a corrupt negative
+        // size would step p by zero (infinite loop) or backwards, and
+        // an oversized one would index past the payload — the loud-
+        // failure contract covers malformed containers, not just
+        // truncated ones
+        require(size >= 0 && p + 8 + size <= end,
+          s"doc $docId: chunk $id at offset $p declares size $size " +
+            s"outside its enclosing range (..$end) — corrupt container")
         if (id == "LIST") walk(p + 12, p + 8 + size)
         else if (id == "strh") {
           require(fourcc(p + 8) == "vids" && fourcc(p + 12) == "DIB ",

@@ -561,9 +561,9 @@ object VectorQueries {
       val short = cand.withColumn("crk", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("pq_d2"), col("vec_id"))))
-        // shortlist scales WITH the probe width (16 per probed cell;
-        // = PqShortlist at the registered nprobe, so the oracle-pinned
-        // plan is unchanged): with a FIXED shortlist, widening the
+        // shortlist scales WITH the probe width (PqShortlist/IvfProbes
+        // = 32 per probed cell, so it equals the oracle's constant at
+        // the registered nprobe): with a FIXED shortlist, widening the
         // probe floods the rerank with PQ-approximate imposters from
         // the extra cells and recall DROPS as nprobe rises — measured
         // at sf0.1 in round 14 (0.833@1 → 0.667@4) before this scaling

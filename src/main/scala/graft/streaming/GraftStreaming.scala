@@ -176,7 +176,7 @@ object GraftStreaming {
       .getOrElse(throw new IllegalArgumentException(
         s"no catalog '${parts(0)}' registered — set " +
           s"spark.sql.catalog.${parts(0)} / .root"))
-    val path = s"${root.stripSuffix("/")}/${parts(1)}/${parts(2)}"
+    val path = graft.catalog.GraftPaths.tablePath(root, parts(1), parts(2))
     require(graft.engine.Manifest.currentVersion(spark, path).nonEmpty,
       s"$tableName ($path) is not a manifest-managed table")
     changeFeedStream(spark, path, keyCols, consumerId, checkpoint,

@@ -34,7 +34,9 @@ object RecallProbe {
       np -> got.count(exact.contains).toDouble / exact.size
     }
     println(s"""{"dir":"$dir","vectors":$n,"recall_at_3":{""" +
-      curve.map { case (np, r) => s""""$np":${"%.4f".format(r)}""" }
+      curve.map { case (np, r) =>
+        s""""$np":${String.format(java.util.Locale.ROOT, "%.4f",
+          java.lang.Double.valueOf(r))}""" }
         .mkString(",") + "}}")
     spark.stop()
   }

@@ -39,7 +39,7 @@ class MergeActionsPropertySpec extends AnyFunSuite {
         (Some(col("cents") >= th), Some((t, _) => t >= th))
       case 4 =>
         val th = rnd.nextInt(900) + 100
-        (Some(col("__src_cents") % 2 === 0), Some((_, s) => s % 2 == 0))
+        (Some(col("__src_cents") >= th), Some((_, s) => s >= th))
     }
 
   // insert conditions may reference ONLY the source side
