@@ -98,6 +98,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("generalized merge is touched-files-only: 1 matched date out of " +
+      "25 rewrites ~1/25th of the files") {
+    import spark.implicits._
+    import graft.engine.{Manifest, Upsert}
+    val p = java.nio.file.Files.createTempDirectory("graft-mscale")
+      .resolve("t").toString
+    val dates = (1 to 25).map(i => java.sql.Date.valueOf(
+      f"2024-06-$i%02d"))
+    val rows = for { d <- dates; k <- 1 to 200 }
+      yield ((d.toString.hashCode.toLong & 0xFFFF) * 1000 + k, d, k.toLong)
+    Upsert.upsertPartitioned(spark, p,
+      rows.toDF("k", "d", "cents").repartition(col("d")),
+      Seq("k", "d"), "d")
+    val before = Manifest.currentLive(spark, p)
+    assert(before.size >= 25, s"expected >=25 files, got ${before.size}")
+    // merge UPDATEs 10 keys, all in ONE date
+    val d0 = dates.head
+    val src = (1 to 10).map(k =>
+      ((d0.toString.hashCode.toLong & 0xFFFF) * 1000 + k, d0, 999L))
+      .toDF("k", "d", "cents")
+    val (affected, inserted) = Upsert.mergeActions(spark, p, src,
+      Seq("k", "d"), Seq(Upsert.MatchedUpdate(None)), None, Seq("d"))
+    assert(affected === 10L && inserted === 0L)
+    val after = Manifest.currentLive(spark, p)
+    val survived = before.toSet.intersect(after.toSet)
+    // the claim SCALE.md makes: O(files containing matches), not O(table)
+    assert(before.size - survived.size <= 2,
+      s"rewrote ${before.size - survived.size} of ${before.size} files " +
+        "for a single-date merge — touched-files-only claim violated")
+    assert(Manifest.read(spark, p)
+      .filter(col("cents") === 999L).count() === 10)
+  }
+
   test("compaction shrinks file counts without changing content") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-compact")
