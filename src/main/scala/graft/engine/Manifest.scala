@@ -278,7 +278,15 @@ object Manifest {
           s"${System.nanoTime()}")
       val verdict =
         try {
-          val s1 = fs.create(probe, false)
+          val s1 =
+            try fs.create(probe, false)
+            catch {
+              case _: java.io.IOException =>
+                // first create failed outright: transient — no verdict
+                throw new java.io.IOException(
+                  s"conditional-create probe failed to open on $key — " +
+                    "transient store error? retry the commit")
+            }
           val openExclusive =
             try { fs.create(probe, false) match {
               case s2 =>
@@ -294,16 +302,31 @@ object Manifest {
           if (openExclusive) true
           else {
             // both streams were open; s2's object landed. An honest
-            // store must now REFUSE s1's close (If-None-Match).
-            try { s1.write('a'.toInt); s1.close(); false }
-            catch { case _: java.io.IOException => true }
+            // store must now REFUSE s1's close (If-None-Match) — but an
+            // IOException there can ALSO be a transient store/network
+            // error, and caching "honest" off an ambiguous exception
+            // would permanently enable conditional-PUT publishing on a
+            // store whose version CAS is really check-then-act (ADVICE
+            // r14). So the verdict comes from CONTENT, not the
+            // exception: read the probe back — s2's byte means the
+            // committed object survived s1's close (precondition held,
+            // honest); s1's byte means a committed object was silently
+            // overwritten (dishonest); anything else is ambiguous and
+            // must not be cached.
+            try { s1.write('a'.toInt); s1.close() }
+            catch { case _: java.io.IOException => () }
+            val content =
+              try {
+                val in = fs.open(probe)
+                try in.readAllBytes() finally in.close()
+              } catch { case _: java.io.IOException => Array.empty[Byte] }
+            if (content.sameElements(Array('b'.toByte))) true
+            else if (content.sameElements(Array('a'.toByte))) false
+            else throw new java.io.IOException(
+              s"conditional-create probe on $key was inconclusive " +
+                "(probe object unreadable after the overlapped closes) " +
+                "— transient store error? retry the commit")
           }
-        } catch {
-          case _: java.io.IOException =>
-            // first create failed outright: transient — no verdict
-            throw new java.io.IOException(
-              s"conditional-create probe failed to open on $key — " +
-                "transient store error? retry the commit")
         } finally {
           try { fs.delete(probe, false); () }
           catch { case _: java.io.IOException => () }
@@ -463,13 +486,17 @@ object Manifest {
             if (fs.rename(lock, aside)) {
               val grabbed = readLockText(fs, aside)
               if (grabbed != txt && grabbed.nonEmpty) {
-                try {
-                  val back = fs.create(lock, false)
-                  try { back.write(grabbed.getBytes("UTF-8")); back.close() }
-                  catch { case _: java.io.IOException => () }
-                } catch { case _: java.io.IOException => () }
-              }
-              fs.delete(aside, false); ()
+                // Grabbed a LIVE holder's lock by mistake (it appeared
+                // between the stale re-read and the rename). Restore by
+                // ATOMIC rename-back, not create+write: during a
+                // create→write window a third waiter could create and
+                // acquire the lock, then have it overwritten by the
+                // restore — two processes in the commit section (ADVICE
+                // r14). rename-back fails iff a new lock already
+                // appeared; then that usurper's nonce read-back
+                // arbitrates, and the aside copy is dropped.
+                if (!fs.rename(aside, lock)) { fs.delete(aside, false); () }
+              } else { fs.delete(aside, false); () }
             }
           }
         } else if (System.nanoTime() > deadline) {

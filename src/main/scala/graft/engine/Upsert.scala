@@ -795,9 +795,19 @@ object Upsert {
   /** One `WHEN MATCHED` clause of a generalized merge. `cond` (over the
     * merge's combined row — target columns by their own names, source
     * NON-KEY columns as `__src_<name>`) guards the action; None = always.
+    *
+    * [[MatchedUpdate.set]] (round 15) carries COLUMN-LEVEL assignments —
+    * SQL `UPDATE SET col = expr, …` — each value an expression over the
+    * same combined row (so `SET cnt = cnt + __src_delta` works). Empty
+    * `set` = `UPDATE SET *` (full-row replacement from the source, the
+    * round-14 behavior). Assigned values are CAST to the target column's
+    * type (SQL assignment-cast semantics); merge KEY columns cannot be
+    * assigned (rekeying a matched row could collide with another live
+    * key inside one snapshot — refused loudly).
     */
   sealed trait MatchedAction { def cond: Option[org.apache.spark.sql.Column] }
-  final case class MatchedUpdate(cond: Option[org.apache.spark.sql.Column])
+  final case class MatchedUpdate(cond: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty)
     extends MatchedAction
   final case class MatchedDelete(cond: Option[org.apache.spark.sql.Column])
     extends MatchedAction
@@ -834,6 +844,18 @@ object Upsert {
       partitionCols: Seq[String]): (Long, Long) = {
     require(matched.nonEmpty || insert.nonEmpty,
       s"mergeActions into $path: at least one action clause is required")
+    matched.foreach {
+      case MatchedUpdate(_, set) if set.nonEmpty =>
+        val names = set.map(_._1)
+        require(names.distinct == names,
+          s"mergeActions into $path: duplicate assignment in UPDATE SET " +
+            s"(${names.diff(names.distinct).distinct.mkString(", ")})")
+        val onKeys = names.filter(keys.contains)
+        require(onKeys.isEmpty,
+          s"mergeActions into $path: UPDATE SET may not assign merge key " +
+            s"column(s) ${onKeys.mkString(", ")}")
+      case _ => ()
+    }
     val dupKeys = source.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
@@ -855,19 +877,33 @@ object Upsert {
     val version = Manifest.currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"mergeActions needs a manifest-managed table: $path has none"))
-    val table = Manifest.readAsOf(spark, path, version)
     val preLive = Manifest.filesAsOf(spark, path, version)
+    if (preLive.isEmpty)
+      // a freshly CREATE TABLE'd shell or a fully-deleted table: a
+      // committed version listing ZERO files, which readAsOf refuses
+      // (ADVICE r14, medium). Matched clauses can't fire; inserts land
+      // through an expected-empty whole-table commit.
+      return mergeIntoEmptyShell(spark, path, version, source, keys,
+        insert, partitionCols)
+    val table = Manifest.readAsOf(spark, path, version)
     val targetCols = table.columns.toSeq
-    require(!targetCols.exists(_.startsWith("__src_")),
-      s"mergeActions into $path: target columns may not start with __src_")
-    // the match sentinel lives OUTSIDE the __src_ namespace: a source
-    // column named `matched` renames to __src_matched, which a sentinel
-    // of that name would collide with (ambiguous-reference at plan time)
-    require(!keys.contains("__graft_matched") &&
-      !targetCols.contains("__graft_matched"),
-      s"mergeActions into $path: __graft_matched is a reserved name")
+    requireNoReservedNames(path, targetCols, keys)
+    matched.foreach {
+      case MatchedUpdate(_, set) =>
+        val unknown = set.map(_._1).filterNot(targetCols.contains)
+        require(unknown.isEmpty,
+          s"mergeActions into $path: UPDATE SET assigns column(s) " +
+            s"${unknown.mkString(", ")} not in the table " +
+            s"(${targetCols.mkString(", ")})")
+      case _ => ()
+    }
+    // full-row source is only needed by SET * updates and INSERT *;
+    // a column-level SET clause just needs its referenced columns
     val needFullRow = insert.nonEmpty ||
-      matched.exists(_.isInstanceOf[MatchedUpdate])
+      matched.exists {
+        case u: MatchedUpdate => u.set.isEmpty
+        case _ => false
+      }
     val srcCols = source.columns.toSet
     if (needFullRow)
       require(targetCols.forall(srcCols),
@@ -943,18 +979,33 @@ object Upsert {
           if (actionExpr == null) lit(-1) else actionExpr.otherwise(lit(-1)))
         val deleteIdx = matched.zipWithIndex.collect {
           case (_: MatchedDelete, i) => i }
-        val updateIdx = matched.zipWithIndex.collect {
-          case (_: MatchedUpdate, i) => i }
+        val updates = matched.zipWithIndex.collect {
+          case (u: MatchedUpdate, i) => (i, u) }
         val affected = decided.filter(col("__action") =!= -1).count()
         val survivors =
           if (deleteIdx.isEmpty) decided
           else decided.filter(!col("__action")
             .isin(deleteIdx.map(Int.box): _*))
+        val targetSchema = table.schema
+        // per column: CASE __action WHEN i THEN <clause i's value for c>
+        // … ELSE <unchanged target> — SET * clauses write the source's
+        // value for every non-key column, column-level SET clauses only
+        // their assigned columns (CAST to the target type, SQL
+        // assignment-cast), every other clause leaves c untouched
         val out = survivors.select(targetCols.map { c =>
           val tgt = col(c)
-          if (updateIdx.isEmpty || keys.contains(c)) tgt.as(c)
-          else when(col("__action").isin(updateIdx.map(Int.box): _*),
-            col(s"__src_$c")).otherwise(tgt).as(c)
+          val writers = updates.flatMap { case (i, u) =>
+            if (u.set.isEmpty) {
+              if (keys.contains(c)) None else Some(i -> col(s"__src_$c"))
+            } else u.set.collectFirst { case (`c`, v) =>
+              i -> v.cast(targetSchema(c).dataType) }
+          }
+          if (writers.isEmpty) tgt.as(c)
+          else writers.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            case (acc, (i, v)) =>
+              Some(acc.fold(when(col("__action") === i, v))(
+                _.when(col("__action") === i, v)))
+          }.get.otherwise(tgt).as(c)
         }: _*)
         (Some(out), affected)
       }
@@ -1031,5 +1082,90 @@ object Upsert {
         fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
       }
     }
+  }
+
+  /** Every internal column the merge rewrite introduces is RESERVED —
+    * a target column literally named `__action` (etc.) would be
+    * silently replaced by the rewrite's `withColumn` and the final
+    * projection would emit rewrite state as that column's data (ADVICE
+    * r14). Loud refusal, matching the module's failure discipline.
+    * (`__mk_`/`__ex_` columns live on frame-qualified key projections,
+    * but are reserved too — cheap insurance against a future refactor
+    * flattening those frames.)
+    */
+  private def requireNoReservedNames(path: String, targetCols: Seq[String],
+      keys: Seq[String]): Unit = {
+    val exact = Set("__graft_matched", "__action", "__graft_file")
+    val bad = (targetCols ++ keys).distinct.filter(c =>
+      exact(c) || c.startsWith("__src_") || c.startsWith("__mk_") ||
+        c.startsWith("__ex_"))
+    require(bad.isEmpty,
+      s"mergeActions into $path: column name(s) ${bad.mkString(", ")} " +
+        "are reserved for the merge rewrite (__graft_matched, __action, " +
+        "__graft_file, and the __src_/__mk_/__ex_ prefixes)")
+  }
+
+  /** Generalized merge against an EMPTY snapshot — a freshly
+    * CREATE TABLE'd shell, or a table whose rows were all deleted
+    * (ADVICE r14, medium: [[Manifest.readAsOf]] rightly refuses an
+    * empty file list, so the main path can't run). No target row can
+    * match, so matched-only merges are a (0, 0) no-op and an INSERT
+    * clause treats EVERY source row as unmatched: apply the insert
+    * condition over the same `__src_`-renamed frame the caller wrote it
+    * against, project the target shape, and land through an
+    * expected-empty whole-table optimistic commit (the
+    * [[appendIntoEmptyChecked]] shape) — a racing lease-less append
+    * makes the live set non-empty, the commit conflicts, and
+    * [[retryingConflicts]] re-runs the merge against the now-non-empty
+    * table.
+    */
+  private def mergeIntoEmptyShell(spark: SparkSession, path: String,
+      version: Long, source: DataFrame, keys: Seq[String],
+      insert: Option[Option[org.apache.spark.sql.Column]],
+      partitionCols: Seq[String]): (Long, Long) = insert match {
+    case None => (0L, 0L)
+    case Some(condOpt) =>
+      import org.apache.spark.sql.functions.lit
+      val pinned = Manifest.schemaAsOf(spark, path, version)
+      // a shell always pins its CREATE TABLE schema; a fully-deleted
+      // un-pinned table takes its shape back from the source (the same
+      // incoming-defines-shape rule stagedAppend applies to new tables)
+      val targetCols = pinned.map(_.fieldNames.toSeq)
+        .getOrElse(source.columns.toSeq)
+      requireNoReservedNames(path, targetCols, keys)
+      val srcCols = source.columns.toSet
+      require(targetCols.forall(srcCols),
+        s"mergeActions into $path: INSERT * needs a full-row source; " +
+          s"missing ${targetCols.filterNot(srcCols).mkString(", ")}")
+      val renamed = source.select(
+        keys.map(col) ++
+          source.columns.toSeq.filterNot(keys.contains)
+            .map(c => col(c).as(s"__src_$c")) :+
+          lit(true).as("__graft_matched"): _*)
+      val filtered = condOpt.fold(renamed)(c => renamed.filter(c))
+      val out = filtered.select(targetCols.map { c =>
+        (if (keys.contains(c)) col(c) else col(s"__src_$c")).as(c)
+      }: _*)
+      pinned.foreach(st => requireSameShape(out.schema, st, path))
+      val n = out.count()
+      if (n == 0L) (0L, 0L)
+      else {
+        val stagingPath = s"$path.__merge_staging_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val w0 = out.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
+         else w0).parquet(stagingPath)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          val moved = Manifest.stageIn(spark, path, stagingPath)
+          Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+            scope = _ => true, expected = Set.empty,
+            retire = Set.empty, add = moved))
+          (0L, n)
+        } finally {
+          fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+        }
+      }
   }
 }

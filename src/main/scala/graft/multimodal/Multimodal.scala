@@ -622,8 +622,10 @@ object Multimodal {
         // size would step p by zero (infinite loop) or backwards, and
         // an oversized one would index past the payload — the loud-
         // failure contract covers malformed containers, not just
-        // truncated ones
-        require(size >= 0 && p + 8 + size <= end,
+        // truncated ones. The bound compares in Long: a size near
+        // Int.MaxValue overflows `p + 8 + size` negative, which would
+        // PASS an Int comparison and walk past the array (ADVICE r14)
+        require(size >= 0 && p.toLong + 8L + size <= end.toLong,
           s"doc $docId: chunk $id at offset $p declares size $size " +
             s"outside its enclosing range (..$end) — corrupt container")
         if (id == "LIST") walk(p + 12, p + 8 + size)

@@ -72,8 +72,9 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         throw new UnsupportedOperationException(
           s"MERGE INTO ${t.name()}: $what — the supported shape is " +
             "ON <same-named key equalities> with ordered WHEN MATCHED " +
-            "[AND cond] THEN UPDATE SET * | DELETE clauses and an " +
-            "optional WHEN NOT MATCHED [AND cond] THEN INSERT *")
+            "[AND cond] THEN UPDATE SET * | UPDATE SET col = expr, … | " +
+            "DELETE clauses and an optional WHEN NOT MATCHED [AND cond] " +
+            "THEN INSERT *")
       if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
       if (notMatchedBySource.nonEmpty) refuse("WHEN NOT MATCHED BY SOURCE")
       val targetCols = r.output.map(_.name)
@@ -99,10 +100,23 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val actions = matched.map {
         case UpdateAction(c, as, _) =>
-          if (!isFullRowByName(as, targetCols))
-            refuse("WHEN MATCHED UPDATE must be SET * (full-row, by name)")
-          Upsert.MatchedUpdate(
-            c.map(clauseCond(_, s"MERGE INTO ${t.name()} WHEN MATCHED AND")))
+          val cond =
+            c.map(clauseCond(_, s"MERGE INTO ${t.name()} WHEN MATCHED AND"))
+          if (isFullRowByName(as, targetCols)) Upsert.MatchedUpdate(cond)
+          else {
+            // column-level SET (round 15): each value re-expressed over
+            // the merge's combined row, same mapping as the conditions
+            val set = as.map {
+              case Assignment(k: AttributeReference, v)
+                  if targetIds(k.exprId) =>
+                k.name -> clauseCond(v,
+                  s"MERGE INTO ${t.name()} WHEN MATCHED UPDATE SET")
+              case Assignment(other, _) =>
+                refuse("UPDATE SET assigns a non-target-column " +
+                  s"expression ${other.sql}")
+            }
+            Upsert.MatchedUpdate(cond, set)
+          }
         case DeleteAction(c) =>
           Upsert.MatchedDelete(
             c.map(clauseCond(_, s"MERGE INTO ${t.name()} WHEN MATCHED AND")))
@@ -210,7 +224,8 @@ final case class GraftMergeCommand(table: GraftTable,
   override def run(session: SparkSession): Seq[Row] = {
     val targetCols = table.schema().fieldNames.toSeq
     (actions, insert) match {
-      case (Seq(Upsert.MatchedUpdate(None)), Some(None)) =>
+      case (Seq(Upsert.MatchedUpdate(None, assigns)), Some(None))
+          if assigns.isEmpty =>
         val src = Shims.ofRows(session, source)
           .select(targetCols.map(col): _*)
         table.partitionCols match {

@@ -82,6 +82,29 @@ object CatalogQueries {
                WHEN MATCHED AND t.pri = '1-URGENT' THEN DELETE
                WHEN MATCHED THEN UPDATE SET *
                WHEN NOT MATCHED AND s.pri = '3-MEDIUM' THEN INSERT *""")
+      // round 15: column-level SET assignments (expressions over BOTH
+      // sides of the match) …
+      s.sql("""CREATE TABLE graftwh.marts.ord_ma (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)""")
+      s.sql("""INSERT INTO graftwh.marts.ord_ma
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""MERGE INTO graftwh.marts.ord_ma t
+               USING __cat_merge_src s ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED AND t.pri = '1-URGENT'
+                 THEN UPDATE SET price_cents = t.price_cents + s.price_cents
+               WHEN MATCHED
+                 THEN UPDATE SET price_cents = s.price_cents - t.price_cents,
+                                 pri = 'X-MERGED'
+               WHEN NOT MATCHED AND s.pri = '2-HIGH' THEN INSERT *""")
+      // … and a generalized MERGE straight into a freshly created EMPTY
+      // shell (ADVICE r14 medium: matched clauses can't fire, the
+      // conditional insert lands via the expected-empty commit)
+      s.sql("""CREATE TABLE graftwh.marts.ord_shell (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)""")
+      s.sql("""MERGE INTO graftwh.marts.ord_shell t
+               USING __cat_merge_src s ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN DELETE
+               WHEN NOT MATCHED AND s.pri <> '5-LOW' THEN INSERT *""")
       "graftwh.marts.ord_slice"
     })
 
@@ -217,7 +240,70 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** Column-level `UPDATE SET col = expr, …` MERGE clauses (round 15):
+    * the first clause adds the source price into the target's (URGENT
+    * matches), the second REPLACES the price with the source-minus-
+    * target difference and re-tags the row — expressions over both
+    * sides of the match, applied first-match-wins; unmatched HIGH
+    * source rows insert. The oracle restates the assignment algebra.
+    */
+  val qSqlMergeAssign = QueryDef(
+    "q_sql_merge_assign",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_ma GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pc * 2 + 1 AS pc, pri FROM base WHERE k % 5 = 0),
+      fin AS (
+        -- unmatched target rows survive unchanged
+        SELECT k, pc, pri FROM t7 WHERE k NOT IN (SELECT k FROM s5)
+        UNION ALL
+        -- first clause: URGENT target -> price accumulates the source's
+        SELECT t.k, t.pc + s.pc AS pc, t.pri
+        FROM t7 t JOIN s5 s ON t.k = s.k WHERE t.pri = '1-URGENT'
+        UNION ALL
+        -- second clause: source-minus-target price, re-tagged
+        SELECT t.k, s.pc - t.pc AS pc, 'X-MERGED' AS pri
+        FROM t7 t JOIN s5 s ON t.k = s.k WHERE t.pri <> '1-URGENT'
+        UNION ALL
+        -- unmatched source rows insert only when HIGH
+        SELECT k, pc, pri FROM s5
+        WHERE k NOT IN (SELECT k FROM t7) AND pri = '2-HIGH')
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
+  /** Generalized MERGE into a freshly CREATE TABLE'd EMPTY shell
+    * (round 15; ADVICE r14 medium): no row can match, so the DELETE
+    * clause is a no-op and every source row passing the insert
+    * condition lands — through the expected-empty whole-table commit,
+    * not a blind append. The oracle is just the conditioned source.
+    */
+  val qSqlMergeShell = QueryDef(
+    "q_sql_merge_shell",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_shell GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      SELECT o_orderpriority AS pri, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT) * 2 + 1)
+               AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 5 = 0 AND o_orderpriority <> '5-LOW'
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
-      qSqlCtasOverwrite, qSqlMergeActions)
+      qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeShell)
 }

@@ -108,4 +108,79 @@ class MergeActionsPropertySpec extends AnyFunSuite {
           s"insert=$insCol\n got=$got\nwant=$want")
     }
   }
+
+  // ---- round 15: the same property over COLUMN-LEVEL assignments ----
+
+  /** Update-value grammar over a (k, cents, n) row: each variant is a
+    * (engine assignment list, model transition). Empty list = SET *.
+    */
+  private def setVariants(rnd: scala.util.Random)
+      : (Seq[(String, Column)], ((Long, Long), (Long, Long)) => (Long, Long)) =
+    rnd.nextInt(4) match {
+      case 0 => (Seq.empty, (_, s) => s) // SET * — full source row
+      case 1 => (Seq("cents" -> (col("cents") + col("__src_cents"))),
+        (t, s) => (t._1 + s._1, t._2))
+      case 2 => (Seq("n" -> (col("n") + lit(1L))),
+        (t, _) => (t._1, t._2 + 1))
+      case 3 => (Seq("cents" -> col("__src_cents"),
+        "n" -> (col("n") + col("__src_n"))),
+        (t, s) => (s._1, t._2 + s._2))
+    }
+
+  test("random column-assignment programs: engine snapshot == reference " +
+      "semantics, every round") {
+    val rnd = new scala.util.Random(1515)
+    (1 to 12).foreach { round =>
+      val p = Files.createTempDirectory(s"graft-maprop$round")
+        .resolve("t").toString
+      val target = (0 until 25).map(_ => rnd.nextInt(40).toLong).distinct
+        .map(k => k -> ((rnd.nextInt(900) + 100).toLong,
+          rnd.nextInt(10).toLong)).toMap
+      Upsert.append(spark, p,
+        target.toSeq.map { case (k, (c, n)) => (k, c, n) }
+          .toDF("k", "cents", "n"), None)
+      val source = (0 until 15).map(_ => rnd.nextInt(60).toLong).distinct
+        .map(k => k -> ((rnd.nextInt(900) + 100).toLong,
+          rnd.nextInt(10).toLong)).toMap
+      val nActs = rnd.nextInt(3) + 1
+      val acts = Seq.fill(nActs) {
+        val (c, m) = conds(rnd)
+        if (rnd.nextInt(4) == 0) (None, c, m) // delete
+        else { val (set, f) = setVariants(rnd); (Some((set, f)), c, m) }
+      }
+      val withInsert = rnd.nextBoolean()
+      val (insCol, insModel) =
+        if (withInsert) { val (c, m) = insConds(rnd); (Some(c), Some(m)) }
+        else (None, None)
+      val engineActs: Seq[Upsert.MatchedAction] = acts.map {
+        case (None, c, _) => Upsert.MatchedDelete(c)
+        case (Some((set, _)), c, _) => Upsert.MatchedUpdate(c, set)
+      }
+      Upsert.mergeActions(spark, p,
+        source.toSeq.map { case (k, (c, n)) => (k, c, n) }
+          .toDF("k", "cents", "n"),
+        Seq("k"), engineActs, insCol, Seq.empty)
+      val got = Manifest.read(spark, p).as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // model: first clause whose cents-condition holds applies its
+      // transition (None = delete); unmatched source rows insert fully
+      val afterMatched = target.flatMap { case (k, t) =>
+        source.get(k) match {
+          case None => Some(k -> t)
+          case Some(s) =>
+            acts.find { case (_, _, c) => c.forall(f => f(t._1, s._1)) }
+              match {
+                case None => Some(k -> t)
+                case Some((None, _, _)) => None // delete
+                case Some((Some((_, f)), _, _)) => Some(k -> f(t, s))
+              }
+        }
+      }
+      val inserts = insModel.fold(Map.empty[Long, (Long, Long)])(pr =>
+        source.filter { case (k, s) => !target.contains(k) && pr(s._1) })
+      val want = afterMatched ++ inserts
+      assert(got === want,
+        s"round $round diverged:\n got=$got\nwant=$want")
+    }
+  }
 }

@@ -184,5 +184,18 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeAviFrames(
         Seq(MediaRow(98L, lied)).toDS(), everyK = 1).collect())
     assert(e2.getMessage.contains("declares"))
+    // a chunk size near Int.MaxValue must hit the range require, not
+    // overflow the Int bound check and index past the array (ADVICE
+    // r14: p + 8 + size wraps negative; the walk compares in Long)
+    val huge = media.head.media.clone()
+    // first child chunk of the outer RIFF starts at offset 12; its
+    // size field is at 16..19 — patch to 0x7FFFFFF0
+    huge(16) = 0xF0.toByte; huge(17) = 0xFF.toByte
+    huge(18) = 0xFF.toByte; huge(19) = 0x7F.toByte
+    val e3 = intercept[Exception](
+      Multimodal.decodeAviFrames(
+        Seq(MediaRow(97L, huge)).toDS(), everyK = 1).collect())
+    assert(e3.getMessage.contains("corrupt container"),
+      s"expected the loud range require, got: ${e3.getMessage}")
   }
 }

@@ -243,15 +243,124 @@ class SqlEdgesSpec extends AnyFunSuite {
          WHEN MATCHED THEN UPDATE SET *
          WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
     assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // column-level SET is supported since round 15 — but assigning a
+    // MERGE KEY would rekey matched rows and stays refused
     val e2 = intercept[Exception](spark.sql(
       """MERGE INTO ecat.ns.mref t USING __ref_src s ON t.k = s.k
-         WHEN MATCHED THEN UPDATE SET cents = s.cents + 1"""))
-    assert(e2.getMessage.contains("SET *"))
+         WHEN MATCHED THEN UPDATE SET k = s.k + 1"""))
+    assert(e2.getMessage.contains("merge key"))
     Seq((1L, 1L), (1L, 2L)).toDF("k", "cents")
       .createOrReplaceTempView("__dup_src")
     val e3 = intercept[Exception](spark.sql(
       """MERGE INTO ecat.ns.mref t USING __dup_src s ON t.k = s.k
          WHEN MATCHED THEN DELETE"""))
     assert(e3.getMessage.contains("more than once"))
+  }
+
+  // ---- round 15: column-level SET assignments -----------------------
+
+  test("column-level SET: conditional clauses with both-side " +
+      "expressions apply first-match-wins") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.ma1 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.ma1 VALUES (1, 10), (2, 20), (3, 30)")
+    Seq((1L, 100L), (3L, 300L), (7L, 700L)).toDF("k", "cents")
+      .createOrReplaceTempView("__ma1_src")
+    spark.sql(
+      """MERGE INTO ecat.ns.ma1 t USING __ma1_src s ON t.k = s.k
+         WHEN MATCHED AND t.k = 1 THEN UPDATE SET cents = t.cents + s.cents
+         WHEN MATCHED THEN UPDATE SET cents = s.cents - t.cents
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(rowsOf("ecat.ns.ma1")
+      === Map(1L -> 110L, 2L -> 20L, 3L -> 270L, 7L -> 700L))
+  }
+
+  test("column-level SET mixes with DELETE in clause order; values are " +
+      "assignment-CAST to the target type") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.ma2 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.ma2 VALUES (1, 10), (2, 20), (3, 30)")
+    Seq((1L, 100L), (3L, 300L)).toDF("k", "cents")
+      .createOrReplaceTempView("__ma2_src")
+    spark.sql(
+      """MERGE INTO ecat.ns.ma2 t USING __ma2_src s ON t.k = s.k
+         WHEN MATCHED AND s.cents > 250 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET cents = t.cents * 1.5""")
+    // k=3 deleted by the first clause; k=1 updated 10*1.5 = 15.0, cast
+    // back to the BIGINT column (SQL assignment-cast); k=2 untouched
+    assert(rowsOf("ecat.ns.ma2") === Map(1L -> 15L, 2L -> 20L))
+  }
+
+  test("library mergeActions refuses duplicate assignments and " +
+      "assignments to columns outside the table") {
+    val p = Files.createTempDirectory("graft-maref").resolve("t").toString
+    Upsert.append(spark, p, Seq((1L, 10L)).toDF("k", "cents"), None)
+    val src = Seq((1L, 100L)).toDF("k", "cents")
+    val dup = intercept[IllegalArgumentException](
+      Upsert.mergeActions(spark, p, src, Seq("k"),
+        Seq(Upsert.MatchedUpdate(None,
+          Seq("cents" -> col("cents"), "cents" -> (col("cents") + 1)))),
+        None, Seq.empty))
+    assert(dup.getMessage.contains("duplicate assignment"))
+    val unknown = intercept[IllegalArgumentException](
+      Upsert.mergeActions(spark, p, src, Seq("k"),
+        Seq(Upsert.MatchedUpdate(None, Seq("nope" -> col("cents")))),
+        None, Seq.empty))
+    assert(unknown.getMessage.contains("nope"))
+  }
+
+  // ---- round 15: generalized merge against an empty shell (ADVICE) --
+
+  test("generalized MERGE into a fresh CREATE TABLE shell: matched " +
+      "clauses no-op, conditional insert lands") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.shell1 (k BIGINT, cents BIGINT)")
+    Seq((1L, 100L), (2L, 20L), (3L, 300L)).toDF("k", "cents")
+      .createOrReplaceTempView("__shell_src")
+    spark.sql(
+      """MERGE INTO ecat.ns.shell1 t USING __shell_src s ON t.k = s.k
+         WHEN MATCHED THEN DELETE
+         WHEN NOT MATCHED AND s.cents >= 100 THEN INSERT *""")
+    assert(rowsOf("ecat.ns.shell1") === Map(1L -> 100L, 3L -> 300L))
+  }
+
+  test("matched-only generalized merge on a shell is a (0,0) no-op; " +
+      "a fully-deleted table takes the shell path too") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.shell2 (k BIGINT, cents BIGINT)")
+    val tblPath = spark.sql("DESCRIBE TABLE EXTENDED ecat.ns.shell2")
+      .filter(col("col_name") === "Location")
+      .select("data_type").as[String].head()
+    val src = Seq((1L, 100L)).toDF("k", "cents")
+    val (a, i) = Upsert.mergeActions(spark, tblPath, src, Seq("k"),
+      Seq(Upsert.MatchedUpdate(None)), None, Seq.empty)
+    assert(a === 0L && i === 0L)
+    assert(spark.sql("SELECT * FROM ecat.ns.shell2").count() === 0L)
+    // land a row, delete it, then merge-insert into the EMPTY (but
+    // version-advanced) table — the shell path must apply again
+    spark.sql("INSERT INTO ecat.ns.shell2 VALUES (9, 90)")
+    spark.sql("DELETE FROM ecat.ns.shell2 WHERE k = 9")
+    spark.sql(
+      """MERGE INTO ecat.ns.shell2 t USING __shell_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED AND s.cents < 250 THEN INSERT *""")
+    assert(rowsOf("ecat.ns.shell2") === Map(1L -> 100L, 2L -> 20L))
+  }
+
+  // ---- round 15: reserved internal names refuse loudly (ADVICE) -----
+
+  test("target columns named like merge-rewrite internals are refused, " +
+      "not silently corrupted") {
+    Seq("__action", "__graft_file", "__mk_k", "__ex_k", "__src_x")
+      .foreach { bad =>
+        val p = Files.createTempDirectory("graft-rsv").resolve("t").toString
+        Upsert.append(spark, p,
+          Seq((1L, 10L)).toDF("k", bad), None)
+        val e = intercept[IllegalArgumentException](
+          Upsert.mergeActions(spark, p,
+            Seq((1L, 99L)).toDF("k", bad), Seq("k"),
+            Seq(Upsert.MatchedUpdate(None)), Some(None), Seq.empty))
+        assert(e.getMessage.contains("reserved"), s"for $bad: $e")
+      }
   }
 }
