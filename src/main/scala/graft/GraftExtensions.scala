@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO over catalog-resolved warehouse tables →
     // the engine's snapshot-committing verbs (round 13)
     ext.injectResolutionRule(s => graft.plans.RewriteGraftDml(s))
+    // SQL reads of RENAME COLUMN'd tables → union scan + coalesce
+    // projection (round 15)
+    ext.injectResolutionRule(s => graft.plans.ExpandRenamedScan(s))
     ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       new ExpressionInfo(classOf[graft.plans.TableChangesPlan].getName,

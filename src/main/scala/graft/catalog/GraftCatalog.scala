@@ -252,9 +252,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Manifest.addColumn(spark, path,
           org.apache.spark.sql.types.StructField(
             add.fieldNames.head, add.dataType, add.isNullable))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"catalog ${name()}: only top-level RENAME COLUMN is supported")
+        Manifest.renameColumn(spark, path, rn.fieldNames.head, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"catalog ${name()}: only top-level DROP COLUMN is supported")
+        Manifest.dropColumn(spark, path, del.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"catalog ${name()}: unsupported ALTER ${other.getClass.getSimpleName} " +
-          "— schema evolution here is additive (ADD COLUMN)")
+          "— schema evolution here is ADD / RENAME / DROP COLUMN")
     }
     GraftTable(spark, fullName(ident), path, asOfVersion = None)
   }

@@ -31,7 +31,8 @@ import graft.engine.{Manifest, Upsert}
   * files the manifest (correctly) ignores.
   */
 final case class GraftTable(spark: SparkSession, tableName: String,
-    path: String, asOfVersion: Option[Long])
+    path: String, asOfVersion: Option[Long],
+    exposeUnion: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2 {
 
@@ -48,6 +49,31 @@ final case class GraftTable(spark: SparkSession, tableName: String,
 
   private val pinnedSchema: Option[StructType] =
     snapshotVersion.flatMap(Manifest.schemaAsOf(spark, path, _))
+
+  /** logical column → its prior (pre-rename) physical names, from the
+    * pinned schema's [[Manifest.PriorNamesKey]] chains. Non-empty ⇔
+    * this snapshot has columns whose data lives under old names in old
+    * files; [[graft.plans.ExpandRenamedScan]] then swaps SQL reads onto
+    * the [[unionVariant]] and coalesces the chains back.
+    */
+  private[graft] lazy val renamePriors: Map[String, Seq[String]] =
+    pinnedSchema.map(Manifest.renameChains).getOrElse(Map.empty)
+
+  /** The same snapshot exposing the UNION read schema: every renamed
+    * column followed by its prior names as nullable shadows (absent in
+    * a given file ⇒ NULL — stock parquet by-name resolution). Rows are
+    * NOT coalesced here; the analyzer-level Project does that. Only
+    * ever constructed by [[graft.plans.ExpandRenamedScan]] for reads.
+    */
+  private[graft] def unionVariant: GraftTable = copy(exposeUnion = true)
+
+  private def widen(st: StructType): StructType =
+    if (!exposeUnion) st
+    else StructType(st.fields.toSeq.flatMap { f =>
+      f +: Manifest.priorNames(f)
+        .map(p => org.apache.spark.sql.types.StructField(
+          p, f.dataType, nullable = true))
+    })
 
   require(relFiles.nonEmpty || pinnedSchema.nonEmpty,
     s"table $tableName at $path: empty snapshot with no pinned schema — " +
@@ -77,7 +103,7 @@ final case class GraftTable(spark: SparkSession, tableName: String,
       options: CaseInsensitiveStringMap): ParquetTable =
     ParquetTable(tableName, spark, scanOptions(options),
       files.map(f => s"$path/$f"),
-      pinnedSchema, classOf[ParquetFileFormat])
+      pinnedSchema.map(widen), classOf[ParquetFileFormat])
 
   private lazy val fullTable: ParquetTable =
     delegate(relFiles, CaseInsensitiveStringMap.empty())
@@ -85,7 +111,7 @@ final case class GraftTable(spark: SparkSession, tableName: String,
   override def name(): String = tableName
 
   override def schema(): StructType =
-    if (relFiles.isEmpty) pinnedSchema.get else fullTable.schema
+    if (relFiles.isEmpty) widen(pinnedSchema.get) else fullTable.schema
 
   override def properties(): util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> path) ++

@@ -64,11 +64,9 @@ object ChangeFeed {
 
     def readSubset(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else {
-        val r = spark.read.option("basePath", path)
-        Some(pinned.fold(r)(r.schema)
-          .parquet(files.map(f => s"$path/$f"): _*))
-      }
+      // rename-aware (prior-name coalesce): removed files can predate a
+      // renameColumn while the feed reads them under vTo's schema
+      else Some(Manifest.readFiles(spark, path, pinned, files))
 
     def emptyLike(d: DataFrame): DataFrame =
       spark.createDataFrame(

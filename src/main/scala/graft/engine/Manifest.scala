@@ -743,13 +743,164 @@ object Manifest {
       require(field.nullable,
         s"addColumn ${field.name}: an added column must be nullable — " +
           "every pre-migration row reads it as NULL")
-      val cur = read(spark, path).schema
+      // evolve the PINNED sidecar, not the DataFrame's schema: the
+      // rename-aware read projection strips field metadata, and pinning
+      // a stripped schema would silently erase live prior-name chains.
+      // (Pre-manifest tables keep the footer-derived adoption path.)
+      val cur = currentVersion(spark, path) match {
+        case Some(_) => evolvableSchema(spark, path)
+        case None => read(spark, path).schema
+      }
       require(!cur.fieldNames.map(_.toLowerCase)
         .contains(field.name.toLowerCase),
         s"addColumn: $path already has a column named ${field.name}")
+      // zombie guard (round 15): a name previously DROPPED or
+      // RENAMED-AWAY may still exist physically in live files — by-name
+      // resolution would resurface its stale values as the "new"
+      // column's data. Tombstoned names are retired for good.
+      require(!tombstonedNames(spark, path).contains(field.name.toLowerCase),
+        s"addColumn: '${field.name}' was used by a dropped or renamed " +
+          s"column of $path and may still hold stale values in live " +
+          "files — choose a fresh name")
       commit(spark, path, currentLive(spark, path),
         schema = Some(org.apache.spark.sql.types.StructType(
           cur.fields :+ field)))
+    }
+
+  // ---- RENAME / DROP COLUMN (round 15) ------------------------------
+
+  /** Metadata key on a pinned schema field listing the PRIOR names this
+    * (renamed) column has carried, newest first. Files written before a
+    * rename hold the data under a prior name; [[readFiles]] resolves
+    * the chain with one `coalesce` per renamed column — each live file
+    * holds EXACTLY ONE name of a chain (renames tombstone the vacated
+    * name, so it can never be re-introduced alongside).
+    */
+  val PriorNamesKey = "graft.prior"
+
+  private[graft] def priorNames(
+      f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PriorNamesKey))
+      f.metadata.getStringArray(PriorNamesKey).toSeq
+    else Seq.empty
+
+  /** logical name → prior physical names, for every renamed column of
+    * the pinned schema (empty when the table has no live renames).
+    */
+  def renameChains(st: org.apache.spark.sql.types.StructType)
+      : Map[String, Seq[String]] =
+    st.fields.iterator.map(f => f.name -> priorNames(f))
+      .filter(_._2.nonEmpty).toMap
+
+  /** Names retired by DROP/RENAME, lowercased — reserved forever (live
+    * files may still carry them physically; see [[addColumn]]).
+    */
+  private[graft] def tombstonedNames(spark: SparkSession,
+      path: String): Set[String] =
+    tableProperties(spark, path).get("tombstones")
+      .map(_.split(",").iterator.filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  private def addTombstones(spark: SparkSession, path: String,
+      names: Seq[String]): Unit = {
+    names.foreach(n => require(!n.contains(',') && !n.contains('='),
+      s"column name not tombstonable (',' or '='): $n"))
+    val merged = tombstonedNames(spark, path) ++ names.map(_.toLowerCase)
+    writeTableProperties(spark, path, tableProperties(spark, path) +
+      ("tombstones" -> merged.toSeq.sorted.mkString(",")))
+  }
+
+  /** The table's partition columns as physically laid out (or declared
+    * on an empty shell) — RENAME/DROP refuse these: the directory
+    * layout IS their storage, and no metadata migration can re-key it.
+    */
+  private def partitionColsOf(spark: SparkSession, path: String)
+      : Seq[String] =
+    currentLive(spark, path).headOption
+      .map(_.split("/").dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
+      .getOrElse(tableProperties(spark, path).get("partition").toSeq)
+
+  /** The current schema a metadata migration evolves: the pinned
+    * sidecar when one exists, else the footer-derived shape (which the
+    * migration then pins, versioning the schema from here on).
+    */
+  private def evolvableSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"schema migration needs a manifest-managed table: $path has none"))
+    schemaAsOf(spark, path, v).getOrElse(readAsOf(spark, path, v).schema)
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN from TO to` as a METADATA-ONLY
+    * migration: one commit of the unchanged file list with the renamed
+    * schema pinned — zero data rewrite at any scale. Files written
+    * before the rename keep the data under the old name; every reader
+    * resolves the [[PriorNamesKey]] chain with a per-column `coalesce`
+    * (sound because the vacated name is tombstoned — no live file can
+    * ever hold both names of a chain). Time travel to pre-rename
+    * versions returns the old shape. Partition columns refuse: their
+    * name is the directory layout itself. Rewrites that touch old
+    * files (merge, compaction, Z-order) re-land their rows under the
+    * NEW name, so the chain drains as the table churns.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long =
+    WriterLease.withLease(spark, path) {
+      val cur = evolvableSchema(spark, path)
+      val idx = cur.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+      require(idx >= 0,
+        s"renameColumn: $path has no column named $from " +
+          s"(${cur.fieldNames.mkString(", ")})")
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"renameColumn: $path already has a column named $to")
+      require(!tombstonedNames(spark, path).contains(to.toLowerCase),
+        s"renameColumn: '$to' was used by a dropped or renamed column " +
+          s"of $path and may still hold stale values in live files — " +
+          "choose a fresh name")
+      require(!partitionColsOf(spark, path).exists(_.equalsIgnoreCase(from)),
+        s"renameColumn: $from is a partition column of $path — its name " +
+          "is the directory layout; repartition into a new table instead")
+      val f = cur.fields(idx)
+      val chain = f.name +: priorNames(f)
+      val nf = org.apache.spark.sql.types.StructField(to, f.dataType,
+        nullable = f.nullable,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putStringArray(PriorNamesKey, chain.toArray).build())
+      // tombstone FIRST: a crash between the two writes leaves only an
+      // over-conservative reservation, never an unprotected rename
+      addTombstones(spark, path, Seq(f.name))
+      commit(spark, path, currentLive(spark, path),
+        schema = Some(org.apache.spark.sql.types.StructType(
+          cur.fields.updated(idx, nf))))
+    }
+
+  /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY migration: one
+    * commit of the unchanged file list with the narrowed schema pinned.
+    * Parquet by-name resolution simply never requests the dropped
+    * column from old files (column pruning — zero read cost), and the
+    * name (plus its whole rename chain) is tombstoned so a later
+    * [[addColumn]] can't resurface stale values. Time travel to
+    * pre-drop versions still shows the column.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    WriterLease.withLease(spark, path) {
+      val cur = evolvableSchema(spark, path)
+      val idx = cur.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0,
+        s"dropColumn: $path has no column named $name " +
+          s"(${cur.fieldNames.mkString(", ")})")
+      require(cur.fields.length > 1,
+        s"dropColumn: $name is the only column of $path")
+      require(!partitionColsOf(spark, path).exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: $name is a partition column of $path — its name " +
+          "is the directory layout; repartition into a new table instead")
+      val f = cur.fields(idx)
+      addTombstones(spark, path, f.name +: priorNames(f))
+      commit(spark, path, currentLive(spark, path),
+        schema = Some(org.apache.spark.sql.types.StructType(
+          cur.fields.patch(idx, Nil, 1))))
     }
 
   /** Plan-time file skipping (round 11): resolve the current snapshot,
@@ -792,12 +943,8 @@ object Manifest {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, path).schema)
-    else {
-      val r = spark.read.option("basePath", path)
-      currentVersion(spark, path).flatMap(schemaAsOf(spark, path, _))
-        .fold(r)(r.schema)
-        .parquet(kept.map(f => s"$path/$f"): _*)
-    }
+    else readFiles(spark, path,
+      currentVersion(spark, path).flatMap(schemaAsOf(spark, path, _)), kept)
   }
 
   /** Data files currently in the table directory (recursive, hidden
@@ -900,10 +1047,49 @@ object Manifest {
       }
     require(files.nonEmpty,
       s"manifest v$v of $path lists no files — nothing to read")
-    val r = spark.read.option("basePath", path)
-    schemaAsOf(spark, path, v).fold(r)(r.schema)
-      .parquet(files.map(f => s"$path/$f"): _*)
+    readFiles(spark, path, schemaAsOf(spark, path, v), files)
   }
+
+  /** The ONE schema-aware file reader every snapshot read funnels
+    * through: pinned schema applied when present, and — when the
+    * pinned schema carries [[PriorNamesKey]] rename chains — the read
+    * schema widened to the union of current + prior names (absent
+    * names resolve NULL per file) and each renamed column projected
+    * back as `coalesce(new, prior…)`. Sound because a live file holds
+    * at most ONE name of a chain (renames tombstone the vacated name).
+    */
+  private[graft] def readFiles(spark: SparkSession, path: String,
+      pinned: Option[org.apache.spark.sql.types.StructType],
+      relFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val r = spark.read.option("basePath", path)
+    val paths = relFiles.map(f => s"$path/$f")
+    pinned match {
+      case None => r.parquet(paths: _*)
+      case Some(st) =>
+        val chains = st.fields.toSeq.map(f => f -> priorNames(f))
+        if (chains.forall(_._2.isEmpty)) r.schema(st).parquet(paths: _*)
+        else {
+          val union = org.apache.spark.sql.types.StructType(
+            chains.flatMap { case (f, ps) =>
+              f +: ps.map(p => org.apache.spark.sql.types.StructField(
+                p, f.dataType, nullable = true)) })
+          r.schema(union).parquet(paths: _*)
+            .select(chains.map { case (f, ps) =>
+              if (ps.isEmpty) col(f.name)
+              else coalesce((f.name +: ps).map(col): _*).as(f.name)
+            }: _*)
+        }
+    }
+  }
+
+  /** A pinned-schema (rename-aware) read of a SUBSET of version `v`'s
+    * files — the sub-read the touched-files rewrites (DELETE/UPDATE/
+    * MERGE) use on the files they are about to replace.
+    */
+  def readSubsetAsOf(spark: SparkSession, path: String, v: Long,
+      relFiles: Seq[String]): DataFrame =
+    readFiles(spark, path, schemaAsOf(spark, path, v), relFiles)
 
   /** Move every data file under `stagingPath` into the table directory,
     * preserving relative (partition) structure — the stage-in step of a

@@ -561,12 +561,12 @@ object Upsert {
         // The manifest's pinned schema (if any) applies here exactly as
         // in Manifest.readAsOf: after addColumn, touched files can mix
         // pre/post-migration shapes, and a footer-inferred schema could
-        // drop the added column's values from newer files.
+        // drop the added column's values from newer files. readFiles is
+        // also RENAME-aware (prior-name coalesce), so a rewrite after a
+        // renameColumn re-lands old rows under the new name.
         val pinned = Manifest.currentVersion(spark, path)
           .flatMap(Manifest.schemaAsOf(spark, path, _))
-        val subR = spark.read.option("basePath", path)
-        val sub = pinned.fold(subR)(subR.schema)
-          .parquet(touched.map(f => s"$path/$f"): _*)
+        val sub = Manifest.readFiles(spark, path, pinned, touched.toSeq)
         val partCols = touched.head.split("/").dropRight(1)
           .map(_.takeWhile(_ != '=')).toSeq
         val matched = sub.filter(predicate).count()
@@ -957,10 +957,7 @@ object Upsert {
     val (rewritten, nMatchedAffected) =
       if (touched.isEmpty) (None, 0L)
       else {
-        val pinned = Manifest.schemaAsOf(spark, path, version)
-        val subR = spark.read.option("basePath", path)
-        val sub = pinned.fold(subR)(subR.schema)
-          .parquet(touched.map(f => s"$path/$f"): _*)
+        val sub = Manifest.readSubsetAsOf(spark, path, version, touched)
         val joinedRaw = sub.join(renamed,
           keys.map(k => sub(k) <=> renamed(k)).reduce(_ && _), "left_outer")
         // drop the source's copy of the key columns (same names; the
@@ -1026,12 +1023,7 @@ object Upsert {
           // is equivalent to anti against the whole table, minus a scan
           val base =
             if (matched.isEmpty) table
-            else {
-              val pinned = Manifest.schemaAsOf(spark, path, version)
-              val subR = spark.read.option("basePath", path)
-              pinned.fold(subR)(subR.schema)
-                .parquet(touched.map(f => s"$path/$f"): _*)
-            }
+            else Manifest.readSubsetAsOf(spark, path, version, touched)
           val exKeys = base.select(keys.map(k => col(k).as(s"__ex_$k")): _*)
           renamed.join(exKeys,
             keys.map(k => renamed(k) <=> exKeys(s"__ex_$k")).reduce(_ && _),

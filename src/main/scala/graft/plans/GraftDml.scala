@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Exists, Expression, In, InSubquery, Literal, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -88,9 +88,7 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
       val targetIds = r.output.map(_.exprId).toSet
       val sourceIds = source.output.map(_.exprId).toSet
       def clauseCond(e: Expression, where: String): Column = {
-        require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-          s"$where: subqueries are not supported in graft DML")
-        Shims.column(e.transform {
+        Shims.column(evalSubqueries(e, where).transform {
           case a: AttributeReference if targetIds(a.exprId) =>
             UnresolvedAttribute.quoted(a.name)
           case a: AttributeReference if sourceIds(a.exprId) =>
@@ -137,19 +135,85 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         refuse("the merge has no action clauses")
       GraftMergeCommand(t, source, keys, actions, insertSpec)
 
+    // DELETE with a subquery predicate (round 15): the stock DSv2 path
+    // refuses subqueries outright, so the uncorrelated shapes —
+    // `DELETE … WHERE k IN (SELECT …)`, the idiomatic Postgres idiom —
+    // are lifted here into [[Upsert.deleteWhere]]'s touched-files-only
+    // rewrite after [[evalSubqueries]] literalizes them. Subquery-free
+    // DELETEs keep the stock SupportsDeleteV2 route (predicate
+    // translation + pushdown) untouched.
+    case d @ DeleteFromTable(GraftRelation(_, t), condition)
+        if d.resolved &&
+          condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+      t.asOfVersion.foreach(v => throw new UnsupportedOperationException(
+        s"cannot delete from ${t.name()}: VERSION AS OF $v is a " +
+          "read-only snapshot"))
+      GraftDeleteCommand(t,
+        Shims.column(unbound(condition, s"DELETE FROM ${t.name()} WHERE")))
+
     case _ => plan
   }
 
   /** Re-express a resolved expression against a FRESH read of the same
-    * table: attribute references unbind to names (the engine verb
-    * applies them to its own snapshot scan). Subqueries would capture
-    * the outer plan — refused.
+    * table: UNCORRELATED subqueries evaluate to literals first
+    * ([[evalSubqueries]]), then attribute references unbind to names
+    * (the engine verb applies them to its own snapshot scan).
+    * Correlated subqueries would capture the outer plan — refused.
     */
-  private def unbound(e: Expression, where: String): Expression = {
-    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"$where: subqueries are not supported in graft DML")
-    e.transform {
+  private def unbound(e: Expression, where: String): Expression =
+    evalSubqueries(e, where).transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+
+  /** Evaluate every UNCORRELATED subquery in a DML predicate or
+    * assignment value to a literal (round 15): `key IN (SELECT …)` →
+    * an IN-list, a scalar subquery → its single value, uncorrelated
+    * EXISTS → a boolean. The materialization is BOUNDED
+    * (`spark.graft.dml.subquery.maxRows`, default 100k) and refuses
+    * loudly past the cap: a key set that large should flow through
+    * MERGE (`WHEN MATCHED THEN UPDATE/DELETE`), whose semi-join
+    * rewrite is the scale path — an IN-list of millions of literals
+    * is a driver-sized plan, not a distributed join. Correlated
+    * subqueries (outer references) stay refused: they need a
+    * per-row join the rewrite verbs don't restate.
+    */
+  private def evalSubqueries(e: Expression, where: String): Expression = {
+    def requireUncorrelated(s: SubqueryExpression): Unit =
+      require(!s.isCorrelated,
+        s"$where: correlated subqueries are not supported in graft DML " +
+          "— restate the per-row match as a MERGE")
+    def collectBounded(plan: LogicalPlan): Array[Row] = {
+      val max = spark.conf
+        .get("spark.graft.dml.subquery.maxRows", "100000").toInt
+      val rows = Shims.ofRows(spark, plan).limit(max + 1).collect()
+      require(rows.length <= max,
+        s"$where: uncorrelated subquery materialized more than $max " +
+          "rows (spark.graft.dml.subquery.maxRows) — a key set this " +
+          "large should flow through MERGE, whose semi-join scales")
+      rows
+    }
+    e.transformUp {
+      case InSubquery(values, lq) =>
+        val _ = { requireUncorrelated(lq) }
+        require(values.size == 1,
+          s"$where: multi-column IN subqueries are not supported " +
+            "in graft DML")
+        val dt = lq.plan.output.head.dataType
+        val items = collectBounded(lq.plan)
+          .map(r => Literal.create(r.get(0), dt)).toSeq
+        // x IN (empty set) is FALSE for every x, including NULL —
+        // and NOT IN over the surrounding Not() then holds for all
+        if (items.isEmpty) Literal(false) else In(values.head, items)
+      case s: ScalarSubquery =>
+        requireUncorrelated(s)
+        val rows = collectBounded(s.plan)
+        require(rows.length <= 1,
+          s"$where: scalar subquery returned ${rows.length} rows")
+        Literal.create(rows.headOption.map(_.get(0)).orNull,
+          s.plan.output.head.dataType)
+      case ex: Exists =>
+        requireUncorrelated(ex)
+        Literal(Shims.ofRows(spark, ex.plan).limit(1).collect().nonEmpty)
     }
   }
 
@@ -199,6 +263,18 @@ final case class GraftUpdateCommand(table: GraftTable, condition: Column,
     set: Map[String, Column]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     Upsert.updateWhere(session, table.path, condition, set)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <cat>.<ns>.<t> WHERE <pred with subqueries>` →
+  * [[Upsert.deleteWhere]]'s touched-files-only snapshot rewrite (the
+  * subquery-free shapes never get here — they ride the stock
+  * SupportsDeleteV2 route). */
+final case class GraftDeleteCommand(table: GraftTable, condition: Column)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Upsert.deleteWhere(session, table.path, condition)
     Seq.empty
   }
 }

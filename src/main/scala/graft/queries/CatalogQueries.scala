@@ -105,6 +105,18 @@ object CatalogQueries {
                USING __cat_merge_src s ON t.o_orderkey = s.o_orderkey
                WHEN MATCHED THEN DELETE
                WHEN NOT MATCHED AND s.pri <> '5-LOW' THEN INSERT *""")
+      // round 15: uncorrelated subqueries in DML predicates — the
+      // idiomatic Postgres `DELETE … WHERE k IN (SELECT …)` and a
+      // scalar-subquery UPDATE value
+      s.sql("""CREATE TABLE graftwh.marts.ord_del AS
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""DELETE FROM graftwh.marts.ord_del
+               WHERE o_orderkey IN (SELECT o_orderkey FROM __cat_merge_src
+                                    WHERE pri = '1-URGENT')""")
+      s.sql("""UPDATE graftwh.marts.ord_del
+               SET price_cents = price_cents +
+                 (SELECT min(price_cents) FROM __cat_merge_src)
+               WHERE pri = '5-LOW'""")
       "graftwh.marts.ord_slice"
     })
 
@@ -303,7 +315,43 @@ object CatalogQueries {
       WHERE o_orderkey % 5 = 0 AND o_orderpriority <> '5-LOW'
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Uncorrelated subqueries in DML predicates (round 15): `DELETE …
+    * WHERE key IN (SELECT …)` — the Postgres idiom the reference's
+    * users write — and an UPDATE whose SET value is a scalar subquery.
+    * Both literalize through a bounded materialization
+    * ([[graft.plans.RewriteGraftDml]]) and run the touched-files-only
+    * snapshot rewrite; the oracle restates both statements inline.
+    */
+  val qSqlDeleteIn = QueryDef(
+    "q_sql_delete_in",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_del GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pc * 2 + 1 AS pc, pri FROM base WHERE k % 5 = 0),
+      kept AS (
+        SELECT * FROM t7
+        WHERE k NOT IN (SELECT k FROM s5 WHERE pri = '1-URGENT')),
+      fin AS (
+        SELECT k,
+               pc + CASE WHEN pri = '5-LOW'
+                         THEN (SELECT min(pc) FROM s5) ELSE 0 END AS pc,
+               pri
+        FROM kept)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
-      qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeShell)
+      qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeShell,
+      qSqlDeleteIn)
 }

@@ -642,6 +642,22 @@ object WarehouseQueries {
         slice(5).withColumn("discount_cents",
           (col("o_orderkey") % 1000).cast("bigint")),
         Seq("o_orderkey", "d"), "d")
+      // round 15: metadata-only RENAME — files from the two appends
+      // above keep the data under `discount_cents`; readers coalesce
+      // the prior-name chain. A THIRD append then lands under the new
+      // name, so the table mixes three file generations
+      graft.engine.Manifest.renameColumn(s, path,
+        "discount_cents", "rebate_cents")
+      graft.engine.Upsert.upsertPartitioned(s, path,
+        slice(7).withColumn("rebate_cents",
+          (col("o_orderkey") % 500).cast("bigint")),
+        Seq("o_orderkey", "d"), "d")
+      // and a metadata-only ADD → DROP round trip: the dropped column
+      // must vanish from the current shape (time travel still sees it)
+      graft.engine.Manifest.addColumn(s, path,
+        org.apache.spark.sql.types.StructField("tmp_flag",
+          org.apache.spark.sql.types.LongType, nullable = true))
+      graft.engine.Manifest.dropColumn(s, path, "tmp_flag")
       path
     })
 
@@ -670,18 +686,22 @@ object WarehouseQueries {
       require(!old.columns.contains("discount_cents"),
         s"schema-evolution fixture: v$v1 must predate the migration")
       val cur = graft.engine.Manifest.read(s, path)
+      require(!cur.columns.contains("discount_cents") &&
+        !cur.columns.contains("tmp_flag"),
+        "schema-evolution fixture: the rename and the drop must both " +
+          s"show in the current shape, got ${cur.columns.mkString(",")}")
       cur.agg(count(lit(1)).as("n_rows"),
           sum(col("price_cents")).cast("long").as("sum_cents"),
-          count(col("discount_cents")).as("n_discount"),
-          coalesce(sum(col("discount_cents")), lit(0L)).cast("long")
-            .as("sum_discount"))
+          count(col("rebate_cents")).as("n_rebate"),
+          coalesce(sum(col("rebate_cents")), lit(0L)).cast("long")
+            .as("sum_rebate"))
         .select(lit("current").as("snap"), col("n_rows"), col("sum_cents"),
-          col("n_discount"), col("sum_discount"))
+          col("n_rebate"), col("sum_rebate"))
         .unionByName(old
           .agg(count(lit(1)).as("n_rows"),
             sum(col("price_cents")).cast("long").as("sum_cents"))
           .select(lit("v1").as("snap"), col("n_rows"), col("sum_cents"),
-            lit(0L).as("n_discount"), lit(0L).as("sum_discount")))
+            lit(0L).as("n_rebate"), lit(0L).as("sum_rebate")))
         .orderBy(col("snap"))
     },
     Some("""
@@ -693,11 +713,14 @@ object WarehouseQueries {
         SELECT pc, CAST(NULL AS BIGINT) AS dc FROM b WHERE o_orderkey % 11 = 0
         UNION ALL
         SELECT pc, CAST(o_orderkey % 1000 AS BIGINT) FROM b
-        WHERE o_orderkey % 11 = 5)
+        WHERE o_orderkey % 11 = 5
+        UNION ALL
+        SELECT pc, CAST(o_orderkey % 500 AS BIGINT) FROM b
+        WHERE o_orderkey % 11 = 7)
       SELECT 'current' AS snap, count(*) AS n_rows,
              CAST(SUM(pc) AS BIGINT) AS sum_cents,
-             count(dc) AS n_discount,
-             CAST(COALESCE(SUM(dc), 0) AS BIGINT) AS sum_discount
+             count(dc) AS n_rebate,
+             CAST(COALESCE(SUM(dc), 0) AS BIGINT) AS sum_rebate
       FROM cur
       UNION ALL
       SELECT 'v1', count(*), CAST(SUM(pc) AS BIGINT),

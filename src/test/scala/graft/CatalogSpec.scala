@@ -207,11 +207,17 @@ class CatalogSpec extends AnyFunSuite
     assert(spark.sql(
       s"SELECT cents FROM tcat.ns.up_t VERSION AS OF $v1 WHERE k = 1")
       .as[Long].head() === 10L)
-    // subqueries are refused loudly, not silently mis-run
-    val e = intercept[Exception](spark.sql(
+    // uncorrelated subqueries are SUPPORTED since round 15 …
+    spark.sql(
       "UPDATE tcat.ns.up_t SET cents = 0 WHERE k IN " +
-        "(SELECT k FROM tcat.ns.up_t WHERE v = 'b')"))
-    assert(e.getMessage.toLowerCase.contains("subquer"))
+        "(SELECT k FROM tcat.ns.up_t WHERE v = 'b')")
+    assert(spark.sql(
+      "SELECT cents FROM tcat.ns.up_t WHERE k = 2").as[Long].head() === 0L)
+    // … CORRELATED ones stay loudly refused, not silently mis-run
+    val e = intercept[Exception](spark.sql(
+      "UPDATE tcat.ns.up_t SET cents = 0 WHERE EXISTS " +
+        "(SELECT 1 FROM tcat.ns.up_t i WHERE i.k = tcat.ns.up_t.k + 1)"))
+    assert(e.getMessage.toLowerCase.contains("correlated"))
   }
 
   test("SQL MERGE INTO an unpartitioned table: SCD1 upsert semantics") {

@@ -126,6 +126,142 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(!FileStats.read(spark, path, v).contains(dropped))
   }
 
+  // ---- round 15: RENAME / DROP COLUMN as metadata-only migrations ---
+
+  test("renameColumn is metadata-only: old files read under the new " +
+      "name, time travel keeps the old shape, appends land renamed") {
+    val path = tmp()
+    Upsert.upsertPartitioned(spark, path,
+      Seq((1, d1, 100L), (2, d2, 200L)).toDF("k", "d", "cents"),
+      Seq("k", "d"), "d")
+    val filesBefore = Manifest.currentLive(spark, path).sorted
+    val vRen = Manifest.renameColumn(spark, path, "cents", "price")
+    assert(Manifest.currentLive(spark, path).sorted === filesBefore,
+      "rename must not rewrite any data file")
+    val now = Manifest.read(spark, path)
+    assert(now.columns.toSeq === Seq("k", "price", "d"))
+    assert(now.select("k", "price").as[(Int, Long)].collect().toMap
+      === Map(1 -> 100L, 2 -> 200L),
+      "pre-rename files must surface their data under the new name")
+    // time travel to the pre-rename version keeps the old shape
+    assert(Manifest.readAsOf(spark, path, vRen - 1).columns
+      .contains("cents"))
+    // the drift gate now speaks the new name…
+    val e = intercept[IllegalArgumentException](
+      Upsert.upsertPartitioned(spark, path,
+        Seq((3, d1, 300L)).toDF("k", "d", "cents"), Seq("k", "d"), "d"))
+    assert(e.getMessage.contains("schema drift"))
+    // …and a new-name append mixes generations transparently
+    Upsert.upsertPartitioned(spark, path,
+      Seq((3, d1, 300L)).toDF("k", "d", "price"), Seq("k", "d"), "d")
+    assert(Manifest.read(spark, path).select("k", "price")
+      .as[(Int, Long)].collect().toMap
+      === Map(1 -> 100L, 2 -> 200L, 3 -> 300L))
+    // filters and aggregates on the renamed column see every generation
+    assert(Manifest.read(spark, path).filter(col("price") > 150)
+      .count() === 2)
+  }
+
+  test("a rewrite after rename re-lands old rows under the new name " +
+      "(the chain drains as the table churns)") {
+    val path = tmp()
+    Upsert.upsertParquet(spark, path,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "cents"), Seq("k"))
+    Manifest.renameColumn(spark, path, "cents", "price")
+    // updateWhere must evaluate against the coalesced logical row…
+    val n = Upsert.updateWhere(spark, path, col("k") === 1L,
+      Map("price" -> (col("price") + 5L)))
+    assert(n === 1L)
+    assert(Manifest.read(spark, path).as[(Long, Long)].collect().toMap
+      === Map(1L -> 15L, 2L -> 20L))
+    // …and the rewritten file physically carries the NEW name only
+    val rewritten = Manifest.read(spark, path)
+    assert(rewritten.columns.toSeq === Seq("k", "price"))
+    // generalized merge over the mixed generations
+    val (aff, ins) = Upsert.mergeActions(spark, path,
+      Seq((2L, 999L), (7L, 70L)).toDF("k", "price"), Seq("k"),
+      Seq(Upsert.MatchedUpdate(None)), Some(None), Seq.empty)
+    assert(aff === 1L && ins === 1L)
+    assert(Manifest.read(spark, path).as[(Long, Long)].collect().toMap
+      === Map(1L -> 15L, 2L -> 999L, 7L -> 70L))
+  }
+
+  test("dropColumn narrows the current shape; time travel keeps it; " +
+      "tombstones block zombie re-adds and rename-onto") {
+    val path = tmp()
+    Upsert.upsertParquet(spark, path,
+      Seq((1L, 10L, 7L)).toDF("k", "cents", "flag"), Seq("k"))
+    val filesBefore = Manifest.currentLive(spark, path).sorted
+    val vDrop = Manifest.dropColumn(spark, path, "flag")
+    assert(Manifest.currentLive(spark, path).sorted === filesBefore)
+    assert(Manifest.read(spark, path).columns.toSeq === Seq("k", "cents"))
+    assert(Manifest.readAsOf(spark, path, vDrop - 1).columns
+      .contains("flag"))
+    // the old file still physically holds `flag` — re-adding the name
+    // would resurface stale values as the "new" column's data
+    val re = intercept[IllegalArgumentException](
+      Manifest.addColumn(spark, path,
+        StructField("flag", LongType, nullable = true)))
+    assert(re.getMessage.contains("stale values"))
+    // renaming another column ONTO a tombstoned name is the same trap
+    val rn = intercept[IllegalArgumentException](
+      Manifest.renameColumn(spark, path, "cents", "flag"))
+    assert(rn.getMessage.contains("stale values"))
+    // and a rename's vacated name is tombstoned too
+    Manifest.renameColumn(spark, path, "cents", "price")
+    val re2 = intercept[IllegalArgumentException](
+      Manifest.addColumn(spark, path,
+        StructField("cents", LongType, nullable = true)))
+    assert(re2.getMessage.contains("stale values"))
+  }
+
+  test("rename/drop refuse partition columns and the last column") {
+    val path = tmp()
+    Upsert.upsertPartitioned(spark, path,
+      Seq((1, d1, 10L)).toDF("k", "d", "cents"), Seq("k", "d"), "d")
+    val e1 = intercept[IllegalArgumentException](
+      Manifest.renameColumn(spark, path, "d", "day"))
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[IllegalArgumentException](
+      Manifest.dropColumn(spark, path, "d"))
+    assert(e2.getMessage.contains("partition column"))
+    val p2 = tmp()
+    Upsert.upsertParquet(spark, p2, Seq(Tuple1(1L)).toDF("k"), Seq("k"))
+    val e3 = intercept[IllegalArgumentException](
+      Manifest.dropColumn(spark, p2, "k"))
+    assert(e3.getMessage.contains("only column"))
+  }
+
+  test("chained renames resolve across three file generations") {
+    val path = tmp()
+    Upsert.upsertParquet(spark, path,
+      Seq((1L, 10L)).toDF("k", "a"), Seq("k"))
+    Manifest.renameColumn(spark, path, "a", "b")
+    Upsert.upsertParquet(spark, path,
+      Seq((2L, 20L)).toDF("k", "b"), Seq("k"))
+    Manifest.renameColumn(spark, path, "b", "c")
+    Upsert.upsertParquet(spark, path,
+      Seq((3L, 30L)).toDF("k", "c"), Seq("k"))
+    assert(Manifest.read(spark, path).columns.toSeq === Seq("k", "c"))
+    assert(Manifest.read(spark, path).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // a LATER add/drop migration must not erase the live rename chain
+    // (regression: addColumn once evolved the projected DataFrame
+    // schema, which strips the prior-name metadata)
+    Manifest.addColumn(spark, path, StructField("x", LongType, true))
+    Manifest.dropColumn(spark, path, "x")
+    assert(Manifest.read(spark, path).select("k", "c")
+      .as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // every vacated name along the chain is reserved
+    Seq("a", "b").foreach { n =>
+      val e = intercept[IllegalArgumentException](
+        Manifest.addColumn(spark, path,
+          StructField(n, LongType, nullable = true)))
+      assert(e.getMessage.contains("stale values"), n)
+    }
+  }
+
   test("vacuum and rollback retire schema sidecars with their versions") {
     val path = tmp()
     Upsert.upsertParquet(spark, path,

@@ -347,6 +347,127 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(rowsOf("ecat.ns.shell2") === Map(1L -> 100L, 2L -> 20L))
   }
 
+  // ---- round 15: uncorrelated subqueries in DML predicates ----------
+
+  test("DELETE WHERE IN/NOT IN (SELECT …) and uncorrelated EXISTS " +
+      "literalize and rewrite only touched files") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.din (k BIGINT, cents BIGINT)")
+    spark.sql(
+      "INSERT INTO ecat.ns.din VALUES (1,10),(2,20),(3,30),(4,40)")
+    Seq(2L, 3L).toDF("k").createOrReplaceTempView("__din_keys")
+    spark.sql("""DELETE FROM ecat.ns.din
+                 WHERE k IN (SELECT k FROM __din_keys WHERE k > 2)""")
+    assert(rowsOf("ecat.ns.din") === Map(1L -> 10L, 2L -> 20L, 4L -> 40L))
+    spark.sql("""DELETE FROM ecat.ns.din
+                 WHERE k NOT IN (SELECT k FROM __din_keys)""")
+    assert(rowsOf("ecat.ns.din") === Map(2L -> 20L))
+    // uncorrelated EXISTS over an empty set deletes nothing
+    spark.sql("""DELETE FROM ecat.ns.din
+                 WHERE EXISTS (SELECT 1 FROM __din_keys WHERE k > 99)""")
+    assert(rowsOf("ecat.ns.din") === Map(2L -> 20L))
+    // IN over an EMPTY subquery result is FALSE for every row
+    spark.sql("""DELETE FROM ecat.ns.din
+                 WHERE k IN (SELECT k FROM __din_keys WHERE k > 99)""")
+    assert(rowsOf("ecat.ns.din") === Map(2L -> 20L))
+  }
+
+  test("scalar subqueries in UPDATE values and MERGE clause conditions; " +
+      "correlated and oversized ones refuse loudly") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.dsq (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.dsq VALUES (1,10),(2,20)")
+    Seq(5L, 7L).toDF("v").createOrReplaceTempView("__dsq_v")
+    spark.sql("""UPDATE ecat.ns.dsq
+                 SET cents = cents + (SELECT min(v) FROM __dsq_v)
+                 WHERE k = 1""")
+    assert(rowsOf("ecat.ns.dsq") === Map(1L -> 15L, 2L -> 20L))
+    // MERGE clause condition with an uncorrelated scalar subquery
+    Seq((1L, 100L), (2L, 200L)).toDF("k", "cents")
+      .createOrReplaceTempView("__dsq_src")
+    spark.sql(
+      """MERGE INTO ecat.ns.dsq t USING __dsq_src s ON t.k = s.k
+         WHEN MATCHED AND t.cents > (SELECT min(v) FROM __dsq_v) * 3
+           THEN UPDATE SET *""")
+    assert(rowsOf("ecat.ns.dsq") === Map(1L -> 15L, 2L -> 200L))
+    // a >1-row scalar subquery is a loud error
+    val multi = intercept[Exception](spark.sql(
+      """UPDATE ecat.ns.dsq SET cents = (SELECT v FROM __dsq_v)
+         WHERE k = 1"""))
+    assert(multi.getMessage.contains("returned 2 rows")
+      || multi.getMessage.toLowerCase.contains("more than one row"))
+    // the bounded-materialization cap refuses loudly past maxRows
+    spark.conf.set("spark.graft.dml.subquery.maxRows", "1")
+    try {
+      val cap = intercept[Exception](spark.sql(
+        """DELETE FROM ecat.ns.dsq
+           WHERE k IN (SELECT v FROM __dsq_v)"""))
+      assert(cap.getMessage.contains("maxRows"))
+    } finally spark.conf.unset("spark.graft.dml.subquery.maxRows")
+  }
+
+  // ---- round 15: ALTER TABLE RENAME / DROP COLUMN through SQL -------
+
+  test("ALTER TABLE RENAME COLUMN: SQL reads coalesce old files under " +
+      "the new name; SELECT * shows only logical columns") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.rn1 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.rn1 VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE ecat.ns.rn1 RENAME COLUMN cents TO price")
+    spark.sql("INSERT INTO ecat.ns.rn1 VALUES (3, 30)")
+    assert(spark.sql("SELECT * FROM ecat.ns.rn1").columns.toSeq
+      === Seq("k", "price"))
+    assert(spark.sql("SELECT k, price FROM ecat.ns.rn1")
+      .as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // filter on the renamed column spans both file generations
+    assert(spark.sql(
+      "SELECT count(*) FROM ecat.ns.rn1 WHERE price >= 20")
+      .as[Long].head() === 2L)
+    // aggregate + join through the rename
+    assert(spark.sql(
+      "SELECT CAST(sum(price) AS BIGINT) FROM ecat.ns.rn1")
+      .as[Long].head() === 60L)
+    // time travel to a pre-rename version keeps the old shape
+    assert(spark.sql("SELECT * FROM ecat.ns.rn1 VERSION AS OF 2")
+      .columns.toSeq === Seq("k", "cents"))
+  }
+
+  test("DML and MERGE keep working after a rename; DROP COLUMN " +
+      "narrows SQL reads") {
+    root
+    spark.sql(
+      "CREATE TABLE ecat.ns.rn2 (k BIGINT, cents BIGINT, flag BIGINT)")
+    spark.sql(
+      "INSERT INTO ecat.ns.rn2 VALUES (1, 10, 0), (2, 20, 1)")
+    spark.sql("ALTER TABLE ecat.ns.rn2 RENAME COLUMN cents TO price")
+    spark.sql("UPDATE ecat.ns.rn2 SET price = price + 1 WHERE k = 1")
+    Seq((2L, 200L, 9L), (5L, 50L, 9L)).toDF("k", "price", "flag")
+      .createOrReplaceTempView("__rn2_src")
+    spark.sql(
+      """MERGE INTO ecat.ns.rn2 t USING __rn2_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET price = s.price - t.price
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT k, price FROM ecat.ns.rn2")
+      .as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 180L, 5L -> 50L))
+    spark.sql("ALTER TABLE ecat.ns.rn2 DROP COLUMN flag")
+    assert(spark.sql("SELECT * FROM ecat.ns.rn2").columns.toSeq
+      === Seq("k", "price"))
+    // re-adding the dropped name refuses (stale values in live files)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE ecat.ns.rn2 ADD COLUMN flag BIGINT"))
+    assert(e.getMessage.contains("stale values"))
+    // subquery over the renamed table (rename expansion must apply
+    // inside subquery plans too)
+    spark.sql("CREATE TABLE ecat.ns.rn3 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.rn3 VALUES (5, 1), (9, 9)")
+    assert(spark.sql(
+      """SELECT count(*) FROM ecat.ns.rn3
+         WHERE k IN (SELECT k FROM ecat.ns.rn2 WHERE price > 40)""")
+      .as[Long].head() === 1L)
+  }
+
   // ---- round 15: reserved internal names refuse loudly (ADVICE) -----
 
   test("target columns named like merge-rewrite internals are refused, " +
