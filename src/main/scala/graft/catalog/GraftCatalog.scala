@@ -213,25 +213,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         name() +: ident.namespace.toSeq :+ ident.name)
-    val partCol: Option[String] = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+    // ordered multi-column IDENTITY layouts (round 15) — exactly the
+    // reference's (source_date, country) chart key, `ddl_ods.sql:21-23`;
+    // bucket/days/etc. TRANSFORMS still refuse: layout here is physical
+    // directories, and a computed transform has no directory inverse
+    val partCols: Seq[String] = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         val c = t.references.head.fieldNames.head
         // resolve like the analyzer does (case-insensitive by default)
         // and store the SCHEMA's canonical spelling
-        val canonical = schema.fieldNames.find(_.equalsIgnoreCase(c))
-        require(canonical.nonEmpty,
-          s"catalog ${name()}: partition column $c is not in the schema")
-        canonical
+        schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog ${name()}: partition column $c is not in the schema"))
       case other => throw new UnsupportedOperationException(
-        s"catalog ${name()}: only a single top-level identity partition " +
-          s"column is supported, got ${other.mkString(", ")}")
+        s"catalog ${name()}: only top-level identity partition columns " +
+          s"are supported, got $other")
     }
+    require(partCols.distinct == partCols,
+      s"catalog ${name()}: duplicate partition column in " +
+        partCols.mkString(", "))
     val path = tablePath(ident)
     fs.mkdirs(new Path(path))
-    partCol.foreach(c =>
-      Manifest.writeTableProperties(spark, path, Map("partition" -> c)))
+    if (partCols.nonEmpty)
+      Manifest.writeTableProperties(spark, path,
+        Map("partition" -> partCols.mkString(",")))
     Manifest.commit(spark, path, Seq.empty, schema = Some(schema))
     GraftTable(spark, fullName(ident), path, asOfVersion = None)
   }

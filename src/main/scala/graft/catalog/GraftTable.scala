@@ -90,7 +90,8 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     relFiles.headOption.map(_.split("/").dropRight(1).toSeq
       .map(_.takeWhile(_ != '=')))
       .getOrElse(
-        Manifest.tableProperties(spark, path).get("partition").toSeq)
+        Manifest.tableProperties(spark, path).get("partition")
+          .map(_.split(",").toSeq).getOrElse(Seq.empty))
 
   private def scanOptions(extra: CaseInsensitiveStringMap)
       : CaseInsensitiveStringMap = {
@@ -164,12 +165,9 @@ final case class GraftTable(spark: SparkSession, tableName: String,
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
               val pc = partitionCols
-              require(pc.size <= 1,
-                s"INSERT INTO $tableName: multi-level partition layout " +
-                  s"(${pc.mkString("/")}) has no SQL insert path")
               if (replaceAll || overwrite)
-                Upsert.overwriteTable(spark, path, data, pc.headOption)
-              else Upsert.append(spark, path, data, pc.headOption)
+                Upsert.overwriteTableLayout(spark, path, data, pc)
+              else Upsert.appendLayout(spark, path, data, pc)
               ()
             }
           }

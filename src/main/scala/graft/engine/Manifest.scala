@@ -818,7 +818,8 @@ object Manifest {
       : Seq[String] =
     currentLive(spark, path).headOption
       .map(_.split("/").dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
-      .getOrElse(tableProperties(spark, path).get("partition").toSeq)
+      .getOrElse(tableProperties(spark, path).get("partition")
+        .map(_.split(",").toSeq).getOrElse(Seq.empty))
 
   /** The current schema a metadata migration evolves: the pinned
     * sidecar when one exists, else the footer-derived shape (which the

@@ -53,7 +53,7 @@ object Upsert {
           .map(existing => newRows(incoming, existing, keys))
           .getOrElse(incoming)
       else incoming
-    stagedAppend(spark, path, toAppend, None)
+    stagedAppend(spark, path, toAppend, Nil)
   }
 
   /** Schema drift is REJECTED, not absorbed: parquet appends with a
@@ -132,7 +132,7 @@ object Upsert {
             newRows(incoming, existing, keys)
           }.getOrElse(incoming)
         else incoming
-      stagedAppend(spark, path, toAppend, Some(dateCol))
+      stagedAppend(spark, path, toAppend, Seq(dateCol))
     }
   }
 
@@ -185,7 +185,7 @@ object Upsert {
       s"merge into $path: incoming affects the key ${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
     WriterLease.withLease(spark, path) {
       if (!tableExists(spark, path)) {
-        stagedAppend(spark, path, incoming, None)
+        stagedAppend(spark, path, incoming, Nil)
         nIncoming
       } else retryingConflicts(s"merge into $path") {
         if (checkedSnapshot(spark, path, incoming).isEmpty) {
@@ -243,7 +243,7 @@ object Upsert {
       s"merge into $path: incoming affects the key ${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
     WriterLease.withLease(spark, path) {
       if (!tableExists(spark, path)) {
-        stagedAppend(spark, path, incoming, Some(dateCol))
+        stagedAppend(spark, path, incoming, Seq(dateCol))
         nIncoming
       } else retryingConflicts(s"merge into $path") {
         if (checkedSnapshot(spark, path, incoming).isEmpty) {
@@ -413,7 +413,7 @@ object Upsert {
       expectedValues: Option[Seq[String]] = None): Long =
     WriterLease.withLease(spark, path) {
       if (!tableExists(spark, path)) {
-        stagedAppend(spark, path, incoming, Some(dateCol))
+        stagedAppend(spark, path, incoming, Seq(dateCol))
       } else {
         // drift check only — the body below is pure live-list arithmetic,
         // so an empty CREATE TABLE'd shell (None) flows through unchanged
@@ -528,6 +528,29 @@ object Upsert {
     rewriteMatching(spark, path, predicate, Some(set))
   }
 
+  /** Table-relative path of an `input_file_name()` value. The scan
+    * reports the file as a URI string with percent-encoded specials (a
+    * space in a partition value surfaces as `%20`), while the manifest
+    * stores the DECODED on-disk relative path — decode via
+    * `java.net.URI` before relativizing, or a two-level layout with a
+    * space-bearing value (`pri=4-NOT SPECIFIED`) fails the
+    * inside-the-snapshot check on every rewrite (round 15).
+    */
+  private def scannedFileToRel(path: String, what: String)(
+      uri: String): String = {
+    val pathUri = new org.apache.hadoop.fs.Path(path)
+      .toUri.getPath.stripSuffix("/")
+    val p =
+      try new java.net.URI(uri).getPath
+      catch {
+        case _: java.net.URISyntaxException =>
+          new org.apache.hadoop.fs.Path(uri).toUri.getPath
+      }
+    val i = p.indexOf(pathUri)
+    require(i >= 0, s"$what: scanned file $uri outside $path")
+    p.substring(i + pathUri.length).stripPrefix("/")
+  }
+
   /** Shared DELETE/UPDATE engine: find touched files via a
     * predicate-pushed `input_file_name()` scan, rewrite only those,
     * swap via one manifest commit. `set` None = delete matches;
@@ -538,14 +561,7 @@ object Upsert {
       set: Option[Map[String, org.apache.spark.sql.Column]]): Long =
     WriterLease.withLease(spark, path) {
       val table = Manifest.read(spark, path)
-      val pathUri = new org.apache.hadoop.fs.Path(path)
-        .toUri.getPath.stripSuffix("/")
-      def toRel(uri: String): String = {
-        val p = new org.apache.hadoop.fs.Path(uri).toUri.getPath
-        val i = p.indexOf(pathUri)
-        require(i >= 0, s"deleteWhere: scanned file $uri outside $path")
-        p.substring(i + pathUri.length).stripPrefix("/")
-      }
+      val toRel = scannedFileToRel(path, "deleteWhere") _
       val touched = table.filter(predicate)
         .select(org.apache.spark.sql.functions.input_file_name())
         .distinct().collect().map(r => toRel(r.getString(0))).sorted
@@ -647,7 +663,7 @@ object Upsert {
     else {
       if (tableExists(spark, path))
         checkedSnapshot(spark, path, incoming)
-      stagedAppendTxn(spark, path, incoming, dateCol,
+      stagedAppendTxn(spark, path, incoming, dateCol.toSeq,
         txn = Some(appId -> batchId))._2
     }
   }
@@ -668,15 +684,25 @@ object Upsert {
     * benign (additive, rejected at worst one commit later).
     */
   def append(spark: SparkSession, path: String, incoming: DataFrame,
-      dateCol: Option[String]): Long = {
+      dateCol: Option[String]): Long =
+    appendLayout(spark, path, incoming, dateCol.toSeq)
+
+  /** [[append]] over an ORDERED multi-column identity layout
+    * (round 15) — `partitionBy(d, country)`-style nested directories,
+    * the reference's own chart key (`ddl_ods.sql:21-23`). Partition
+    * pruning then composes across levels: a (date, country) predicate
+    * scans one leaf directory.
+    */
+  def appendLayout(spark: SparkSession, path: String, incoming: DataFrame,
+      partCols: Seq[String]): Long = {
     if (tableExists(spark, path))
       checkedSnapshot(spark, path, incoming)
-    stagedAppend(spark, path, incoming, dateCol)
+    stagedAppend(spark, path, incoming, partCols)
   }
 
   private def stagedAppend(spark: SparkSession, path: String,
-      delta: DataFrame, dateCol: Option[String]): Long =
-    stagedAppendTxn(spark, path, delta, dateCol, txn = None)._1
+      delta: DataFrame, partCols: Seq[String]): Long =
+    stagedAppendTxn(spark, path, delta, partCols, txn = None)._1
 
   /** Returns (rows in the batch, true iff THIS call's commit landed).
     * The second component is false only when `txn` names an epoch whose
@@ -684,14 +710,15 @@ object Upsert {
     * commit lock, so two racing replayers of one epoch land it once.
     */
   private def stagedAppendTxn(spark: SparkSession, path: String,
-      delta: DataFrame, dateCol: Option[String],
+      delta: DataFrame, partCols: Seq[String],
       txn: Option[(String, Long)]): (Long, Boolean) = {
     // staging dir is call-unique: two concurrent appends must not
     // clobber each other's staged files
     val stagingPath = s"$path.__delta_staging_" +
       java.util.UUID.randomUUID().toString.take(8)
     val w0 = delta.write.mode("overwrite")
-    dateCol.fold(w0)(c => w0.partitionBy(c)).parquet(stagingPath)
+    (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
+      .parquet(stagingPath)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -755,9 +782,15 @@ object Upsert {
     */
   def overwriteTable(spark: SparkSession, path: String, incoming: DataFrame,
       dateCol: Option[String]): Long =
+    overwriteTableLayout(spark, path, incoming, dateCol.toSeq)
+
+  /** [[overwriteTable]] over an ordered multi-column identity layout
+    * (round 15). */
+  def overwriteTableLayout(spark: SparkSession, path: String,
+      incoming: DataFrame, partCols: Seq[String]): Long =
     WriterLease.withLease(spark, path) {
       if (!tableExists(spark, path))
-        stagedAppend(spark, path, incoming, dateCol)
+        stagedAppend(spark, path, incoming, partCols)
       else {
         checkedSnapshot(spark, path, incoming) // drift check; shell flows
         retryingConflicts(s"overwriteTable into $path") {
@@ -767,7 +800,8 @@ object Upsert {
           val stagingPath = s"$path.__overwrite_staging_" +
             java.util.UUID.randomUUID().toString.take(8)
           val w0 = incoming.write.mode("overwrite")
-          dateCol.fold(w0)(c => w0.partitionBy(c)).parquet(stagingPath)
+          (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
+            .parquet(stagingPath)
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           try {
@@ -930,14 +964,7 @@ object Upsert {
     // analyzer refuses it (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION).
     val srcKeys = source.select(keys.map(k => col(k).as(s"__mk_$k")): _*)
       .distinct()
-    val pathUri = new org.apache.hadoop.fs.Path(path)
-      .toUri.getPath.stripSuffix("/")
-    def toRel(uri: String): String = {
-      val p = new org.apache.hadoop.fs.Path(uri).toUri.getPath
-      val i = p.indexOf(pathUri)
-      require(i >= 0, s"mergeActions: scanned file $uri outside $path")
-      p.substring(i + pathUri.length).stripPrefix("/")
-    }
+    val toRel = scannedFileToRel(path, "mergeActions") _
     val touched: Seq[String] =
       if (matched.isEmpty) Seq.empty // insert-only: no rewrite needed
       else {

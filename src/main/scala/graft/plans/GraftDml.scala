@@ -313,9 +313,13 @@ final case class GraftMergeCommand(table: GraftTable,
             Upsert.mergePartitioned(session, table.path, src, keys, dateCol)
           case Seq() =>
             Upsert.mergeParquet(session, table.path, src, keys)
-          case deep => throw new UnsupportedOperationException(
-            s"MERGE INTO ${table.name()}: multi-level partition layout " +
-              s"(${deep.mkString("/")}) has no SQL merge path")
+          case deep =>
+            // multi-level identity layout (round 15): the partition-
+            // wholesale SCD1 fast path is single-level, but the
+            // generalized touched-files-only merge handles any layout —
+            // SET * + INSERT * restates the same semantics
+            Upsert.mergeActions(session, table.path, src, keys,
+              Seq(Upsert.MatchedUpdate(None)), Some(None), deep)
         }
       case _ =>
         Upsert.mergeActions(session, table.path,

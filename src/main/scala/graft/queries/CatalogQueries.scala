@@ -117,6 +117,31 @@ object CatalogQueries {
                SET price_cents = price_cents +
                  (SELECT min(price_cents) FROM __cat_merge_src)
                WHERE pri = '5-LOW'""")
+      // round 15: TWO-LEVEL identity layout (the reference's own chart
+      // key shape, ddl_ods.sql:21-23) — partitioned CTAS, then a SQL
+      // merge routed through the generalized touched-files rewrite
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+          date_trunc("year", col("o_orderdate")).cast("date").as("d"),
+          col("o_orderpriority").as("pri"))
+        .createOrReplaceTempView("__cat_2lvl_src")
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          (floor(col("o_totalprice") * 100).cast("bigint") * 2 + 1)
+            .as("price_cents"),
+          date_trunc("year", col("o_orderdate")).cast("date").as("d"),
+          col("o_orderpriority").as("pri"))
+        .createOrReplaceTempView("__cat_2lvl_merge")
+      s.sql("""CREATE TABLE graftwh.marts.ord_2lvl PARTITIONED BY (d, pri)
+               AS SELECT o_orderkey, price_cents, d, pri
+                  FROM __cat_2lvl_src""")
+      s.sql("""MERGE INTO graftwh.marts.ord_2lvl t
+               USING __cat_2lvl_merge s ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
       "graftwh.marts.ord_slice"
     })
 
@@ -350,8 +375,42 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** Two-level `PARTITIONED BY (d, pri)` layout (round 15): a
+    * partitioned CTAS laid the table out as nested `d=…/pri=…`
+    * directories, a SQL MERGE maintained it through the generalized
+    * touched-files rewrite, and the probe filters the FIRST level (a
+    * date range — partition-pruned to those months' leaves) while
+    * grouping by the second. The oracle restates CTAS ∪ merge algebra.
+    */
+  val qSqlTwoLevel = QueryDef(
+    "q_sql_two_level",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_2lvl
+               WHERE d >= DATE '1997-01-01'
+               GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               CAST(date_trunc('year', o_orderdate) AS DATE) AS d,
+               o_orderpriority AS pri
+        FROM orders),
+      t3 AS (SELECT * FROM base WHERE k % 3 = 0),
+      m4 AS (SELECT k, pc * 2 + 1 AS pc, d, pri FROM base WHERE k % 4 = 0),
+      fin AS (
+        SELECT * FROM t3 WHERE k NOT IN (SELECT k FROM m4)
+        UNION ALL
+        SELECT * FROM m4)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin WHERE d >= DATE '1997-01-01'
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
       qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeShell,
-      qSqlDeleteIn)
+      qSqlDeleteIn, qSqlTwoLevel)
 }

@@ -76,6 +76,40 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 scanned file after pruning, got ${scan.metrics("numFiles").value}")
   }
 
+  test("two-level (date, country) identity layout prunes on both levels") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-prune2").resolve("t").toString
+    val df = Seq(
+      (1, Date.valueOf("2024-05-01"), "US", 10L),
+      (2, Date.valueOf("2024-05-01"), "GB", 20L),
+      (3, Date.valueOf("2024-05-02"), "US", 30L),
+      (4, Date.valueOf("2024-05-02"), "GB", 40L))
+      .toDF("k", "d", "country", "cents")
+    graft.engine.Upsert.appendLayout(spark, path, df, Seq("d", "country"))
+    def scannedFiles(read: org.apache.spark.sql.DataFrame): Long = {
+      read.collect()
+      read.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get.metrics("numFiles").value
+    }
+    // both levels filtered: ONE of the four leaf directories scans
+    val both = spark.read.parquet(path)
+      .filter(col("d") === Date.valueOf("2024-05-01") &&
+        col("country") === "US")
+    assert(scannedFiles(both) === 1,
+      "a (date, country) predicate must prune to one leaf")
+    // first level only: exactly that date's two country leaves scan
+    val dateOnly = spark.read.parquet(path)
+      .filter(col("d") === Date.valueOf("2024-05-02"))
+    assert(scannedFiles(dateOnly) === 2,
+      "a date predicate must prune the date level")
+    // second level only: still prunes (directory index covers both)
+    val countryOnly = spark.read.parquet(path)
+      .filter(col("country") === "GB")
+    assert(scannedFiles(countryOnly) === 2,
+      "a country predicate must prune the country level")
+  }
+
   test("dim-filtered joins against partitioned facts use dynamic partition pruning") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-dpp").resolve("fact").toString

@@ -87,6 +87,45 @@ class SqlEdgesSpec extends AnyFunSuite {
       .as[Long].head() === 11L)
   }
 
+  test("two-level PARTITIONED BY (d, country): inserts nest the layout, " +
+      "SQL merge routes through the generalized rewrite, transforms " +
+      "still refuse") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.p2 (k BIGINT, cents BIGINT,
+                 d DATE, country STRING) PARTITIONED BY (d, country)""")
+    spark.sql("""INSERT INTO ecat.ns.p2 (k, cents, d, country) VALUES
+                 (1, 10, DATE'2024-07-01', 'US'),
+                 (2, 20, DATE'2024-07-01', 'GB'),
+                 (3, 30, DATE'2024-07-02', 'US')""")
+    val p = s"$root/ns/p2"
+    assert(Manifest.currentLive(spark, p).map(_.split("/").dropRight(1)
+      .mkString("/")).sorted ===
+      Seq("d=2024-07-01/country=GB", "d=2024-07-01/country=US",
+        "d=2024-07-02/country=US"))
+    // SQL merge on the deep layout: SCD1 via the generalized rewrite
+    Seq((2L, 999L, d1, "GB"), (9L, 90L, d2, "GB"))
+      .toDF("k", "cents", "d", "country")
+      .createOrReplaceTempView("__p2_src")
+    spark.sql("""MERGE INTO ecat.ns.p2 t USING __p2_src s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(rowsOf("ecat.ns.p2")
+      === Map(1L -> 10L, 2L -> 999L, 3L -> 30L, 9L -> 90L))
+    // the merge preserved the two-level layout (the insert landed in a
+    // NEW leaf; untouched leaves survive under their original dirs)
+    assert(Manifest.currentLive(spark, p)
+      .exists(_.startsWith("d=2024-07-02/country=GB/")))
+    // filtered read over both levels returns the one leaf's rows
+    assert(spark.sql("""SELECT k FROM ecat.ns.p2
+                        WHERE d = DATE'2024-07-01' AND country = 'GB'""")
+      .as[Long].collect().toSeq === Seq(2L))
+    // computed transforms still refuse — layout is physical directories
+    val e = intercept[Exception](spark.sql(
+      """CREATE TABLE ecat.ns.p3 (k BIGINT, d DATE)
+         PARTITIONED BY (days(d))"""))
+    assert(e.getMessage.contains("identity"))
+  }
+
   test("INSERT OVERWRITE replaces the whole table in one snapshot commit") {
     root
     spark.sql("CREATE TABLE ecat.ns.ovw (k BIGINT, cents BIGINT)")
