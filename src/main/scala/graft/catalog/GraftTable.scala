@@ -87,11 +87,8 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     * steers the FIRST insert's physical layout.
     */
   private[graft] def partitionCols: Seq[String] =
-    relFiles.headOption.map(_.split("/").dropRight(1).toSeq
-      .map(_.takeWhile(_ != '=')))
-      .getOrElse(
-        Manifest.tableProperties(spark, path).get("partition")
-          .map(_.split(",").toSeq).getOrElse(Seq.empty))
+    Manifest.layoutPartitionCols(relFiles)
+      .getOrElse(Manifest.declaredPartitionCols(spark, path))
 
   private def scanOptions(extra: CaseInsensitiveStringMap)
       : CaseInsensitiveStringMap = {

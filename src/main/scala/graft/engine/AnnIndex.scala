@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
   * mutated vectors; rebuild into a fresh root (the standard practice:
   * indexes version alongside their corpus snapshot).
   *
+  * CRASH SAFETY (post-review hardening): every data append rides the
+  * manifest's (appId → sourceVersion) TXN MARKER ([[Upsert.appendEpoch]]
+  * — the streaming exactly-once machinery), so a build or refresh
+  * killed between its appends and its bookmark write replays WITHOUT
+  * duplicating a single vector: already-landed appends are detected by
+  * one metadata read and skipped, the missing ones land, the bookmark
+  * advances last. Builds and refreshes also serialize on the
+  * assignments table's writer lease, so two racing builders cannot
+  * interleave their table creations.
+  *
+  * The PQ geometry (dim/m/pqK) is PERSISTED as table properties at
+  * build and re-read by [[refresh]] — a caller cannot silently encode
+  * a delta against mismatched frozen codebooks.
+  *
   * Centroid/codebook seeding is the engine's deterministic rule (the
   * lowest vec_ids at build time) — exact-oracle-checkable; a k-means
   * seeding would slot into [[buildIvfPq]] without touching the
@@ -45,6 +59,9 @@ object AnnIndex {
   def codebooksPath(root: String): String = s"$root/codebooks"
   def assignmentsPath(root: String): String = s"$root/assignments"
   def codesPath(root: String): String = s"$root/codes"
+
+  private val BuildApp = "annidx_build"
+  private val RefreshApp = "annidx_refresh"
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.LongArrayDot(a, b)
@@ -98,54 +115,79 @@ object AnnIndex {
       s"$what needs columns (vec_id, v, n2), got " +
         df.columns.mkString(", "))
 
+  /** The PQ geometry the index was BUILT with, from the assignments
+    * table's properties — the one source of truth for [[refresh]].
+    */
+  def persistedSpec(spark: SparkSession, indexRoot: String): Spec = {
+    val props = Manifest.tableProperties(spark, assignmentsPath(indexRoot))
+    def p(k: String): Int = props.get(s"ann.$k").map(_.toInt).getOrElse(
+      throw new IllegalStateException(
+        s"ANN index at $indexRoot has no persisted '$k' property — " +
+          "not a buildIvfPq-built index"))
+    Spec(p("dim"), p("m"), p("pqk"))
+  }
+
   /** Build the four index tables from the source's CURRENT snapshot and
     * bookmark it. Returns the number of vectors indexed. Refuses an
     * already-built root (rebuilds go to a fresh root and swap by name).
+    * Crash-idempotent: each append carries a (build, sourceVersion) txn
+    * marker, so a killed build replays cleanly — already-landed tables
+    * skip, the rest land, and the bookmark (written last) completes it.
     */
   def buildIvfPq(spark: SparkSession, sourcePath: String,
-      indexRoot: String, spec: Spec): Long = {
-    require(
-      Incremental.appliedSourceVersion(spark,
-        assignmentsPath(indexRoot)).isEmpty,
-      s"ANN index at $indexRoot is already built — refresh() maintains " +
-        "it; a rebuild goes to a fresh root")
-    val v = Manifest.currentVersion(spark, sourcePath).getOrElse(
-      throw new IllegalStateException(
-        s"ANN index needs a manifest-managed source: $sourcePath"))
-    val src = Manifest.readAsOf(spark, sourcePath, v)
-    requireVectorSchema(src, s"buildIvfPq over $sourcePath")
-    val n = src.count()
-    require(n > 0, s"buildIvfPq over $sourcePath: empty source")
-    val nCent = math.ceil(math.sqrt(n.toDouble)).toLong
-    // deterministic seeding: the lowest vec_ids of the build snapshot
-    val cents = src.orderBy(col("vec_id")).limit(nCent.toInt)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        col("n2").as("cn2"))
-    Upsert.append(spark, centroidsPath(indexRoot), cents, None)
-    val seeds = src.orderBy(col("vec_id")).limit(spec.pqK)
-    val books = subvectors(seeds, spec)
-      .select(col("m"), col("vec_id").as("code"), col("sub").as("csub"),
-        col("sn2").as("cn2"))
-    Upsert.append(spark, codebooksPath(indexRoot), books, None)
-    val centsT = Manifest.read(spark, centroidsPath(indexRoot))
-    val booksT = Manifest.read(spark, codebooksPath(indexRoot))
-    Upsert.append(spark, assignmentsPath(indexRoot),
-      assign(src, centsT), None)
-    Upsert.append(spark, codesPath(indexRoot),
-      encode(src, booksT, spec), None)
-    Incremental.writeBookmark(spark, assignmentsPath(indexRoot), v)
-    n
-  }
+      indexRoot: String, spec: Spec): Long =
+    WriterLease.withLease(spark, assignmentsPath(indexRoot)) {
+      require(
+        Incremental.appliedSourceVersion(spark,
+          assignmentsPath(indexRoot)).isEmpty,
+        s"ANN index at $indexRoot is already built — refresh() maintains " +
+          "it; a rebuild goes to a fresh root")
+      val v = Manifest.currentVersion(spark, sourcePath).getOrElse(
+        throw new IllegalStateException(
+          s"ANN index needs a manifest-managed source: $sourcePath"))
+      val src = Manifest.readAsOf(spark, sourcePath, v)
+      requireVectorSchema(src, s"buildIvfPq over $sourcePath")
+      val n = src.count()
+      require(n > 0, s"buildIvfPq over $sourcePath: empty source")
+      val nCent = math.ceil(math.sqrt(n.toDouble)).toLong
+      // deterministic seeding: the lowest vec_ids of the build snapshot
+      val cents = src.orderBy(col("vec_id")).limit(nCent.toInt)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+          col("n2").as("cn2"))
+      Upsert.appendEpoch(spark, centroidsPath(indexRoot), cents, None,
+        BuildApp, v)
+      val seeds = src.orderBy(col("vec_id")).limit(spec.pqK)
+      val books = subvectors(seeds, spec)
+        .select(col("m"), col("vec_id").as("code"), col("sub").as("csub"),
+          col("sn2").as("cn2"))
+      Upsert.appendEpoch(spark, codebooksPath(indexRoot), books, None,
+        BuildApp, v)
+      val centsT = Manifest.read(spark, centroidsPath(indexRoot))
+      val booksT = Manifest.read(spark, codebooksPath(indexRoot))
+      Upsert.appendEpoch(spark, assignmentsPath(indexRoot),
+        assign(src, centsT), None, BuildApp, v)
+      Upsert.appendEpoch(spark, codesPath(indexRoot),
+        encode(src, booksT, spec), None, BuildApp, v)
+      Manifest.writeTableProperties(spark, assignmentsPath(indexRoot),
+        Map("ann.dim" -> spec.dim.toString, "ann.m" -> spec.m.toString,
+          "ann.pqk" -> spec.pqK.toString))
+      Incremental.writeBookmark(spark, assignmentsPath(indexRoot), v)
+      n
+    }
 
   /** Bring the index up to the source's current snapshot: assign and
     * encode ONLY the vectors in files the source ADDED since the
     * bookmark, append, advance the bookmark. Returns vectors added.
+    * The PQ geometry comes from the index's own persisted properties.
     * Rewritten or deleted source files refuse loudly (append-only
-    * maintenance — see object scaladoc).
+    * maintenance — see object scaladoc). Crash-idempotent like the
+    * build: both appends carry a (refresh, toVersion) txn marker, so a
+    * replay after a mid-refresh crash lands each delta exactly once.
     */
   def refresh(spark: SparkSession, sourcePath: String,
-      indexRoot: String, spec: Spec): Long =
+      indexRoot: String): Long =
     WriterLease.withLease(spark, assignmentsPath(indexRoot)) {
+      val spec = persistedSpec(spark, indexRoot)
       val toV = Manifest.currentVersion(spark, sourcePath).getOrElse(
         throw new IllegalStateException(
           s"ANN refresh needs a manifest-managed source: $sourcePath"))
@@ -173,11 +215,10 @@ object AnnIndex {
             requireVectorSchema(delta, s"refresh over $sourcePath")
             val centsT = Manifest.read(spark, centroidsPath(indexRoot))
             val booksT = Manifest.read(spark, codebooksPath(indexRoot))
-            val assigned = assign(delta, centsT)
-            Upsert.append(spark, assignmentsPath(indexRoot), assigned,
-              None)
-            Upsert.append(spark, codesPath(indexRoot),
-              encode(delta, booksT, spec), None)
+            Upsert.appendEpoch(spark, assignmentsPath(indexRoot),
+              assign(delta, centsT), None, RefreshApp, toV)
+            Upsert.appendEpoch(spark, codesPath(indexRoot),
+              encode(delta, booksT, spec), None, RefreshApp, toV)
             delta.count()
           }
         Incremental.writeBookmark(spark, assignmentsPath(indexRoot), toV)

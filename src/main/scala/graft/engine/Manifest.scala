@@ -810,16 +810,32 @@ object Manifest {
       ("tombstones" -> merged.toSeq.sorted.mkString(",")))
   }
 
+  /** Partition columns encoded in a table-relative file list: the
+    * `col=` prefixes of the first file's directory chain. THE one
+    * derivation of layout-from-paths — the catalog, the migrations,
+    * and the rewrite verbs all share it (three hand-rolled copies had
+    * already appeared by round 15).
+    */
+  private[graft] def layoutPartitionCols(
+      files: Seq[String]): Option[Seq[String]] =
+    files.headOption.map(_.split("/").dropRight(1).toSeq
+      .map(_.takeWhile(_ != '=')))
+
+  /** The `partition` table property as an ordered column list (the
+    * declared layout of a CREATE TABLE shell with no files yet). */
+  private[graft] def declaredPartitionCols(spark: SparkSession,
+      path: String): Seq[String] =
+    tableProperties(spark, path).get("partition")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+
   /** The table's partition columns as physically laid out (or declared
     * on an empty shell) — RENAME/DROP refuse these: the directory
     * layout IS their storage, and no metadata migration can re-key it.
     */
   private def partitionColsOf(spark: SparkSession, path: String)
       : Seq[String] =
-    currentLive(spark, path).headOption
-      .map(_.split("/").dropRight(1).toSeq.map(_.takeWhile(_ != '=')))
-      .getOrElse(tableProperties(spark, path).get("partition")
-        .map(_.split(",").toSeq).getOrElse(Seq.empty))
+    layoutPartitionCols(currentLive(spark, path))
+      .getOrElse(declaredPartitionCols(spark, path))
 
   /** The current schema a metadata migration evolves: the pinned
     * sidecar when one exists, else the footer-derived shape (which the

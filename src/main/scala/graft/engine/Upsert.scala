@@ -28,6 +28,32 @@ import org.apache.spark.sql.functions.col
   */
 object Upsert {
 
+  /** The staging lifecycle every snapshot mutation shares (extracted in
+    * round 15 — this had been hand-copied at each verb): write `df`
+    * under a fresh sibling staging directory (partitioned by
+    * `partCols`), move its files into the table under job-unique names
+    * ([[Manifest.stageIn]]), run `commitFn` on the moved table-relative
+    * paths, and ALWAYS delete the staging directory — success or
+    * failure, the table dir holds at worst unreferenced orphans for
+    * vacuum. Callers own the commit semantics (plain, optimistic,
+    * expected-empty); this owns the mechanics.
+    */
+  private def withStaged[A](spark: SparkSession, path: String,
+      df: DataFrame, partCols: Seq[String], tag: String)(
+      commitFn: Seq[String] => A): A = {
+    val stagingPath = s"$path.__${tag}_staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val w0 = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
+      .parquet(stagingPath)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try commitFn(Manifest.stageIn(spark, path, stagingPath))
+    finally {
+      fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
+    }
+  }
+
   /** Rows of `incoming` whose natural key is absent from `existing` —
     * first-wins within `incoming` itself is the caller's concern (see
     * `OdsBuilder.toOds`). NULL-SAFE on every key column: a plain
@@ -271,23 +297,13 @@ object Upsert {
     * and [[Manifest.vacuum]] is lease-guarded.
     */
   private def appendIntoEmptyChecked(spark: SparkSession, path: String,
-      incoming: DataFrame, dateCol: Option[String]): Unit = {
-    val stagingPath = s"$path.__merge_staging_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val w0 = incoming.write.mode("overwrite")
-    dateCol.fold(w0)(c => w0.partitionBy(c)).parquet(stagingPath)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      val moved = Manifest.stageIn(spark, path, stagingPath)
+      incoming: DataFrame, dateCol: Option[String]): Unit =
+    withStaged(spark, path, incoming, dateCol.toSeq, "merge") { moved =>
       Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
         scope = _ => true, expected = Set.empty,
         retire = Set.empty, add = moved))
       ()
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
     }
-  }
 
   /** One merge attempt against ONE pinned snapshot version: compute the
     * surviving rows of the touched partitions, stage, and commit
@@ -583,8 +599,8 @@ object Upsert {
         val pinned = Manifest.currentVersion(spark, path)
           .flatMap(Manifest.schemaAsOf(spark, path, _))
         val sub = Manifest.readFiles(spark, path, pinned, touched.toSeq)
-        val partCols = touched.head.split("/").dropRight(1)
-          .map(_.takeWhile(_ != '=')).toSeq
+        val partCols =
+          Manifest.layoutPartitionCols(touched.toSeq).getOrElse(Seq.empty)
         val matched = sub.filter(predicate).count()
         val kept = set match {
           // SQL DELETE semantics: remove rows where the predicate is
@@ -608,14 +624,7 @@ object Upsert {
               }
             }: _*)
         }
-        val stagingPath = s"$path.__rewrite_staging"
-        val w = kept.write.mode("overwrite")
-        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-          .parquet(stagingPath)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        try {
-          val movedIn = Manifest.stageIn(spark, path, stagingPath)
+        withStaged(spark, path, kept, partCols, "rewrite") { movedIn =>
           if (Manifest.currentVersion(spark, path).isEmpty)
             // pre-manifest directory: adoption commit (single-writer)
             Manifest.commit(spark, path, live.filterNot(touchedSet) ++ movedIn)
@@ -630,8 +639,6 @@ object Upsert {
               scope = touchedSet, expected = touchedSet,
               retire = touchedSet, add = movedIn))
           matched
-        } finally {
-          fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
         }
       }
     }
@@ -918,7 +925,7 @@ object Upsert {
       // (ADVICE r14, medium). Matched clauses can't fire; inserts land
       // through an expected-empty whole-table commit.
       return mergeIntoEmptyShell(spark, path, version, source, keys,
-        insert, partitionCols)
+        matched, insert, partitionCols)
     val table = Manifest.readAsOf(spark, path, version)
     val targetCols = table.columns.toSeq
     requireNoReservedNames(path, targetCols, keys)
@@ -1071,15 +1078,7 @@ object Upsert {
         case (None, Some(i)) => i
         case (None, None) => return (0L, 0L) // unreachable: guarded above
       }
-      val stagingPath = s"$path.__merge_staging_" +
-        java.util.UUID.randomUUID().toString.take(8)
-      val w0 = df.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
-       else w0).parquet(stagingPath)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try {
-        val moved = Manifest.stageIn(spark, path, stagingPath)
+      withStaged(spark, path, df, partitionCols, "merge") { moved =>
         // conflict scope: the touched files this merge read and
         // retires — plus, when an INSERT clause exists, the WHOLE live
         // set, because the insert's anti-join read the table and a
@@ -1097,8 +1096,6 @@ object Upsert {
           scope = scopeFn, expected = expect,
           retire = touchedSet, add = moved))
         (nMatchedAffected, nInserted)
-      } finally {
-        fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
       }
     }
   }
@@ -1140,22 +1137,47 @@ object Upsert {
     */
   private def mergeIntoEmptyShell(spark: SparkSession, path: String,
       version: Long, source: DataFrame, keys: Seq[String],
+      matched: Seq[MatchedAction],
       insert: Option[Option[org.apache.spark.sql.Column]],
-      partitionCols: Seq[String]): (Long, Long) = insert match {
+      partitionCols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.lit
+    val pinned = Manifest.schemaAsOf(spark, path, version)
+    // a shell always pins its CREATE TABLE schema; a fully-deleted
+    // un-pinned table takes its shape back from the source (the same
+    // incoming-defines-shape rule stagedAppend applies to new tables)
+    val targetCols = pinned.map(_.fieldNames.toSeq)
+      .getOrElse(source.columns.toSeq)
+    requireNoReservedNames(path, targetCols, keys)
+    // the MAIN path's matched-clause validations run here too, even
+    // though no clause can fire: the same merge program must fail the
+    // same way empty or non-empty — a typo'd SET column silently
+    // no-opping until the table's first insert is a debugging trap
+    // (review finding, round 15)
+    matched.foreach {
+      case MatchedUpdate(_, set) =>
+        val unknown = set.map(_._1).filterNot(targetCols.contains)
+        require(unknown.isEmpty,
+          s"mergeActions into $path: UPDATE SET assigns column(s) " +
+            s"${unknown.mkString(", ")} not in the table " +
+            s"(${targetCols.mkString(", ")})")
+      case _ => ()
+    }
+    val srcCols = source.columns.toSet
+    val needFullRow = insert.nonEmpty ||
+      matched.exists {
+        case u: MatchedUpdate => u.set.isEmpty
+        case _ => false
+      }
+    if (needFullRow)
+      require(targetCols.forall(srcCols),
+        s"mergeActions into $path: UPDATE SET * / INSERT * need a " +
+          s"full-row source; missing ${targetCols.filterNot(srcCols)
+            .mkString(", ")}")
+    else require(keys.forall(srcCols),
+      s"mergeActions into $path: source must carry the keys $keys")
+    insert match {
     case None => (0L, 0L)
     case Some(condOpt) =>
-      import org.apache.spark.sql.functions.lit
-      val pinned = Manifest.schemaAsOf(spark, path, version)
-      // a shell always pins its CREATE TABLE schema; a fully-deleted
-      // un-pinned table takes its shape back from the source (the same
-      // incoming-defines-shape rule stagedAppend applies to new tables)
-      val targetCols = pinned.map(_.fieldNames.toSeq)
-        .getOrElse(source.columns.toSeq)
-      requireNoReservedNames(path, targetCols, keys)
-      val srcCols = source.columns.toSet
-      require(targetCols.forall(srcCols),
-        s"mergeActions into $path: INSERT * needs a full-row source; " +
-          s"missing ${targetCols.filterNot(srcCols).mkString(", ")}")
       val renamed = source.select(
         keys.map(col) ++
           source.columns.toSeq.filterNot(keys.contains)
@@ -1168,23 +1190,12 @@ object Upsert {
       pinned.foreach(st => requireSameShape(out.schema, st, path))
       val n = out.count()
       if (n == 0L) (0L, 0L)
-      else {
-        val stagingPath = s"$path.__merge_staging_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        val w0 = out.write.mode("overwrite")
-        (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*)
-         else w0).parquet(stagingPath)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        try {
-          val moved = Manifest.stageIn(spark, path, stagingPath)
-          Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
-            scope = _ => true, expected = Set.empty,
-            retire = Set.empty, add = moved))
-          (0L, n)
-        } finally {
-          fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
-        }
+      else withStaged(spark, path, out, partitionCols, "merge") { moved =>
+        Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+          scope = _ => true, expected = Set.empty,
+          retire = Set.empty, add = moved))
+        (0L, n)
       }
+    }
   }
 }

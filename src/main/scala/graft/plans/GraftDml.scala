@@ -25,13 +25,17 @@ import graft.engine.Upsert
   * (`transformed_from_s3_to_pg.py:143-152`); this closes it for SQL
   * clients of the lakehouse without a second copy of the data.
   *
-  * Scope is the canonical shapes, loudly refused otherwise:
-  *  - UPDATE: top-level column assignments, a subquery-free WHERE.
-  *  - MERGE: equality key condition on SAME-NAMED columns,
-  *    `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT MATCHED THEN
-  *    INSERT *` (either clause optional — but DO-NOTHING-on-match is
-  *    the library's `upsert*` verb family, and SQL arbitrary-action
-  *    merges are not restated here).
+  * Scope (round 15), loudly refused otherwise:
+  *  - UPDATE: top-level column assignments; WHERE and SET values may
+  *    carry UNCORRELATED subqueries (IN / NOT IN / scalar / EXISTS),
+  *    materialized bounded at COMMAND RUN time ([[GraftDmlSubqueries]]).
+  *  - DELETE: subquery predicates route here (the stock DSv2 path
+  *    refuses them); subquery-free DELETEs keep the stock route.
+  *  - MERGE: equality key condition on SAME-NAMED columns; ordered
+  *    `WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET col =
+  *    expr, … | DELETE` clauses; optional `WHEN NOT MATCHED [AND cond]
+  *    THEN INSERT *`. Merge keys cannot be assigned; correlated
+  *    subqueries refuse everywhere (restate them as a MERGE).
   */
 case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -88,7 +92,8 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
       val targetIds = r.output.map(_.exprId).toSet
       val sourceIds = source.output.map(_.exprId).toSet
       def clauseCond(e: Expression, where: String): Column = {
-        Shims.column(evalSubqueries(e, where).transform {
+        GraftDmlSubqueries.check(e, where)
+        Shims.column(e.transform {
           case a: AttributeReference if targetIds(a.exprId) =>
             UnresolvedAttribute.quoted(a.name)
           case a: AttributeReference if sourceIds(a.exprId) =>
@@ -139,9 +144,9 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     // refuses subqueries outright, so the uncorrelated shapes —
     // `DELETE … WHERE k IN (SELECT …)`, the idiomatic Postgres idiom —
     // are lifted here into [[Upsert.deleteWhere]]'s touched-files-only
-    // rewrite after [[evalSubqueries]] literalizes them. Subquery-free
-    // DELETEs keep the stock SupportsDeleteV2 route (predicate
-    // translation + pushdown) untouched.
+    // rewrite; [[GraftDmlSubqueries]] literalizes the subqueries when
+    // the command RUNS. Subquery-free DELETEs keep the stock
+    // SupportsDeleteV2 route (predicate translation + pushdown).
     case d @ DeleteFromTable(GraftRelation(_, t), condition)
         if d.resolved &&
           condition.exists(_.isInstanceOf[SubqueryExpression]) =>
@@ -155,65 +160,17 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Re-express a resolved expression against a FRESH read of the same
-    * table: UNCORRELATED subqueries evaluate to literals first
-    * ([[evalSubqueries]]), then attribute references unbind to names
-    * (the engine verb applies them to its own snapshot scan).
-    * Correlated subqueries would capture the outer plan — refused.
+    * table: attribute references unbind to names (the engine verb
+    * applies them to its own snapshot scan). Subqueries are SHAPE-
+    * CHECKED here (analysis-time, loud) but stay embedded — the
+    * command materializes them at RUN time ([[GraftDmlSubqueries]]),
+    * so EXPLAIN of a DML statement runs no jobs and the subquery
+    * snapshot is the statement's execution, not its analysis.
     */
-  private def unbound(e: Expression, where: String): Expression =
-    evalSubqueries(e, where).transform {
+  private def unbound(e: Expression, where: String): Expression = {
+    GraftDmlSubqueries.check(e, where)
+    e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    }
-
-  /** Evaluate every UNCORRELATED subquery in a DML predicate or
-    * assignment value to a literal (round 15): `key IN (SELECT …)` →
-    * an IN-list, a scalar subquery → its single value, uncorrelated
-    * EXISTS → a boolean. The materialization is BOUNDED
-    * (`spark.graft.dml.subquery.maxRows`, default 100k) and refuses
-    * loudly past the cap: a key set that large should flow through
-    * MERGE (`WHEN MATCHED THEN UPDATE/DELETE`), whose semi-join
-    * rewrite is the scale path — an IN-list of millions of literals
-    * is a driver-sized plan, not a distributed join. Correlated
-    * subqueries (outer references) stay refused: they need a
-    * per-row join the rewrite verbs don't restate.
-    */
-  private def evalSubqueries(e: Expression, where: String): Expression = {
-    def requireUncorrelated(s: SubqueryExpression): Unit =
-      require(!s.isCorrelated,
-        s"$where: correlated subqueries are not supported in graft DML " +
-          "— restate the per-row match as a MERGE")
-    def collectBounded(plan: LogicalPlan): Array[Row] = {
-      val max = spark.conf
-        .get("spark.graft.dml.subquery.maxRows", "100000").toInt
-      val rows = Shims.ofRows(spark, plan).limit(max + 1).collect()
-      require(rows.length <= max,
-        s"$where: uncorrelated subquery materialized more than $max " +
-          "rows (spark.graft.dml.subquery.maxRows) — a key set this " +
-          "large should flow through MERGE, whose semi-join scales")
-      rows
-    }
-    e.transformUp {
-      case InSubquery(values, lq) =>
-        val _ = { requireUncorrelated(lq) }
-        require(values.size == 1,
-          s"$where: multi-column IN subqueries are not supported " +
-            "in graft DML")
-        val dt = lq.plan.output.head.dataType
-        val items = collectBounded(lq.plan)
-          .map(r => Literal.create(r.get(0), dt)).toSeq
-        // x IN (empty set) is FALSE for every x, including NULL —
-        // and NOT IN over the surrounding Not() then holds for all
-        if (items.isEmpty) Literal(false) else In(values.head, items)
-      case s: ScalarSubquery =>
-        requireUncorrelated(s)
-        val rows = collectBounded(s.plan)
-        require(rows.length <= 1,
-          s"$where: scalar subquery returned ${rows.length} rows")
-        Literal.create(rows.headOption.map(_.get(0)).orNull,
-          s.plan.output.head.dataType)
-      case ex: Exists =>
-        requireUncorrelated(ex)
-        Literal(Shims.ofRows(spark, ex.plan).limit(1).collect().nonEmpty)
     }
   }
 
@@ -262,7 +219,11 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
 final case class GraftUpdateCommand(table: GraftTable, condition: Column,
     set: Map[String, Column]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    Upsert.updateWhere(session, table.path, condition, set)
+    val where = s"UPDATE ${table.name()}"
+    Upsert.updateWhere(session, table.path,
+      GraftDmlSubqueries.materialize(session, condition, where),
+      set.map { case (k, v) =>
+        k -> GraftDmlSubqueries.materialize(session, v, where) })
     Seq.empty
   }
 }
@@ -274,7 +235,8 @@ final case class GraftUpdateCommand(table: GraftTable, condition: Column,
 final case class GraftDeleteCommand(table: GraftTable, condition: Column)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    Upsert.deleteWhere(session, table.path, condition)
+    Upsert.deleteWhere(session, table.path, GraftDmlSubqueries
+      .materialize(session, condition, s"DELETE FROM ${table.name()}"))
     Seq.empty
   }
 }
@@ -322,10 +284,87 @@ final case class GraftMergeCommand(table: GraftTable,
               Seq(Upsert.MatchedUpdate(None)), Some(None), deep)
         }
       case _ =>
+        val where = s"MERGE INTO ${table.name()}"
+        def m(c: Column): Column =
+          GraftDmlSubqueries.materialize(session, c, where)
+        val mat = actions.map {
+          case Upsert.MatchedUpdate(c, set) =>
+            Upsert.MatchedUpdate(c.map(m),
+              set.map { case (k, v) => k -> m(v) })
+          case Upsert.MatchedDelete(c) => Upsert.MatchedDelete(c.map(m))
+        }
         Upsert.mergeActions(session, table.path,
-          Shims.ofRows(session, source), keys, actions, insert,
+          Shims.ofRows(session, source), keys, mat, insert.map(_.map(m)),
           table.partitionCols)
     }
     Seq.empty
+  }
+}
+
+/** Run-time materialization of UNCORRELATED subqueries in DML
+  * predicates and assignment values (round 15): `key IN (SELECT …)` →
+  * an IN-list, a scalar subquery → its single value, uncorrelated
+  * EXISTS → a boolean. Runs at COMMAND EXECUTION (not analysis), so
+  * EXPLAIN stays side-effect-free and the subquery reads the snapshot
+  * current when the statement runs — the same statement-scoped
+  * evaluation Postgres gives these shapes (the engine verb then
+  * re-resolves the TARGET's snapshot under its writer lease; a commit
+  * racing into that sliver serializes after this statement, exactly
+  * like a READ-COMMITTED subquery). The materialization is BOUNDED
+  * (`spark.graft.dml.subquery.maxRows`, default 100k) and refuses
+  * loudly past the cap: a key set that large should flow through
+  * MERGE, whose semi-join rewrite is the scale path — an IN-list of
+  * millions of literals is a driver-sized plan, not a distributed
+  * join. Correlated subqueries are refused at ANALYSIS time
+  * ([[GraftDmlSubqueries.check]]): they need a per-row join the
+  * rewrite verbs don't restate.
+  */
+private[plans] object GraftDmlSubqueries {
+
+  /** Analysis-time shape gate: loud refusals that need no execution. */
+  def check(e: Expression, where: String): Unit = e.foreach {
+    case InSubquery(values, _) =>
+      require(values.size == 1,
+        s"$where: multi-column IN subqueries are not supported " +
+          "in graft DML")
+    case s: SubqueryExpression =>
+      require(!s.isCorrelated,
+        s"$where: correlated subqueries are not supported in graft DML " +
+          "— restate the per-row match as a MERGE")
+    case _ => ()
+  }
+
+  def materialize(spark: SparkSession, c: Column, where: String): Column =
+    Shims.column(eval(spark, Shims.expression(c), where))
+
+  private def eval(spark: SparkSession, e: Expression,
+      where: String): Expression = {
+    def collectBounded(plan: LogicalPlan): Array[Row] = {
+      val max = spark.conf
+        .get("spark.graft.dml.subquery.maxRows", "100000").toInt
+      val rows = Shims.ofRows(spark, plan).limit(max + 1).collect()
+      require(rows.length <= max,
+        s"$where: uncorrelated subquery materialized more than $max " +
+          "rows (spark.graft.dml.subquery.maxRows) — a key set this " +
+          "large should flow through MERGE, whose semi-join scales")
+      rows
+    }
+    e.transformUp {
+      case InSubquery(values, lq) =>
+        val dt = lq.plan.output.head.dataType
+        val items = collectBounded(lq.plan)
+          .map(r => Literal.create(r.get(0), dt)).toSeq
+        // x IN (empty set) is FALSE for every x, including NULL —
+        // and NOT IN over the surrounding Not() then holds for all
+        if (items.isEmpty) Literal(false) else In(values.head, items)
+      case s: ScalarSubquery =>
+        val rows = collectBounded(s.plan)
+        require(rows.length <= 1,
+          s"$where: scalar subquery returned ${rows.length} rows")
+        Literal.create(rows.headOption.map(_.get(0)).orNull,
+          s.plan.output.head.dataType)
+      case ex: Exists =>
+        Literal(Shims.ofRows(spark, ex.plan).limit(1).collect().nonEmpty)
+    }
   }
 }

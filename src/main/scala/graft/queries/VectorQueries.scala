@@ -237,7 +237,7 @@ object VectorQueries {
       graft.engine.AnnIndex.buildIvfPq(s, srcPath, s"$root/ivfpq", IdxSpec)
       graft.engine.Upsert.append(s, srcPath,
         base.filter(col("vec_id") >= splitAt), None)
-      graft.engine.AnnIndex.refresh(s, srcPath, s"$root/ivfpq", IdxSpec)
+      graft.engine.AnnIndex.refresh(s, srcPath, s"$root/ivfpq")
       s"$root/ivfpq"
     })
 

@@ -50,7 +50,7 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.assignmentsPath(idx)).get
     // append a second batch to the source, fold it in
     Upsert.append(spark, src, vecs(40, 15), None)
-    val added = AnnIndex.refresh(spark, src, idx, spec)
+    val added = AnnIndex.refresh(spark, src, idx)
     assert(added === 15L)
     // centroids and codebooks are untouched by the refresh
     assert(Manifest.read(spark, AnnIndex.centroidsPath(idx))
@@ -88,10 +88,70 @@ class AnnIndexSpec extends AnyFunSuite {
     val (src, idx) = freshPaths()
     Upsert.append(spark, src, vecs(0, 20), None)
     AnnIndex.buildIvfPq(spark, src, idx, spec)
-    assert(AnnIndex.refresh(spark, src, idx, spec) === 0L)
+    assert(AnnIndex.refresh(spark, src, idx) === 0L)
     val e = intercept[IllegalArgumentException](
       AnnIndex.buildIvfPq(spark, src, idx, spec))
     assert(e.getMessage.contains("already built"))
+  }
+
+  private def bookmarkFile(idx: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${AnnIndex.assignmentsPath(idx)}/_graft_manifest/source_version")
+
+  private def fs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("a refresh killed before its bookmark replays without " +
+      "duplicating a single vector (txn-marker idempotency)") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 20), None)
+    AnnIndex.buildIvfPq(spark, src, idx, spec)
+    val buildBookmark = {
+      val in = fs(bookmarkFile(idx)).open(bookmarkFile(idx))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    Upsert.append(spark, src, vecs(20, 10), None)
+    assert(AnnIndex.refresh(spark, src, idx) === 10L)
+    // simulate the crash window: appends landed, bookmark write didn't
+    val out = fs(bookmarkFile(idx)).create(bookmarkFile(idx), true)
+    try out.write(buildBookmark.getBytes("UTF-8")) finally out.close()
+    AnnIndex.refresh(spark, src, idx) // replay
+    val a = Manifest.read(spark, AnnIndex.assignmentsPath(idx))
+    assert(a.count() === 30L &&
+      a.select("vec_id").distinct().count() === 30L,
+      "replayed refresh must not re-append the delta")
+    assert(Manifest.read(spark, AnnIndex.codesPath(idx)).count()
+      === 30L * spec.m)
+  }
+
+  test("a build killed before its bookmark replays without duplicating " +
+      "centroids, codebooks, or assignments") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 20), None)
+    AnnIndex.buildIvfPq(spark, src, idx, spec)
+    // simulate: all four appends landed, the bookmark write didn't
+    fs(bookmarkFile(idx)).delete(bookmarkFile(idx), false)
+    AnnIndex.buildIvfPq(spark, src, idx, spec) // replay passes the guard
+    assert(Manifest.read(spark, AnnIndex.centroidsPath(idx)).count()
+      === math.ceil(math.sqrt(20.0)).toLong)
+    assert(Manifest.read(spark, AnnIndex.assignmentsPath(idx)).count()
+      === 20L)
+    assert(Manifest.read(spark, AnnIndex.codesPath(idx)).count()
+      === 20L * spec.m)
+    assert(Manifest.read(spark, AnnIndex.codebooksPath(idx)).count()
+      === spec.pqK.toLong * spec.m)
+  }
+
+  test("refresh reads the PERSISTED PQ geometry — a caller cannot " +
+      "supply a mismatched spec") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 20), None)
+    AnnIndex.buildIvfPq(spark, src, idx, spec)
+    assert(AnnIndex.persistedSpec(spark, idx) === spec)
+    // an index root without persisted geometry refuses refresh
+    val e = intercept[IllegalStateException](
+      AnnIndex.persistedSpec(spark, s"$idx-nope"))
+    assert(e.getMessage.contains("persisted"))
   }
 
   test("a source rewrite refuses the append-only refresh loudly") {
@@ -102,7 +162,7 @@ class AnnIndexSpec extends AnyFunSuite {
     Upsert.mergeParquet(spark, src,
       vecs(3, 1).withColumn("n2", col("n2") + 0L), Seq("vec_id"))
     val e = intercept[IllegalArgumentException](
-      AnnIndex.refresh(spark, src, idx, spec))
+      AnnIndex.refresh(spark, src, idx))
     assert(e.getMessage.contains("append-only"))
   }
 

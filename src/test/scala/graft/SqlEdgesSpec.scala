@@ -363,6 +363,25 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(rowsOf("ecat.ns.shell1") === Map(1L -> 100L, 3L -> 300L))
   }
 
+  test("shell merges validate clauses exactly like non-empty merges: " +
+      "a typo'd SET column refuses instead of silently no-opping") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.shellv (k BIGINT, cents BIGINT)")
+    val src = Seq((1L, 100L)).toDF("k", "cents")
+    val tblPath = s"$root/ns/shellv"
+    val e = intercept[IllegalArgumentException](
+      Upsert.mergeActions(spark, tblPath, src, Seq("k"),
+        Seq(Upsert.MatchedUpdate(None, Seq("typo_col" -> col("cents")))),
+        None, Seq.empty))
+    assert(e.getMessage.contains("typo_col"))
+    // and a SET * clause still demands a full-row source on a shell
+    val e2 = intercept[IllegalArgumentException](
+      Upsert.mergeActions(spark, tblPath,
+        Seq(Tuple1(1L)).toDF("k"), Seq("k"),
+        Seq(Upsert.MatchedUpdate(None)), None, Seq.empty))
+    assert(e2.getMessage.contains("full-row"))
+  }
+
   test("matched-only generalized merge on a shell is a (0,0) no-op; " +
       "a fully-deleted table takes the shell path too") {
     root
