@@ -214,25 +214,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(
         name() +: ident.namespace.toSeq :+ ident.name)
     // ordered multi-column IDENTITY layouts (round 15) — exactly the
-    // reference's (source_date, country) chart key, `ddl_ods.sql:21-23`;
-    // bucket/days/etc. TRANSFORMS still refuse: layout here is physical
-    // directories, and a computed transform has no directory inverse
-    val partCols: Seq[String] = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1 =>
-        val c = t.references.head.fieldNames.head
-        // resolve like the analyzer does (case-insensitive by default)
-        // and store the SCHEMA's canonical spelling
-        schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(
-            s"catalog ${name()}: partition column $c is not in the schema"))
-      case other => throw new UnsupportedOperationException(
-        s"catalog ${name()}: only top-level identity partition columns " +
-          s"are supported, got $other")
+    // reference's (source_date, country) chart key, `ddl_ods.sql:21-23`
+    // — plus HIDDEN TRANSFORMS (round 15): years/months/days/hours and
+    // bucket(n) become engine-maintained `ptx_*` directory columns
+    // (graft.engine.PartitionTransforms) that cluster writes and prune
+    // reads without ever surfacing in the logical schema
+    import graft.engine.{PartitionTransforms => PTX}
+    def canonical(t: Transform): String = {
+      require(t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1,
+        s"catalog ${name()}: partition transform $t must reference one " +
+          "top-level column")
+      val c = t.references.head.fieldNames.head
+      // resolve like the analyzer does (case-insensitive by default)
+      // and store the SCHEMA's canonical spelling
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"catalog ${name()}: partition column $c is not in the schema"))
+    }
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      t.name match {
+        case "identity" => canonical(t)
+        case "years" | "months" | "days" | "hours" =>
+          val pt = PTX.PTime(t.name.dropRight(1), canonical(t))
+          PTX.validate(pt, schema); pt.dirName
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value.isInstanceOf[Number] =>
+              l.value.asInstanceOf[Number].intValue
+          }.getOrElse(throw new IllegalArgumentException(
+            s"catalog ${name()}: bucket transform needs a literal " +
+              s"bucket count, got $t"))
+          val pt = PTX.PBucket(n, canonical(t))
+          PTX.validate(pt, schema); pt.dirName
+        case other => throw new UnsupportedOperationException(
+          s"catalog ${name()}: unsupported partition transform '$other' " +
+            "— identity columns, years/months/days/hours, and bucket(n) " +
+            "are supported")
+      }
     }
     require(partCols.distinct == partCols,
       s"catalog ${name()}: duplicate partition column in " +
         partCols.mkString(", "))
+    // data columns may not collide with the reserved derived-dir
+    // pattern — a table with both would silently shadow the transform
+    val ambiguous = schema.fieldNames.filter(PTX.isDerived)
+    require(ambiguous.isEmpty,
+      s"catalog ${name()}: column name(s) ${ambiguous.mkString(", ")} " +
+        "match the reserved hidden-transform pattern ptx_<kind>_<col> " +
+        "— choose different names")
     val path = tablePath(ident)
     fs.mkdirs(new Path(path))
     if (partCols.nonEmpty)
@@ -266,9 +297,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           s"catalog ${name()}: only top-level DROP COLUMN is supported")
         Manifest.dropColumn(spark, path, del.fieldNames.head)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"catalog ${name()}: only top-level ALTER COLUMN TYPE is " +
+            "supported")
+        Manifest.widenColumn(spark, path, upd.fieldNames.head,
+          upd.newDataType)
       case other => throw new UnsupportedOperationException(
         s"catalog ${name()}: unsupported ALTER ${other.getClass.getSimpleName} " +
-          "— schema evolution here is ADD / RENAME / DROP COLUMN")
+          "— schema evolution here is ADD / RENAME / DROP COLUMN / " +
+          "ALTER COLUMN TYPE (lossless widening)")
     }
     GraftTable(spark, fullName(ident), path, asOfVersion = None)
   }

@@ -36,6 +36,7 @@ final class GraftScanBuilder(
     spark: SparkSession,
     path: String,
     version: Option[Long],
+    snapshotFiles: Seq[String],
     initial: ScanBuilder,
     rebuild: Seq[String] => ScanBuilder)
     extends SupportsPushDownCatalystFilters
@@ -44,26 +45,34 @@ final class GraftScanBuilder(
 
   private var delegate: ScanBuilder = initial
 
-  /** (kept, total) after stats pruning — exposed for specs. */
+  /** (kept, total) after stats + transform-dir pruning — for specs. */
   private[catalog] var pruned: (Int, Int) = (-1, -1)
 
   private def catalystDelegate: SupportsPushDownCatalystFilters =
     delegate.asInstanceOf[SupportsPushDownCatalystFilters]
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // two independent superset-safe pruners over the snapshot's file
+    // list, intersected: per-file stats envelopes (numeric ranges) and
+    // hidden-transform directory values (round 15 — day/bucket dirs
+    // matched against the SOURCE-column predicates)
     val rs = filters.flatMap(ranges)
-    version.filter(_ => rs.nonEmpty).foreach { v =>
-      val (kept, total) = Manifest.planSkippingAsOf(spark, path, v, rs)
-      if (kept.size < total) {
-        // never build the parquet table over zero paths (schema
-        // inference has nothing to read): keep one file — the post-scan
-        // filter still eliminates its rows
-        val keep =
-          if (kept.nonEmpty) kept
-          else Manifest.filesAsOf(spark, path, v).take(1)
-        pruned = (keep.size, total)
-        delegate = rebuild(keep)
-      }
+    val statsKept: Set[String] = version match {
+      case Some(v) if rs.nonEmpty =>
+        Manifest.planSkippingAsOf(spark, path, v, rs)._1.toSet
+      case _ => snapshotFiles.toSet
+    }
+    val ptKept: Set[String] =
+      graft.engine.PartitionTransforms.pruneFiles(snapshotFiles, filters)
+        .toSet
+    val kept = snapshotFiles.filter(f => statsKept(f) && ptKept(f))
+    if (kept.size < snapshotFiles.size) {
+      // never build the parquet table over zero paths (schema
+      // inference has nothing to read): keep one file — the post-scan
+      // filter still eliminates its rows
+      val keep = if (kept.nonEmpty) kept else snapshotFiles.take(1)
+      pruned = (keep.size, snapshotFiles.size)
+      delegate = rebuild(keep)
     }
     catalystDelegate.pushFilters(filters)
   }

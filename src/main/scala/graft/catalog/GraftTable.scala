@@ -108,8 +108,14 @@ final case class GraftTable(spark: SparkSession, tableName: String,
 
   override def name(): String = tableName
 
+  /** The LOGICAL schema: hidden `ptx_*` transform directories (round
+    * 15) never surface — scans prune to the requested logical columns,
+    * so the derived dirs are not even read.
+    */
   override def schema(): StructType =
-    if (relFiles.isEmpty) widen(pinnedSchema.get) else fullTable.schema
+    if (relFiles.isEmpty) widen(pinnedSchema.get)
+    else StructType(fullTable.schema.fields.filterNot(f =>
+      graft.engine.PartitionTransforms.isDerived(f.name)))
 
   override def properties(): util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> path) ++
@@ -125,7 +131,7 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     if (relFiles.isEmpty)
       // a just-created empty table: scan its pinned shape, zero files
       delegate(Seq.empty, options).newScanBuilder(scanOptions(options))
-    else new GraftScanBuilder(spark, path, snapshotVersion,
+    else new GraftScanBuilder(spark, path, snapshotVersion, relFiles,
       fullTable.newScanBuilder(scanOptions(options)),
       kept => delegate(kept, options).newScanBuilder(scanOptions(options)))
 

@@ -837,6 +837,17 @@ object Manifest {
     layoutPartitionCols(currentLive(spark, path))
       .getOrElse(declaredPartitionCols(spark, path))
 
+  /** Columns a schema migration may not touch: the layout columns
+    * themselves plus the SOURCE columns of hidden `ptx_*` transforms
+    * (renaming one breaks the transform decode; widening a bucket
+    * source changes its hash).
+    */
+  private def migrationProtectedCols(spark: SparkSession, path: String)
+      : Seq[String] = {
+    val layout = partitionColsOf(spark, path)
+    layout ++ PartitionTransforms.transformSources(layout)
+  }
+
   /** The current schema a metadata migration evolves: the pinned
     * sidecar when one exists, else the footer-derived shape (which the
     * migration then pins, versioning the schema from here on).
@@ -875,9 +886,11 @@ object Manifest {
         s"renameColumn: '$to' was used by a dropped or renamed column " +
           s"of $path and may still hold stale values in live files — " +
           "choose a fresh name")
-      require(!partitionColsOf(spark, path).exists(_.equalsIgnoreCase(from)),
-        s"renameColumn: $from is a partition column of $path — its name " +
-          "is the directory layout; repartition into a new table instead")
+      require(!migrationProtectedCols(spark, path)
+          .exists(_.equalsIgnoreCase(from)),
+        s"renameColumn: $from is a partition column (or a hidden " +
+          s"transform's source) of $path — its name is the directory " +
+          "layout; repartition into a new table instead")
       val f = cur.fields(idx)
       val chain = f.name +: priorNames(f)
       val nf = org.apache.spark.sql.types.StructField(to, f.dataType,
@@ -910,14 +923,66 @@ object Manifest {
           s"(${cur.fieldNames.mkString(", ")})")
       require(cur.fields.length > 1,
         s"dropColumn: $name is the only column of $path")
-      require(!partitionColsOf(spark, path).exists(_.equalsIgnoreCase(name)),
-        s"dropColumn: $name is a partition column of $path — its name " +
-          "is the directory layout; repartition into a new table instead")
+      require(!migrationProtectedCols(spark, path)
+          .exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: $name is a partition column (or a hidden " +
+          s"transform's source) of $path — its name is the directory " +
+          "layout; repartition into a new table instead")
       val f = cur.fields(idx)
       addTombstones(spark, path, f.name +: priorNames(f))
       commit(spark, path, currentLive(spark, path),
         schema = Some(org.apache.spark.sql.types.StructType(
           cur.fields.patch(idx, Nil, 1))))
+    }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>` as a METADATA-ONLY
+    * migration (round 15): one commit of the unchanged file list with
+    * the widened schema pinned — zero data rewrite. Sound because
+    * Spark 4's parquet readers apply widening type promotions when the
+    * requested schema is wider than the file's (int32 under BIGINT,
+    * float under DOUBLE, decimal under higher precision), so old files
+    * read natively under the new type; new writes land the wide type
+    * (SQL INSERT assignment-casts, library appends must match the
+    * pinned schema). Allowed promotions are the LOSSLESS lattice only:
+    * TINYINT→SMALLINT→INT→BIGINT, FLOAT→DOUBLE, DECIMAL(p,s)→
+    * DECIMAL(p',s) with p'>p. Time travel to pre-widen versions keeps
+    * the narrow type. Partition columns refuse — their values live as
+    * directory strings parsed under the declared type, and the stats
+    * sidecar envelopes were derived under it.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long =
+    WriterLease.withLease(spark, path) {
+      import org.apache.spark.sql.types._
+      val cur = evolvableSchema(spark, path)
+      val idx = cur.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0,
+        s"widenColumn: $path has no column named $name " +
+          s"(${cur.fieldNames.mkString(", ")})")
+      require(!migrationProtectedCols(spark, path)
+          .exists(_.equalsIgnoreCase(name)),
+        s"widenColumn: $name is a partition column (or a hidden " +
+          s"transform's source) of $path — its directory values (or " +
+          "bucket hashes) were derived under the declared type; " +
+          "repartition into a new table instead")
+      val f = cur.fields(idx)
+      val ok = (f.dataType, to) match {
+        case (a, b) if a == b => false // no-op is a caller bug
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (a: DecimalType, b: DecimalType) =>
+          b.scale == a.scale && b.precision > a.precision
+        case _ => false
+      }
+      require(ok,
+        s"widenColumn: ${f.dataType.sql} → ${to.sql} is not a lossless " +
+          "widening (allowed: TINYINT→SMALLINT→INT→BIGINT, FLOAT→DOUBLE, " +
+          "DECIMAL precision increase at the same scale)")
+      commit(spark, path, currentLive(spark, path),
+        schema = Some(StructType(
+          cur.fields.updated(idx, f.copy(dataType = to)))))
     }
 
   /** Plan-time file skipping (round 11): resolve the current snapshot,
@@ -1085,7 +1150,12 @@ object Manifest {
       case None => r.parquet(paths: _*)
       case Some(st) =>
         val chains = st.fields.toSeq.map(f => f -> priorNames(f))
-        if (chains.forall(_._2.isEmpty)) r.schema(st).parquet(paths: _*)
+        if (chains.forall(_._2.isEmpty))
+          // the trailing projection hides directory columns Spark
+          // appends beyond the explicit schema — in particular the
+          // hidden `ptx_*` transform dirs (round 15); a no-op otherwise
+          r.schema(st).parquet(paths: _*)
+            .select(st.fieldNames.map(col).toSeq: _*)
         else {
           val union = org.apache.spark.sql.types.StructType(
             chains.flatMap { case (f, ps) =>

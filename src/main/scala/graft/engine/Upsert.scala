@@ -43,7 +43,8 @@ object Upsert {
       commitFn: Seq[String] => A): A = {
     val stagingPath = s"$path.__${tag}_staging_" +
       java.util.UUID.randomUUID().toString.take(8)
-    val w0 = df.write.mode("overwrite")
+    val w0 = PartitionTransforms.materialize(df, partCols)
+      .write.mode("overwrite")
     (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
       .parquet(stagingPath)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -723,7 +724,8 @@ object Upsert {
     // clobber each other's staged files
     val stagingPath = s"$path.__delta_staging_" +
       java.util.UUID.randomUUID().toString.take(8)
-    val w0 = delta.write.mode("overwrite")
+    val mat = PartitionTransforms.materialize(delta, partCols)
+    val w0 = mat.write.mode("overwrite")
     (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
       .parquet(stagingPath)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -731,7 +733,7 @@ object Upsert {
     try {
       // explicit schema: an EMPTY partitioned batch stages zero files,
       // which would fail schema inference
-      val n = spark.read.schema(delta.schema).parquet(stagingPath).count()
+      val n = spark.read.schema(mat.schema).parquet(stagingPath).count()
       val committed: Boolean =
         if (n > 0) {
           // stage-in under job-unique names, then ONE snapshot commit
@@ -806,13 +808,14 @@ object Upsert {
             Manifest.filesAsOf(spark, path, _))
           val stagingPath = s"$path.__overwrite_staging_" +
             java.util.UUID.randomUUID().toString.take(8)
-          val w0 = incoming.write.mode("overwrite")
+          val mat = PartitionTransforms.materialize(incoming, partCols)
+          val w0 = mat.write.mode("overwrite")
           (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
             .parquet(stagingPath)
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           try {
-            val n = spark.read.schema(incoming.schema).parquet(stagingPath)
+            val n = spark.read.schema(mat.schema).parquet(stagingPath)
               .count()
             val moved = Manifest.stageIn(spark, path, stagingPath)
             version match {
@@ -853,6 +856,35 @@ object Upsert {
   final case class MatchedDelete(cond: Option[org.apache.spark.sql.Column])
     extends MatchedAction
 
+  /** One `WHEN NOT MATCHED BY SOURCE` clause (round 15): applies to
+    * TARGET rows whose key matches no source row. Conditions and SET
+    * values may reference target columns only (there is no source row
+    * to read). Merge keys cannot be assigned (same rekey-collision
+    * refusal as [[MatchedUpdate]]). First-match-wins among the
+    * by-source clauses, independently of the matched clauses.
+    */
+  sealed trait BySourceAction { def cond: Option[org.apache.spark.sql.Column] }
+  final case class BySourceUpdate(cond: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)])
+    extends BySourceAction
+  final case class BySourceDelete(cond: Option[org.apache.spark.sql.Column])
+    extends BySourceAction
+
+  /** The `WHEN NOT MATCHED [AND cond] THEN INSERT …` clause.
+    * `set = None` is `INSERT *` (full row from the source, by name).
+    * `set = Some(assignments)` is column-level `INSERT (cols) VALUES
+    * (exprs)`: merge KEY columns always take the source's same-named
+    * value (the caller must pass key assignments as identity — the
+    * anti-join that decides "not matched" runs on the SOURCE key, so an
+    * arbitrary key expression could insert a key that is already live;
+    * [[graft.plans.RewriteGraftDml]] enforces this at analysis);
+    * assigned non-key columns evaluate their expression over the
+    * source row (`__src_<name>` frame); unassigned columns get NULL.
+    * Values are CAST to the target column type (assignment-cast).
+    */
+  final case class InsertSpec(cond: Option[org.apache.spark.sql.Column],
+      set: Option[Seq[(String, org.apache.spark.sql.Column)]] = None)
+
   /** Generalized merge — SQL `MERGE INTO` with ordered, optionally
     * CONDITIONAL `WHEN MATCHED THEN UPDATE SET * / DELETE` clauses and
     * an optional `WHEN NOT MATCHED [AND cond] THEN INSERT *`
@@ -882,21 +914,52 @@ object Upsert {
   def mergeActions(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String], matched: Seq[MatchedAction],
       insert: Option[Option[org.apache.spark.sql.Column]],
+      partitionCols: Seq[String]): (Long, Long) =
+    mergeProgram(spark, path, source, keys, matched, Seq.empty,
+      insert.map(c => InsertSpec(c)), partitionCols)
+
+  /** The FULL merge program (round 15): [[mergeActions]] plus ordered
+    * `WHEN NOT MATCHED BY SOURCE THEN UPDATE SET …/DELETE` clauses and
+    * column-level `INSERT (cols) VALUES (exprs)` ([[InsertSpec]]).
+    *
+    * Scale note: by-source clauses act on target rows the source does
+    * NOT name, so no semi-join can scope the rewrite — every live file
+    * may hold such a row and the rewrite is WHOLE-TABLE (the same cost
+    * Delta/Iceberg pay for this clause). At 100 TB, condition the
+    * clause (`AND t.day = …`) or run it as a separate scoped DELETE.
+    * Everything else keeps the touched-files-only shape.
+    */
+  def mergeProgram(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], matched: Seq[MatchedAction],
+      bySource: Seq[BySourceAction], insert: Option[InsertSpec],
       partitionCols: Seq[String]): (Long, Long) = {
-    require(matched.nonEmpty || insert.nonEmpty,
+    require(matched.nonEmpty || bySource.nonEmpty || insert.nonEmpty,
       s"mergeActions into $path: at least one action clause is required")
+    def checkSet(set: Seq[(String, org.apache.spark.sql.Column)],
+        what: String): Unit = {
+      val names = set.map(_._1)
+      require(names.distinct == names,
+        s"mergeActions into $path: duplicate assignment in $what " +
+          s"(${names.diff(names.distinct).distinct.mkString(", ")})")
+      val onKeys = names.filter(keys.contains)
+      require(onKeys.isEmpty,
+        s"mergeActions into $path: $what may not assign merge key " +
+          s"column(s) ${onKeys.mkString(", ")}")
+    }
     matched.foreach {
       case MatchedUpdate(_, set) if set.nonEmpty =>
-        val names = set.map(_._1)
-        require(names.distinct == names,
-          s"mergeActions into $path: duplicate assignment in UPDATE SET " +
-            s"(${names.diff(names.distinct).distinct.mkString(", ")})")
-        val onKeys = names.filter(keys.contains)
-        require(onKeys.isEmpty,
-          s"mergeActions into $path: UPDATE SET may not assign merge key " +
-            s"column(s) ${onKeys.mkString(", ")}")
+        checkSet(set, "UPDATE SET")
       case _ => ()
     }
+    bySource.foreach {
+      case BySourceUpdate(_, set) =>
+        require(set.nonEmpty, s"mergeActions into $path: WHEN NOT MATCHED " +
+          "BY SOURCE THEN UPDATE needs explicit column assignments " +
+          "(there is no source row for SET *)")
+        checkSet(set, "NOT MATCHED BY SOURCE UPDATE SET")
+      case _ => ()
+    }
+    insert.flatMap(_.set).foreach(checkSet(_, "INSERT"))
     val dupKeys = source.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
@@ -904,15 +967,15 @@ object Upsert {
         s"${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
     WriterLease.withLease(spark, path) {
       retryingConflicts(s"mergeActions into $path") {
-        mergeActionsOnce(spark, path, source, keys, matched, insert,
-          partitionCols)
+        mergeActionsOnce(spark, path, source, keys, matched, bySource,
+          insert, partitionCols)
       }
     }
   }
 
   private def mergeActionsOnce(spark: SparkSession, path: String,
       source: DataFrame, keys: Seq[String], matched: Seq[MatchedAction],
-      insert: Option[Option[org.apache.spark.sql.Column]],
+      bySource: Seq[BySourceAction], insert: Option[InsertSpec],
       partitionCols: Seq[String]): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, when}
     val version = Manifest.currentVersion(spark, path).getOrElse(
@@ -922,25 +985,35 @@ object Upsert {
     if (preLive.isEmpty)
       // a freshly CREATE TABLE'd shell or a fully-deleted table: a
       // committed version listing ZERO files, which readAsOf refuses
-      // (ADVICE r14, medium). Matched clauses can't fire; inserts land
-      // through an expected-empty whole-table commit.
+      // (ADVICE r14, medium). Matched AND by-source clauses can't fire
+      // (no target rows); inserts land through an expected-empty
+      // whole-table commit.
       return mergeIntoEmptyShell(spark, path, version, source, keys,
-        matched, insert, partitionCols)
+        matched, bySource, insert, partitionCols)
     val table = Manifest.readAsOf(spark, path, version)
     val targetCols = table.columns.toSeq
     requireNoReservedNames(path, targetCols, keys)
+    def checkKnown(set: Seq[(String, org.apache.spark.sql.Column)],
+        what: String): Unit = {
+      val unknown = set.map(_._1).filterNot(targetCols.contains)
+      require(unknown.isEmpty,
+        s"mergeActions into $path: $what assigns column(s) " +
+          s"${unknown.mkString(", ")} not in the table " +
+          s"(${targetCols.mkString(", ")})")
+    }
     matched.foreach {
-      case MatchedUpdate(_, set) =>
-        val unknown = set.map(_._1).filterNot(targetCols.contains)
-        require(unknown.isEmpty,
-          s"mergeActions into $path: UPDATE SET assigns column(s) " +
-            s"${unknown.mkString(", ")} not in the table " +
-            s"(${targetCols.mkString(", ")})")
+      case MatchedUpdate(_, set) => checkKnown(set, "UPDATE SET")
       case _ => ()
     }
+    bySource.foreach {
+      case BySourceUpdate(_, set) =>
+        checkKnown(set, "NOT MATCHED BY SOURCE UPDATE SET")
+      case _ => ()
+    }
+    insert.flatMap(_.set).foreach(checkKnown(_, "INSERT"))
     // full-row source is only needed by SET * updates and INSERT *;
     // a column-level SET clause just needs its referenced columns
-    val needFullRow = insert.nonEmpty ||
+    val needFullRow = insert.exists(_.set.isEmpty) ||
       matched.exists {
         case u: MatchedUpdate => u.set.isEmpty
         case _ => false
@@ -958,11 +1031,7 @@ object Upsert {
     // values, and the insert projection. ALL source columns ride along
     // — a clause condition may reference source columns outside the
     // target schema (e.g. a side-channel flag)
-    val renamed = source.select(
-      keys.map(col) ++
-        source.columns.toSeq.filterNot(keys.contains)
-          .map(c => col(c).as(s"__src_$c")) :+
-        lit(true).as("__graft_matched"): _*)
+    val renamed = renamedSource(source, keys)
 
     // touched files = files containing at least one key-matched row
     // (null-safe semi join; predicate/partition pruning applies).
@@ -973,7 +1042,12 @@ object Upsert {
       .distinct()
     val toRel = scannedFileToRel(path, "mergeActions") _
     val touched: Seq[String] =
-      if (matched.isEmpty) Seq.empty // insert-only: no rewrite needed
+      if (bySource.nonEmpty)
+        // by-source clauses act on rows the source does NOT name — no
+        // semi-join can scope that, so every live file rewrites (the
+        // standard cost of this clause; see [[mergeProgram]])
+        preLive.sorted
+      else if (matched.isEmpty) Seq.empty // insert-only: no rewrite needed
       else {
         val withFile = table.withColumn("__graft_file", input_file_name())
         val matchCond = keys.map(k => withFile(k) <=> srcKeys(s"__mk_$k"))
@@ -999,19 +1073,37 @@ object Upsert {
         val joinedClean = keys.foldLeft(joinedRaw)((d, k) =>
           d.drop(renamed(k)))
         val isMatched = coalesce(col("__graft_matched"), lit(false))
+        // one CASE over the combined row decides every clause family:
+        // matched clauses at indices 0..m-1 (guarded by isMatched),
+        // by-source clauses at m..m+b-1 (guarded by !isMatched) —
+        // first-match-wins inside each family by construction
         var actionExpr: org.apache.spark.sql.Column = null
-        matched.zipWithIndex.foreach { case (a, i) =>
-          val p = a.cond.fold(isMatched)(c => isMatched && c)
+        def addClause(p: org.apache.spark.sql.Column, i: Int): Unit =
           actionExpr =
             if (actionExpr == null) when(p, lit(i))
             else actionExpr.when(p, lit(i))
+        matched.zipWithIndex.foreach { case (a, i) =>
+          addClause(a.cond.fold(isMatched)(c => isMatched && c), i)
+        }
+        val bsBase = matched.size
+        bySource.zipWithIndex.foreach { case (a, i) =>
+          addClause(a.cond.fold(!isMatched)(c => !isMatched && c),
+            bsBase + i)
         }
         val decided = joinedClean.withColumn("__action",
           if (actionExpr == null) lit(-1) else actionExpr.otherwise(lit(-1)))
         val deleteIdx = matched.zipWithIndex.collect {
-          case (_: MatchedDelete, i) => i }
-        val updates = matched.zipWithIndex.collect {
-          case (u: MatchedUpdate, i) => (i, u) }
+          case (_: MatchedDelete, i) => i } ++
+          bySource.zipWithIndex.collect {
+            case (_: BySourceDelete, i) => bsBase + i }
+        // uniform (index, assignments) writer list: None = SET * (full
+        // row from the source; matched clauses only)
+        val updates: Seq[(Int, Option[Seq[(String, org.apache.spark.sql.Column)]])] =
+          matched.zipWithIndex.collect {
+            case (u: MatchedUpdate, i) =>
+              (i, if (u.set.isEmpty) None else Some(u.set)) } ++
+          bySource.zipWithIndex.collect {
+            case (u: BySourceUpdate, i) => (bsBase + i, Some(u.set)) }
         val affected = decided.filter(col("__action") =!= -1).count()
         val survivors =
           if (deleteIdx.isEmpty) decided
@@ -1025,11 +1117,13 @@ object Upsert {
         // assignment-cast), every other clause leaves c untouched
         val out = survivors.select(targetCols.map { c =>
           val tgt = col(c)
-          val writers = updates.flatMap { case (i, u) =>
-            if (u.set.isEmpty) {
-              if (keys.contains(c)) None else Some(i -> col(s"__src_$c"))
-            } else u.set.collectFirst { case (`c`, v) =>
-              i -> v.cast(targetSchema(c).dataType) }
+          val writers = updates.flatMap { case (i, set) =>
+            set match {
+              case None =>
+                if (keys.contains(c)) None else Some(i -> col(s"__src_$c"))
+              case Some(as) => as.collectFirst { case (`c`, v) =>
+                i -> v.cast(targetSchema(c).dataType) }
+            }
           }
           if (writers.isEmpty) tgt.as(c)
           else writers.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
@@ -1045,28 +1139,28 @@ object Upsert {
     // touched files — a key matching any row makes its file touched,
     // so anti-joining the touched subset is equivalent and cheaper…
     // except when matched is empty; then anti-join the whole table)
-    val insertRows = insert.map { condOpt =>
+    val hasRewriteClauses = matched.nonEmpty || bySource.nonEmpty
+    val insertRows = insert.map { spec =>
       val against =
-        if (matched.nonEmpty && touched.isEmpty)
+        if (hasRewriteClauses && touched.isEmpty)
           // no key matched anything: every source row is unmatched
           renamed
         else {
           // anti-join against the touched subset when a rewrite ran: a
-          // source key matching ANY target row makes its file touched,
+          // source key matching ANY target row makes its file touched
+          // (with by-source clauses the subset is the whole live set),
           // so the subset carries every matchable key — anti against it
           // is equivalent to anti against the whole table, minus a scan
           val base =
-            if (matched.isEmpty) table
+            if (touched.isEmpty) table
             else Manifest.readSubsetAsOf(spark, path, version, touched)
           val exKeys = base.select(keys.map(k => col(k).as(s"__ex_$k")): _*)
           renamed.join(exKeys,
             keys.map(k => renamed(k) <=> exKeys(s"__ex_$k")).reduce(_ && _),
             "left_anti")
         }
-      val filtered = condOpt.fold(against)(c => against.filter(c))
-      filtered.select(targetCols.map { c =>
-        (if (keys.contains(c)) col(c) else col(s"__src_$c")).as(c)
-      }: _*)
+      val filtered = spec.cond.fold(against)(c => against.filter(c))
+      insertProjection(filtered, spec, keys, targetCols, table.schema)
     }
     val nInserted = insertRows.fold(0L)(_.count())
 
@@ -1135,12 +1229,47 @@ object Upsert {
     * [[retryingConflicts]] re-runs the merge against the now-non-empty
     * table.
     */
+  /** The merge's combined-row view of the source: key columns by name,
+    * every other source column as `__src_<name>`, plus the match flag
+    * the outer join coalesces on.
+    */
+  private def renamedSource(source: DataFrame, keys: Seq[String]): DataFrame =
+    source.select(
+      keys.map(col) ++
+        source.columns.toSeq.filterNot(keys.contains)
+          .map(c => col(c).as(s"__src_$c")) :+
+        org.apache.spark.sql.functions.lit(true).as("__graft_matched"): _*)
+
+  /** The INSERT clause's projection over the renamed source frame:
+    * `INSERT *` takes the full source row by name; column-level INSERT
+    * takes the source's key values (identity — enforced at analysis,
+    * see [[InsertSpec]]), the assigned expressions (assignment-cast to
+    * the target type), and NULL for every unassigned column.
+    */
+  private def insertProjection(src: DataFrame, spec: InsertSpec,
+      keys: Seq[String], targetCols: Seq[String],
+      targetSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    spec.set match {
+      case None =>
+        src.select(targetCols.map { c =>
+          (if (keys.contains(c)) col(c) else col(s"__src_$c")).as(c)
+        }: _*)
+      case Some(as) =>
+        src.select(targetCols.map { c =>
+          if (keys.contains(c)) col(c).as(c)
+          else as.collectFirst { case (`c`, v) => v }
+            .map(_.cast(targetSchema(c).dataType).as(c))
+            .getOrElse(lit(null).cast(targetSchema(c).dataType).as(c))
+        }: _*)
+    }
+  }
+
   private def mergeIntoEmptyShell(spark: SparkSession, path: String,
       version: Long, source: DataFrame, keys: Seq[String],
-      matched: Seq[MatchedAction],
-      insert: Option[Option[org.apache.spark.sql.Column]],
+      matched: Seq[MatchedAction], bySource: Seq[BySourceAction],
+      insert: Option[InsertSpec],
       partitionCols: Seq[String]): (Long, Long) = {
-    import org.apache.spark.sql.functions.lit
     val pinned = Manifest.schemaAsOf(spark, path, version)
     // a shell always pins its CREATE TABLE schema; a fully-deleted
     // un-pinned table takes its shape back from the source (the same
@@ -1148,22 +1277,31 @@ object Upsert {
     val targetCols = pinned.map(_.fieldNames.toSeq)
       .getOrElse(source.columns.toSeq)
     requireNoReservedNames(path, targetCols, keys)
-    // the MAIN path's matched-clause validations run here too, even
-    // though no clause can fire: the same merge program must fail the
-    // same way empty or non-empty — a typo'd SET column silently
-    // no-opping until the table's first insert is a debugging trap
-    // (review finding, round 15)
+    // the MAIN path's clause validations run here too, even though no
+    // matched/by-source clause can fire: the same merge program must
+    // fail the same way empty or non-empty — a typo'd SET column
+    // silently no-opping until the table's first insert is a debugging
+    // trap (review finding, round 15)
+    def checkKnown(set: Seq[(String, org.apache.spark.sql.Column)],
+        what: String): Unit = {
+      val unknown = set.map(_._1).filterNot(targetCols.contains)
+      require(unknown.isEmpty,
+        s"mergeActions into $path: $what assigns column(s) " +
+          s"${unknown.mkString(", ")} not in the table " +
+          s"(${targetCols.mkString(", ")})")
+    }
     matched.foreach {
-      case MatchedUpdate(_, set) =>
-        val unknown = set.map(_._1).filterNot(targetCols.contains)
-        require(unknown.isEmpty,
-          s"mergeActions into $path: UPDATE SET assigns column(s) " +
-            s"${unknown.mkString(", ")} not in the table " +
-            s"(${targetCols.mkString(", ")})")
+      case MatchedUpdate(_, set) => checkKnown(set, "UPDATE SET")
       case _ => ()
     }
+    bySource.foreach {
+      case BySourceUpdate(_, set) =>
+        checkKnown(set, "NOT MATCHED BY SOURCE UPDATE SET")
+      case _ => ()
+    }
+    insert.flatMap(_.set).foreach(checkKnown(_, "INSERT"))
     val srcCols = source.columns.toSet
-    val needFullRow = insert.nonEmpty ||
+    val needFullRow = insert.exists(_.set.isEmpty) ||
       matched.exists {
         case u: MatchedUpdate => u.set.isEmpty
         case _ => false
@@ -1177,16 +1315,14 @@ object Upsert {
       s"mergeActions into $path: source must carry the keys $keys")
     insert match {
     case None => (0L, 0L)
-    case Some(condOpt) =>
-      val renamed = source.select(
-        keys.map(col) ++
-          source.columns.toSeq.filterNot(keys.contains)
-            .map(c => col(c).as(s"__src_$c")) :+
-          lit(true).as("__graft_matched"): _*)
-      val filtered = condOpt.fold(renamed)(c => renamed.filter(c))
-      val out = filtered.select(targetCols.map { c =>
-        (if (keys.contains(c)) col(c) else col(s"__src_$c")).as(c)
-      }: _*)
+    case Some(spec) =>
+      val renamed = renamedSource(source, keys)
+      val filtered = spec.cond.fold(renamed)(c => renamed.filter(c))
+      val pinnedSchema = pinned.getOrElse(
+        org.apache.spark.sql.types.StructType(
+          targetCols.map(c => source.schema(c))))
+      val out = insertProjection(filtered, spec, keys, targetCols,
+        pinnedSchema)
       pinned.foreach(st => requireSameShape(out.schema, st, path))
       val n = out.count()
       if (n == 0L) (0L, 0L)

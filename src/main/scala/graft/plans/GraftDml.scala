@@ -33,9 +33,14 @@ import graft.engine.Upsert
   *    refuses them); subquery-free DELETEs keep the stock route.
   *  - MERGE: equality key condition on SAME-NAMED columns; ordered
   *    `WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET col =
-  *    expr, … | DELETE` clauses; optional `WHEN NOT MATCHED [AND cond]
-  *    THEN INSERT *`. Merge keys cannot be assigned; correlated
-  *    subqueries refuse everywhere (restate them as a MERGE).
+  *    expr, … | DELETE` clauses; ordered `WHEN NOT MATCHED BY SOURCE
+  *    [AND cond] THEN UPDATE SET col = expr, … | DELETE` clauses
+  *    (round 15 — target-only expressions, whole-table rewrite scope);
+  *    at most one `WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT
+  *    (cols) VALUES (exprs)` (keys must be assigned from the source's
+  *    same-named column; unassigned columns insert NULL). Merge keys
+  *    cannot be assigned by any UPDATE; correlated subqueries refuse
+  *    everywhere (restate them as a MERGE).
   */
 case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -77,10 +82,12 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
           s"MERGE INTO ${t.name()}: $what — the supported shape is " +
             "ON <same-named key equalities> with ordered WHEN MATCHED " +
             "[AND cond] THEN UPDATE SET * | UPDATE SET col = expr, … | " +
-            "DELETE clauses and an optional WHEN NOT MATCHED [AND cond] " +
-            "THEN INSERT *")
+            "DELETE clauses, ordered WHEN NOT MATCHED BY SOURCE [AND " +
+            "cond] THEN UPDATE SET col = expr, … | DELETE clauses, and " +
+            "at most one WHEN NOT MATCHED [AND cond] THEN INSERT * | " +
+            "INSERT (cols) VALUES (exprs) clause (key columns assigned " +
+            "from the source's same-named column)")
       if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
-      if (notMatchedBySource.nonEmpty) refuse("WHEN NOT MATCHED BY SOURCE")
       val targetCols = r.output.map(_.name)
       val keys = keyEqualities(cond, r.output.toSeq, source.output)
         .getOrElse(refuse(
@@ -127,18 +134,77 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
           refuse(s"unsupported WHEN MATCHED action " +
             other.getClass.getSimpleName)
       }
-      val insertSpec: Option[Option[Column]] = notMatched match {
-        case Seq(InsertAction(c, as)) =>
-          if (!isFullRowByName(as, targetCols))
-            refuse("WHEN NOT MATCHED must be INSERT * (full-row, by name)")
-          Some(c.map(clauseCond(_,
-            s"MERGE INTO ${t.name()} WHEN NOT MATCHED AND")))
-        case Seq() => None
-        case _ => refuse("at most one WHEN NOT MATCHED THEN INSERT * clause")
+      // by-source clauses (round 15): conditions and SET values resolve
+      // against the TARGET only (Spark's analyzer enforces that), so
+      // clauseCond's mapping degenerates to plain name unbinding
+      val bySourceActions = notMatchedBySource.map {
+        case UpdateAction(c, as, _) =>
+          val cond = c.map(clauseCond(_,
+            s"MERGE INTO ${t.name()} WHEN NOT MATCHED BY SOURCE AND"))
+          val set = as.map {
+            case Assignment(k: AttributeReference, v)
+                if targetIds(k.exprId) =>
+              k.name -> clauseCond(v,
+                s"MERGE INTO ${t.name()} NOT MATCHED BY SOURCE UPDATE SET")
+            case Assignment(other, _) =>
+              refuse("NOT MATCHED BY SOURCE UPDATE SET assigns a " +
+                s"non-target-column expression ${other.sql}")
+          }
+          Upsert.BySourceUpdate(cond, set)
+        case DeleteAction(c) =>
+          Upsert.BySourceDelete(c.map(clauseCond(_,
+            s"MERGE INTO ${t.name()} WHEN NOT MATCHED BY SOURCE AND")))
+        case other =>
+          refuse(s"unsupported WHEN NOT MATCHED BY SOURCE action " +
+            other.getClass.getSimpleName)
       }
-      if (actions.isEmpty && insertSpec.isEmpty)
+      val insertSpec: Option[(Option[Column], Option[Seq[(String, Column)]])] =
+        notMatched match {
+          case Seq(InsertAction(c, as)) =>
+            val cond = c.map(clauseCond(_,
+              s"MERGE INTO ${t.name()} WHEN NOT MATCHED AND"))
+            if (isFullRowByName(as, targetCols)) Some((cond, None))
+            else {
+              // column-level INSERT (round 15): every merge key must be
+              // assigned from the source's SAME-NAMED column — the
+              // anti-join that decides "not matched" runs on the source
+              // key, so any other key expression could land a key that
+              // is already live (a silent unique-key violation)
+              val pairs = as.map {
+                case Assignment(k: AttributeReference, v)
+                    if targetIds(k.exprId) => k.name -> v
+                case Assignment(other, _) =>
+                  refuse("INSERT assigns a non-target-column " +
+                    s"expression ${other.sql}")
+              }
+              val names = pairs.map(_._1)
+              if (names.distinct != names)
+                refuse("INSERT assigns a column more than once")
+              keys.foreach { k =>
+                pairs.collectFirst { case (`k`, v) => v } match {
+                  case Some(a: AttributeReference)
+                      if sourceIds(a.exprId) && a.name == k => ()
+                  case Some(other) =>
+                    refuse(s"INSERT must assign merge key '$k' from the " +
+                      s"source's same-named column, got ${other.sql}")
+                  case None =>
+                    refuse(s"INSERT must assign merge key '$k' " +
+                      "(unassigned keys would insert NULL keys)")
+                }
+              }
+              val set = pairs.filterNot(p => keys.contains(p._1)).map {
+                case (n, v) => n -> clauseCond(v,
+                  s"MERGE INTO ${t.name()} WHEN NOT MATCHED INSERT")
+              }
+              Some((cond, Some(set)))
+            }
+          case Seq() => None
+          case _ => refuse("at most one WHEN NOT MATCHED THEN INSERT clause")
+        }
+      if (actions.isEmpty && bySourceActions.isEmpty && insertSpec.isEmpty)
         refuse("the merge has no action clauses")
-      GraftMergeCommand(t, source, keys, actions, insertSpec)
+      GraftMergeCommand(t, source, keys, actions, bySourceActions,
+        insertSpec)
 
     // DELETE with a subquery predicate (round 15): the stock DSv2 path
     // refuses subqueries outright, so the uncorrelated shapes —
@@ -257,13 +323,15 @@ final case class GraftDeleteCommand(table: GraftTable, condition: Column)
 final case class GraftMergeCommand(table: GraftTable,
     source: LogicalPlan, keys: Seq[String],
     actions: Seq[Upsert.MatchedAction],
-    insert: Option[Option[Column]]) extends LeafRunnableCommand {
+    bySource: Seq[Upsert.BySourceAction],
+    insert: Option[(Option[Column], Option[Seq[(String, Column)]])])
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val targetCols = table.schema().fieldNames.toSeq
-    (actions, insert) match {
-      case (Seq(Upsert.MatchedUpdate(None, assigns)), Some(None))
-          if assigns.isEmpty =>
+    (actions, bySource, insert) match {
+      case (Seq(Upsert.MatchedUpdate(None, assigns)), Seq(),
+          Some((None, None))) if assigns.isEmpty =>
         val src = Shims.ofRows(session, source)
           .select(targetCols.map(col): _*)
         table.partitionCols match {
@@ -293,8 +361,18 @@ final case class GraftMergeCommand(table: GraftTable,
               set.map { case (k, v) => k -> m(v) })
           case Upsert.MatchedDelete(c) => Upsert.MatchedDelete(c.map(m))
         }
-        Upsert.mergeActions(session, table.path,
-          Shims.ofRows(session, source), keys, mat, insert.map(_.map(m)),
+        val bs = bySource.map {
+          case Upsert.BySourceUpdate(c, set) =>
+            Upsert.BySourceUpdate(c.map(m),
+              set.map { case (k, v) => k -> m(v) })
+          case Upsert.BySourceDelete(c) => Upsert.BySourceDelete(c.map(m))
+        }
+        val ins = insert.map { case (c, set) =>
+          Upsert.InsertSpec(c.map(m),
+            set.map(_.map { case (k, v) => k -> m(v) }))
+        }
+        Upsert.mergeProgram(session, table.path,
+          Shims.ofRows(session, source), keys, mat, bs, ins,
           table.partitionCols)
     }
     Seq.empty

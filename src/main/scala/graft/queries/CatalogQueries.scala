@@ -96,6 +96,24 @@ object CatalogQueries {
                  THEN UPDATE SET price_cents = s.price_cents - t.price_cents,
                                  pri = 'X-MERGED'
                WHEN NOT MATCHED AND s.pri = '2-HIGH' THEN INSERT *""")
+      // round 15: the FULL merge program — WHEN NOT MATCHED BY SOURCE
+      // UPDATE/DELETE (target-only clauses, whole-table rewrite scope)
+      // and a column-level INSERT (cols) VALUES (exprs)
+      s.sql("""CREATE TABLE graftwh.marts.ord_fullm (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)""")
+      s.sql("""INSERT INTO graftwh.marts.ord_fullm
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""MERGE INTO graftwh.marts.ord_fullm t
+               USING __cat_merge_src s ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED AND t.pri = '1-URGENT'
+                 THEN UPDATE SET price_cents = t.price_cents + s.price_cents
+               WHEN NOT MATCHED AND s.pri <> '5-LOW'
+                 THEN INSERT (o_orderkey, price_cents, pri)
+                      VALUES (s.o_orderkey, s.price_cents * 10, 'N-NEW')
+               WHEN NOT MATCHED BY SOURCE AND t.pri = '5-LOW' THEN DELETE
+               WHEN NOT MATCHED BY SOURCE AND t.pri = '2-HIGH'
+                 THEN UPDATE SET price_cents = t.price_cents * 2,
+                                 pri = 'S-STALE'""")
       // … and a generalized MERGE straight into a freshly created EMPTY
       // shell (ADVICE r14 medium: matched clauses can't fire, the
       // conditional insert lands via the expected-empty commit)
@@ -117,6 +135,36 @@ object CatalogQueries {
                SET price_cents = price_cents +
                  (SELECT min(price_cents) FROM __cat_merge_src)
                WHERE pri = '5-LOW'""")
+      // round 15: ALTER COLUMN TYPE widening — INT files live under a
+      // BIGINT pinned schema (Spark's parquet widening promotion), the
+      // post-widen insert lands values that overflow INT
+      s.sql("""CREATE TABLE graftwh.marts.ord_w (
+                 o_orderkey BIGINT, price_cents INT, pri STRING)""")
+      s.sql("""INSERT INTO graftwh.marts.ord_w
+               SELECT o_orderkey, CAST(price_cents AS INT), pri
+               FROM __cat_src""")
+      s.sql("""ALTER TABLE graftwh.marts.ord_w
+               ALTER COLUMN price_cents TYPE BIGINT""")
+      s.sql("""INSERT INTO graftwh.marts.ord_w
+               SELECT o_orderkey, price_cents * 100000, pri
+               FROM __cat_merge_src""")
+      // round 15: HIDDEN partition transforms — months(od) + bucket(8,
+      // key) lay out `ptx_*` dirs the logical schema never shows
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+          col("o_orderdate").as("od"),
+          col("o_orderpriority").as("pri"))
+        .createOrReplaceTempView("__cat_hp_src")
+      s.sql("""CREATE TABLE graftwh.marts.ord_hp (
+                 o_orderkey BIGINT, price_cents BIGINT, od DATE,
+                 pri STRING)
+               PARTITIONED BY (months(od), bucket(8, o_orderkey))""")
+      s.sql("""INSERT INTO graftwh.marts.ord_hp (o_orderkey, price_cents,
+                 od, pri)
+               SELECT o_orderkey, price_cents, od, pri
+               FROM __cat_hp_src""")
       // round 15: TWO-LEVEL identity layout (the reference's own chart
       // key shape, ddl_ods.sql:21-23) — partitioned CTAS, then a SQL
       // merge routed through the generalized touched-files rewrite
@@ -318,6 +366,128 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** `ALTER TABLE … ALTER COLUMN … TYPE BIGINT` (round 15): a
+    * metadata-only lossless widening. The first insert lands INT32
+    * parquet files; after the widen, a second insert lands values that
+    * OVERFLOW Int32 — both file generations aggregate under the one
+    * pinned BIGINT schema (Spark 4 parquet widening promotion), with
+    * min spanning the narrow generation and max the wide one. The
+    * oracle computes the same union from `orders` arithmetic.
+    */
+  val qSqlWiden = QueryDef(
+    "q_sql_widen",
+    (s, dir) => {
+      fixture(s, dir)
+      val shape = s.table("graftwh.marts.ord_w").schema("price_cents")
+      require(shape.dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"widen fixture: price_cents must read as BIGINT, got $shape")
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents,
+                      CAST(min(price_cents) AS BIGINT) AS min_c,
+                      CAST(max(price_cents) AS BIGINT) AS max_c
+               FROM graftwh.marts.ord_w GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      u AS (
+        SELECT pri, pc FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT pri, (pc * 2 + 1) * 100000 AS pc FROM base WHERE k % 5 = 0)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents,
+             CAST(min(pc) AS BIGINT) AS min_c,
+             CAST(max(pc) AS BIGINT) AS max_c
+      FROM u GROUP BY 1 ORDER BY 1"""))
+
+  /** Hidden partition transforms (round 15): `PARTITIONED BY
+    * (months(od), bucket(8, o_orderkey))` clusters writes under
+    * engine-maintained `ptx_*` directories that never surface in the
+    * logical schema; a month-range predicate on the SOURCE column
+    * prunes the snapshot's file list before any footer is opened
+    * (HiddenPartitionSpec pins the pruning + hiding; this query pins
+    * the VALUES: the layout round-trip must be lossless, including
+    * rows whose month sits at the range edges). The oracle computes
+    * the same filtered aggregate straight from `orders`.
+    */
+  val qSqlHiddenPart = QueryDef(
+    "q_sql_hidden_part",
+    (s, dir) => {
+      fixture(s, dir)
+      val cols = s.table("graftwh.marts.ord_hp").columns.toSeq
+      require(!cols.exists(_.startsWith("ptx_")),
+        s"hidden layout leaked into the logical schema: $cols")
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_hp
+               WHERE od >= DATE'1995-01-01' AND od < DATE'1996-01-01'
+               GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      SELECT o_orderpriority AS pri, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 3 = 1
+        AND o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1996-01-01'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** The FULL merge program in one SQL statement (round 15):
+    * conditional column-level matched UPDATE, column-level `INSERT
+    * (cols) VALUES (exprs)` (keys identity-assigned from the source, a
+    * computed price, a literal tag), and `WHEN NOT MATCHED BY SOURCE`
+    * DELETE + UPDATE over target rows the source does not name. The
+    * oracle partitions the key space the same way: matched (k in both
+    * slices), source-only (insert), target-only (by-source clauses,
+    * first-match-wins).
+    */
+  val qSqlMergeFull = QueryDef(
+    "q_sql_merge_full",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_fullm GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pc * 2 + 1 AS pc, pri FROM base WHERE k % 5 = 0),
+      fin AS (
+        -- matched, first clause: URGENT accumulates the source's price
+        SELECT t.k, t.pc + s.pc AS pc, t.pri
+        FROM t7 t JOIN s5 s ON t.k = s.k WHERE t.pri = '1-URGENT'
+        UNION ALL
+        -- matched, no clause fires: unchanged
+        SELECT t.k, t.pc, t.pri
+        FROM t7 t JOIN s5 s ON t.k = s.k WHERE t.pri <> '1-URGENT'
+        UNION ALL
+        -- source-only rows insert with a computed price and a tag
+        SELECT s.k, s.pc * 10 AS pc, 'N-NEW' AS pri
+        FROM s5 s
+        WHERE s.k NOT IN (SELECT k FROM t7) AND s.pri <> '5-LOW'
+        UNION ALL
+        -- target-only: 5-LOW deleted; 2-HIGH re-priced and re-tagged
+        SELECT t.k, t.pc * 2 AS pc, 'S-STALE' AS pri
+        FROM t7 t
+        WHERE t.k NOT IN (SELECT k FROM s5) AND t.pri = '2-HIGH'
+        UNION ALL
+        -- target-only survivors: no by-source clause fires
+        SELECT t.k, t.pc, t.pri
+        FROM t7 t
+        WHERE t.k NOT IN (SELECT k FROM s5)
+          AND t.pri NOT IN ('5-LOW', '2-HIGH'))
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   /** Generalized MERGE into a freshly CREATE TABLE'd EMPTY shell
     * (round 15; ADVICE r14 medium): no row can match, so the DELETE
     * clause is a no-op and every source row passing the insert
@@ -411,6 +581,7 @@ object CatalogQueries {
 
   val all: Seq[QueryDef] =
     Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
-      qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeShell,
-      qSqlDeleteIn, qSqlTwoLevel)
+      qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeFull,
+      qSqlMergeShell, qSqlDeleteIn, qSqlTwoLevel, qSqlWiden,
+      qSqlHiddenPart)
 }

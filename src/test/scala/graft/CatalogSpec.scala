@@ -238,11 +238,12 @@ class CatalogSpec extends AnyFunSuite
                  WHEN MATCHED THEN DELETE""")
     assert(spark.sql("SELECT k, v FROM tcat.ns.mg_t ORDER BY k")
       .as[(Long, String)].collect().toSeq === Seq((1L, "old1")))
-    // a genuinely unsupported shape is still refused loudly
+    // a genuinely unsupported shape is still refused loudly (a
+    // non-equality ON condition; NOT MATCHED BY SOURCE is supported
+    // since round 15)
     val e = intercept[Exception](spark.sql(
-      """MERGE INTO tcat.ns.mg_t t USING mg_src s ON t.k = s.k
-         WHEN MATCHED THEN UPDATE SET *
-         WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+      """MERGE INTO tcat.ns.mg_t t USING mg_src s ON t.k > s.k
+         WHEN MATCHED THEN UPDATE SET *"""))
     assert(e.getMessage.contains("MERGE INTO"))
   }
 

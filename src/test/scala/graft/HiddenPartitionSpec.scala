@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Manifest, PartitionTransforms, Upsert}
+
+/** Hidden partition transforms (round 15): `PARTITIONED BY (days(ts),
+  * bucket(n, k))` lays rows out under engine-maintained `ptx_*`
+  * directories that (a) never surface in the logical schema, (b) are
+  * re-derived by every write funnel (insert, overwrite, merge/delete
+  * rewrites), and (c) prune the snapshot's file list when a predicate
+  * constrains the SOURCE column — day/hour ranges by monotone mapping,
+  * bucket by hashing the literal. Iceberg-style hidden partitioning,
+  * restated over the physical-directory manifest engine.
+  */
+class HiddenPartitionSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-hp").toString
+    spark.conf.set("spark.sql.catalog.hcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.hcat.root", r)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.ns")
+    r
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  private def filesScanned(df: org.apache.spark.sql.DataFrame): Int =
+    collect(finalPlan(df)) {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan
+    }.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.inputFiles.length
+    }.sum
+
+  test("days+bucket layout: writes land ptx_* dirs, the logical schema " +
+      "hides them, and values round-trip") {
+    root
+    spark.sql("""CREATE TABLE hcat.ns.ev (k BIGINT, ts TIMESTAMP,
+                 v BIGINT) PARTITIONED BY (days(ts), bucket(4, k))""")
+    Seq(
+      (1L, ts("2024-07-01 10:00:00"), 10L),
+      (2L, ts("2024-07-01 11:00:00"), 20L),
+      (3L, ts("2024-07-02 09:00:00"), 30L),
+      (4L, ts("2024-07-03 09:00:00"), 40L))
+      .toDF("k", "ts", "v").createOrReplaceTempView("__hp_src")
+    spark.sql("INSERT INTO hcat.ns.ev SELECT k, ts, v FROM __hp_src")
+    val p = s"$root/ns/ev"
+    val live = Manifest.currentLive(spark, p)
+    assert(live.forall(_.matches("ptx_day_ts=2024-07-0[123]/ptx_bucket4_k=\\d/.*")),
+      s"unexpected layout: ${live.mkString(", ")}")
+    // the logical surface never shows the derived dirs
+    assert(spark.table("hcat.ns.ev").columns.toSeq === Seq("k", "ts", "v"))
+    assert(spark.sql("SELECT * FROM hcat.ns.ev").columns.toSeq
+      === Seq("k", "ts", "v"))
+    assert(spark.sql("SELECT k, v FROM hcat.ns.ev ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+      === Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // library read hides them too
+    assert(Manifest.read(spark, p).columns.toSeq === Seq("k", "ts", "v"))
+  }
+
+  test("a day-range predicate on the SOURCE column prunes the file " +
+      "list; a bucket-key equality prunes to the matching bucket") {
+    root // same table as above — created there if this runs first
+    if (!spark.catalog.tableExists("hcat.ns.ev")) {
+      spark.sql("""CREATE TABLE hcat.ns.ev (k BIGINT, ts TIMESTAMP,
+                   v BIGINT) PARTITIONED BY (days(ts), bucket(4, k))""")
+      Seq(
+        (1L, ts("2024-07-01 10:00:00"), 10L),
+        (2L, ts("2024-07-01 11:00:00"), 20L),
+        (3L, ts("2024-07-02 09:00:00"), 30L),
+        (4L, ts("2024-07-03 09:00:00"), 40L))
+        .toDF("k", "ts", "v").createOrReplaceTempView("__hp_src0")
+      spark.sql("INSERT INTO hcat.ns.ev SELECT k, ts, v FROM __hp_src0")
+    }
+    val p = s"$root/ns/ev"
+    val total = Manifest.currentLive(spark, p).size
+    val dayQ = spark.sql("""SELECT sum(v) FROM hcat.ns.ev
+      WHERE ts >= TIMESTAMP'2024-07-03 00:00:00'""")
+    assert(dayQ.as[Long].head() === 40L)
+    val dayFiles = filesScanned(dayQ)
+    assert(dayFiles < total,
+      s"day predicate should prune ($dayFiles of $total scanned)")
+    val keyQ = spark.sql("SELECT v FROM hcat.ns.ev WHERE k = 2")
+    assert(keyQ.as[Long].collect().toSeq === Seq(20L))
+    val keyFiles = filesScanned(keyQ)
+    assert(keyFiles < total,
+      s"bucket equality should prune ($keyFiles of $total scanned)")
+  }
+
+  test("merge and delete rewrites re-derive the hidden layout") {
+    root
+    spark.sql("""CREATE TABLE hcat.ns.mx (k BIGINT, ts TIMESTAMP,
+                 v BIGINT) PARTITIONED BY (days(ts))""")
+    Seq((1L, ts("2024-07-01 08:00:00"), 10L),
+      (2L, ts("2024-07-02 08:00:00"), 20L))
+      .toDF("k", "ts", "v").createOrReplaceTempView("__mx_src")
+    spark.sql("INSERT INTO hcat.ns.mx SELECT * FROM __mx_src")
+    Seq((2L, ts("2024-07-02 08:00:00"), 999L),
+      (5L, ts("2024-07-05 08:00:00"), 50L))
+      .toDF("k", "ts", "v").createOrReplaceTempView("__mx_merge")
+    spark.sql("""MERGE INTO hcat.ns.mx t USING __mx_merge s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val p = s"$root/ns/mx"
+    val live = Manifest.currentLive(spark, p)
+    assert(live.forall(_.startsWith("ptx_day_ts=")),
+      s"rewrites must keep the hidden layout: ${live.mkString(", ")}")
+    assert(live.exists(_.startsWith("ptx_day_ts=2024-07-05/")),
+      "the merge insert must land in its own day dir")
+    assert(spark.sql("SELECT k, v FROM hcat.ns.mx ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+      === Seq((1L, 10L), (2L, 999L), (5L, 50L)))
+    spark.sql("DELETE FROM hcat.ns.mx WHERE v = 999")
+    assert(Manifest.currentLive(spark, p)
+      .forall(_.startsWith("ptx_day_ts=")))
+    assert(spark.sql("SELECT count(*) FROM hcat.ns.mx")
+      .as[Long].head() === 2L)
+  }
+
+  test("schema migrations refuse a transform's source column; other " +
+      "columns stay migratable") {
+    root
+    spark.sql("""CREATE TABLE hcat.ns.sm (k BIGINT, ts TIMESTAMP,
+                 v INT) PARTITIONED BY (days(ts), bucket(4, k))""")
+    Seq((1L, ts("2024-07-01 08:00:00"), 10)).toDF("k", "ts", "v")
+      .createOrReplaceTempView("__sm_src")
+    spark.sql("INSERT INTO hcat.ns.sm SELECT * FROM __sm_src")
+    val p = s"$root/ns/sm"
+    def refuses(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      assert(e.getMessage.contains("transform") ||
+        e.getMessage.contains("partition"), e.getMessage)
+    }
+    refuses(Manifest.renameColumn(spark, p, "ts", "when_at"))
+    refuses(Manifest.dropColumn(spark, p, "ts"))
+    refuses(Manifest.widenColumn(spark, p, "k",
+      org.apache.spark.sql.types.DecimalType(20, 0)))
+    // a non-layout column still widens
+    Manifest.widenColumn(spark, p, "v",
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT v FROM hcat.ns.sm").schema("v").dataType
+      === org.apache.spark.sql.types.LongType)
+  }
+
+  test("library-level transforms: materialize derives, decode round-" +
+      "trips, pruneFiles is superset-safe") {
+    import PartitionTransforms._
+    assert(decode("ptx_day_ts") === Some(PTime("day", "ts")))
+    assert(decode("ptx_bucket16_user_id") === Some(PBucket(16, "user_id")))
+    assert(decode("country") === None)
+    assert(transformSources(Seq("ptx_day_ts", "country"))
+      === Seq("ts"))
+    val df = Seq((7L, ts("2024-07-01 10:30:00"))).toDF("k", "ts")
+    val m = materialize(df, Seq("ptx_day_ts", "ptx_bucket4_k"))
+    val row = m.select("ptx_day_ts", "ptx_bucket4_k")
+      .as[(java.sql.Date, Int)].head()
+    assert(row._1 === java.sql.Date.valueOf("2024-07-01"))
+    assert(row._2 >= 0 && row._2 < 4)
+    // a predicate on an untransformed column prunes nothing
+    val files = Seq(
+      "ptx_day_ts=2024-07-01/a.parquet",
+      "ptx_day_ts=2024-07-02/b.parquet",
+      "ptx_day_ts=__HIVE_DEFAULT_PARTITION__/c.parquet")
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.types.DateType
+    val tsAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "ts", DateType)()
+    val pred = GreaterThanOrEqual(tsAttr,
+      Literal.create(java.sql.Date.valueOf("2024-07-04"), DateType))
+    val kept = pruneFiles(files, Seq(pred))
+    // 07-01 falls out even with the one-day slack; NULL dir always kept
+    assert(kept ===
+      Seq("ptx_day_ts=__HIVE_DEFAULT_PARTITION__/c.parquet"))
+  }
+}

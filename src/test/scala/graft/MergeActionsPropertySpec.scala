@@ -183,4 +183,106 @@ class MergeActionsPropertySpec extends AnyFunSuite {
         s"round $round diverged:\n got=$got\nwant=$want")
     }
   }
+
+  // ---- round 15: the FULL program — by-source clauses + column-level
+  // insert, same differential discipline ----
+
+  /** By-source clause grammar: conditions and values see TARGET columns
+    * only. Each variant = (engine action, model transition where None =
+    * delete); model rows are (cents, n-as-Option for NULL-fill inserts).
+    */
+  private def bySourceVariants(rnd: scala.util.Random)
+      : (Upsert.BySourceAction,
+         Option[((Long, Option[Long])) => (Long, Option[Long])], Long => Boolean) = {
+    val (cond, pred): (Option[Column], Long => Boolean) =
+      rnd.nextInt(3) match {
+        case 0 => (None, _ => true)
+        case 1 =>
+          val th = rnd.nextInt(900) + 100
+          (Some(col("cents") >= th), t => t >= th)
+        case 2 => (Some(col("cents") % 2 === 0), t => t % 2 == 0)
+      }
+    rnd.nextInt(3) match {
+      case 0 => (Upsert.BySourceDelete(cond), None, pred)
+      case 1 => (Upsert.BySourceUpdate(cond,
+        Seq("cents" -> (col("cents") * 2))),
+        Some(r => (r._1 * 2, r._2)), pred)
+      case 2 => (Upsert.BySourceUpdate(cond,
+        Seq("n" -> lit(null).cast("bigint"))),
+        Some(r => (r._1, None)), pred)
+    }
+  }
+
+  test("random FULL merge programs (matched + by-source + column-level " +
+      "insert): engine snapshot == reference semantics") {
+    val rnd = new scala.util.Random(5151)
+    (1 to 12).foreach { round =>
+      val p = Files.createTempDirectory(s"graft-mfull$round")
+        .resolve("t").toString
+      val target = (0 until 25).map(_ => rnd.nextInt(40).toLong).distinct
+        .map(k => k -> ((rnd.nextInt(900) + 100).toLong,
+          rnd.nextInt(10).toLong)).toMap
+      Upsert.append(spark, p,
+        target.toSeq.map { case (k, (c, n)) => (k, c, n) }
+          .toDF("k", "cents", "n"), None)
+      val source = (0 until 15).map(_ => rnd.nextInt(60).toLong).distinct
+        .map(k => k -> ((rnd.nextInt(900) + 100).toLong,
+          rnd.nextInt(10).toLong)).toMap
+      // 0..2 matched clauses over the shared grammar
+      val mActs = Seq.fill(rnd.nextInt(3)) {
+        val (c, m) = conds(rnd)
+        (rnd.nextBoolean(), c, m)
+      }
+      val engineMatched: Seq[Upsert.MatchedAction] = mActs.map {
+        case (true, c, _) => Upsert.MatchedDelete(c)
+        case (false, c, _) => Upsert.MatchedUpdate(c)
+      }
+      // 0..2 by-source clauses
+      val bsActs = Seq.fill(rnd.nextInt(3))(bySourceVariants(rnd))
+      // insert: absent, star, or column-level (n unassigned → NULL)
+      val insMode = rnd.nextInt(3)
+      val insSpec = insMode match {
+        case 0 => None
+        case 1 => Some(Upsert.InsertSpec(None))
+        case 2 => Some(Upsert.InsertSpec(None,
+          Some(Seq("cents" -> (col("__src_cents") * 3)))))
+      }
+      Upsert.mergeProgram(spark, p,
+        source.toSeq.map { case (k, (c, n)) => (k, c, n) }
+          .toDF("k", "cents", "n"),
+        Seq("k"), engineMatched, bsActs.map(_._1), insSpec, Seq.empty)
+      val got = Manifest.read(spark, p)
+        .as[(Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val afterTarget = target.flatMap { case (k, t) =>
+        source.get(k) match {
+          case Some(s) => // matched family
+            mActs.find { case (_, _, c) => c.forall(f => f(t._1, s._1)) }
+              match {
+                case None => Some(k -> ((t._1, Option(t._2))))
+                case Some((true, _, _)) => None
+                case Some((false, _, _)) => Some(k -> ((s._1, Option(s._2))))
+              }
+          case None => // by-source family
+            bsActs.find { case (_, _, pred) => pred(t._1) } match {
+              case None => Some(k -> ((t._1, Option(t._2))))
+              case Some((_, None, _)) => None // delete
+              case Some((_, Some(f), _)) =>
+                Some(k -> f((t._1, Option(t._2))))
+            }
+        }
+      }
+      val inserts: Map[Long, (Long, Option[Long])] = insMode match {
+        case 0 => Map.empty
+        case 1 => source.collect {
+          case (k, s) if !target.contains(k) => k -> ((s._1, Option(s._2))) }
+        case 2 => source.collect {
+          case (k, s) if !target.contains(k) =>
+            k -> ((s._1 * 3, Option.empty[Long])) }
+      }
+      val want = afterTarget ++ inserts
+      assert(got === want,
+        s"round $round diverged (ins=$insMode):\n got=$got\nwant=$want")
+    }
+  }
 }

@@ -262,6 +262,81 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  // ---- round 15: ALTER COLUMN TYPE (lossless widening) --------------
+
+  test("widenColumn is metadata-only: INT32 files read exact under the " +
+      "BIGINT pin; time travel keeps the narrow type") {
+    val path = tmp()
+    Upsert.upsertPartitioned(spark, path,
+      Seq((1, d1, 100), (2, d2, 200)).toDF("k", "d", "cents"),
+      Seq("k", "d"), "d")
+    val filesBefore = Manifest.currentLive(spark, path).sorted
+    val vNarrow = Manifest.currentVersion(spark, path).get
+    Manifest.widenColumn(spark, path, "cents", LongType)
+    assert(Manifest.currentLive(spark, path).sorted === filesBefore)
+    val now = Manifest.read(spark, path)
+    assert(now.schema("cents").dataType === LongType)
+    assert(now.select("k", "cents").as[(Int, Long)].collect().toMap
+      === Map(1 -> 100L, 2 -> 200L))
+    // pre-widen version keeps INT
+    assert(Manifest.readAsOf(spark, path, vNarrow)
+      .schema("cents").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // post-widen append lands values beyond Int32; both generations
+    // aggregate under one schema
+    Upsert.upsertPartitioned(spark, path,
+      Seq((9, d2, 5_000_000_000L)).toDF("k", "d", "cents"),
+      Seq("k", "d"), "d")
+    assert(Manifest.read(spark, path).agg(sum("cents")).as[Long].head()
+      === 5_000_000_300L)
+  }
+
+  test("widenColumn refuses narrowing, cross-type changes, no-ops, and " +
+      "partition columns; decimal widens precision at fixed scale") {
+    val path = tmp()
+    Upsert.upsertPartitioned(spark, path,
+      Seq((1, d1, 100L)).toDF("k", "d", "cents")
+        .withColumn("price", col("cents").cast("decimal(10,2)")),
+      Seq("k", "d"), "d")
+    def refuse(name: String, to: org.apache.spark.sql.types.DataType,
+        msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Manifest.widenColumn(spark, path, name, to))
+      assert(e.getMessage.contains(msg), s"$name→$to: ${e.getMessage}")
+    }
+    refuse("cents", org.apache.spark.sql.types.IntegerType, "lossless")
+    refuse("cents", org.apache.spark.sql.types.StringType, "lossless")
+    refuse("cents", LongType, "lossless") // same type: a caller bug
+    refuse("price", org.apache.spark.sql.types.DecimalType(12, 4),
+      "lossless") // scale change is a rewrite, not a widening
+    refuse("d", org.apache.spark.sql.types.TimestampType, "partition")
+    refuse("nope", LongType, "no column")
+    Manifest.widenColumn(spark, path, "price",
+      org.apache.spark.sql.types.DecimalType(20, 2))
+    val got = Manifest.read(spark, path).select("price")
+    assert(got.schema("price").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 2))
+    assert(got.as[java.math.BigDecimal].head()
+      === new java.math.BigDecimal("100.00"))
+  }
+
+  test("generalized merge over mixed narrow/wide file generations " +
+      "rewrites touched files under the widened schema") {
+    val path = tmp()
+    Upsert.append(spark, path,
+      Seq((1L, 10), (2L, 20)).toDF("k", "cents"), None)
+    Manifest.widenColumn(spark, path, "cents", LongType)
+    Upsert.append(spark, path,
+      Seq((3L, 6_000_000_000L)).toDF("k", "cents"), None)
+    val (aff, ins) = Upsert.mergeActions(spark, path,
+      Seq((2L, 7_000_000_000L), (4L, 40L)).toDF("k", "cents"), Seq("k"),
+      Seq(Upsert.MatchedUpdate(None)), Some(None), Seq.empty)
+    assert(aff === 1L && ins === 1L)
+    assert(Manifest.read(spark, path).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 7_000_000_000L, 3L -> 6_000_000_000L,
+        4L -> 40L))
+  }
+
   test("vacuum and rollback retire schema sidecars with their versions") {
     val path = tmp()
     Upsert.upsertParquet(spark, path,

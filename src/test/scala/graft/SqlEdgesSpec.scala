@@ -46,17 +46,26 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(rowsOf("ecat.ns.ctas") === Map(1L -> 10L))
   }
 
-  test("CTAS into an existing table fails loudly; transform-partitioned " +
-      "CTAS refused") {
+  test("CTAS into an existing table fails loudly; bucket-transform CTAS " +
+      "lands the hidden layout (round 15)") {
     root
     Seq((1L, 1L)).toDF("k", "cents").createOrReplaceTempView("__ctas_src2")
     spark.sql("CREATE TABLE ecat.ns.ctas2 AS SELECT * FROM __ctas_src2")
     intercept[Exception](
       spark.sql("CREATE TABLE ecat.ns.ctas2 AS SELECT * FROM __ctas_src2"))
+    // transform-partitioned CTAS is supported since round 15 — the
+    // bucket becomes a hidden ptx_* directory the schema never shows
+    spark.sql("""CREATE TABLE ecat.ns.ctas3 PARTITIONED BY (bucket(4, k))
+                 AS SELECT * FROM __ctas_src2""")
+    assert(spark.table("ecat.ns.ctas3").columns.toSeq === Seq("k", "cents"))
+    assert(Manifest.currentLive(spark, s"$root/ns/ctas3")
+      .forall(_.startsWith("ptx_bucket4_k=")))
+    // an unsupported transform NAME still refuses loudly
     val e = intercept[Exception](
-      spark.sql("""CREATE TABLE ecat.ns.ctas3 PARTITIONED BY (bucket(4, k))
-                   AS SELECT * FROM __ctas_src2"""))
-    assert(e.getMessage.contains("identity"))
+      spark.sql("""CREATE TABLE ecat.ns.ctas4 PARTITIONED BY
+                   (truncate(4, k)) AS SELECT * FROM __ctas_src2"""))
+    assert(e.getMessage.contains("unsupported partition transform") ||
+      e.getMessage.contains("truncate"), e.getMessage)
   }
 
   test("PARTITIONED BY CREATE TABLE and CTAS: the declared column steers " +
@@ -88,8 +97,8 @@ class SqlEdgesSpec extends AnyFunSuite {
   }
 
   test("two-level PARTITIONED BY (d, country): inserts nest the layout, " +
-      "SQL merge routes through the generalized rewrite, transforms " +
-      "still refuse") {
+      "SQL merge routes through the generalized rewrite, invalid " +
+      "transforms refuse") {
     root
     spark.sql("""CREATE TABLE ecat.ns.p2 (k BIGINT, cents BIGINT,
                  d DATE, country STRING) PARTITIONED BY (d, country)""")
@@ -119,11 +128,12 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(spark.sql("""SELECT k FROM ecat.ns.p2
                         WHERE d = DATE'2024-07-01' AND country = 'GB'""")
       .as[Long].collect().toSeq === Seq(2L))
-    // computed transforms still refuse — layout is physical directories
+    // transforms compose with validation: hours() over a DATE column
+    // has nothing to derive and refuses loudly
     val e = intercept[Exception](spark.sql(
       """CREATE TABLE ecat.ns.p3 (k BIGINT, d DATE)
-         PARTITIONED BY (days(d))"""))
-    assert(e.getMessage.contains("identity"))
+         PARTITIONED BY (hours(d))"""))
+    assert(e.getMessage.contains("no hours"), e.getMessage)
   }
 
   test("INSERT OVERWRITE replaces the whole table in one snapshot commit") {
@@ -271,17 +281,19 @@ class SqlEdgesSpec extends AnyFunSuite {
       .select("version").as[Long].collect().toSeq === Seq(4L))
   }
 
-  test("merge refusal paths stay loud: NOT MATCHED BY SOURCE, non-star " +
-      "update, duplicate source keys") {
+  test("merge refusal paths stay loud: WITH SCHEMA EVOLUTION, key " +
+      "reassignment, duplicate source keys") {
     root
     spark.sql("CREATE TABLE ecat.ns.mref (k BIGINT, cents BIGINT)")
     spark.sql("INSERT INTO ecat.ns.mref VALUES (1, 10)")
     Seq((1L, 100L)).toDF("k", "cents").createOrReplaceTempView("__ref_src")
+    // NOT MATCHED BY SOURCE is supported since round 15; the evolving
+    // variant stays refused
     val e1 = intercept[Exception](spark.sql(
-      """MERGE INTO ecat.ns.mref t USING __ref_src s ON t.k = s.k
-         WHEN MATCHED THEN UPDATE SET *
-         WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
-    assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"))
+      """MERGE WITH SCHEMA EVOLUTION INTO ecat.ns.mref t
+         USING __ref_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *"""))
+    assert(e1.getMessage.contains("SCHEMA EVOLUTION"))
     // column-level SET is supported since round 15 — but assigning a
     // MERGE KEY would rekey matched rows and stays refused
     val e2 = intercept[Exception](spark.sql(
@@ -541,5 +553,105 @@ class SqlEdgesSpec extends AnyFunSuite {
             Seq(Upsert.MatchedUpdate(None)), Some(None), Seq.empty))
         assert(e.getMessage.contains("reserved"), s"for $bad: $e")
       }
+  }
+
+  // ---- round 15: WHEN NOT MATCHED BY SOURCE + column-level INSERT ----
+
+  test("WHEN NOT MATCHED BY SOURCE updates/deletes target-only rows; " +
+      "matched and insert clauses compose in one statement") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.fullm (k BIGINT, cents BIGINT)")
+    spark.sql(
+      "INSERT INTO ecat.ns.fullm VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    Seq((1L, 100L), (9L, 900L)).toDF("k", "cents")
+      .createOrReplaceTempView("__bs_src")
+    spark.sql("""MERGE INTO ecat.ns.fullm t USING __bs_src s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET cents = t.cents + s.cents
+                 WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)
+                 WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN DELETE
+                 WHEN NOT MATCHED BY SOURCE AND t.cents >= 40
+                   THEN UPDATE SET cents = t.cents * -1""")
+    // k=1 matched (10+100); k=2 target-only, deleted; k=3 target-only,
+    // no by-source clause fires (cents < 40), survives; k=4 target-only,
+    // negated; k=9 inserted
+    assert(rowsOf("ecat.ns.fullm")
+      === Map(1L -> 110L, 3L -> 30L, 4L -> -40L, 9L -> 900L))
+  }
+
+  test("by-source-only merge ignores source non-key columns and runs " +
+      "clauses first-match-wins") {
+    val p = Files.createTempDirectory("graft-bso").resolve("t").toString
+    Upsert.append(spark, p,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "cents"), None)
+    // a keys-only source is fine: by-source clauses never read it
+    val (affected, inserted) = Upsert.mergeProgram(spark, p,
+      Seq(1L).toDF("k"), Seq("k"), Seq.empty,
+      Seq(Upsert.BySourceUpdate(Some(col("cents") < 25),
+          Seq("cents" -> (col("cents") + 1000))),
+        Upsert.BySourceDelete(None)),
+      None, Seq.empty)
+    // k=1 matched by source → untouched; k=2 first clause (20<25);
+    // k=3 falls through to the unconditional DELETE
+    assert(affected === 2L && inserted === 0L)
+    assert(Manifest.read(spark, p).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 1020L))
+  }
+
+  test("column-level INSERT fills unassigned columns with NULL and " +
+      "assignment-casts values") {
+    root
+    spark.sql(
+      "CREATE TABLE ecat.ns.insc (k BIGINT, cents BIGINT, tag STRING)")
+    spark.sql("INSERT INTO ecat.ns.insc VALUES (1, 10, 'a')")
+    Seq((1L, 5), (7L, 70)).toDF("k", "small")
+      .createOrReplaceTempView("__insc_src")
+    // 'small' is INT; the BIGINT target column takes the assignment-cast
+    spark.sql("""MERGE INTO ecat.ns.insc t USING __insc_src s ON t.k = s.k
+                 WHEN NOT MATCHED THEN INSERT (k, cents)
+                   VALUES (s.k, s.small)""")
+    val rows = spark.sql("SELECT k, cents, tag FROM ecat.ns.insc")
+      .as[(Long, Long, Option[String])].collect()
+      .map { case (k, c, t) => k -> ((c, t)) }.toMap
+    assert(rows === Map(1L -> ((10L, Some("a"))), 7L -> ((70L, None))))
+  }
+
+  test("column-level INSERT must assign every merge key, identity from " +
+      "the source; by-source UPDATE may not rekey") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.insr (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.insr VALUES (1, 10)")
+    Seq((2L, 20L)).toDF("k", "cents").createOrReplaceTempView("__insr_src")
+    val e1 = intercept[Exception](
+      spark.sql("""MERGE INTO ecat.ns.insr t USING __insr_src s ON t.k = s.k
+                   WHEN NOT MATCHED THEN INSERT (cents) VALUES (s.cents)"""))
+    assert(e1.getMessage.contains("must assign merge key"))
+    val e2 = intercept[Exception](
+      spark.sql("""MERGE INTO ecat.ns.insr t USING __insr_src s ON t.k = s.k
+                   WHEN NOT MATCHED THEN INSERT (k, cents)
+                     VALUES (s.k + 1000, s.cents)"""))
+    assert(e2.getMessage.contains("same-named column"))
+    val e3 = intercept[Exception](
+      spark.sql("""MERGE INTO ecat.ns.insr t USING __insr_src s ON t.k = s.k
+                   WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 99"""))
+    assert(e3.getMessage.contains("merge key"))
+  }
+
+  test("full merge program against an empty shell: by-source clauses " +
+      "no-op, column-level insert lands, typo'd SET still refused") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.shell4 (k BIGINT, cents BIGINT)")
+    Seq((5L, 50L)).toDF("k", "cents").createOrReplaceTempView("__sh2_src")
+    spark.sql("""MERGE INTO ecat.ns.shell4 t USING __sh2_src s ON t.k = s.k
+                 WHEN NOT MATCHED THEN INSERT (k, cents)
+                   VALUES (s.k, s.cents * 2)
+                 WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rowsOf("ecat.ns.shell4") === Map(5L -> 100L))
+    spark.sql("CREATE TABLE ecat.ns.shell5 (k BIGINT, cents BIGINT)")
+    val e = intercept[Exception](
+      spark.sql("""MERGE INTO ecat.ns.shell5 t USING __sh2_src s
+                   ON t.k = s.k
+                   WHEN NOT MATCHED BY SOURCE
+                     THEN UPDATE SET nope = 1""")) // must fail even empty
+    assert(e.getMessage.contains("nope"))
   }
 }
