@@ -189,6 +189,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTable(spark, s"${fullName(ident)}@v$v", path, asOfVersion = Some(v))
   }
 
+  /** `TIMESTAMP AS OF t` (round 15) — resolves to the LATEST version
+    * committed at or before `t` (Spark hands micros since epoch; the
+    * commit instant is the manifest file's mtime, the same clock
+    * [[Manifest.history]] reports). A timestamp before the first
+    * commit is a loud error, matching Delta/Iceberg semantics.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(
+        name() +: ident.namespace.toSeq :+ ident.name)
+    val path = tablePath(ident)
+    val cutoffMillis = Math.floorDiv(timestampMicros, 1000L)
+    val at = Manifest.history(spark, path)
+      .filter(_.committedAtMillis <= cutoffMillis)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"table ${fullName(ident)}: no version committed at or before " +
+          s"timestamp ${java.time.Instant.ofEpochMilli(cutoffMillis)} " +
+          "(the first commit is later)"))
+    GraftTable(spark, s"${fullName(ident)}@v${at.version}", path,
+      asOfVersion = Some(at.version))
+  }
+
   private def fullName(ident: Identifier): String =
     (name() +: ident.namespace.toSeq :+ ident.name).mkString(".")
 

@@ -121,6 +121,30 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     (Map("provider" -> "graft", "location" -> path) ++
       snapshotVersion.map(v => "version" -> v.toString)).asJava
 
+  /** The table's partitioning as V2 transforms — identity columns as
+    * themselves, hidden `ptx_*` dirs decoded back to their declaring
+    * transform (round 15). Exposing this lets the analyzer validate
+    * `INSERT OVERWRITE … PARTITION (c = v)` specs and DESCRIBE show
+    * the layout.
+    */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import graft.engine.PartitionTransforms
+    partitionCols.map { c =>
+      PartitionTransforms.decode(c) match {
+        case Some(PartitionTransforms.PTime("year", s)) => Expressions.years(s)
+        case Some(PartitionTransforms.PTime("month", s)) =>
+          Expressions.months(s)
+        case Some(PartitionTransforms.PTime("day", s)) => Expressions.days(s)
+        case Some(PartitionTransforms.PTime(_, s)) => Expressions.hours(s)
+        case Some(PartitionTransforms.PBucket(n, s)) =>
+          Expressions.bucket(n, s)
+        case None => Expressions.identity(c)
+      }
+    }.toArray
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -141,10 +165,13 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     * batch); `INSERT OVERWRITE` (round 14) replaces the WHOLE live set
     * atomically via [[Upsert.overwriteTable]] — the analyzer signals it
     * through `SupportsOverwriteV2.truncate()` (static mode, no
-    * partition spec ⇒ the delete filter is ALWAYS_TRUE). A FILTERED
-    * overwrite (partition-spec'd) is refused loudly: partition layout
-    * here is physical and partition-scoped replacement is the library's
-    * [[Upsert.overwritePartitions]].
+    * partition spec ⇒ the delete filter is ALWAYS_TRUE). `INSERT
+    * OVERWRITE … PARTITION (c = v)` (round 15) replaces exactly that
+    * identity partition via [[Upsert.overwritePartitions]] with the
+    * declared value as the expected set — staged rows leaking outside
+    * it fail the write pre-commit. Anything else (range predicates,
+    * multi-level static specs, hidden-transform layouts) refuses
+    * loudly.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     asOfVersion.foreach(v => throw new UnsupportedOperationException(
@@ -153,13 +180,35 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
       private var replaceAll = false
+      private var staticPart: Option[(String, Seq[String])] = None
       override def overwrite(predicates: Array[V2Predicate]): WriteBuilder = {
-        require(predicates.forall(_.name() == "ALWAYS_TRUE"),
-          s"INSERT OVERWRITE $tableName: only whole-table overwrite is " +
-            "supported through SQL (got " + predicates.mkString(" AND ") +
-            ") — partition-scoped replacement is the library's " +
-            "Upsert.overwritePartitions")
-        replaceAll = true
+        if (predicates.forall(_.name() == "ALWAYS_TRUE")) {
+          replaceAll = true
+          return this
+        }
+        def refuse(why: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE $tableName: $why (got " +
+              predicates.mkString(" AND ") + ") — whole-table overwrite " +
+              "and single-level PARTITION (col = value) are supported " +
+              "through SQL; anything else is the library's " +
+              "Upsert.overwritePartitions")
+        partitionCols match {
+          case Seq(c) if !graft.engine.PartitionTransforms.isDerived(c) =>
+            val vals = predicates.toSeq.map(
+              StaticPartitionEq.unapply(_) match {
+                case Some((name, v)) if name.equalsIgnoreCase(c) => v
+                case Some((name, _)) => refuse(
+                  s"'$name' is not the table's partition column '$c'")
+                case None => refuse(
+                  "only <partition col> = <literal> predicates translate")
+              })
+            staticPart = Some(c -> vals.distinct)
+          case Seq() => refuse("the table has no partition layout")
+          case deep => refuse(
+            s"the layout ${deep.mkString("(", ", ", ")")} is multi-level " +
+              "or transform-derived")
+        }
         this
       }
       override def build(): V1Write = new V1Write {
@@ -168,9 +217,15 @@ final case class GraftTable(spark: SparkSession, tableName: String,
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
               val pc = partitionCols
-              if (replaceAll || overwrite)
-                Upsert.overwriteTableLayout(spark, path, data, pc)
-              else Upsert.appendLayout(spark, path, data, pc)
+              staticPart match {
+                case Some((c, vals)) =>
+                  Upsert.overwritePartitions(spark, path, data, c,
+                    expectedValues = Some(vals))
+                case None =>
+                  if (replaceAll || overwrite)
+                    Upsert.overwriteTableLayout(spark, path, data, pc)
+                  else Upsert.appendLayout(spark, path, data, pc)
+              }
               ()
             }
           }

@@ -79,3 +79,73 @@ object V2PredicateColumns {
     case _ => None
   }
 }
+
+/** `col = literal` extractor over a [[V2Predicate]], rendering the
+  * literal as the PARTITION-DIRECTORY string Spark's writers use for
+  * it (`d=2024-07-01`) — the static `INSERT OVERWRITE … PARTITION`
+  * path matches it against staged directory names.
+  */
+private[catalog] object StaticPartitionEq {
+
+  /** Accepted shapes: a bare `=`/`<=>`, an AND carrying the eq plus
+    * IS_NOT_NULL guards, and the analyzer's full null-safe expansion
+    * `(… AND c = lit) OR (c IS NULL AND lit IS NULL)` — the OR's
+    * null-null arm is vacuous because the extracted literal is
+    * provably non-null (a NULL literal never extracts).
+    */
+  def unapply(p: V2Predicate): Option[(String, String)] = {
+    def preds(q: V2Predicate): Option[Seq[V2Predicate]] = {
+      val ks = q.children().collect { case c: V2Predicate => c }.toSeq
+      if (ks.length == q.children().length) Some(ks) else None
+    }
+    p.name() match {
+      case "=" | "<=>" => binEq(p)
+      case "AND" => preds(p).flatMap { ks =>
+        val eqs = ks.flatMap(unapply(_))
+        if (eqs.distinct.length == 1 &&
+          ks.filter(unapply(_).isEmpty).forall(_.name() == "IS_NOT_NULL"))
+          Some(eqs.head)
+        else None
+      }
+      case "OR" => preds(p).flatMap {
+        case Seq(a, b) =>
+          unapply(a).filter(_ => isNullNullGuard(b))
+            .orElse(unapply(b).filter(_ => isNullNullGuard(a)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def binEq(p: V2Predicate): Option[(String, String)] = {
+    val kids = p.children()
+    if (kids.length != 2) return None
+    val pair = (kids(0), kids(1)) match {
+      case (r: NamedReference, l: V2Literal[_]) => Some((r, l))
+      case (l: V2Literal[_], r: NamedReference) => Some((r, l))
+      case _ => None
+    }
+    pair.flatMap { case (r, l) =>
+      if (r.fieldNames.length != 1) None
+      else Option(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+        .map(v => r.fieldNames.head -> v.toString)
+    }
+  }
+
+  /** `c IS NULL AND lit IS NULL` with a provably NON-NULL literal —
+    * statically false, so the OR arm carrying it is vacuous. A guard
+    * whose IS_NULLs are all over references is NOT vacuous and must
+    * not match.
+    */
+  private def isNullNullGuard(p: V2Predicate): Boolean =
+    p.name() == "AND" && p.children().forall {
+      case q: V2Predicate => q.name() == "IS_NULL"
+      case _ => false
+    } && p.children().exists {
+      case q: V2Predicate => q.children().headOption.exists {
+        case l: V2Literal[_] => l.value != null
+        case _ => false
+      }
+      case _ => false
+    }
+}

@@ -75,10 +75,12 @@ object Compaction {
     * cluster + `statsCols` together are the maintenance pass that turns
     * an append-fragmented table into a plan-time-skippable one (for 2-D
     * clustering, feed one Morton column via [[ZOrder.zValue]] upstream
-    * or cluster on the two keys in major/minor order). Mutually
-    * exclusive with `partitionCol` (partition dirs already partition the
-    * range; combining the two writers would cross-product their file
-    * counts).
+    * or cluster on the two keys in major/minor order). On a physically
+    * partitioned table (explicit `partitionCol` or a layout derived
+    * from the live paths, round 15 — identity and hidden `ptx_*`
+    * transform dirs alike) clustering happens WITHIN the layout: range
+    * on (layout ++ clusterBy) keeps each leaf's files range-contiguous,
+    * and a bare compact never flattens the directory structure.
     */
   def compact(spark: SparkSession, path: String,
       partitionCol: Option[String] = None,
@@ -86,8 +88,6 @@ object Compaction {
       statsCols: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil): (Long, Long) =
       WriterLease.withLease(spark, path) {
-    require(partitionCol.isEmpty || clusterBy.isEmpty,
-      "compact: clusterBy and partitionCol are mutually exclusive")
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -99,24 +99,43 @@ object Compaction {
       .sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerFile).toInt)
 
-    val df = Manifest.read(spark, path)
+    val df0 = Manifest.read(spark, path)
+    // layout-aware (round 15): a compaction must NEVER flatten the
+    // table's physical layout — identity dirs and hidden ptx_*
+    // transform dirs alike. The caller's partitionCol keeps its legacy
+    // meaning; otherwise the layout is derived from the live paths and
+    // re-materialized (PartitionTransforms recomputes derived columns
+    // the logical read hides).
+    val layoutCols: Seq[String] = partitionCol.map(Seq(_)).getOrElse(
+      Manifest.layoutPartitionCols(before).getOrElse(Seq.empty))
+    val df = PartitionTransforms.materialize(df0, layoutCols)
     val staging = new org.apache.hadoop.fs.Path(path + ".compact_staging")
-    val writer = partitionCol match {
-      case Some(c) =>
-        // Hashing on the partition column ALONE would emit exactly one
-        // file per partition value (one task writing a whole date — a
+    val writer =
+      if (layoutCols.nonEmpty && clusterBy.nonEmpty)
+        // leaf-respecting clustering: range on (layout ++ clusterBy)
+        // gives each leaf dir range-contiguous, sorted files — tight
+        // FileStats envelopes per file within every leaf
+        df.repartitionByRange(nFiles,
+          (layoutCols ++ clusterBy).map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+          .write.partitionBy(layoutCols: _*)
+      else if (layoutCols.nonEmpty) {
+        // Hashing on the layout columns ALONE would emit exactly one
+        // file per leaf value (one task writing a whole date — a
         // straggler at the daily-append regime this exists for). Add a
-        // content-hash salt sized so each partition dir gets roughly
+        // content-hash salt sized so each leaf dir gets roughly
         // target-sized files.
-        val nParts = math.max(1L, df.select(col(c)).distinct().count())
+        val nParts = math.max(1L,
+          df.select(layoutCols.map(col): _*).distinct().count())
         val filesPerPart = math.max(1, math.ceil(nFiles.toDouble / nParts).toInt)
-        val salt = pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(filesPerPart))
-        df.repartition(nFiles, col(c), salt).write.partitionBy(c)
-      case None if clusterBy.nonEmpty =>
+        val salt = pmod(hash(df0.columns.toIndexedSeq.map(col): _*),
+          lit(filesPerPart))
+        df.repartition(nFiles, layoutCols.map(col) :+ salt: _*)
+          .write.partitionBy(layoutCols: _*)
+      } else if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*).write
-      case None => df.repartition(nFiles).write
-    }
+      else df.repartition(nFiles).write
     writer.mode("overwrite").parquet(staging.toString)
 
     // Snapshot commit (round 11): the compacted files move into the

@@ -1147,7 +1147,14 @@ object Manifest {
     val r = spark.read.option("basePath", path)
     val paths = relFiles.map(f => s"$path/$f")
     pinned match {
-      case None => r.parquet(paths: _*)
+      case None =>
+        // even without a pinned schema, the reserved ptx_* transform
+        // dirs are engine-internal: drop them so library reads and the
+        // drift gate see only logical columns (rewrites re-derive them
+        // via PartitionTransforms.materialize)
+        val df = r.parquet(paths: _*)
+        val derived = df.columns.filter(PartitionTransforms.isDerived)
+        if (derived.isEmpty) df else df.drop(derived.toSeq: _*)
       case Some(st) =>
         val chains = st.fields.toSeq.map(f => f -> priorNames(f))
         if (chains.forall(_._2.isEmpty))

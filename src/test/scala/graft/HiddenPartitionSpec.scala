@@ -162,6 +162,45 @@ class HiddenPartitionSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       === org.apache.spark.sql.types.LongType)
   }
 
+  test("compaction preserves the hidden layout and re-derives the " +
+      "transform columns") {
+    val p = Files.createTempDirectory("graft-hpc").resolve("t").toString
+    // five single-row appends into one day = small-file debt
+    (1 to 5).foreach { i =>
+      Upsert.appendLayout(spark, p,
+        Seq((i.toLong, ts("2024-07-01 10:00:00"), i * 10L))
+          .toDF("k", "ts", "v"),
+        Seq("ptx_day_ts"))
+    }
+    Upsert.appendLayout(spark, p,
+      Seq((9L, ts("2024-07-02 10:00:00"), 90L)).toDF("k", "ts", "v"),
+      Seq("ptx_day_ts"))
+    assert(Manifest.currentLive(spark, p).size === 6)
+    val (before, after) = graft.engine.Compaction.compact(spark, p)
+    assert(before === 6L && after < 6L)
+    val live = Manifest.currentLive(spark, p)
+    assert(live.forall(_.startsWith("ptx_day_ts=")),
+      s"compaction flattened the hidden layout: ${live.mkString(", ")}")
+    assert(live.exists(_.startsWith("ptx_day_ts=2024-07-02/")))
+    assert(Manifest.read(spark, p).agg(
+      org.apache.spark.sql.functions.sum("v")).as[Long].head() === 240L)
+    assert(Manifest.read(spark, p).columns.toSeq === Seq("k", "ts", "v"))
+  }
+
+  test("exactly-once epoch appends land under the hidden layout") {
+    val p = Files.createTempDirectory("graft-hpe").resolve("t").toString
+    val batch = Seq((1L, ts("2024-07-01 10:00:00"), 10L))
+      .toDF("k", "ts", "v")
+    assert(Upsert.appendEpoch(spark, p, batch, Some("ptx_day_ts"),
+      "appA", 0L))
+    // replay of the same epoch is a detected no-op
+    assert(!Upsert.appendEpoch(spark, p, batch, Some("ptx_day_ts"),
+      "appA", 0L))
+    assert(Manifest.currentLive(spark, p)
+      .forall(_.startsWith("ptx_day_ts=2024-07-01/")))
+    assert(Manifest.read(spark, p).count() === 1L)
+  }
+
   test("library-level transforms: materialize derives, decode round-" +
       "trips, pruneFiles is superset-safe") {
     import PartitionTransforms._

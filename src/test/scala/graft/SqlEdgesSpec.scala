@@ -136,6 +136,76 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no hours"), e.getMessage)
   }
 
+  test("INSERT OVERWRITE PARTITION replaces exactly the named identity " +
+      "partition; leaks and non-partition columns refuse") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.povw (k BIGINT, cents BIGINT,
+                 d DATE) PARTITIONED BY (d)""")
+    spark.sql("""INSERT INTO ecat.ns.povw (k, cents, d) VALUES
+                 (1, 10, DATE'2024-07-01'), (2, 20, DATE'2024-07-01'),
+                 (3, 30, DATE'2024-07-02')""")
+    spark.sql("""INSERT OVERWRITE ecat.ns.povw
+                 PARTITION (d = DATE'2024-07-01') (k, cents)
+                 VALUES (9, 90)""")
+    assert(spark.sql("SELECT k, cents FROM ecat.ns.povw ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((3L, 30L), (9L, 90L)))
+    // the untouched partition kept its original files
+    val p = s"$root/ns/povw"
+    assert(Manifest.currentLive(spark, p)
+      .exists(_.startsWith("d=2024-07-02/")))
+    // a non-partition column in the static spec refuses loudly
+    val e = intercept[Exception](spark.sql(
+      """INSERT OVERWRITE ecat.ns.povw PARTITION (k = 1) (cents, d)
+         VALUES (5, DATE'2024-07-03')"""))
+    assert(e.getMessage.contains("PARTITION") ||
+      e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("dynamic partitionOverwriteMode refuses loudly (no V1 fallback " +
+      "translation); the library verb covers the semantics") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.dovw (k BIGINT, cents BIGINT,
+                 d DATE) PARTITIONED BY (d)""")
+    spark.sql("""INSERT INTO ecat.ns.dovw (k, cents, d) VALUES
+                 (1, 10, DATE'2024-07-01'), (3, 30, DATE'2024-07-02')""")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val e = intercept[Exception](
+        spark.sql("""INSERT OVERWRITE ecat.ns.dovw (k, cents, d) VALUES
+                     (9, 90, DATE'2024-07-01')"""))
+      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prev)
+    // the library verb delivers dynamic-partition replacement
+    Upsert.overwritePartitions(spark, s"$root/ns/dovw",
+      Seq((9L, 90L, Date.valueOf("2024-07-01")))
+        .toDF("k", "cents", "d"), "d")
+    assert(spark.sql("SELECT k, cents FROM ecat.ns.dovw ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((3L, 30L), (9L, 90L)))
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest commit at or before the " +
+      "instant; earlier instants refuse") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.tt (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.tt VALUES (1, 10)")
+    val between = java.time.Instant.now()
+    Thread.sleep(1100) // manifest mtimes are second-granular on some fs
+    spark.sql("INSERT INTO ecat.ns.tt VALUES (2, 20)")
+    val atBetween = spark.sql(
+      s"SELECT sum(cents) FROM ecat.ns.tt TIMESTAMP AS OF '$between'")
+      .as[Long].head()
+    assert(atBetween === 10L)
+    val now = spark.sql(
+      s"SELECT sum(cents) FROM ecat.ns.tt TIMESTAMP AS OF " +
+        s"'${java.time.Instant.now()}'").as[Long].head()
+    assert(now === 30L)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM ecat.ns.tt TIMESTAMP AS OF '2000-01-01'").collect())
+    assert(e.getMessage.contains("no version committed"), e.getMessage)
+  }
+
   test("INSERT OVERWRITE replaces the whole table in one snapshot commit") {
     root
     spark.sql("CREATE TABLE ecat.ns.ovw (k BIGINT, cents BIGINT)")
