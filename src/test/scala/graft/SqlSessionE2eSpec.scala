@@ -91,5 +91,49 @@ class SqlSessionE2eSpec extends AnyFunSuite {
     val v2 = spark.sql("SELECT k, cents FROM sess.wh.events VERSION AS OF 2")
       .as[(Long, Long)].collect().toMap
     assert(v2 === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+
+    // 9. (round 15 additions) hidden-transform CTAS: days+bucket layout
+    //    derived from the query, invisible in the logical schema
+    spark.sql("""CREATE TABLE sess.wh.by_day
+                 PARTITIONED BY (days(d), bucket(4, k)) AS
+                 SELECT k, price, d FROM sess.wh.events""")
+    assert(spark.table("sess.wh.by_day").columns.toSeq
+      === Seq("k", "price", "d"))
+    assert(spark.sql("""SELECT CAST(sum(price) AS BIGINT)
+                        FROM sess.wh.by_day
+                        WHERE d = DATE'2024-07-01'""")
+      .as[Long].head() === 35L)
+
+    // 10. lossless widen, then land a value beyond the old type
+    spark.sql("ALTER TABLE sess.wh.replica ALTER COLUMN cents TYPE BIGINT")
+    spark.sql(
+      "INSERT INTO sess.wh.replica VALUES (99, 6000000000)")
+    assert(spark.sql(
+      "SELECT CAST(max(cents) AS BIGINT) FROM sess.wh.replica")
+      .as[Long].head() === 6000000000L)
+
+    // 11. the full merge program: by-source clauses + column-level
+    //     insert in one statement
+    spark.sql("""MERGE INTO sess.wh.replica t
+                 USING sess.wh.delta s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET cents = t.cents + s.cents
+                 WHEN NOT MATCHED AND s.country = 'FR'
+                   THEN INSERT (k, cents) VALUES (s.k, s.cents * 100)
+                 WHEN NOT MATCHED BY SOURCE AND t.k = 99 THEN DELETE""")
+    assert(spark.sql("SELECT k, cents FROM sess.wh.replica")
+      .as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 25L, 3L -> 30L, 9L -> 9000L))
+
+    // 12. static partition overwrite: reload one day of a
+    //     single-level identity table without touching the others
+    spark.sql("""CREATE TABLE sess.wh.daily (k BIGINT, cents BIGINT,
+                 d DATE) PARTITIONED BY (d)""")
+    spark.sql("""INSERT INTO sess.wh.daily (k, cents, d) VALUES
+                 (1, 10, DATE'2024-07-01'), (2, 20, DATE'2024-07-02')""")
+    spark.sql("""INSERT OVERWRITE sess.wh.daily
+                 PARTITION (d = DATE'2024-07-01') (k, cents)
+                 VALUES (7, 70)""")
+    assert(spark.sql("SELECT k, cents FROM sess.wh.daily ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((2L, 20L), (7L, 70L)))
   }
 }
