@@ -29,15 +29,18 @@ import org.apache.spark.sql.functions._
   * mutated vectors; rebuild into a fresh root (the standard practice:
   * indexes version alongside their corpus snapshot).
   *
-  * CRASH SAFETY (post-review hardening): every data append rides the
-  * manifest's (appId → sourceVersion) TXN MARKER ([[Upsert.appendEpoch]]
-  * — the streaming exactly-once machinery), so a build or refresh
-  * killed between its appends and its bookmark write replays WITHOUT
-  * duplicating a single vector: already-landed appends are detected by
-  * one metadata read and skipped, the missing ones land, the bookmark
-  * advances last. Builds and refreshes also serialize on the
-  * assignments table's writer lease, so two racing builders cannot
-  * interleave their table creations.
+  * CRASH SAFETY (post-review hardening, twice): every data append rides
+  * the manifest's (appId → sourceVersion) TXN MARKER
+  * ([[Upsert.appendEpoch]] — the streaming exactly-once machinery), and
+  * recovery treats the markers as the FLOOR, not just a replay guard: a
+  * build killed before its bookmark replays at its ORIGINAL pinned
+  * source version (the marker), never the moved-on current one; a
+  * refresh computes each table's delta from max(bookmark, that table's
+  * own markers). Without the floor, a source that advanced past a
+  * crashed run's pin would re-land the overlap — the marker guard is
+  * only `lastTxn >= batchId`, and a newer batchId passes it. Builds and
+  * refreshes also serialize on the assignments table's writer lease, so
+  * two racing builders cannot interleave their table creations.
   *
   * The PQ geometry (dim/m/pqK) is PERSISTED as table properties at
   * build and re-read by [[refresh]] — a caller cannot silently encode
@@ -140,11 +143,23 @@ object AnnIndex {
       require(
         Incremental.appliedSourceVersion(spark,
           assignmentsPath(indexRoot)).isEmpty,
-        s"ANN index at $indexRoot is already built — refresh() maintains " +
+        s"ANN index is already built — refresh() maintains " +
           "it; a rebuild goes to a fresh root")
-      val v = Manifest.currentVersion(spark, sourcePath).getOrElse(
-        throw new IllegalStateException(
-          s"ANN index needs a manifest-managed source: $sourcePath"))
+      // crash recovery (review fix, round 15): a build killed between
+      // its appends and its bookmark left txn markers pinning the
+      // SOURCE VERSION it was building. Replaying at the CURRENT
+      // version would re-land the already-appended tables (their
+      // markers are behind the new batchId) and duplicate every
+      // vector — so a replay re-runs the ORIGINAL pinned build; the
+      // next refresh then catches the index up to the present.
+      val crashedPin = Seq(centroidsPath _, codebooksPath _,
+        assignmentsPath _, codesPath _)
+        .flatMap(p => Manifest.lastTxn(spark, p(indexRoot), BuildApp))
+        .maxOption
+      val v = crashedPin.getOrElse(
+        Manifest.currentVersion(spark, sourcePath).getOrElse(
+          throw new IllegalStateException(
+            s"ANN index needs a manifest-managed source: $sourcePath")))
       val src = Manifest.readAsOf(spark, sourcePath, v)
       requireVectorSchema(src, s"buildIvfPq over $sourcePath")
       val n = src.count()
@@ -198,29 +213,52 @@ object AnnIndex {
             "buildIvfPq first"))
       if (fromV == toV) 0L
       else {
-        val before = Manifest.filesAsOf(spark, sourcePath, fromV).toSet
-        val after = Manifest.filesAsOf(spark, sourcePath, toV)
-        val removed = (before -- after).toSeq.sorted
-        require(removed.isEmpty,
-          s"ANN index at $indexRoot: source $sourcePath rewrote or " +
-            s"deleted indexed files between v$fromV and v$toV " +
-            s"(${removed.take(3).mkString(", ")}…) — index maintenance " +
-            "is append-only; rebuild into a fresh root")
-        val added = after.filterNot(before)
-        val n =
-          if (added.isEmpty) 0L
+        // per-table covered version (review fix, round 15): a refresh
+        // killed between its appends and its bookmark left markers
+        // AHEAD of the bookmark (possibly only on one table). The
+        // bookmark alone would recompute the delta from the stale
+        // base, and — once the source advanced further — the marker
+        // guard (lastTxn >= batchId) would no longer skip the replay:
+        // every already-indexed vector in the overlap would append
+        // again. Each table therefore catches up from ITS OWN floor,
+        // max(bookmark, its build/refresh markers), so an interrupted
+        // refresh resumes exactly where each table stopped.
+        def coveredOf(p: String): Long =
+          (Seq(fromV) ++ Manifest.lastTxn(spark, p, RefreshApp) ++
+            Manifest.lastTxn(spark, p, BuildApp)).max
+        val afterFiles = Manifest.filesAsOf(spark, sourcePath, toV)
+        def deltaFiles(cov: Long): Seq[String] = {
+          val before = Manifest.filesAsOf(spark, sourcePath, cov).toSet
+          val removed = (before -- afterFiles).toSeq.sorted
+          require(removed.isEmpty,
+            s"ANN index at $indexRoot: source $sourcePath rewrote or " +
+              s"deleted indexed files between v$cov and v$toV " +
+              s"(${removed.take(3).mkString(", ")}…) — index " +
+              "maintenance is append-only; rebuild into a fresh root")
+          afterFiles.filterNot(before)
+        }
+        def catchUp(tablePath: String)(
+            transform: DataFrame => DataFrame): Long = {
+          val cov = coveredOf(tablePath)
+          if (cov >= toV) 0L
           else {
-            val delta = Manifest.readSubsetAsOf(spark, sourcePath, toV,
-              added)
-            requireVectorSchema(delta, s"refresh over $sourcePath")
-            val centsT = Manifest.read(spark, centroidsPath(indexRoot))
-            val booksT = Manifest.read(spark, codebooksPath(indexRoot))
-            Upsert.appendEpoch(spark, assignmentsPath(indexRoot),
-              assign(delta, centsT), None, RefreshApp, toV)
-            Upsert.appendEpoch(spark, codesPath(indexRoot),
-              encode(delta, booksT, spec), None, RefreshApp, toV)
-            delta.count()
+            val added = deltaFiles(cov)
+            if (added.isEmpty) 0L
+            else {
+              val delta = Manifest.readSubsetAsOf(spark, sourcePath, toV,
+                added)
+              requireVectorSchema(delta, s"refresh over $sourcePath")
+              Upsert.appendEpoch(spark, tablePath, transform(delta), None,
+                RefreshApp, toV)
+              // parquet footer row counts — a metadata read, not a scan
+              delta.count()
+            }
           }
+        }
+        val centsT = Manifest.read(spark, centroidsPath(indexRoot))
+        val booksT = Manifest.read(spark, codebooksPath(indexRoot))
+        val n = catchUp(assignmentsPath(indexRoot))(assign(_, centsT))
+        catchUp(codesPath(indexRoot))(encode(_, booksT, spec))
         Incremental.writeBookmark(spark, assignmentsPath(indexRoot), toV)
         n
       }

@@ -762,9 +762,14 @@ object Manifest {
         s"addColumn: '${field.name}' was used by a dropped or renamed " +
           s"column of $path and may still hold stale values in live " +
           "files — choose a fresh name")
-      commit(spark, path, currentLive(spark, path),
-        schema = Some(org.apache.spark.sql.types.StructType(
-          cur.fields :+ field)))
+      val evolved = org.apache.spark.sql.types.StructType(
+        cur.fields :+ field)
+      currentVersion(spark, path) match {
+        case Some(_) => commitSchemaOnly(spark, path, evolved)
+        case None => // pre-manifest adoption: single-writer upgrade
+          commit(spark, path, currentLive(spark, path),
+            schema = Some(evolved))
+      }
     }
 
   // ---- RENAME / DROP COLUMN (round 15) ------------------------------
@@ -901,9 +906,9 @@ object Manifest {
       // tombstone FIRST: a crash between the two writes leaves only an
       // over-conservative reservation, never an unprotected rename
       addTombstones(spark, path, Seq(f.name))
-      commit(spark, path, currentLive(spark, path),
-        schema = Some(org.apache.spark.sql.types.StructType(
-          cur.fields.updated(idx, nf))))
+      commitSchemaOnly(spark, path,
+        org.apache.spark.sql.types.StructType(
+          cur.fields.updated(idx, nf)))
     }
 
   /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY migration: one
@@ -930,9 +935,9 @@ object Manifest {
           "layout; repartition into a new table instead")
       val f = cur.fields(idx)
       addTombstones(spark, path, f.name +: priorNames(f))
-      commit(spark, path, currentLive(spark, path),
-        schema = Some(org.apache.spark.sql.types.StructType(
-          cur.fields.patch(idx, Nil, 1))))
+      commitSchemaOnly(spark, path,
+        org.apache.spark.sql.types.StructType(
+          cur.fields.patch(idx, Nil, 1)))
     }
 
   /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>` as a METADATA-ONLY
@@ -980,10 +985,23 @@ object Manifest {
         s"widenColumn: ${f.dataType.sql} → ${to.sql} is not a lossless " +
           "widening (allowed: TINYINT→SMALLINT→INT→BIGINT, FLOAT→DOUBLE, " +
           "DECIMAL precision increase at the same scale)")
-      commit(spark, path, currentLive(spark, path),
-        schema = Some(StructType(
-          cur.fields.updated(idx, f.copy(dataType = to)))))
+      commitSchemaOnly(spark, path, StructType(
+        cur.fields.updated(idx, f.copy(dataType = to))))
     }
+
+
+  /** Metadata-only schema-migration commit (review fix, round 15):
+    * the live file list is re-resolved INSIDE the commit lock
+    * ([[commitOptimistic]]'s live resolution), so a lease-less append
+    * racing the migration keeps its files — the migration itself reads
+    * and retires nothing, hence an empty conflict scope.
+    */
+  private def commitSchemaOnly(spark: SparkSession, path: String,
+      st: org.apache.spark.sql.types.StructType): Long =
+    commitOptimistic(spark, path, PreparedCommit(
+      scope = _ => false, expected = Set.empty,
+      retire = Set.empty, add = Seq.empty,
+      schema = Some(st))).get
 
   /** Plan-time file skipping (round 11): resolve the current snapshot,
     * load its stats sidecar, and keep only files whose min/max envelopes

@@ -187,9 +187,15 @@ object PartitionTransforms {
           Some(LocalDate.ofEpochDay(lit.value.asInstanceOf[Int].toLong)
             .atStartOfDay(ZoneOffset.UTC))
         case TimestampType | TimestampNTZType =>
-          Some(Instant.EPOCH
-            .plusNanos(lit.value.asInstanceOf[Long] * 1000L)
+          // exact micros→nanos: a far-future sentinel bound (e.g.
+          // TIMESTAMP'9999-12-31') would WRAP under plain * 1000 and
+          // prune everything — on overflow, contribute no test at all
+          // (keep every file; review fix, round 15)
+          try Some(Instant.EPOCH
+            .plusNanos(Math.multiplyExact(
+              lit.value.asInstanceOf[Long], 1000L))
             .atZone(ZoneOffset.UTC))
+          catch { case _: ArithmeticException => None }
         case _ => None
       }
       utc.map { z =>

@@ -469,7 +469,13 @@ object Upsert {
             moveStagedPartitions(fs, path, stagingPath, dateCol)
           val replaced = expectedValues match {
             case Some(vals) =>
-              val expected = vals.map(v => s"$dateCol=$v").toSet
+              // Hive-escape the declared values: the staged directory
+              // names on disk are escaped (':' → '%3A' etc.), so a raw
+              // string comparison would flag a legitimate value with
+              // special characters as a leak (review fix, round 15)
+              val expected = vals.map(v => s"$dateCol=" +
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .escapePathName(v)).toSet
               val leaked = stagedParts.filterNot(expected)
               require(leaked.isEmpty,
                 s"overwritePartitions into $path: staged output for " +
@@ -806,18 +812,15 @@ object Upsert {
           val version = Manifest.currentVersion(spark, path)
           val preLive = version.fold(Manifest.listDataFiles(spark, path))(
             Manifest.filesAsOf(spark, path, _))
-          val stagingPath = s"$path.__overwrite_staging_" +
-            java.util.UUID.randomUUID().toString.take(8)
-          val mat = PartitionTransforms.materialize(incoming, partCols)
-          val w0 = mat.write.mode("overwrite")
-          (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
-            .parquet(stagingPath)
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          try {
-            val n = spark.read.schema(mat.schema).parquet(stagingPath)
-              .count()
-            val moved = Manifest.stageIn(spark, path, stagingPath)
+          // the shared staged-write lifecycle (review fix, round 15 —
+          // this was the last hand-rolled copy); rows counted from the
+          // moved files (footer metadata, not a data scan)
+          withStaged(spark, path, incoming, partCols, "overwrite") {
+            moved =>
+            val n =
+              if (moved.isEmpty) 0L
+              else spark.read.option("basePath", path)
+                .parquet(moved.map(f => s"$path/$f"): _*).count()
             version match {
               case None => Manifest.commit(spark, path, moved)
               case Some(_) =>
@@ -827,8 +830,6 @@ object Upsert {
                     retire = preLive.toSet, add = moved))
             }
             n
-          } finally {
-            fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true); ()
           }
         }
       }
@@ -993,39 +994,8 @@ object Upsert {
     val table = Manifest.readAsOf(spark, path, version)
     val targetCols = table.columns.toSeq
     requireNoReservedNames(path, targetCols, keys)
-    def checkKnown(set: Seq[(String, org.apache.spark.sql.Column)],
-        what: String): Unit = {
-      val unknown = set.map(_._1).filterNot(targetCols.contains)
-      require(unknown.isEmpty,
-        s"mergeActions into $path: $what assigns column(s) " +
-          s"${unknown.mkString(", ")} not in the table " +
-          s"(${targetCols.mkString(", ")})")
-    }
-    matched.foreach {
-      case MatchedUpdate(_, set) => checkKnown(set, "UPDATE SET")
-      case _ => ()
-    }
-    bySource.foreach {
-      case BySourceUpdate(_, set) =>
-        checkKnown(set, "NOT MATCHED BY SOURCE UPDATE SET")
-      case _ => ()
-    }
-    insert.flatMap(_.set).foreach(checkKnown(_, "INSERT"))
-    // full-row source is only needed by SET * updates and INSERT *;
-    // a column-level SET clause just needs its referenced columns
-    val needFullRow = insert.exists(_.set.isEmpty) ||
-      matched.exists {
-        case u: MatchedUpdate => u.set.isEmpty
-        case _ => false
-      }
-    val srcCols = source.columns.toSet
-    if (needFullRow)
-      require(targetCols.forall(srcCols),
-        s"mergeActions into $path: UPDATE SET * / INSERT * need a " +
-          s"full-row source; missing ${targetCols.filterNot(srcCols)
-            .mkString(", ")}")
-    else require(keys.forall(srcCols),
-      s"mergeActions into $path: source must carry the keys $keys")
+    validateMergeClauses(path, targetCols, source.columns.toSet, keys,
+      matched, bySource, insert)
     // source with non-key columns renamed __src_<c>: one frame serves
     // the matched conditions (target names + __src_ names), the update
     // values, and the insert projection. ALL source columns ride along
@@ -1229,6 +1199,49 @@ object Upsert {
     * [[retryingConflicts]] re-runs the merge against the now-non-empty
     * table.
     */
+  /** Clause validation shared by the live and empty-shell merge paths
+    * — the same merge program must fail the same way empty or
+    * non-empty (a typo'd SET column silently no-opping until the
+    * table's first insert is a debugging trap).
+    */
+  private def validateMergeClauses(path: String, targetCols: Seq[String],
+      srcCols: Set[String], keys: Seq[String],
+      matched: Seq[MatchedAction], bySource: Seq[BySourceAction],
+      insert: Option[InsertSpec]): Unit = {
+    def checkKnown(set: Seq[(String, org.apache.spark.sql.Column)],
+        what: String): Unit = {
+      val unknown = set.map(_._1).filterNot(targetCols.contains)
+      require(unknown.isEmpty,
+        s"mergeActions into $path: $what assigns column(s) " +
+          s"${unknown.mkString(", ")} not in the table " +
+          s"(${targetCols.mkString(", ")})")
+    }
+    matched.foreach {
+      case MatchedUpdate(_, set) => checkKnown(set, "UPDATE SET")
+      case _ => ()
+    }
+    bySource.foreach {
+      case BySourceUpdate(_, set) =>
+        checkKnown(set, "NOT MATCHED BY SOURCE UPDATE SET")
+      case _ => ()
+    }
+    insert.flatMap(_.set).foreach(checkKnown(_, "INSERT"))
+    // full-row source is only needed by SET * updates and INSERT *;
+    // a column-level SET clause just needs its referenced columns
+    val needFullRow = insert.exists(_.set.isEmpty) ||
+      matched.exists {
+        case u: MatchedUpdate => u.set.isEmpty
+        case _ => false
+      }
+    if (needFullRow)
+      require(targetCols.forall(srcCols),
+        s"mergeActions into $path: UPDATE SET * / INSERT * need a " +
+          s"full-row source; missing ${targetCols.filterNot(srcCols)
+            .mkString(", ")}")
+    else require(keys.forall(srcCols),
+      s"mergeActions into $path: source must carry the keys $keys")
+  }
+
   /** The merge's combined-row view of the source: key columns by name,
     * every other source column as `__src_<name>`, plus the match flag
     * the outer join coalesces on.
@@ -1278,41 +1291,9 @@ object Upsert {
       .getOrElse(source.columns.toSeq)
     requireNoReservedNames(path, targetCols, keys)
     // the MAIN path's clause validations run here too, even though no
-    // matched/by-source clause can fire: the same merge program must
-    // fail the same way empty or non-empty — a typo'd SET column
-    // silently no-opping until the table's first insert is a debugging
-    // trap (review finding, round 15)
-    def checkKnown(set: Seq[(String, org.apache.spark.sql.Column)],
-        what: String): Unit = {
-      val unknown = set.map(_._1).filterNot(targetCols.contains)
-      require(unknown.isEmpty,
-        s"mergeActions into $path: $what assigns column(s) " +
-          s"${unknown.mkString(", ")} not in the table " +
-          s"(${targetCols.mkString(", ")})")
-    }
-    matched.foreach {
-      case MatchedUpdate(_, set) => checkKnown(set, "UPDATE SET")
-      case _ => ()
-    }
-    bySource.foreach {
-      case BySourceUpdate(_, set) =>
-        checkKnown(set, "NOT MATCHED BY SOURCE UPDATE SET")
-      case _ => ()
-    }
-    insert.flatMap(_.set).foreach(checkKnown(_, "INSERT"))
-    val srcCols = source.columns.toSet
-    val needFullRow = insert.exists(_.set.isEmpty) ||
-      matched.exists {
-        case u: MatchedUpdate => u.set.isEmpty
-        case _ => false
-      }
-    if (needFullRow)
-      require(targetCols.forall(srcCols),
-        s"mergeActions into $path: UPDATE SET * / INSERT * need a " +
-          s"full-row source; missing ${targetCols.filterNot(srcCols)
-            .mkString(", ")}")
-    else require(keys.forall(srcCols),
-      s"mergeActions into $path: source must carry the keys $keys")
+    // matched/by-source clause can fire (review finding, round 15)
+    validateMergeClauses(path, targetCols, source.columns.toSet, keys,
+      matched, bySource, insert)
     insert match {
     case None => (0L, 0L)
     case Some(spec) =>

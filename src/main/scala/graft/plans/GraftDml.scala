@@ -335,7 +335,8 @@ final case class GraftMergeCommand(table: GraftTable,
         val src = Shims.ofRows(session, source)
           .select(targetCols.map(col): _*)
         table.partitionCols match {
-          case Seq(dateCol) =>
+          case Seq(dateCol)
+              if !graft.engine.PartitionTransforms.isDerived(dateCol) =>
             require(keys.contains(dateCol),
               s"MERGE INTO ${table.name()}: the table is partitioned by " +
                 s"'$dateCol', which must be among the merge keys " +
@@ -344,8 +345,10 @@ final case class GraftMergeCommand(table: GraftTable,
           case Seq() =>
             Upsert.mergeParquet(session, table.path, src, keys)
           case deep =>
-            // multi-level identity layout (round 15): the partition-
-            // wholesale SCD1 fast path is single-level, but the
+            // multi-level identity layouts AND hidden-transform layouts
+            // (round 15): the partition-wholesale SCD1 fast path is
+            // single-level-identity only (a ptx_* dir is not a logical
+            // column, so it can never be a merge key), but the
             // generalized touched-files-only merge handles any layout —
             // SET * + INSERT * restates the same semantics
             Upsert.mergeActions(session, table.path, src, keys,

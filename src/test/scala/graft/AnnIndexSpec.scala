@@ -124,6 +124,50 @@ class AnnIndexSpec extends AnyFunSuite {
       === 30L * spec.m)
   }
 
+  test("a crashed refresh replayed AFTER the source advanced further " +
+      "indexes the overlap exactly once (per-table marker floor)") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 20), None)
+    AnnIndex.buildIvfPq(spark, src, idx, spec)
+    val buildBookmark = {
+      val in = fs(bookmarkFile(idx)).open(bookmarkFile(idx))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    Upsert.append(spark, src, vecs(20, 10), None)
+    assert(AnnIndex.refresh(spark, src, idx) === 10L)
+    // crash window: both appends landed, bookmark write didn't …
+    val out = fs(bookmarkFile(idx)).create(bookmarkFile(idx), true)
+    try out.write(buildBookmark.getBytes("UTF-8")) finally out.close()
+    // … and the SOURCE then advances before the replay — the new toV
+    // passes the plain lastTxn >= batchId guard, so only the marker
+    // FLOOR keeps the 20..30 overlap from indexing twice
+    Upsert.append(spark, src, vecs(30, 5), None)
+    assert(AnnIndex.refresh(spark, src, idx) === 5L)
+    val a = Manifest.read(spark, AnnIndex.assignmentsPath(idx))
+    assert(a.count() === 35L &&
+      a.select("vec_id").distinct().count() === 35L,
+      "the overlap batch must not be indexed twice")
+    assert(Manifest.read(spark, AnnIndex.codesPath(idx)).count()
+      === 35L * spec.m)
+  }
+
+  test("a build crashed before its bookmark replays at its ORIGINAL " +
+      "pinned version even when the source advanced") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 20), None)
+    AnnIndex.buildIvfPq(spark, src, idx, spec)
+    fs(bookmarkFile(idx)).delete(bookmarkFile(idx), false)
+    Upsert.append(spark, src, vecs(20, 10), None) // source moves on
+    AnnIndex.buildIvfPq(spark, src, idx, spec) // replay: pinned, no dup
+    assert(Manifest.read(spark, AnnIndex.assignmentsPath(idx)).count()
+      === 20L, "the replayed build must cover its pinned snapshot only")
+    // the post-crash batch arrives through the normal refresh
+    assert(AnnIndex.refresh(spark, src, idx) === 10L)
+    val a = Manifest.read(spark, AnnIndex.assignmentsPath(idx))
+    assert(a.count() === 30L &&
+      a.select("vec_id").distinct().count() === 30L)
+  }
+
   test("a build killed before its bookmark replays without duplicating " +
       "centroids, codebooks, or assignments") {
     val (src, idx) = freshPaths()

@@ -162,6 +162,27 @@ class HiddenPartitionSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       === org.apache.spark.sql.types.LongType)
   }
 
+  test("the canonical SCD1 MERGE (SET * / INSERT *) works on a single " +
+      "hidden-transform layout (routes to the generalized rewrite)") {
+    root
+    spark.sql("""CREATE TABLE hcat.ns.scd1 (k BIGINT, ts TIMESTAMP,
+                 v BIGINT) PARTITIONED BY (days(ts))""")
+    Seq((1L, ts("2024-07-01 08:00:00"), 10L))
+      .toDF("k", "ts", "v").createOrReplaceTempView("__scd1_src")
+    spark.sql("INSERT INTO hcat.ns.scd1 SELECT * FROM __scd1_src")
+    Seq((1L, ts("2024-07-01 08:00:00"), 99L),
+      (2L, ts("2024-07-02 08:00:00"), 20L))
+      .toDF("k", "ts", "v").createOrReplaceTempView("__scd1_m")
+    // pre-fix this demanded the internal ptx_day_ts dir be a merge key
+    spark.sql("""MERGE INTO hcat.ns.scd1 t USING __scd1_m s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT k, v FROM hcat.ns.scd1 ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 99L), (2L, 20L)))
+    assert(Manifest.currentLive(spark, s"$root/ns/scd1")
+      .forall(_.startsWith("ptx_day_ts=")))
+  }
+
   test("compaction preserves the hidden layout and re-derives the " +
       "transform columns") {
     val p = Files.createTempDirectory("graft-hpc").resolve("t").toString

@@ -161,6 +161,21 @@ class SqlEdgesSpec extends AnyFunSuite {
       e.getMessage.contains("partition"), e.getMessage)
   }
 
+  test("static PARTITION overwrite handles Hive-escaped values " +
+      "(':' in a string partition)") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.esc (k BIGINT, cents BIGINT,
+                 tag STRING) PARTITIONED BY (tag)""")
+    spark.sql("""INSERT INTO ecat.ns.esc (k, cents, tag) VALUES
+                 (1, 10, 'a:b'), (2, 20, 'plain')""")
+    // the on-disk dir is tag=a%3Ab; the declared value must be
+    // escaped identically or the leak check spuriously fires
+    spark.sql("""INSERT OVERWRITE ecat.ns.esc PARTITION (tag = 'a:b')
+                 (k, cents) VALUES (9, 90)""")
+    assert(spark.sql("SELECT k, cents FROM ecat.ns.esc ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((2L, 20L), (9L, 90L)))
+  }
+
   test("dynamic partitionOverwriteMode refuses loudly (no V1 fallback " +
       "translation); the library verb covers the semantics") {
     root
