@@ -160,6 +160,50 @@ class HiddenPartitionSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       org.apache.spark.sql.types.LongType)
     assert(spark.sql("SELECT v FROM hcat.ns.sm").schema("v").dataType
       === org.apache.spark.sql.types.LongType)
+    // … and still renames: the rename-chain union read composes with
+    // the hidden layout (prior-name coalesce over ptx_* dirs)
+    spark.sql("ALTER TABLE hcat.ns.sm RENAME COLUMN v TO val")
+    assert(spark.sql("SELECT CAST(sum(val) AS BIGINT) FROM hcat.ns.sm")
+      .as[Long].head() === 10L)
+    assert(!spark.table("hcat.ns.sm").columns.contains("v"))
+  }
+
+  test("pruneFiles is a SUPERSET of the exact day filter on random " +
+      "data (property)") {
+    import PartitionTransforms._
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.TimestampType
+    val rnd = new scala.util.Random(77)
+    val tsAttr = AttributeReference("ts", TimestampType)()
+    (1 to 50).foreach { round =>
+      // random day-partitioned file list over a two-year window
+      val days = Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(730))
+        .distinct.sorted
+      val files = days.map(d => (d,
+        s"ptx_day_ts=${java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)}" +
+          s"/f$d.parquet"))
+      // random closed ts range inside (and sometimes outside) the window
+      val lo = rnd.nextInt(800) - 30
+      val hi = lo + rnd.nextInt(120)
+      def micros(day: Int, secs: Int): Long =
+        (java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond +
+          secs) * 1000000L
+      val preds = Seq(
+        GreaterThanOrEqual(tsAttr,
+          Literal(micros(lo, rnd.nextInt(86400)), TimestampType)),
+        LessThanOrEqual(tsAttr,
+          Literal(micros(hi, rnd.nextInt(86400)), TimestampType)))
+      val kept = pruneFiles(files.map(_._2), preds).toSet
+      // exact model: a day-dir may hold matching rows iff it
+      // intersects [lo, hi] (whole-day granularity)
+      files.foreach { case (d, f) =>
+        if (d >= lo && d <= hi)
+          assert(kept.contains(f),
+            s"round $round: pruned a file that can match (day $d in " +
+              s"[$lo,$hi])")
+      }
+    }
   }
 
   test("the canonical SCD1 MERGE (SET * / INSERT *) works on a single " +
