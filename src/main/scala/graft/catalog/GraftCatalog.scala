@@ -201,14 +201,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         name() +: ident.namespace.toSeq :+ ident.name)
     val path = tablePath(ident)
     val cutoffMillis = Math.floorDiv(timestampMicros, 1000L)
-    val at = Manifest.history(spark, path)
-      .filter(_.committedAtMillis <= cutoffMillis)
+    // commitInstants, not history: one stat per version, no manifest
+    // contents read at analysis time
+    val at = Manifest.commitInstants(spark, path)
+      .filter(_._2 <= cutoffMillis)
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"table ${fullName(ident)}: no version committed at or before " +
           s"timestamp ${java.time.Instant.ofEpochMilli(cutoffMillis)} " +
           "(the first commit is later)"))
-    GraftTable(spark, s"${fullName(ident)}@v${at.version}", path,
-      asOfVersion = Some(at.version))
+    GraftTable(spark, s"${fullName(ident)}@v${at._1}", path,
+      asOfVersion = Some(at._1))
   }
 
   private def fullName(ident: Identifier): String =

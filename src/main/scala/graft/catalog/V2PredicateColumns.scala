@@ -127,8 +127,20 @@ private[catalog] object StaticPartitionEq {
     }
     pair.flatMap { case (r, l) =>
       if (r.fieldNames.length != 1) None
-      else Option(CatalystTypeConverters.convertToScala(l.value, l.dataType))
-        .map(v => r.fieldNames.head -> v.toString)
+      else {
+        // render EXACTLY as the partition writer does: a session-zone
+        // catalyst Cast to string — java types' own toString differs
+        // (java.sql.Timestamp appends '.0' and uses the JVM zone, so a
+        // timestamp-partitioned static overwrite would never match its
+        // staged directory; review fix, round 15)
+        val rendered = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            l.value, l.dataType),
+          org.apache.spark.sql.types.StringType,
+          Some(org.apache.spark.sql.internal.SQLConf.get
+            .sessionLocalTimeZone)).eval(null)
+        Option(rendered).map(v => r.fieldNames.head -> v.toString)
+      }
     }
   }
 

@@ -143,8 +143,8 @@ object AnnIndex {
       require(
         Incremental.appliedSourceVersion(spark,
           assignmentsPath(indexRoot)).isEmpty,
-        s"ANN index is already built — refresh() maintains " +
-          "it; a rebuild goes to a fresh root")
+        s"ANN index at $indexRoot is already built — refresh() " +
+          "maintains it; a rebuild goes to a fresh root")
       // crash recovery (review fix, round 15): a build killed between
       // its appends and its bookmark left txn markers pinning the
       // SOURCE VERSION it was building. Replaying at the CURRENT
@@ -257,10 +257,13 @@ object AnnIndex {
         }
         val centsT = Manifest.read(spark, centroidsPath(indexRoot))
         val booksT = Manifest.read(spark, codebooksPath(indexRoot))
-        val n = catchUp(assignmentsPath(indexRoot))(assign(_, centsT))
-        catchUp(codesPath(indexRoot))(encode(_, booksT, spec))
+        val nA = catchUp(assignmentsPath(indexRoot))(assign(_, centsT))
+        val nC = catchUp(codesPath(indexRoot))(encode(_, booksT, spec))
         Incremental.writeBookmark(spark, assignmentsPath(indexRoot), toV)
-        n
+        // both counts are in VECTORS (the delta's source rows); a
+        // crash-replay may only need to catch one table up, so report
+        // the larger catch-up rather than assignments' alone
+        math.max(nA, nC)
       }
     }
 }

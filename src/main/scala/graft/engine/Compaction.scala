@@ -113,11 +113,15 @@ object Compaction {
     val writer =
       if (layoutCols.nonEmpty && clusterBy.nonEmpty)
         // leaf-respecting clustering: range on (layout ++ clusterBy)
-        // gives each leaf dir range-contiguous, sorted files — tight
-        // FileStats envelopes per file within every leaf
+        // gives each leaf dir range-contiguous files. The SORT also
+        // leads with the layout columns — FileFormatWriter requires
+        // them first in the in-task order (it would inject a second
+        // full sort otherwise), and one combined sort guarantees the
+        // intra-leaf clusterBy order the tight FileStats envelopes
+        // depend on
         df.repartitionByRange(nFiles,
           (layoutCols ++ clusterBy).map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
+          .sortWithinPartitions((layoutCols ++ clusterBy).map(col): _*)
           .write.partitionBy(layoutCols: _*)
       else if (layoutCols.nonEmpty) {
         // Hashing on the layout columns ALONE would emit exactly one

@@ -1094,6 +1094,22 @@ object Manifest {
   final case class VersionInfo(version: Long, committedAtMillis: Long,
       nFiles: Int, added: Int, retired: Int, txns: Map[String, Long])
 
+  /** (version, commit-instant millis) pairs, oldest first — the
+    * lightweight slice of [[history]] timestamp-based time travel
+    * needs: one `getFileStatus` per retained version, NO manifest
+    * contents read (history reads and diffs every version's full line
+    * list, an O(versions) set of GETs this lookup should not pay at
+    * analysis time; review fix, round 15).
+    */
+  def commitInstants(spark: SparkSession, path: String)
+      : Seq[(Long, Long)] = {
+    val fs = fsOf(spark, path)
+    versions(spark, path).map { v =>
+      v -> fs.getFileStatus(
+        new Path(mdir(path), f"v$v%020d.list")).getModificationTime
+    }
+  }
+
   /** The table's commit history, oldest first: per version, the commit
     * instant (manifest file mtime), live-file count, file-level diff vs
     * the previous version, and the streaming txn markers visible at it.
@@ -1169,9 +1185,15 @@ object Manifest {
         // even without a pinned schema, the reserved ptx_* transform
         // dirs are engine-internal: drop them so library reads and the
         // drift gate see only logical columns (rewrites re-derive them
-        // via PartitionTransforms.materialize)
+        // via PartitionTransforms.materialize). Only DIRECTORY columns
+        // drop — a genuine DATA column that happens to match the
+        // reserved pattern (a pre-round-15 table the catalog could not
+        // have created) survives, so no rewrite can silently erase it
+        // (review fix, round 15).
+        val dirCols = layoutPartitionCols(relFiles).getOrElse(Seq.empty)
+          .filter(PartitionTransforms.isDerived).toSet
         val df = r.parquet(paths: _*)
-        val derived = df.columns.filter(PartitionTransforms.isDerived)
+        val derived = df.columns.filter(dirCols)
         if (derived.isEmpty) df else df.drop(derived.toSeq: _*)
       case Some(st) =>
         val chains = st.fields.toSeq.map(f => f -> priorNames(f))

@@ -135,6 +135,12 @@ class HiddenPartitionSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       .forall(_.startsWith("ptx_day_ts=")))
     assert(spark.sql("SELECT count(*) FROM hcat.ns.mx")
       .as[Long].head() === 2L)
+    // SQL UPDATE's touched-files rewrite re-derives the layout too
+    spark.sql("UPDATE hcat.ns.mx SET v = v * 2 WHERE k = 1")
+    assert(spark.sql("SELECT v FROM hcat.ns.mx WHERE k = 1")
+      .as[Long].head() === 20L)
+    assert(Manifest.currentLive(spark, p)
+      .forall(_.startsWith("ptx_day_ts=")))
   }
 
   test("schema migrations refuse a transform's source column; other " +

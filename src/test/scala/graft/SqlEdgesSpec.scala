@@ -176,6 +176,23 @@ class SqlEdgesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq === Seq((2L, 20L), (9L, 90L)))
   }
 
+  test("static PARTITION overwrite on a TIMESTAMP identity layout " +
+      "renders the literal exactly as the partition writer does") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.tovw (k BIGINT, cents BIGINT,
+                 ts TIMESTAMP) PARTITIONED BY (ts)""")
+    spark.sql("""INSERT INTO ecat.ns.tovw (k, cents, ts) VALUES
+                 (1, 10, TIMESTAMP'2024-07-01 08:00:00'),
+                 (2, 20, TIMESTAMP'2024-07-02 09:30:00')""")
+    // java.sql.Timestamp.toString would render '...08:00:00.0' and
+    // never match the staged 'ts=2024-07-01 08%3A00%3A00' dir
+    spark.sql("""INSERT OVERWRITE ecat.ns.tovw
+                 PARTITION (ts = TIMESTAMP'2024-07-01 08:00:00')
+                 (k, cents) VALUES (9, 90)""")
+    assert(spark.sql("SELECT k, cents FROM ecat.ns.tovw ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((2L, 20L), (9L, 90L)))
+  }
+
   test("dynamic partitionOverwriteMode refuses loudly (no V1 fallback " +
       "translation); the library verb covers the semantics") {
     root
