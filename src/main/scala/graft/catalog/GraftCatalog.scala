@@ -202,9 +202,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val path = tablePath(ident)
     val cutoffMillis = Math.floorDiv(timestampMicros, 1000L)
     // commitInstants, not history: one stat per version, no manifest
-    // contents read at analysis time
+    // contents read at analysis time. takeWhile, not filter (ADVICE
+    // r15): manifest mtimes are only monotone in version order when no
+    // clock skew or directory copy/restore intervened — under an
+    // inversion (v3 stamped before v2), the contiguous prefix rule
+    // never resolves to a version whose PREDECESSOR is after the
+    // cutoff, i.e. time travel can under-shoot on a skewed history but
+    // never serve a snapshot newer than one the cutoff excludes.
     val at = Manifest.commitInstants(spark, path)
-      .filter(_._2 <= cutoffMillis)
+      .takeWhile(_._2 <= cutoffMillis)
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"table ${fullName(ident)}: no version committed at or before " +
           s"timestamp ${java.time.Instant.ofEpochMilli(cutoffMillis)} " +

@@ -50,6 +50,20 @@ final case class GraftTable(spark: SparkSession, tableName: String,
   private val pinnedSchema: Option[StructType] =
     snapshotVersion.flatMap(Manifest.schemaAsOf(spark, path, _))
 
+  /** `#flen` ledger of the served version (round 16): complete coverage
+    * + a pinned schema ⇒ scans are built over a manifest-served file
+    * index — ZERO filesystem listing at resolution (ManifestScan
+    * scaladoc). Pre-round-16 snapshots read via the legacy ParquetTable
+    * listing path.
+    */
+  private val fileLens: Map[String, Long] =
+    snapshotVersion.map(Manifest.fileLengthsAsOf(spark, path, _))
+      .getOrElse(Map.empty)
+
+  private def servedSchema: Option[StructType] =
+    pinnedSchema.filter(_ => relFiles.nonEmpty &&
+      relFiles.forall(fileLens.contains)).map(widen)
+
   /** logical column → its prior (pre-rename) physical names, from the
     * pinned schema's [[Manifest.PriorNamesKey]] chains. Non-empty ⇔
     * this snapshot has columns whose data lives under old names in old
@@ -112,10 +126,18 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     * 15) never surface — scans prune to the requested logical columns,
     * so the derived dirs are not even read.
     */
-  override def schema(): StructType =
-    if (relFiles.isEmpty) widen(pinnedSchema.get)
-    else StructType(fullTable.schema.fields.filterNot(f =>
+  override def schema(): StructType = {
+    val full = servedSchema match {
+      case Some(st) if relFiles.nonEmpty =>
+        org.apache.spark.sql.graftshim.ManifestScan.tableSchema(
+          spark, path, relFiles.map(f => f -> fileLens(f)), st)
+      case _ =>
+        if (relFiles.isEmpty) return widen(pinnedSchema.get)
+        fullTable.schema
+    }
+    StructType(full.fields.filterNot(f =>
       graft.engine.PartitionTransforms.isDerived(f.name)))
+  }
 
   override def properties(): util.Map[String, String] =
     (Map("provider" -> "graft", "location" -> path) ++
@@ -146,18 +168,36 @@ final case class GraftTable(spark: SparkSession, tableName: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
+    // OVERWRITE_DYNAMIC satisfies the analyzer's capability check; the
+    // actual execution is [[graft.plans.RewriteGraftDml]]'s rewrite of
+    // OverwritePartitionsDynamic onto Upsert.overwritePartitions
+    // (Spark ships no V1 fallback exec for the dynamic node)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     if (relFiles.isEmpty)
       // a just-created empty table: scan its pinned shape, zero files
       delegate(Seq.empty, options).newScanBuilder(scanOptions(options))
-    else new GraftScanBuilder(spark, path, snapshotVersion, relFiles,
-      fullTable.newScanBuilder(scanOptions(options)),
-      kept => delegate(kept, options).newScanBuilder(scanOptions(options)))
+    else servedSchema match {
+      case Some(st) =>
+        // manifest-served index: both the initial builder and any
+        // stats-pruned rebuild resolve without touching the filesystem
+        def build(files: Seq[String]): ScanBuilder =
+          org.apache.spark.sql.graftshim.ManifestScan.parquetScanBuilder(
+            spark, path, files.map(f => f -> fileLens(f)), st,
+            scanOptions(options))._2
+        new GraftScanBuilder(spark, path, snapshotVersion, relFiles,
+          build(relFiles), build)
+      case None =>
+        new GraftScanBuilder(spark, path, snapshotVersion, relFiles,
+          fullTable.newScanBuilder(scanOptions(options)),
+          kept => delegate(kept, options)
+            .newScanBuilder(scanOptions(options)))
+    }
 
   // ---- INSERT INTO / INSERT OVERWRITE (V1 fallback -> engine verbs) --
 

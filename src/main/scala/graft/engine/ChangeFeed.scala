@@ -62,11 +62,19 @@ object ChangeFeed {
     val added = (to -- from).toSeq.sorted
     val pinned = Manifest.schemaAsOf(spark, path, vTo)
 
+    // removed files only exist in the OLDER version's ledger, added
+    // files only in the newer — merge so both subset reads go listing-
+    // free (lengths are per-immutable-file, so the merge can't disagree)
+    lazy val lens: Map[String, Long] =
+      (if (vFrom == 0L) Map.empty[String, Long]
+       else Manifest.fileLengthsAsOf(spark, path, vFrom)) ++
+        Manifest.fileLengthsAsOf(spark, path, vTo)
+
     def readSubset(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
       // rename-aware (prior-name coalesce): removed files can predate a
       // renameColumn while the feed reads them under vTo's schema
-      else Some(Manifest.readFiles(spark, path, pinned, files))
+      else Some(Manifest.readFiles(spark, path, pinned, files, lens))
 
     def emptyLike(d: DataFrame): DataFrame =
       spark.createDataFrame(

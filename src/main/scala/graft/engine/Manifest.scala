@@ -123,6 +123,24 @@ object Manifest {
     currentVersion(spark, path).flatMap(v =>
       txnsAsOf(spark, path, v).get(appId))
 
+  /** The per-file byte-length ledger of a version (round 16): `#flen
+    * <relPath>=<bytes>` header lines, written at commit from the
+    * previous version's ledger plus one `getFileStatus` per newly
+    * added file. A complete ledger lets every read resolve with ZERO
+    * filesystem listing ([[readFiles]]' manifest-served index) — the
+    * O(files) metadata storm a million-file table cannot afford.
+    * Pre-round-16 manifests have no ledger (empty map) and read via
+    * the legacy listing path until their next commit back-fills it.
+    */
+  def fileLengthsAsOf(spark: SparkSession, path: String,
+      v: Long): Map[String, Long] =
+    listLines(spark, path, v).filter(_.startsWith("#flen "))
+      .map { line =>
+        val kv = line.stripPrefix("#flen ")
+        val i = kv.lastIndexOf('=')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }.toMap
+
   /** Atomically commit `files` (table-relative) as the next version.
     * Callers hold the table's [[WriterLease]], so versions never race;
     * the rename is what makes the commit atomic FOR READERS.
@@ -179,7 +197,24 @@ object Manifest {
       .getOrElse(Map.empty) ++ txn
     val header = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"#txn $app=$b" }
-    val bytes = (header ++ files.sorted).mkString("\n").getBytes("UTF-8")
+    // byte-length ledger (round 16): carried forward for files already
+    // in the previous version (immutable data files — lengths can't go
+    // stale), one getFileStatus for each newly added file. A file the
+    // stat can't see yet (eventually-consistent listing after a PUT)
+    // simply has no ledger entry: reads of that version fall back to
+    // the listing path rather than fail, and the next commit re-stats.
+    val prevLens = prev.map(v => fileLengthsAsOf(spark, path, v))
+      .getOrElse(Map.empty[String, Long])
+    val lens = files.flatMap { f =>
+      prevLens.get(f).orElse {
+        try Some(fs.getFileStatus(new Path(path, f)).getLen)
+        catch { case _: java.io.IOException => None }
+      }.map(f -> _)
+    }.toMap
+    val lenHeader = lens.toSeq.sortBy(_._1)
+      .map { case (f, l) => s"#flen $f=$l" }
+    val bytes = (header ++ lenHeader ++ files.sorted)
+      .mkString("\n").getBytes("UTF-8")
     val fin = new Path(d, f"v$next%020d.list")
     if (conditionalPutStore(fs)) {
       // S3-semantics publish: one conditional PUT straight to the final
@@ -1043,8 +1078,11 @@ object Manifest {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, path).schema)
-    else readFiles(spark, path,
-      currentVersion(spark, path).flatMap(schemaAsOf(spark, path, _)), kept)
+    else currentVersion(spark, path) match {
+      case Some(v) => readFiles(spark, path, schemaAsOf(spark, path, v),
+        kept, fileLengthsAsOf(spark, path, v))
+      case None => readFiles(spark, path, None, kept)
+    }
   }
 
   /** Data files currently in the table directory (recursive, hidden
@@ -1163,7 +1201,8 @@ object Manifest {
       }
     require(files.nonEmpty,
       s"manifest v$v of $path lists no files — nothing to read")
-    readFiles(spark, path, schemaAsOf(spark, path, v), files)
+    readFiles(spark, path, schemaAsOf(spark, path, v), files,
+      fileLengthsAsOf(spark, path, v))
   }
 
   /** The ONE schema-aware file reader every snapshot read funnels
@@ -1174,12 +1213,33 @@ object Manifest {
     * back as `coalesce(new, prior…)`. Sound because a live file holds
     * at most ONE name of a chain (renames tombstone the vacated name).
     */
+  /** A column reference that treats `n` as a LITERAL identifier — a
+    * pinned field name containing a dot (legal in parquet) must not
+    * parse as nested access (ADVICE r15).
+    */
+  private def litCol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("`" + n.replace("`", "``") + "`")
+
   private[graft] def readFiles(spark: SparkSession, path: String,
       pinned: Option[org.apache.spark.sql.types.StructType],
-      relFiles: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col}
+      relFiles: Seq[String],
+      lens: Map[String, Long] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
     val r = spark.read.option("basePath", path)
     val paths = relFiles.map(f => s"$path/$f")
+    // ZERO-LISTING fast path (round 16): when the manifest's `#flen`
+    // ledger covers every requested file and the schema is pinned, the
+    // read is served by a manifest-backed FileIndex — no per-file
+    // listing job, no getFileStatus storm; resolution is O(manifest
+    // GET). Partition-value parsing and pruning are Spark's own
+    // (ManifestScan scaladoc). Ledger-incomplete (pre-round-16) or
+    // unpinned snapshots keep the legacy listing read.
+    def served(st: org.apache.spark.sql.types.StructType)
+        : Option[DataFrame] =
+      if (relFiles.nonEmpty && relFiles.forall(lens.contains))
+        Some(org.apache.spark.sql.graftshim.ManifestScan.dataFrame(
+          spark, path, relFiles.map(f => f -> lens(f)), st))
+      else None
     pinned match {
       case None =>
         // even without a pinned schema, the reserved ptx_* transform
@@ -1201,17 +1261,17 @@ object Manifest {
           // the trailing projection hides directory columns Spark
           // appends beyond the explicit schema — in particular the
           // hidden `ptx_*` transform dirs (round 15); a no-op otherwise
-          r.schema(st).parquet(paths: _*)
-            .select(st.fieldNames.map(col).toSeq: _*)
+          served(st).getOrElse(r.schema(st).parquet(paths: _*))
+            .select(st.fieldNames.map(litCol).toSeq: _*)
         else {
           val union = org.apache.spark.sql.types.StructType(
             chains.flatMap { case (f, ps) =>
               f +: ps.map(p => org.apache.spark.sql.types.StructField(
                 p, f.dataType, nullable = true)) })
-          r.schema(union).parquet(paths: _*)
+          served(union).getOrElse(r.schema(union).parquet(paths: _*))
             .select(chains.map { case (f, ps) =>
-              if (ps.isEmpty) col(f.name)
-              else coalesce((f.name +: ps).map(col): _*).as(f.name)
+              if (ps.isEmpty) litCol(f.name)
+              else coalesce((f.name +: ps).map(litCol): _*).as(f.name)
             }: _*)
         }
     }
@@ -1223,7 +1283,8 @@ object Manifest {
     */
   def readSubsetAsOf(spark: SparkSession, path: String, v: Long,
       relFiles: Seq[String]): DataFrame =
-    readFiles(spark, path, schemaAsOf(spark, path, v), relFiles)
+    readFiles(spark, path, schemaAsOf(spark, path, v), relFiles,
+      fileLengthsAsOf(spark, path, v))
 
   /** Move every data file under `stagingPath` into the table directory,
     * preserving relative (partition) structure — the stage-in step of a

@@ -168,10 +168,17 @@ object PartitionTransforms {
         if (i < 0) seg -> "" else seg.take(i) -> seg.drop(i + 1)
       }.toMap
 
-    // a test per (dirName, rawValue): true = may match, false = prune
+    // a test per (dirName, rawValue): true = may match, false = prune.
+    // Each test is KEYED BY THE dirName OF THE TRANSFORM IT WAS BUILT
+    // FOR and only ever applied to that directory (ADVICE r15): a
+    // bucket test must never see a time-transform dir of the same
+    // source column — safety is local, not dependent on CREATE-time
+    // validation forbidding mixed transforms.
     type DirTest = (String, String) => Boolean
-    def forSource(name: String)(mk: PT => Option[DirTest]): Seq[DirTest] =
-      transforms.getOrElse(name, Seq.empty).flatMap(mk(_)).toSeq
+    def forSource(name: String)(mk: PT => Option[DirTest])
+        : Seq[(String, DirTest)] =
+      transforms.getOrElse(name, Seq.empty)
+        .flatMap(t => mk(t).map(t.dirName -> _)).toSeq
 
     // comparisons run in the UNIT-INDEX domain (year number, month
     // index, epoch day, epoch hour), parsed back from the directory
@@ -270,31 +277,27 @@ object PartitionTransforms {
       forSource(name) {
         case PTime(u, _) => timeTest(u, "=", l)
         case PBucket(n, _) => bucketTest(n, l)
-      }.map(t => name -> t)
+      }
     def lo(name: String,
         l: org.apache.spark.sql.catalyst.expressions.Literal) =
       forSource(name) {
         case PTime(u, _) => timeTest(u, ">=", l)
         case _: PBucket => None // a range says nothing about a bucket
-      }.map(t => name -> t)
+      }
     def hi(name: String,
         l: org.apache.spark.sql.catalyst.expressions.Literal) =
       forSource(name) {
         case PTime(u, _) => timeTest(u, "<=", l)
         case _: PBucket => None
-      }.map(t => name -> t)
+      }
 
+    // tests keyed by the dirName they were built for (ADVICE r15)
     val tests: Seq[(String, DirTest)] = preds.flatMap(testsOf)
     if (tests.isEmpty) return relFiles
-    // dirName per source per transform kind
-    val dirBySource: Map[String, Seq[String]] =
-      transforms.map { case (s, ts) => s -> ts.map(_.dirName) }
     relFiles.filter { f =>
       val dv = dirValues(f)
-      tests.forall { case (src, t) =>
-        dirBySource.getOrElse(src, Seq.empty).forall { dn =>
-          dv.get(dn).forall(raw => t(dn, raw))
-        }
+      tests.forall { case (dn, t) =>
+        dv.get(dn).forall(raw => t(dn, raw))
       }
     }
   }

@@ -603,9 +603,11 @@ object Upsert {
         // drop the added column's values from newer files. readFiles is
         // also RENAME-aware (prior-name coalesce), so a rewrite after a
         // renameColumn re-lands old rows under the new name.
-        val pinned = Manifest.currentVersion(spark, path)
-          .flatMap(Manifest.schemaAsOf(spark, path, _))
-        val sub = Manifest.readFiles(spark, path, pinned, touched.toSeq)
+        val cur = Manifest.currentVersion(spark, path)
+        val pinned = cur.flatMap(Manifest.schemaAsOf(spark, path, _))
+        val sub = Manifest.readFiles(spark, path, pinned, touched.toSeq,
+          cur.map(Manifest.fileLengthsAsOf(spark, path, _))
+            .getOrElse(Map.empty))
         val partCols =
           Manifest.layoutPartitionCols(touched.toSeq).getOrElse(Seq.empty)
         val matched = sub.filter(predicate).count()

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Exists, Expression, In, InSubquery, Literal, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Exists, Expression, In, InSubquery, Literal, NamedExpression, OuterReference, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -60,6 +60,18 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // dynamic INSERT OVERWRITE (round 16):
+    // `spark.sql.sources.partitionOverwriteMode=dynamic` (or an
+    // explicit value-less PARTITION (c) spec) analyzes to
+    // OverwritePartitionsDynamic; route it through the engine's
+    // [[Upsert.overwritePartitions]] — staged partitions replace
+    // WHOLESALE, absent partitions survive, one snapshot commit.
+    // Spark has no V1 fallback exec for this node, so without the
+    // rewrite the statement dies at planning.
+    case o @ OverwritePartitionsDynamic(GraftRelation(_, t), query, _, _, _)
+        if o.resolved =>
+      GraftDynamicOverwriteCommand(t, query)
+
     case u @ UpdateTable(GraftRelation(r, t), assignments, condition)
         if u.resolved =>
       val set = assignments.map {
@@ -280,6 +292,39 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Dynamic `INSERT OVERWRITE <cat>.<ns>.<t> [PARTITION (c)] SELECT …`
+  * (round 16) → [[Upsert.overwritePartitions]]: every partition the
+  * staged write produced is replaced wholesale, untouched partitions
+  * survive, and the swap is ONE optimistic snapshot commit (replaced
+  * files retire, new files add — time travel keeps the old slices).
+  * The replaced set is derived FROM THE STAGED OUTPUT, so an empty
+  * source is a no-op rather than a truncate — the exact hazard
+  * static-mode `INSERT OVERWRITE` carries. Single-level identity
+  * layouts only: multi-level and hidden-transform layouts refuse
+  * loudly (their rewrite scope is [[Upsert.overwriteTableLayout]] /
+  * the library verbs).
+  */
+final case class GraftDynamicOverwriteCommand(table: GraftTable,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val pc = table.partitionCols
+    pc match {
+      case Seq(c) if !graft.engine.PartitionTransforms.isDerived(c) =>
+        Upsert.overwritePartitions(session, table.path,
+          Shims.ofRows(session, query), c, expectedValues = None)
+      case other => throw new UnsupportedOperationException(
+        s"dynamic INSERT OVERWRITE ${table.name()}: the layout " +
+          s"${other.mkString("(", ", ", ")")} is " +
+          (if (other.isEmpty) "unpartitioned — use static INSERT " +
+            "OVERWRITE (whole-table replace)"
+           else "multi-level or transform-derived — use the library's " +
+             "Upsert verbs"))
+    }
+    Seq.empty
+  }
+}
+
 /** `UPDATE <cat>.<ns>.<t> SET … WHERE …` → [[Upsert.updateWhere]]'s
   * touched-files-only snapshot rewrite. */
 final case class GraftUpdateCommand(table: GraftTable, condition: Column,
@@ -402,17 +447,103 @@ final case class GraftMergeCommand(table: GraftTable,
   */
 private[plans] object GraftDmlSubqueries {
 
-  /** Analysis-time shape gate: loud refusals that need no execution. */
+  /** Analysis-time shape gate: loud refusals that need no execution.
+    * Correlated EXISTS is accepted iff [[decorrelateExists]] can
+    * rewrite it (round 16); every other correlated shape still
+    * refuses.
+    */
   def check(e: Expression, where: String): Unit = e.foreach {
     case InSubquery(values, _) =>
       require(values.size == 1,
         s"$where: multi-column IN subqueries are not supported " +
           "in graft DML")
+    case ex: Exists if ex.isCorrelated =>
+      require(decorrelateExists(ex).isDefined,
+        s"$where: this correlated EXISTS does not decorrelate — the " +
+          "supported shape correlates ONLY through top-level `outer " +
+          "column = inner expression` equality conjuncts in the " +
+          "subquery's WHERE clause, with nothing but projections " +
+          "above it; restate anything richer as a MERGE")
     case s: SubqueryExpression =>
       require(!s.isCorrelated,
         s"$where: correlated subqueries are not supported in graft DML " +
-          "— restate the per-row match as a MERGE")
+          "— restate the per-row match as a MERGE (correlated EXISTS " +
+          "with equality correlation is supported)")
     case _ => ()
+  }
+
+  private def hasOuter(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[OuterReference])
+
+  /** Is `e` an expression over OUTER references and literals only —
+    * usable verbatim as the outer side of a semi-join key? (A bare
+    * inner attribute is NOT; a deterministic function of outer refs,
+    * e.g. `t.k + 1`, IS.)
+    */
+  private def outerOnly(e: Expression): Boolean = e match {
+    case _: OuterReference => true
+    case _: AttributeReference => false
+    case _: SubqueryExpression => false
+    case _: Literal => true
+    case _ => e.deterministic && e.children.nonEmpty &&
+      e.children.forall(outerOnly)
+  }
+
+  /** EXISTS decorrelation (round 16). The idiomatic Postgres
+    * `DELETE FROM t WHERE EXISTS (SELECT 1 FROM s WHERE s.k = t.k AND
+    * <rest>)` analyzes to `Exists(Project(_, Filter(cond, child)))`
+    * with the correlation as `OuterReference` equality conjuncts in
+    * that single WHERE. Those conjuncts are semi-join keys: the EXISTS
+    * is equivalent to `struct(outerSides) IN (SELECT
+    * struct(innerExprs) FROM <subquery minus the correlated
+    * conjuncts>)` compared NULL-SAFELY against TRUE (a NULL outer key
+    * must read as "no match" — false, not NULL — for NOT EXISTS to
+    * complement correctly). The outer side may be any deterministic
+    * expression over outer columns (`s.k = t.k + 1` qualifies).
+    * Returns (outer-side exprs, inner key projection) or None when
+    * the shape is richer (aggregates/limits ABOVE the correlated
+    * filter, non-equality correlation, outer refs in projections) —
+    * those change existence semantics under this rewrite and refuse.
+    * An aggregate BELOW the correlated filter is fine: the filter
+    * then tests aggregate rows, which the key projection preserves.
+    */
+  private[plans] def decorrelateExists(ex: Exists)
+      : Option[(Seq[Expression], LogicalPlan)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    def walk(p: LogicalPlan)
+        : Option[(Seq[(Expression, Expression)], LogicalPlan)] =
+      p match {
+        case Project(pl, child) if !pl.exists(hasOuter) => walk(child)
+        case SubqueryAlias(_, child) => walk(child)
+        case Filter(cond, child) if hasOuter(cond) &&
+            !child.exists(_.expressions.exists(hasOuter)) =>
+          val (corr, rest) = conjuncts(cond).partition(hasOuter)
+          val pairs = corr.map {
+            case EqualTo(o, inner)
+                if outerOnly(o) && hasOuter(o) && !hasOuter(inner) =>
+              Some(o -> inner)
+            case EqualTo(inner, o)
+                if outerOnly(o) && hasOuter(o) && !hasOuter(inner) =>
+              Some(o -> inner)
+            case _ => None
+          }
+          if (pairs.contains(None)) None
+          else Some((pairs.flatten,
+            rest.reduceOption(
+              org.apache.spark.sql.catalyst.expressions.And.apply)
+              .map(Filter(_, child)).getOrElse(child)))
+        case _ => None
+      }
+    walk(ex.plan).map { case (pairs, stripped) =>
+      (pairs.map(_._1),
+        Project(pairs.zipWithIndex.map { case ((_, e), i) =>
+          org.apache.spark.sql.catalyst.expressions.Alias(e, s"__k$i")()
+        }, stripped))
+    }
   }
 
   def materialize(spark: SparkSession, c: Column, where: String): Column =
@@ -444,6 +575,37 @@ private[plans] object GraftDmlSubqueries {
           s"$where: scalar subquery returned ${rows.length} rows")
         Literal.create(rows.headOption.map(_.get(0)).orNull,
           s.plan.output.head.dataType)
+      case ex: Exists if ex.isCorrelated =>
+        // decorrelated membership (round 16): DISTINCT keys of the
+        // stripped subquery, bounded like every materialization here;
+        // <=> TRUE pins the tri-state — EXISTS is never NULL, so a
+        // NULL outer key must yield FALSE (and TRUE under NOT EXISTS)
+        val (outer, keyPlan) = decorrelateExists(ex).getOrElse(
+          throw new UnsupportedOperationException(
+            s"$where: this correlated EXISTS does not decorrelate — " +
+              "restate it as a MERGE"))
+        val rows = collectBounded(Distinct(keyPlan))
+        // outer sides re-expressed by NAME (the engine verb resolves
+        // them against its own snapshot scan, the module convention)
+        val outerRefs: Seq[Expression] = outer.map(_.transform {
+          case OuterReference(a) => UnresolvedAttribute.quoted(a.name)
+        })
+        val keyTypes = keyPlan.output.map(_.dataType)
+        val (value, items) =
+          if (outer.size == 1)
+            (outerRefs.head,
+              rows.map(r => Literal.create(r.get(0), keyTypes.head)).toSeq)
+          else {
+            val st = org.apache.spark.sql.types.StructType(
+              keyPlan.output.map(o => org.apache.spark.sql.types
+                .StructField(o.name, o.dataType, nullable = true)))
+            (org.apache.spark.sql.catalyst.expressions.CreateStruct(
+              outerRefs),
+              rows.map(r => Literal.create(r, st)).toSeq)
+          }
+        if (items.isEmpty) Literal(false)
+        else org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          In(value, items), Literal(true))
       case ex: Exists =>
         Literal(Shims.ofRows(spark, ex.plan).limit(1).collect().nonEmpty)
     }

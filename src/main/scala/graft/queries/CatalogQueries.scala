@@ -135,6 +135,37 @@ object CatalogQueries {
                SET price_cents = price_cents +
                  (SELECT min(price_cents) FROM __cat_merge_src)
                WHERE pri = '5-LOW'""")
+      // round 16: DYNAMIC partition overwrite — the staged partitions
+      // (URGENT and MEDIUM here) replace wholesale, the other three
+      // survive; mode restored so the rest of the fixture (and any
+      // other fixture in the session) keeps static semantics
+      s.sql("""CREATE TABLE graftwh.marts.ord_dyn (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)
+               PARTITIONED BY (pri)""")
+      s.sql("""INSERT INTO graftwh.marts.ord_dyn
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      val prevMode = s.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql("""INSERT OVERWRITE graftwh.marts.ord_dyn
+                   SELECT o_orderkey, price_cents * 5, pri
+                   FROM __cat_merge_src
+                   WHERE pri IN ('1-URGENT', '3-MEDIUM')""")
+      finally s.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prevMode)
+      // round 16: CORRELATED EXISTS / NOT EXISTS in DML predicates —
+      // the idiomatic Postgres shapes, decorrelated to a null-safe
+      // membership test (plans.GraftDmlSubqueries.decorrelateExists)
+      s.sql("""CREATE TABLE graftwh.marts.ord_dex AS
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""DELETE FROM graftwh.marts.ord_dex t
+               WHERE EXISTS (SELECT 1 FROM __cat_merge_src s
+                             WHERE s.o_orderkey = t.o_orderkey
+                               AND s.pri <> '5-LOW')""")
+      s.sql("""UPDATE graftwh.marts.ord_dex t
+               SET price_cents = price_cents + 11
+               WHERE NOT EXISTS (SELECT 1 FROM __cat_merge_src s
+                                 WHERE s.o_orderkey = t.o_orderkey)""")
       // round 15: ALTER COLUMN TYPE widening — INT files live under a
       // BIGINT pinned schema (Spark's parquet widening promotion), the
       // post-widen insert lands values that overflow INT
@@ -545,6 +576,74 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** Dynamic `INSERT OVERWRITE` (round 16): with
+    * `partitionOverwriteMode=dynamic`, the overwrite replaces exactly
+    * the partitions present in the SELECT's output — URGENT and
+    * MEDIUM here, recomputed ×5 from the merge slice — and leaves the
+    * other three untouched, in one snapshot commit
+    * ([[graft.plans.GraftDynamicOverwriteCommand]] →
+    * `Upsert.overwritePartitions`). The oracle restates it as
+    * delete-matching-partitions + insert.
+    */
+  val qSqlOverwriteDynamic = QueryDef(
+    "q_sql_overwrite_dynamic",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_dyn GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      repl AS (SELECT k, (pc * 2 + 1) * 5 AS pc, pri FROM base
+               WHERE k % 5 = 0 AND pri IN ('1-URGENT', '3-MEDIUM')),
+      fin AS (
+        SELECT * FROM t7 WHERE pri NOT IN ('1-URGENT', '3-MEDIUM')
+        UNION ALL
+        SELECT * FROM repl)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
+  /** Correlated `EXISTS` / `NOT EXISTS` in DML predicates (round 16):
+    * the fixture DELETEs rows with a non-LOW match in the merge slice
+    * (correlation `s.o_orderkey = t.o_orderkey` plus an uncorrelated
+    * residual), then UPDATEs the rows with NO match at all. The oracle
+    * restates both as key-set membership — exactly the semi-join the
+    * decorrelation performs.
+    */
+  val qSqlDeleteExists = QueryDef(
+    "q_sql_delete_exists",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_dex GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pri FROM base WHERE k % 5 = 0),
+      kept AS (
+        SELECT * FROM t7
+        WHERE k NOT IN (SELECT k FROM s5 WHERE pri <> '5-LOW')),
+      fin AS (
+        SELECT k,
+               pc + CASE WHEN k IN (SELECT k FROM s5) THEN 0 ELSE 11 END
+                 AS pc,
+               pri
+        FROM kept)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   /** Two-level `PARTITIONED BY (d, pri)` layout (round 15): a
     * partitioned CTAS laid the table out as nested `d=…/pri=…`
     * directories, a SQL MERGE maintained it through the generalized
@@ -583,5 +682,5 @@ object CatalogQueries {
     Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
       qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeFull,
       qSqlMergeShell, qSqlDeleteIn, qSqlTwoLevel, qSqlWiden,
-      qSqlHiddenPart)
+      qSqlHiddenPart, qSqlOverwriteDynamic, qSqlDeleteExists)
 }

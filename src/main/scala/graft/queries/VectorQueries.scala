@@ -241,22 +241,69 @@ object VectorQueries {
       s"$root/ivfpq"
     })
 
-  /** SQL mirror of the PERSISTED index content: centroids = the lowest
-    * ⌈√|A|⌉ vec_ids of the build slice A (deterministic seeding,
-    * frozen through the refresh), every vector — build batch and
-    * refresh batch alike — assigned by the same nearest-centroid rule.
-    * CTE chain ending in `assigned(vec_id, v, n2, cent_id)`; also
-    * exposes `n` (all vectors) `a` (build slice) and `cent`.
+  /** One k-medoids-flavoured Lloyd round of the build's centroid
+    * train, as DuckDB CTEs (round 16, the mirror of
+    * [[graft.engine.AnnIndex]].lloydRound): assign the build slice `a`
+    * to the nearest round-`i-1` centroid (cosine, ties to the lower
+    * cent_id — identical to the probe rule), exact integer per-cell
+    * component sums, then re-seat each cell on the member maximizing
+    * `dot(v, sv) / √n2` (cosine to the cell's sum direction — the
+    * sum's own norm is a per-cell constant, so it cancels from the
+    * ranking), ties to the lower vec_id. Centroids stay DATA POINTS
+    * (cn2 = the member's own n2): all integer math, one fixed IEEE
+    * double chain for the ranking — hash parity by construction.
+    * Emits `cent_s$i(cent_id, cv, cn2)`.
+    */
+  private def lloydRoundSql(i: Int): String = s"""
+      asg_l$i AS (
+        SELECT vec_id, v, n2, cent_id FROM (
+          SELECT r.vec_id, r.v, r.n2, c.cent_id,
+                 row_number() OVER (PARTITION BY r.vec_id ORDER BY
+                   ${cosineSql(dotSql("r.v", "c.cv"), "r.n2", "c.cn2")} DESC,
+                   c.cent_id) AS rk
+          FROM a r, cent_s${i - 1} c)
+        WHERE rk = 1),
+      flat_l$i AS (
+        SELECT cent_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+               unnest(v) AS val
+        FROM asg_l$i),
+      sums_l$i AS (
+        SELECT cent_id, dim, CAST(sum(val) AS BIGINT) AS s
+        FROM flat_l$i GROUP BY cent_id, dim),
+      svec_l$i AS (
+        SELECT cent_id, list(s ORDER BY dim) AS sv
+        FROM sums_l$i GROUP BY cent_id),
+      cent_s$i AS (
+        SELECT cent_id, v AS cv, n2 AS cn2 FROM (
+          SELECT g.cent_id, g.v, g.n2, g.vec_id,
+                 row_number() OVER (PARTITION BY g.cent_id ORDER BY
+                   CAST(${dotSql("g.v", "s.sv")} AS DOUBLE) /
+                     sqrt(CAST(g.n2 AS DOUBLE)) DESC,
+                   g.vec_id) AS rk
+          FROM asg_l$i g JOIN svec_l$i s USING (cent_id))
+        WHERE rk = 1)"""
+
+  /** SQL mirror of the PERSISTED index content: seeds = the lowest
+    * ⌈√|A|⌉ vec_ids of the build slice A, k-means-refined by
+    * [[lloydRoundSql]] × `IdxSpec.lloyd` (round 16) and frozen through
+    * the refresh; every vector — build batch and refresh batch alike —
+    * assigned by the same nearest-centroid rule. CTE chain ending in
+    * `assigned(vec_id, v, n2, cent_id)`; also exposes `n` (all
+    * vectors), `a` (build slice) and `cent` (the FROZEN trained
+    * centroids).
     */
   private val persistedAssignedSql: String = s"""
       base AS ($quantizedSql),
       n AS (SELECT vec_id, v, $n2Sql AS n2 FROM base),
       a AS (SELECT * FROM n
             WHERE vec_id < (SELECT (2 * count(*) + 2) // 3 FROM n)),
-      cent AS (
+      cent_s0 AS (
         SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM a
         WHERE vec_id <
           (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM a)),
+      ${(1 to IdxSpec.lloyd).map(lloydRoundSql).mkString(",\n")}${
+        if (IdxSpec.lloyd > 0) "," else ""}
+      cent AS (SELECT cent_id, cv, cn2 FROM cent_s${IdxSpec.lloyd}),
       assigned AS (
         SELECT vec_id, v, n2, cent_id FROM (
           SELECT n.vec_id, n.v, n.n2, cent.cent_id,
@@ -579,13 +626,20 @@ object VectorQueries {
     * SCALE.md (round-14 verdict item 7).
     */
   private[graft] def ivfpqTopkDf(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame =
+    ivfpqTopkFromRoot(s, ivfIndexRoot(s, dir), nprobe)
+
+  /** The IVF-PQ probe pipeline against ANY index root — the seam the
+    * recall-baseline comparison (LshRecallSpec round 16) probes
+    * alternative builds (e.g. lloyd = 0) through.
+    */
+  private[graft] def ivfpqTopkFromRoot(s: SparkSession, root: String,
       nprobe: Int): DataFrame = {
       val M = IdxSpec.m
       val Sub = IdxSpec.sub
       // every stage reads the PERSISTED index tables (round 15): the
       // inverted lists, the PQ codes, the frozen codebooks, and the
       // frozen coarse centroids — the raw embeddings are never scanned
-      val root = ivfIndexRoot(s, dir)
       val assigned = graft.engine.Manifest.read(s,
         graft.engine.AnnIndex.assignmentsPath(root))
       val codes = graft.engine.Manifest.read(s,

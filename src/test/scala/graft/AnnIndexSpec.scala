@@ -17,7 +17,10 @@ class AnnIndexSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val spec = AnnIndex.Spec(dim = 8, m = 2, pqK = 4)
+  // lloyd = 0 keeps the deterministic-seed assertions meaningful; the
+  // k-means build (the round-16 default) gets its own test below and
+  // the full oracle-checked fixture in VectorQueries
+  private val spec = AnnIndex.Spec(dim = 8, m = 2, pqK = 4, lloyd = 0)
 
   /** n deterministic quantized vectors (id, v[8], n2) starting at id0. */
   private def vecs(id0: Int, n: Int) =
@@ -208,6 +211,54 @@ class AnnIndexSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       AnnIndex.refresh(spark, src, idx))
     assert(e.getMessage.contains("append-only"))
+  }
+
+  test("k-means-trained centroids (round 16): deterministic bit-exact " +
+      "training, cells keep seed identity, geometry frozen through " +
+      "refresh, exact-integer cn2 contract") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 40), None)
+    val trained = AnnIndex.Spec(dim = 8, m = 2, pqK = 4, lloyd = 2)
+    AnnIndex.buildIvfPq(spark, src, idx, trained)
+    assert(AnnIndex.persistedSpec(spark, idx) === trained)
+    val cents = Manifest.read(spark, AnnIndex.centroidsPath(idx))
+    val ids = cents.select("cent_id").as[Long].collect().sorted.toSeq
+    val k = math.ceil(math.sqrt(40.0)).toInt
+    assert(ids.nonEmpty && ids.forall(_ < k),
+      "trained cells keep their seed cent_id (k can only shrink)")
+    assert(ids.distinct === ids)
+    // the exact-integer contract: cn2 is dot(cv, cv), components stay
+    // within the input's quantization scale (mean of members)
+    assert(cents.filter(graft.functions.LongArrayDot(col("cv"), col("cv"))
+      =!= col("cn2")).count() === 0L)
+    // bit-exact determinism: an identical corpus in a fresh root
+    // trains identical centroids
+    val (src2, idx2) = freshPaths()
+    Upsert.append(spark, src2, vecs(0, 40), None)
+    AnnIndex.buildIvfPq(spark, src2, idx2, trained)
+    def snap(p: String) = Manifest.read(spark, AnnIndex.centroidsPath(p))
+      .orderBy("cent_id").collect().map(_.toString).toSeq
+    val c1 = snap(idx)
+    assert(snap(idx2) === c1)
+    // refresh freezes the trained geometry and assigns the delta
+    // against it — spot-checked brute-force, same as the seeded build
+    Upsert.append(spark, src, vecs(40, 15), None)
+    assert(AnnIndex.refresh(spark, src, idx) === 15L)
+    assert(snap(idx) === c1)
+    val brute = vecs(40, 15).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (graft.functions.LongArrayDot(col("v"), col("cv")).cast("double") /
+          (sqrt(col("n2").cast("double")) *
+            sqrt(col("cn2").cast("double")))).as("ccos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cent_id"))
+      .as[(Long, Long)].collect().toMap
+    val got = Manifest.read(spark, AnnIndex.assignmentsPath(idx))
+      .filter(col("vec_id") >= 40)
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+    assert(got === brute)
   }
 
   test("the registered ANN probes read ONLY the persisted index tables " +

@@ -213,10 +213,20 @@ class CatalogSpec extends AnyFunSuite
         "(SELECT k FROM tcat.ns.up_t WHERE v = 'b')")
     assert(spark.sql(
       "SELECT cents FROM tcat.ns.up_t WHERE k = 2").as[Long].head() === 0L)
-    // … CORRELATED ones stay loudly refused, not silently mis-run
+    // … correlated EXISTS with EQUALITY correlation decorrelates to a
+    // semi-join since round 16 — rows whose k+1 exists in the table
+    // (k = 1, 2 here) match; the outer side may be an expression
+    spark.sql(
+      "UPDATE tcat.ns.up_t SET cents = -1 WHERE EXISTS " +
+        "(SELECT 1 FROM tcat.ns.up_t i WHERE i.k = tcat.ns.up_t.k + 1)")
+    assert(spark.sql(
+      "SELECT k, cents FROM tcat.ns.up_t ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, -1L), (2L, -1L), (3L, 130L)))
+    // … NON-EQUALITY correlation stays loudly refused, not mis-run
     val e = intercept[Exception](spark.sql(
       "UPDATE tcat.ns.up_t SET cents = 0 WHERE EXISTS " +
-        "(SELECT 1 FROM tcat.ns.up_t i WHERE i.k = tcat.ns.up_t.k + 1)"))
+        "(SELECT 1 FROM tcat.ns.up_t i WHERE i.k > tcat.ns.up_t.k)"))
     assert(e.getMessage.toLowerCase.contains("correlated"))
   }
 

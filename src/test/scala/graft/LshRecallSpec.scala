@@ -103,6 +103,38 @@ class LshRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means-trained centroids never lose recall vs the deterministic " +
+      "seeding, at sf0.001 AND sf0.1 (round 16)") {
+    // Build BOTH variants fresh from the same source snapshot (the
+    // session fixture's quantized copy), probe through the identical
+    // IVF-PQ pipeline, and compare recall@3 against the exact scan.
+    // Lloyd rounds re-center cells on the data; with everything else
+    // frozen the trained index must match or beat the seeded one.
+    Seq(dir, "/root/testdata/sf0.1").foreach { d =>
+      val sessionRoot = VectorQueries.ivfIndexRoot(spark, d)
+      val srcPath = sessionRoot.stripSuffix("/ivfpq") + "/source"
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-kmeans-cmp").toString
+      val spec0 = VectorQueries.IdxSpec.copy(lloyd = 0)
+      val spec2 = VectorQueries.IdxSpec
+      assert(spec2.lloyd > 0, "the registered spec must train")
+      graft.engine.AnnIndex.buildIvfPq(spark, srcPath, s"$base/l0", spec0)
+      graft.engine.AnnIndex.buildIvfPq(spark, srcPath, s"$base/l2", spec2)
+      val exact = VectorQueries.qCosineTopk.run(spark, d)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      def recall(root: String): Double = {
+        val got = VectorQueries.ivfpqTopkFromRoot(spark, root, 2)
+          .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+        got.count(exact.contains).toDouble / exact.size
+      }
+      val (r0, r2) = (recall(s"$base/l0"), recall(s"$base/l2"))
+      info(s"$d recall@3 nprobe=2: seeded=${"%.3f".format(r0)} " +
+        s"kmeans=${"%.3f".format(r2)}")
+      assert(r2 >= r0 - 1e-9,
+        s"k-means training lost recall at $d: $r2 < $r0")
+    }
+  }
+
   test("prefix-filtered setsim join equals brute-force trigram Jaccard >= 0.6") {
     // Unlike LSH (recall floor), prefix filtering is EXACT — the check
     // is set equality against an all-pairs computation on the corpus.

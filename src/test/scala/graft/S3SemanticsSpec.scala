@@ -272,6 +272,76 @@ class S3SemanticsSpec extends AnyFunSuite {
       Manifest.stageIn(spark, tbl2, s"$tbl2.__seed")) === 1L)
   }
 
+  // ---- round 16: injected store faults around the commit protocol --
+
+  test("a 503 on the manifest PUT commits NOTHING; the retried append " +
+      "lands exactly once") {
+    val tbl = freshTable()
+    Upsert.append(spark, tbl, Seq((1, d1, 100L)).toDF("k", "d", "cents"),
+      Some("d"))
+    val v0 = Manifest.currentVersion(spark, tbl).get
+    S3SemanticsFileSystem.failPutsMatching("_graft_manifest/v")
+    try {
+      val df = Seq((2, d2, 200L)).toDF("k", "d", "cents")
+      val e = intercept[Exception](Upsert.append(spark, tbl, df, Some("d")))
+      assert(e.getMessage.contains("conditional PUT") ||
+        Option(e.getCause).exists(_.getMessage.contains("503")),
+        s"unexpected failure: $e")
+      // nothing committed: snapshot still v0, reader sees one row
+      assert(Manifest.currentVersion(spark, tbl).get === v0)
+      assert(Manifest.read(spark, tbl).count() === 1L)
+      // the retry (fault consumed) lands the batch exactly once; the
+      // aborted attempt's orphan files stay invisible until vacuum
+      Upsert.append(spark, tbl, df, Some("d"))
+      assert(Manifest.read(spark, tbl).select("k").as[Int].collect()
+        .toSet === Set(1, 2))
+    } finally S3SemanticsFileSystem.clearPutFault()
+  }
+
+  test("an AMBIGUOUS manifest PUT (object landed, close threw) is " +
+      "exactly-once under appendEpoch: the replayed epoch no-ops") {
+    val tbl = freshTable()
+    Upsert.appendEpoch(spark, tbl,
+      Seq((1, d1, 100L)).toDF("k", "d", "cents"), Some("d"), "app", 1L)
+    S3SemanticsFileSystem.failPutsMatching("_graft_manifest/v",
+      landFirst = true)
+    try {
+      val df = Seq((2, d2, 200L)).toDF("k", "d", "cents")
+      // the network-cut-after-PUT case: the commit THREW but took
+      // effect — the one outcome a caller cannot distinguish from a
+      // clean failure without the txn-marker ledger
+      intercept[Exception](
+        Upsert.appendEpoch(spark, tbl, df, Some("d"), "app", 2L))
+      assert(Manifest.read(spark, tbl).count() === 2L,
+        "the ambiguous PUT actually committed")
+      // replaying the SAME epoch must detect the marker and no-op —
+      // no duplicate rows, no new version
+      val vAfter = Manifest.currentVersion(spark, tbl).get
+      Upsert.appendEpoch(spark, tbl, df, Some("d"), "app", 2L)
+      assert(Manifest.currentVersion(spark, tbl).get === vAfter)
+      assert(Manifest.read(spark, tbl).count() === 2L)
+    } finally S3SemanticsFileSystem.clearPutFault()
+  }
+
+  test("listing lag on data keys cannot stale a manifest read: the " +
+      "snapshot resolves through the ledger, zero listing (round 16)") {
+    val tbl = freshTable()
+    Upsert.append(spark, tbl,
+      Seq((1, d1, 100L), (2, d2, 200L)).toDF("k", "d", "cents"), Some("d"))
+    S3SemanticsFileSystem.hideFromListing(".parquet")
+    try {
+      // the LIST path is blind to every data object …
+      assert(Manifest.listDataFiles(spark, tbl).isEmpty,
+        "injection sanity: listing must not see the data keys")
+      // … yet the snapshot read serves all rows: one manifest GET, file
+      // statuses from the #flen ledger, no list/stat on the data path
+      val t = Manifest.read(spark, tbl)
+      assert(t.count() === 2L)
+      assert(t.select("cents").as[Long].collect().toSet ===
+        Set(100L, 200L))
+    } finally S3SemanticsFileSystem.settleListing()
+  }
+
   test("commit-lock keys normalize path aliases to one monitor") {
     val local = java.nio.file.Files.createTempDirectory("graft-alias")
       .resolve("t").toString

@@ -193,8 +193,8 @@ class SqlEdgesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq === Seq((2L, 20L), (9L, 90L)))
   }
 
-  test("dynamic partitionOverwriteMode refuses loudly (no V1 fallback " +
-      "translation); the library verb covers the semantics") {
+  test("dynamic partitionOverwriteMode through SQL matches the library " +
+      "verb (round 16 lifted the r15 refusal)") {
     root
     spark.sql("""CREATE TABLE ecat.ns.dovw (k BIGINT, cents BIGINT,
                  d DATE) PARTITIONED BY (d)""")
@@ -203,18 +203,18 @@ class SqlEdgesSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val e = intercept[Exception](
-        spark.sql("""INSERT OVERWRITE ecat.ns.dovw (k, cents, d) VALUES
-                     (9, 90, DATE'2024-07-01')"""))
-      assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+      spark.sql("""INSERT OVERWRITE ecat.ns.dovw (k, cents, d) VALUES
+                   (9, 90, DATE'2024-07-01')""")
     } finally spark.conf.set(
       "spark.sql.sources.partitionOverwriteMode", prev)
-    // the library verb delivers dynamic-partition replacement
-    Upsert.overwritePartitions(spark, s"$root/ns/dovw",
-      Seq((9L, 90L, Date.valueOf("2024-07-01")))
-        .toDF("k", "cents", "d"), "d")
     assert(spark.sql("SELECT k, cents FROM ecat.ns.dovw ORDER BY k")
       .as[(Long, Long)].collect().toSeq === Seq((3L, 30L), (9L, 90L)))
+    // the library verb lands the identical semantics on the same table
+    Upsert.overwritePartitions(spark, s"$root/ns/dovw",
+      Seq((8L, 80L, Date.valueOf("2024-07-01")))
+        .toDF("k", "cents", "d"), "d")
+    assert(spark.sql("SELECT k, cents FROM ecat.ns.dovw ORDER BY k")
+      .as[(Long, Long)].collect().toSeq === Seq((3L, 30L), (8L, 80L)))
   }
 
   test("TIMESTAMP AS OF resolves to the latest commit at or before the " +
@@ -755,5 +755,107 @@ class SqlEdgesSpec extends AnyFunSuite {
                    WHEN NOT MATCHED BY SOURCE
                      THEN UPDATE SET nope = 1""")) // must fail even empty
     assert(e.getMessage.contains("nope"))
+  }
+
+  // ---- round 16: dynamic INSERT OVERWRITE ---------------------------
+
+  private def withDynamicMode[A](body: => A): A = {
+    val prev = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try body
+    finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  test("dynamic INSERT OVERWRITE replaces exactly the staged partitions " +
+      "in one snapshot commit; an empty source is a no-op, not a " +
+      "truncate") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.dyn (k BIGINT, cents BIGINT,
+                 p STRING) PARTITIONED BY (p)""")
+    spark.sql("""INSERT INTO ecat.ns.dyn VALUES
+                 (1, 10, 'a'), (2, 20, 'a'), (3, 30, 'b'), (4, 40, 'c')""")
+    val v0 = Manifest.currentVersion(spark, s"$root/ns/dyn").get
+    withDynamicMode {
+      spark.sql("""INSERT OVERWRITE ecat.ns.dyn VALUES (9, 90, 'a')""")
+    }
+    // partition a replaced wholesale (rows 1, 2 gone), b and c intact
+    assert(spark.sql("SELECT k, cents FROM ecat.ns.dyn ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((3L, 30L), (4L, 40L), (9L, 90L)))
+    // exactly one commit, and the pre-overwrite snapshot time-travels
+    assert(Manifest.currentVersion(spark, s"$root/ns/dyn").get === v0 + 1)
+    assert(spark.sql(
+      s"SELECT count(*) FROM ecat.ns.dyn VERSION AS OF $v0")
+      .as[Long].head() === 4L)
+    // an empty source stages no partitions → nothing replaced (the
+    // static-mode hazard this mode exists to avoid)
+    withDynamicMode {
+      spark.sql("""INSERT OVERWRITE ecat.ns.dyn
+                   SELECT k, cents, p FROM ecat.ns.dyn WHERE k > 999""")
+    }
+    assert(spark.sql("SELECT count(*) FROM ecat.ns.dyn")
+      .as[Long].head() === 3L)
+    // static mode on the same table still means whole-table replace
+    spark.sql("""INSERT OVERWRITE ecat.ns.dyn VALUES (7, 70, 'b')""")
+    assert(spark.sql("SELECT k FROM ecat.ns.dyn").as[Long].collect()
+      .toSeq === Seq(7L))
+  }
+
+  test("dynamic INSERT OVERWRITE on an unpartitioned table never " +
+      "half-replaces: loud refusal or a clean whole-table replace") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.dyn_flat (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.dyn_flat VALUES (1, 10)")
+    // unpartitioned + dynamic mode: depending on Spark's analysis the
+    // statement either reaches our command (which refuses, layout
+    // Seq()) or degrades to the static whole-table overwrite — both
+    // are sound; a half-replaced table is not
+    val outcome =
+      try {
+        withDynamicMode {
+          spark.sql("INSERT OVERWRITE ecat.ns.dyn_flat VALUES (2, 20)")
+        }
+        None
+      } catch { case e: Exception => Some(e) }
+    outcome match {
+      case Some(e) =>
+        assert(e.getMessage.toLowerCase.contains("unpartitioned"),
+          s"unexpected refusal: ${e.getMessage}")
+        assert(rowsOf("ecat.ns.dyn_flat") === Map(1L -> 10L),
+          "a refused overwrite must leave the snapshot untouched")
+      case None =>
+        assert(rowsOf("ecat.ns.dyn_flat") === Map(2L -> 20L),
+          "a non-refused dynamic overwrite of an unpartitioned table " +
+            "must be the clean whole-table replace")
+    }
+  }
+
+  // ---- round 16: correlated EXISTS edges ----------------------------
+
+  test("NOT EXISTS with a NULL outer key matches (no row equals NULL), " +
+      "EXISTS with it never matches — the null-safe complement") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.nex (k BIGINT, cents BIGINT)")
+    spark.sql(
+      "INSERT INTO ecat.ns.nex VALUES (1, 10), (2, 20), (NULL, 99)")
+    Seq(1L).toDF("k").createOrReplaceTempView("__nex_keys")
+    // EXISTS: NULL key row must NOT match (s.k = NULL is never true)
+    spark.sql("""DELETE FROM ecat.ns.nex t
+                 WHERE EXISTS (SELECT 1 FROM __nex_keys s
+                               WHERE s.k = t.k)""")
+    assert(spark.sql(
+      "SELECT coalesce(k, -1), cents FROM ecat.ns.nex ORDER BY 1")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((-1L, 99L), (2L, 20L)))
+    // NOT EXISTS: the NULL key row HAS no match, so it must match the
+    // complement and be deleted — a plain IN-list NULL would wrongly
+    // keep it (tri-state NULL), the <=> TRUE pin makes it FALSE
+    spark.sql("""DELETE FROM ecat.ns.nex t
+                 WHERE NOT EXISTS (SELECT 1 FROM __nex_keys s
+                                   WHERE s.k = t.k)""")
+    assert(spark.sql("SELECT count(*) FROM ecat.ns.nex")
+      .as[Long].head() === 0L)
   }
 }

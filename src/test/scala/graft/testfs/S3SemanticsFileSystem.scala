@@ -96,9 +96,13 @@ class S3SemanticsFileSystem extends FileSystem {
         if (k.nonEmpty && !hasPrefix(k))
           throw new FileNotFoundException(s"s3x://$bucket/$k")
         val prefix = if (k.isEmpty) "" else k + "/"
+        // listing lag (round 16): hidden keys exist for GET/HEAD but
+        // not for LIST — the S3 eventual-listing gap under injection
         val children = store.iterator.collect {
           case ((b, kk), o) if b == bucket && kk.startsWith(prefix) &&
-            kk.length > prefix.length => (kk.substring(prefix.length), o)
+            kk.length > prefix.length &&
+            !S3SemanticsFileSystem.listingHides(kk) =>
+            (kk.substring(prefix.length), o)
         }.toSeq
         val (files, dirs) = children.partition(!_._1.contains("/"))
         val dirNames = dirs.map(_._1.takeWhile(_ != '/')).distinct
@@ -133,8 +137,23 @@ class S3SemanticsFileSystem extends FileSystem {
           if (!overwrite && enforceConditionalCreate && obj(k).isDefined)
             throw new IOException(
               s"PreconditionFailed: If-None-Match on s3x://$bucket/$k")
-          store.put((bucket, k),
-            Obj(buf.toByteArray, System.currentTimeMillis()))
+          // injected faults (round 16): a plain 503 commits nothing; a
+          // landFirst fault commits the object AND throws — the
+          // ambiguous network-cut-after-PUT outcome
+          takePutFault(k) match {
+            case Some(false) =>
+              throw new IOException(
+                s"503 Slow Down (injected) on s3x://$bucket/$k")
+            case Some(true) =>
+              store.put((bucket, k),
+                Obj(buf.toByteArray, System.currentTimeMillis()))
+              throw new IOException(
+                s"connection reset after PUT (injected; object landed) " +
+                  s"on s3x://$bucket/$k")
+            case None =>
+              store.put((bucket, k),
+                Obj(buf.toByteArray, System.currentTimeMillis()))
+          }
         }
         ()
       }
@@ -228,6 +247,55 @@ object S3SemanticsFileSystem {
     * prove the manifest layer's honesty probe refuses such stores.
     */
   @volatile var enforceConditionalCreate: Boolean = true
+
+  // ---- FAULT INJECTION (round 16, ADVICE/verdict item 5) ------------
+  //
+  // The real-store failure modes the commit protocol must survive,
+  // modeled at the exact points S3 exhibits them:
+  //
+  //  - `failPutsMatching(substr, landFirst = false)`: the next close()
+  //    of a matching key throws a 503-style IOException. With
+  //    landFirst = false NOTHING lands (plain throttle — retry-safe);
+  //    with landFirst = true the object COMMITS and the close still
+  //    throws — the connection-cut-after-PUT AMBIGUOUS outcome, where
+  //    the client cannot know whether its write took effect.
+  //  - `hideFromListing(substr)`: matching keys vanish from
+  //    listStatus() while GET/HEAD still serve them — S3-class listing
+  //    lag. Reads that resolve through the manifest (one GET + the
+  //    round-16 `#flen` ledger) must be immune; anything that LISTS
+  //    for correctness is what this fault exposes.
+  //
+  // One fault of each kind at a time; both are one-shot/until-cleared
+  // and reset by the companion's clear methods (test isolation).
+
+  @volatile private var putFault: Option[(String, Boolean)] = None
+  @volatile private var hiddenSubstr: Option[String] = None
+
+  /** Arm a one-shot PUT failure for keys containing `substr`. */
+  def failPutsMatching(substr: String, landFirst: Boolean = false): Unit =
+    putFault = Some((substr, landFirst))
+
+  def clearPutFault(): Unit = putFault = None
+
+  /** Consume the armed fault if `k` matches: Some(landFirst). */
+  private def takePutFault(k: String): Option[Boolean] = synchronized {
+    putFault match {
+      case Some((substr, land)) if k.contains(substr) =>
+        putFault = None
+        Some(land)
+      case _ => None
+    }
+  }
+
+  /** Hide every current and future key containing `substr` from
+    * listStatus until [[settleListing]] — GETs still serve them.
+    */
+  def hideFromListing(substr: String): Unit = hiddenSubstr = Some(substr)
+
+  def settleListing(): Unit = hiddenSubstr = None
+
+  private def listingHides(k: String): Boolean =
+    hiddenSubstr.exists(k.contains)
 
   /** Drop every object in `bucket` — test isolation. */
   def clearBucket(bucket: String): Unit =

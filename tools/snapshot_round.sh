@@ -12,6 +12,21 @@
 set -eu
 cd "$(dirname "$0")/.."
 msg="${1:-round snapshot}"
+# Counter-drift gate (round-15/16 verdict): the README's claimed test
+# count must equal the fresh test-report tally — FAIL, don't print
+# (428 vs 430 in r15, 375 vs 377 in r14 slipped through a print).
+if ls target/test-reports/TEST-*.xml >/dev/null 2>&1; then
+  actual=$(grep -ho 'tests="[0-9]*"' target/test-reports/TEST-*.xml \
+    | awk -F'"' '{s+=$2} END {print s}')
+  claimed=$(grep -o '[0-9]* ScalaTest tests' README.md | awk '{print $1}')
+  if [ -n "$claimed" ] && [ "$claimed" != "$actual" ]; then
+    echo "[snapshot] COUNTER DRIFT: README claims $claimed ScalaTest" \
+      "tests, reports tally $actual — fix README.md before committing"
+    exit 1
+  fi
+else
+  echo "[snapshot] WARNING: no test reports found; counter gate skipped"
+fi
 echo "[snapshot] compile gate..."
 sbt -batch compile >/tmp/snapshot_compile.log 2>&1 || {
   echo "[snapshot] COMPILE FAILED — not committing. See /tmp/snapshot_compile.log"
