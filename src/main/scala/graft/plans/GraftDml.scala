@@ -551,16 +551,30 @@ private[plans] object GraftDmlSubqueries {
 
   private def eval(spark: SparkSession, e: Expression,
       where: String): Expression = {
-    def collectBounded(plan: LogicalPlan): Array[Row] = {
-      val max = spark.conf
-        .get("spark.graft.dml.subquery.maxRows", "100000").toInt
+    def collectCapped(plan: LogicalPlan, max: Int,
+        capKey: String): Array[Row] = {
       val rows = Shims.ofRows(spark, plan).limit(max + 1).collect()
       require(rows.length <= max,
         s"$where: uncorrelated subquery materialized more than $max " +
-          "rows (spark.graft.dml.subquery.maxRows) — a key set this " +
+          s"rows ($capKey) — a key set this " +
           "large should flow through MERGE, whose semi-join scales")
       rows
     }
+    def collectBounded(plan: LogicalPlan): Array[Row] =
+      collectCapped(plan,
+        spark.conf.get("spark.graft.dml.subquery.maxRows", "100000").toInt,
+        "spark.graft.dml.subquery.maxRows")
+    // The decorrelated-EXISTS key set gets its OWN, much higher cap:
+    // the keys are DISTINCT, land on the driver once (~tens of bytes
+    // each), and the membership test optimizes to an O(1) InSet probe
+    // per row — 5M keys ≈ tens of MB of driver heap and a
+    // constant-time predicate, a totally different cost shape from a
+    // generic subquery result. Beyond it, MERGE's distributed
+    // semi-join is the documented path.
+    def collectKeys(plan: LogicalPlan): Array[Row] =
+      collectCapped(plan,
+        spark.conf.get("spark.graft.dml.exists.maxKeys", "5000000").toInt,
+        "spark.graft.dml.exists.maxKeys")
     e.transformUp {
       case InSubquery(values, lq) =>
         val dt = lq.plan.output.head.dataType
@@ -584,7 +598,7 @@ private[plans] object GraftDmlSubqueries {
           throw new UnsupportedOperationException(
             s"$where: this correlated EXISTS does not decorrelate — " +
               "restate it as a MERGE"))
-        val rows = collectBounded(Distinct(keyPlan))
+        val rows = collectKeys(Distinct(keyPlan))
         // outer sides re-expressed by NAME (the engine verb resolves
         // them against its own snapshot scan, the module convention)
         val outerRefs: Seq[Expression] = outer.map(_.transform {

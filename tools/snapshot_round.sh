@@ -15,7 +15,18 @@ msg="${1:-round snapshot}"
 # Counter-drift gate (round-15/16 verdict): the README's claimed test
 # count must equal the fresh test-report tally — FAIL, don't print
 # (428 vs 430 in r15, 375 vs 377 in r14 slipped through a print).
+# The gate's maiden run (round 16) found the drift's actual MECHANISM:
+# XMLs of suites deleted from the tree linger in target/test-reports
+# and inflate the tally — so prune any report whose suite no longer
+# exists in src/test before counting.
 if ls target/test-reports/TEST-*.xml >/dev/null 2>&1; then
+  for f in target/test-reports/TEST-*.xml; do
+    cls=$(basename "$f" .xml | sed 's/^TEST-//; s/.*\.//')
+    grep -rqs "class $cls\b" src/test/scala || {
+      echo "[snapshot] pruning stale report for removed suite: $f"
+      rm -f "$f"
+    }
+  done
   actual=$(grep -ho 'tests="[0-9]*"' target/test-reports/TEST-*.xml \
     | awk -F'"' '{s+=$2} END {print s}')
   claimed=$(grep -o '[0-9]* ScalaTest tests' README.md | awk '{print $1}')
