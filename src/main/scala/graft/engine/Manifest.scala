@@ -1038,6 +1038,33 @@ object Manifest {
       retire = Set.empty, add = Seq.empty,
       schema = Some(st))).get
 
+  /** One-time UPGRADE for an unpinned (library-created) table: pin the
+    * snapshot's CURRENTLY-INFERRED read schema as the sidecar, so
+    * every later read resolves through the zero-listing manifest-
+    * served index (round 16) instead of re-listing the files. The
+    * pinned shape is exactly what today's listing read infers —
+    * including the dir-derived partition column types — so results
+    * are unchanged; only the metadata cost drops. The metadata-only
+    * commit also back-fills the `#flen` ledger for every live file.
+    *
+    * Caveat (why this is OPT-IN, not automatic): pinning freezes the
+    * partition-column types inferred from the CURRENT directory
+    * values; a later append whose dir values no longer parse as that
+    * type (e.g. a date-shaped string column receiving 'unknown')
+    * would read those partition values as NULL under the pin, where
+    * the unpinned read would re-infer STRING. Tables with
+    * type-volatile partition values should stay unpinned.
+    */
+  def pinSchema(spark: SparkSession, path: String): Long =
+    WriterLease.withLease(spark, path) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"pinSchema needs a manifest-managed table: $path has none"))
+      require(schemaAsOf(spark, path, v).isEmpty,
+        s"$path already has a pinned schema (v$v)")
+      commitSchemaOnly(spark, path, read(spark, path).schema)
+    }
+
   /** Plan-time file skipping (round 11): resolve the current snapshot,
     * load its stats sidecar, and keep only files whose min/max envelopes
     * intersect every `(col, lo, hi)` range. Returns (kept, total) —

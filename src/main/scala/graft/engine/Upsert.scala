@@ -338,7 +338,7 @@ object Upsert {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val (movedIn, stagedParts) =
-        moveStagedPartitions(fs, path, stagingPath, dateCol)
+        moveStagedPartitions(fs, path, stagingPath, Seq(dateCol))
       val replacedParts = stagedParts.map(_ + "/")
       val scope = (f: String) => replacedParts.exists(f.startsWith)
       version match {
@@ -382,13 +382,26 @@ object Upsert {
     */
   private def moveStagedPartitions(fs: org.apache.hadoop.fs.FileSystem,
       path: String, stagingPath: String,
-      dateCol: String): (Seq[String], Seq[String]) = {
-    val stagedParts =
-      fs.listStatus(new org.apache.hadoop.fs.Path(stagingPath))
-        .filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith(s"$dateCol="))
-    val movedIn = stagedParts.flatMap { part =>
-      val targetDir = new org.apache.hadoop.fs.Path(path, part.getName)
+      partCols: Seq[String]): (Seq[String], Seq[String]) = {
+    // walk the staged layout LEVEL BY LEVEL (round 16: multi-column
+    // ordered identity layouts) — level i admits only `<partCols(i)>=`
+    // directories, so a malformed staging tree fails closed instead of
+    // silently moving foreign dirs in
+    def leaves(dir: org.apache.hadoop.fs.Path,
+        level: Int): Seq[(org.apache.hadoop.fs.Path, String)] = {
+      val subs = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(s"${partCols(level)}="))
+      subs.toSeq.flatMap { d =>
+        if (level == partCols.size - 1) Seq(d -> d.getName)
+        else leaves(d, level + 1).map { case (p, rel) =>
+          p -> s"${d.getName}/$rel"
+        }
+      }
+    }
+    val stagedLeaves =
+      leaves(new org.apache.hadoop.fs.Path(stagingPath), 0)
+    val movedIn = stagedLeaves.flatMap { case (part, rel) =>
+      val targetDir = new org.apache.hadoop.fs.Path(path, rel)
       fs.mkdirs(targetDir)
       fs.listStatus(part).filter(_.isFile).map(_.getPath)
         .filterNot(f => f.getName.startsWith("_") ||
@@ -399,10 +412,10 @@ object Upsert {
             throw new java.io.IOException(
               s"merge stage-in failed: $f -> $dst (manifest not " +
                 "committed; table snapshot unaffected — re-run)")
-          s"${part.getName}/${f.getName}"
+          s"$rel/${f.getName}"
         }
     }
-    (movedIn.toSeq, stagedParts.map(_.getName).toSeq)
+    (movedIn, stagedLeaves.map(_._2))
   }
 
   /** Dynamic-partition OVERWRITE (round 11): every `dateCol` partition
@@ -428,30 +441,49 @@ object Upsert {
   def overwritePartitions(spark: SparkSession, path: String,
       incoming: DataFrame, dateCol: String,
       expectedValues: Option[Seq[String]] = None): Long =
+    overwritePartitionsLayout(spark, path, incoming, Seq(dateCol),
+      expectedValues)
+
+  /** [[overwritePartitions]] over an ordered MULTI-COLUMN identity
+    * layout (round 16): every `(c1, c2, …)` LEAF partition present in
+    * `incoming` is replaced wholesale; leaves absent from `incoming`
+    * — including sibling leaves under the same first-level value —
+    * are untouched. `expectedValues` (the static-overwrite leak
+    * check) stays single-level; multi-level callers are the dynamic
+    * path, whose replaced set IS the staged output.
+    */
+  def overwritePartitionsLayout(spark: SparkSession, path: String,
+      incoming: DataFrame, partCols: Seq[String],
+      expectedValues: Option[Seq[String]] = None): Long = {
+    require(partCols.nonEmpty, "overwritePartitions needs a layout")
+    require(expectedValues.isEmpty || partCols.size == 1,
+      "expectedValues applies to single-level layouts; a multi-level " +
+        "overwrite derives its replaced set from the staged output")
     WriterLease.withLease(spark, path) {
       if (!tableExists(spark, path)) {
-        stagedAppend(spark, path, incoming, Seq(dateCol))
+        stagedAppend(spark, path, incoming, partCols)
       } else {
         // drift check only — the body below is pure live-list arithmetic,
         // so an empty CREATE TABLE'd shell (None) flows through unchanged
         checkedSnapshot(spark, path, incoming)
         retryingConflicts(s"overwritePartitions into $path") {
-          overwriteOnce(spark, path, incoming, dateCol, expectedValues)
+          overwriteOnce(spark, path, incoming, partCols, expectedValues)
         }
       }
     }
+  }
 
   /** One overwrite attempt against one pinned snapshot — optimistic
     * commit over the replaced-partition scope, like [[mergeOnce]]. */
   private def overwriteOnce(spark: SparkSession, path: String,
-      incoming: DataFrame, dateCol: String,
+      incoming: DataFrame, partCols: Seq[String],
       expectedValues: Option[Seq[String]]): Long = {
         val version = Manifest.currentVersion(spark, path)
         val preLive = version.fold(Manifest.listDataFiles(spark, path))(
           Manifest.filesAsOf(spark, path, _))
         val stagingPath = s"$path.__overwrite_staging_" +
           java.util.UUID.randomUUID().toString.take(8)
-        incoming.write.mode("overwrite").partitionBy(dateCol)
+        incoming.write.mode("overwrite").partitionBy(partCols: _*)
           .parquet(stagingPath)
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -459,21 +491,22 @@ object Upsert {
           val staged = fs.listStatus(
             new org.apache.hadoop.fs.Path(stagingPath))
             .filter(_.isDirectory)
-            .filter(_.getPath.getName.startsWith(s"$dateCol="))
+            .filter(_.getPath.getName.startsWith(s"${partCols.head}="))
           val n =
             if (staged.isEmpty) 0L
             else spark.read.option("basePath", stagingPath)
               .parquet(staged.map(_.getPath.toString).toIndexedSeq: _*)
               .count()
           val (movedIn, stagedParts) =
-            moveStagedPartitions(fs, path, stagingPath, dateCol)
+            moveStagedPartitions(fs, path, stagingPath, partCols)
           val replaced = expectedValues match {
             case Some(vals) =>
               // Hive-escape the declared values: the staged directory
               // names on disk are escaped (':' → '%3A' etc.), so a raw
               // string comparison would flag a legitimate value with
-              // special characters as a leak (review fix, round 15)
-              val expected = vals.map(v => s"$dateCol=" +
+              // special characters as a leak (review fix, round 15).
+              // expectedValues is single-level by the layout require.
+              val expected = vals.map(v => s"${partCols.head}=" +
                 org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                   .escapePathName(v)).toSet
               val leaked = stagedParts.filterNot(expected)

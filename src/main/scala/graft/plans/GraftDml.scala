@@ -299,10 +299,11 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
   * files retire, new files add — time travel keeps the old slices).
   * The replaced set is derived FROM THE STAGED OUTPUT, so an empty
   * source is a no-op rather than a truncate — the exact hazard
-  * static-mode `INSERT OVERWRITE` carries. Single-level identity
-  * layouts only: multi-level and hidden-transform layouts refuse
-  * loudly (their rewrite scope is [[Upsert.overwriteTableLayout]] /
-  * the library verbs).
+  * static-mode `INSERT OVERWRITE` carries. Identity layouts at any
+  * depth (round 16: multi-level replaces LEAF partitions — sibling
+  * leaves under the same first-level value survive); hidden-transform
+  * layouts refuse loudly (replacing a transform bucket because some
+  * rows landed in it would drop the bucket's co-bucketed rows).
   */
 final case class GraftDynamicOverwriteCommand(table: GraftTable,
     query: LogicalPlan) extends LeafRunnableCommand {
@@ -310,16 +311,23 @@ final case class GraftDynamicOverwriteCommand(table: GraftTable,
   override def run(session: SparkSession): Seq[Row] = {
     val pc = table.partitionCols
     pc match {
-      case Seq(c) if !graft.engine.PartitionTransforms.isDerived(c) =>
-        Upsert.overwritePartitions(session, table.path,
-          Shims.ofRows(session, query), c, expectedValues = None)
+      case cols if cols.nonEmpty &&
+          !cols.exists(graft.engine.PartitionTransforms.isDerived) =>
+        Upsert.overwritePartitionsLayout(session, table.path,
+          Shims.ofRows(session, query), cols, expectedValues = None)
       case other => throw new UnsupportedOperationException(
         s"dynamic INSERT OVERWRITE ${table.name()}: the layout " +
           s"${other.mkString("(", ", ", ")")} is " +
           (if (other.isEmpty) "unpartitioned — use static INSERT " +
             "OVERWRITE (whole-table replace)"
-           else "multi-level or transform-derived — use the library's " +
-             "Upsert verbs"))
+           else
+             // replacing a TRANSFORM bucket because SOME rows landed
+             // in it would silently drop the bucket's unrelated rows
+             // (the Iceberg dynamic-overwrite footgun) — refuse;
+             // rewrite scope on hidden layouts is MERGE/DELETE
+             "transform-derived — dynamic overwrite on hidden " +
+               "transform buckets drops co-bucketed rows; use MERGE " +
+               "or the library's Upsert verbs"))
     }
     Seq.empty
   }

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Manifest, Upsert}
+
+/** The zero-listing read path (round 16): snapshot reads must resolve
+  * through the manifest-served file index — not Spark's listing-based
+  * `InMemoryFileIndex` — whenever the `#flen` ledger covers the
+  * snapshot and a schema is pinned; ledger-less (pre-round-16)
+  * manifests must fall back to the legacy listing read and still
+  * answer identically. The index-class assertions here are the
+  * regression guard: a refactor that silently reverts to listing
+  * would pass every value check while reintroducing the O(files)
+  * metadata storm at scale.
+  */
+class ManifestScanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-mscan").toString
+    spark.conf.set("spark.sql.catalog.mscat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mscat.root", r)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mscat.ns")
+    r
+  }
+
+  private def indexClassesOf(df: org.apache.spark.sql.DataFrame)
+      : Seq[String] = {
+    val opt = df.queryExecution.optimizedPlan
+    val v1 = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.getClass.getName
+        }
+    }
+    val v2 = opt.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => s.scan match {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => p.fileIndex.getClass.getName
+      }
+    }
+    v1 ++ v2
+  }
+
+  test("a catalog table's SQL scan resolves through the manifest-served " +
+      "index — no listing-based InMemoryFileIndex in the plan") {
+    root
+    spark.sql("""CREATE TABLE mscat.ns.zl (k BIGINT, cents BIGINT,
+                 pri STRING) PARTITIONED BY (pri)""")
+    spark.sql("""INSERT INTO mscat.ns.zl VALUES
+                 (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'a')""")
+    val df = spark.sql(
+      "SELECT pri, sum(cents) AS c FROM mscat.ns.zl GROUP BY pri")
+    val idx = indexClassesOf(df)
+    assert(idx.nonEmpty)
+    assert(idx.forall(_.contains("ManifestFileIndex")),
+      s"catalog scan must be manifest-served, got: $idx")
+    assert(df.orderBy("pri").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 40L), ("b", 20L)))
+  }
+
+  test("a pinned library table's Manifest.read resolves through the " +
+      "manifest-served index; values match the legacy read") {
+    root
+    // a catalog-created table read via the LIBRARY verb (pinned by
+    // CREATE, ledger from the commit)
+    spark.sql("CREATE TABLE mscat.ns.zl2 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO mscat.ns.zl2 VALUES (1, 10), (2, 20)")
+    val df = Manifest.read(spark, s"$root/ns/zl2")
+    val idx = indexClassesOf(df)
+    assert(idx.nonEmpty && idx.forall(_.contains("ManifestFileIndex")),
+      s"library read must be manifest-served, got: $idx")
+    assert(df.select("cents").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 20L))
+  }
+
+  test("a ledger-less (pre-round-16) manifest falls back to the legacy " +
+      "listing read and answers identically; the next commit back-fills") {
+    root
+    spark.sql("CREATE TABLE mscat.ns.zl3 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO mscat.ns.zl3 VALUES (1, 10), (2, 20)")
+    val path = s"$root/ns/zl3"
+    // strip the #flen header lines in place — the on-disk shape every
+    // pre-round-16 manifest has
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest")
+    fs.listStatus(mdir).filter(_.getPath.getName.endsWith(".list"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val lines = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        val stripped = lines.split("\n").filterNot(_.startsWith("#flen "))
+          .mkString("\n")
+        val out = fs.create(st.getPath, true)
+        try out.write(stripped.getBytes("UTF-8")) finally out.close()
+      }
+    val v = Manifest.currentVersion(spark, path).get
+    assert(Manifest.fileLengthsAsOf(spark, path, v).isEmpty,
+      "fixture sanity: the ledger is gone")
+    val df = Manifest.read(spark, path)
+    assert(indexClassesOf(df).forall(c => !c.contains("ManifestFileIndex")),
+      "a ledger-less snapshot must take the legacy listing path")
+    assert(df.select("cents").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 20L))
+    // the next commit re-stats and back-fills the ledger
+    spark.sql("INSERT INTO mscat.ns.zl3 VALUES (3, 30)")
+    val v2 = Manifest.currentVersion(spark, path).get
+    val lens = Manifest.fileLengthsAsOf(spark, path, v2)
+    assert(Manifest.filesAsOf(spark, path, v2).forall(lens.contains),
+      "the first post-upgrade commit must cover every live file")
+    assert(indexClassesOf(Manifest.read(spark, path))
+      .forall(_.contains("ManifestFileIndex")))
+  }
+
+  test("pinSchema upgrades an unpinned library table onto the " +
+      "zero-listing path; values and partition types are unchanged") {
+    val base = Files.createTempDirectory("graft-pin").toString
+    val path = s"$base/t"
+    Upsert.append(spark, path,
+      Seq((1L, 10L, java.sql.Date.valueOf("2024-07-01")),
+        (2L, 20L, java.sql.Date.valueOf("2024-07-02")))
+        .toDF("k", "cents", "d"), Some("d"))
+    val before = Manifest.read(spark, path)
+    assert(indexClassesOf(before).forall(c =>
+      !c.contains("ManifestFileIndex")),
+      "an unpinned table reads via the legacy listing path")
+    val beforeRows = before.orderBy("k").collect().map(_.toString).toSeq
+    val beforeSchema = before.schema
+    Manifest.pinSchema(spark, path)
+    val after = Manifest.read(spark, path)
+    assert(indexClassesOf(after).forall(_.contains("ManifestFileIndex")),
+      "the pinned table must read via the manifest-served index")
+    assert(after.schema === beforeSchema)
+    assert(after.orderBy("k").collect().map(_.toString).toSeq ===
+      beforeRows)
+    // double-pin refuses; appends after the pin stay on the fast path
+    intercept[IllegalArgumentException](Manifest.pinSchema(spark, path))
+    Upsert.append(spark, path,
+      Seq((3L, 30L, java.sql.Date.valueOf("2024-07-03")))
+        .toDF("k", "cents", "d"), Some("d"))
+    val grown = Manifest.read(spark, path)
+    assert(indexClassesOf(grown).forall(_.contains("ManifestFileIndex")))
+    assert(grown.count() === 3L)
+  }
+
+  test("partition pruning on the manifest-served index schedules only " +
+      "the matching leaves") {
+    root
+    spark.sql("""CREATE TABLE mscat.ns.zl4 (k BIGINT, cents BIGINT,
+                 pri STRING) PARTITIONED BY (pri)""")
+    spark.sql("""INSERT INTO mscat.ns.zl4 VALUES
+                 (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')""")
+    val df = spark.sql(
+      "SELECT sum(cents) FROM mscat.ns.zl4 WHERE pri = 'b'")
+    assert(df.as[Long].head() === 20L)
+    // the V1 library read over the SAME manifest-served index prunes
+    // to one file (the PlanSpec numFiles idiom — the served index's
+    // listFiles honors partition filters exactly like the listing one)
+    val read = Manifest.read(spark, s"$root/ns/zl4")
+      .filter(col("pri") === "b")
+    assert(indexClassesOf(read).forall(_.contains("ManifestFileIndex")))
+    assert(read.collect().length === 1) // executes THIS QueryExecution
+    val scan = read.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.metrics("numFiles").value === 1,
+      s"expected 1 scanned file after pruning, got " +
+        s"${scan.metrics("numFiles").value}")
+  }
+}

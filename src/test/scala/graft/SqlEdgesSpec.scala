@@ -803,6 +803,27 @@ class SqlEdgesSpec extends AnyFunSuite {
       .toSeq === Seq(7L))
   }
 
+  test("dynamic INSERT OVERWRITE on a TWO-LEVEL layout replaces leaf " +
+      "partitions only — sibling leaves under the same first level " +
+      "survive") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.dyn2 (k BIGINT, cents BIGINT,
+                 d DATE, pri STRING) PARTITIONED BY (d, pri)""")
+    spark.sql("""INSERT INTO ecat.ns.dyn2 VALUES
+                 (1, 10, DATE'2024-07-01', 'a'),
+                 (2, 20, DATE'2024-07-01', 'b'),
+                 (3, 30, DATE'2024-07-02', 'a')""")
+    withDynamicMode {
+      spark.sql("""INSERT OVERWRITE ecat.ns.dyn2 VALUES
+                   (9, 90, DATE'2024-07-01', 'a')""")
+    }
+    // leaf (07-01, a) replaced; its SIBLING (07-01, b) and the other
+    // date survive — a first-level-wholesale replace would be wrong
+    assert(spark.sql("SELECT k, cents FROM ecat.ns.dyn2 ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((2L, 20L), (3L, 30L), (9L, 90L)))
+  }
+
   test("dynamic INSERT OVERWRITE on an unpartitioned table never " +
       "half-replaces: loud refusal or a clean whole-table replace") {
     root
