@@ -86,14 +86,45 @@ object Manifest {
     versions(spark, path).lastOption
 
   /** Table-relative live-file list of version `v`. */
+  /** Bounded memo of parsed `.list` contents (round 16): a committed
+    * manifest file is IMMUTABLE (conditional-PUT to its final key,
+    * never rewritten), so one (path, version) parse serves the 2–3
+    * header reads every snapshot resolution makes (files + `#flen`
+    * lengths + `#txn` markers) and repeat resolutions across queries —
+    * on an object store that is 2 fewer GETs per table read. LRU-capped
+    * (32 manifests) so a long session over many tables stays bounded;
+    * [[vacuum]] invalidates a table's entries when it retires versions
+    * so a vacuumed version fails loudly at the manifest GET (the
+    * pre-memo behavior) instead of serving a husk from memory.
+    */
+  private val listMemo =
+    new java.util.LinkedHashMap[(String, Long), Seq[String]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+        size > 32
+    }
+
+  private[graft] def invalidateListMemo(path: String): Unit =
+    listMemo.synchronized {
+      val it = listMemo.keySet.iterator
+      while (it.hasNext) if (it.next()._1 == path) it.remove()
+    }
+
   private def listLines(spark: SparkSession, path: String,
       v: Long): Seq[String] = {
-    val fs = fsOf(spark, path)
-    val f = new Path(mdir(path), f"v$v%020d.list")
-    val in = fs.open(f)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
+    val hit = listMemo.synchronized(Option(listMemo.get((path, v))))
+    hit.getOrElse {
+      val fs = fsOf(spark, path)
+      val f = new Path(mdir(path), f"v$v%020d.list")
+      val in = fs.open(f)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      listMemo.synchronized(listMemo.put((path, v), lines))
+      lines
+    }
   }
 
   def filesAsOf(spark: SparkSession, path: String, v: Long): Seq[String] =
@@ -1524,6 +1555,9 @@ object Manifest {
           FileStats.delete(spark, path, v)
           deleteSchemaSidecar(spark, path, v)
         }
+        // retired versions must fail loudly at the manifest GET, not
+        // serve from the list memo (round 16)
+        if (drop.nonEmpty) invalidateListMemo(path)
         dead.size
       }
     } }

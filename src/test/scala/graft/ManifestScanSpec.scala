@@ -102,6 +102,9 @@ class ManifestScanSpec extends AnyFunSuite {
         val out = fs.create(st.getPath, true)
         try out.write(stripped.getBytes("UTF-8")) finally out.close()
       }
+    // committed manifests are immutable in production, so readers memo
+    // them — this simulation mutates one in place and must invalidate
+    Manifest.invalidateListMemo(path)
     val v = Manifest.currentVersion(spark, path).get
     assert(Manifest.fileLengthsAsOf(spark, path, v).isEmpty,
       "fixture sanity: the ledger is gone")
