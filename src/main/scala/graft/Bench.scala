@@ -120,6 +120,92 @@ object Bench {
     .getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
+  /** Parsed slice of a prior BENCH_DETAIL.json: per-query wall seconds,
+    * per-query process-CPU seconds, and per-query executor evidence
+    * (n_tasks / shuffle bytes). Used by [[driftVerdict]] to mechanize
+    * the drift-vs-code arbitration the round-14→16 SCALE.md entries did
+    * by hand: identical task counts and shuffle bytes with uniformly
+    * scaled CPU-per-query is host clock drift, NOT a plan change.
+    */
+  private[graft] final case class BaselineDetail(
+      wall: Map[String, Double],
+      cpu: Map[String, Double],
+      exec: Map[String, Map[String, Long]])
+
+  private[graft] def readBaseline(path: String): Option[BaselineDetail] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(path))
+      import scala.jdk.CollectionConverters._
+      def numMap(field: String): Map[String, Double] =
+        Option(root.get(field)).map { n =>
+          n.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }.getOrElse(Map.empty)
+      val exec = Option(root.get("exec")).map { n =>
+        n.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala
+            .map(f => f.getKey -> f.getValue.asLong()).toMap
+        }.toMap
+      }.getOrElse(Map.empty[String, Map[String, Long]])
+      Some(BaselineDetail(numMap("queries"), numMap("cpu"), exec))
+    } catch { case _: Throwable => None }
+
+  /** The mechanized arbitration (round-16 verdict ask 6). Compares this
+    * run's per-query evidence against a baseline detail record and
+    * returns a JSON object with a one-line verdict:
+    *
+    *  - work-identical query = same n_tasks AND same shuffle_write_bytes
+    *    as the baseline (bytes are plan-deterministic, so equality means
+    *    the engine did the same work);
+    *  - if ≥90% of the common set is work-identical, any wall/CPU move
+    *    is the host, not the code: `host-drift` when the median ratios
+    *    leave ±10% wall / ±15% CPU, else `stable`;
+    *  - otherwise `code-change`, naming the queries whose task/shuffle
+    *    footprint moved most.
+    */
+  private[graft] def driftVerdict(
+      baselinePath: String, base: BaselineDetail,
+      wall: Map[String, Double], cpu: Map[String, Double],
+      exec: Map[String, Map[String, Long]]): String = {
+    val common = wall.keySet.intersect(base.wall.keySet)
+      .filter(q => wall(q) >= 0 && base.wall(q) >= 0 &&
+        exec.contains(q) && base.exec.contains(q)).toSeq.sorted
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    val identical = common.filter { q =>
+      val (a, b) = (exec(q), base.exec(q))
+      // task counts are plan-deterministic and must match exactly;
+      // shuffle bytes carry sub-0.1% run-to-run jitter from compressed
+      // frame boundaries (measured on back-to-back unchanged-code runs),
+      // so "identical work" tolerates 1% there
+      val (sa, sb) = (a.getOrElse("shuffle_write_bytes", -1L),
+        b.getOrElse("shuffle_write_bytes", -2L))
+      a.getOrElse("n_tasks", -1L) == b.getOrElse("n_tasks", -2L) &&
+        math.abs(sa - sb) <= math.max(4096L, (0.01 * math.max(sa, sb)).toLong)
+    }
+    val identPct =
+      if (common.isEmpty) 0.0 else identical.size.toDouble / common.size
+    val wallRatio = median(identical.map(q =>
+      wall(q) / math.max(1e-9, base.wall(q))))
+    val cpuRatio = median(identical.flatMap(q =>
+      for (a <- cpu.get(q); b <- base.cpu.get(q) if b > 1e-9) yield a / b))
+    val changed = common.filterNot(identical.contains).sortBy { q =>
+      -math.abs(exec(q).getOrElse("shuffle_write_bytes", 0L) -
+        base.exec(q).getOrElse("shuffle_write_bytes", 0L))
+    }.take(5)
+    val verdict =
+      if (common.isEmpty) "no-overlap"
+      else if (identPct >= 0.9) {
+        if (cpuRatio > 0 && math.abs(cpuRatio - 1.0) > 0.15) "host-drift"
+        else if (wallRatio > 0 && math.abs(wallRatio - 1.0) > 0.10)
+          "host-drift"
+        else "stable"
+      } else "code-change"
+    val changedJson = changed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    f"""{"baseline":"$baselinePath","n_common":${common.size},"work_identical_pct":$identPct%.3f,"median_wall_ratio":$wallRatio%.3f,"median_cpu_ratio":$cpuRatio%.3f,"changed_queries":$changedJson,"verdict":"$verdict"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     // The driver parses the JSON line out of the LAST 2000 chars of
     // combined process output — any stray stderr (a WARN-level log4j
@@ -274,8 +360,11 @@ object Bench {
     val loadavgEnd = loadavg1()
     val contended = (otherCpuSec >= 0 &&
       otherCpuSec > 0.15 * timedWallSec * nCpus) || loadavgStart > nCpus / 4.0
+    // cpu_queries_sec is the work-normalized suite total (sum of
+    // per-query per-rep process-CPU seconds): drift-resistant where the
+    // wall total is not, printed alongside it on the one-line record.
     def envJson: String =
-      f"""{"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f,"timed_wall_sec":$timedWallSec%.1f,"cpu_proc_sec":$procCpuSec%.1f,"cpu_other_sec":$otherCpuSec%.1f,"ncpus":$nCpus,"contended":$contended,"quiesce_wait_sec":$quiesceWaitSec%.1f,"quiesced_at_start":$quiesced}"""
+      f"""{"loadavg_start":$loadavgStart%.2f,"loadavg_end":$loadavgEnd%.2f,"timed_wall_sec":$timedWallSec%.1f,"cpu_proc_sec":$procCpuSec%.1f,"cpu_other_sec":$otherCpuSec%.1f,"cpu_queries_sec":${cpuStats.values.filter(_ >= 0).sum}%.1f,"ncpus":$nCpus,"contended":$contended,"quiesce_wait_sec":$quiesceWaitSec%.1f,"quiesced_at_start":$quiesced}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def entry(kv: (String, Double)): String = "\"" + kv._1 + f"""\":${kv._2}%.3f"""
@@ -307,8 +396,28 @@ object Bench {
     val cpuJson = cpuStats.map { case (name, c) =>
       "\"" + name + f"""\":$c%.3f"""
     }.mkString("{", ",", "}")
+    // Work-normalized totals (round-16 verdict ask 6): total process-CPU
+    // seconds, task count, and shuffle bytes across the suite. Wall time
+    // moves with the host's effective clock; these move only with the
+    // plans — a round whose cpu_total and shuffle_total match the prior
+    // record while wall rises is drift, computed rather than argued.
+    val cpuTotal = cpuStats.values.filter(_ >= 0).sum
+    val tasksTotal = execStats.values.map(_.getOrElse("n_tasks", 0L)).sum
+    val shuffleTotal =
+      execStats.values.map(_.getOrElse("shuffle_write_bytes", 0L)).sum
+    val workJson =
+      f"""{"cpu_total_sec":$cpuTotal%.1f,"tasks_total":$tasksTotal,"shuffle_write_total_bytes":$shuffleTotal}"""
+    // Drift arbitration vs a prior record: explicit via
+    // SPARK_GRAFT_BENCH_BASELINE, else the committed BENCH_DETAIL.json
+    // in the working directory (the previous round's record) if present.
+    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .orElse(Option("BENCH_DETAIL.json")
+        .filter(p => keep.isEmpty && new java.io.File(p).isFile))
+    val driftJson = baselinePath.flatMap(p => readBaseline(p).map(b =>
+      driftVerdict(p, b, results.toMap, cpuStats.toMap, execStats.toMap)))
+      .getOrElse("""{"verdict":"no-baseline"}""")
     val detail = line(fullJson, results.size, total).dropRight(1) +
-      s""","reps":$repsJson,"cpu":$cpuJson,"exec":$execJson}"""
+      s""","work":$workJson,"drift":$driftJson,"reps":$repsJson,"cpu":$cpuJson,"exec":$execJson}"""
     // A filtered run is an iteration probe — never let it clobber the
     // committed full-suite record.
     if (keep.isEmpty)

@@ -28,6 +28,40 @@ import org.apache.spark.sql.functions.col
   */
 object Upsert {
 
+  /** One membership test lifted out of a DML predicate as a DISTRIBUTED
+    * join (round 17 — the key-set ceiling fix): `keys` is the subquery's
+    * DISTINCT key set carrying a single always-true `marker` column, and
+    * the rewrite left-joins it onto the target frame on `on` (plain
+    * equality, so NULL outer keys never match — the `<=> TRUE` tri-state
+    * pin the literal path used). The predicate then reads the marker
+    * instead of materializing keys on the driver: `marker <=> true` is
+    * EXISTS, and the IN shapes layer their three-valued CASE on top.
+    * AQE broadcasts a small key side at runtime; a genuinely huge one
+    * runs as a shuffled join — either way the key set never lands on
+    * the driver.
+    */
+  final case class MembershipJoin(keys: DataFrame,
+      on: org.apache.spark.sql.Column, marker: String)
+
+  /** A DML predicate plus the membership joins it needs: `joins` empty
+    * means a plain column predicate (today's pushdown-friendly path).
+    * [[attach]] wires the joins onto whatever frame the predicate is
+    * about to be evaluated against — the verb applies it to BOTH the
+    * touched-file discovery scan and the rewrite read, so the key
+    * subqueries execute once per application (they must be
+    * deterministic, which [[graft.plans]] enforces before building one).
+    */
+  final case class PreparedPredicate(joins: Seq[MembershipJoin],
+      predicate: org.apache.spark.sql.Column) {
+    def attach(frame: DataFrame): DataFrame =
+      joins.foldLeft(frame)((f, j) => f.join(j.keys, j.on, "left"))
+  }
+
+  object PreparedPredicate {
+    def plain(predicate: org.apache.spark.sql.Column): PreparedPredicate =
+      PreparedPredicate(Nil, predicate)
+  }
+
   /** The staging lifecycle every snapshot mutation shares (extracted in
     * round 15 — this had been hand-copied at each verb): write `df`
     * under a fresh sibling staging directory (partitioned by
@@ -566,7 +600,16 @@ object Upsert {
     */
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): Long =
-    rewriteMatching(spark, path, predicate, None)
+    rewriteMatching(spark, path, PreparedPredicate.plain(predicate), None)
+
+  /** DELETE whose predicate carries distributed membership joins
+    * (round 17): same touched-files-only rewrite, but the subquery key
+    * sets run as joins instead of driver literals — the scale path for
+    * `DELETE … WHERE [NOT] EXISTS/IN (big subquery)`.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      prepared: PreparedPredicate): Long =
+    rewriteMatching(spark, path, prepared, None)
 
   /** Row-level UPDATE — `deleteWhere`'s sibling, completing the DML
     * verb set: rewrite ONLY the files containing predicate matches,
@@ -581,7 +624,17 @@ object Upsert {
       predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
     require(set.nonEmpty, "updateWhere: empty SET clause")
-    rewriteMatching(spark, path, predicate, Some(set))
+    rewriteMatching(spark, path, PreparedPredicate.plain(predicate),
+      Some(set))
+  }
+
+  /** UPDATE whose WHERE carries distributed membership joins (round 17
+    * — `deleteWhere`'s sibling; SET values stay plain columns). */
+  def updateWhere(spark: SparkSession, path: String,
+      prepared: PreparedPredicate,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    rewriteMatching(spark, path, prepared, Some(set))
   }
 
   /** Table-relative path of an `input_file_name()` value. The scan
@@ -613,13 +666,33 @@ object Upsert {
     * Some = update matches in place.
     */
   private def rewriteMatching(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column,
+      prepared: PreparedPredicate,
       set: Option[Map[String, org.apache.spark.sql.Column]]): Long =
     WriterLease.withLease(spark, path) {
+      val predicate = prepared.predicate
       val table = Manifest.read(spark, path)
       val toRel = scannedFileToRel(path, "deleteWhere") _
-      val touched = table.filter(predicate)
-        .select(org.apache.spark.sql.functions.input_file_name())
+      // Touched-file discovery. Plain predicates keep the direct
+      // predicate-pushed scan (filters reach parquet). With membership
+      // joins, input_file_name() must be captured BEFORE the join — it
+      // reads the task's current input and returns "" after a shuffle —
+      // so the file rides as a column through the join; the residual
+      // conjuncts no longer push past the nondeterministic capture, the
+      // honest cost of a key set too large to literalize (AQE still
+      // broadcasts a small-enough key side).
+      val fileCol = "__graft_input_file"
+      val touchedScan =
+        if (prepared.joins.isEmpty)
+          table.filter(predicate)
+            .select(org.apache.spark.sql.functions.input_file_name())
+        else {
+          require(!table.columns.contains(fileCol),
+            s"rewriteMatching into $path: column $fileCol is reserved")
+          prepared.attach(table.withColumn(fileCol,
+              org.apache.spark.sql.functions.input_file_name()))
+            .filter(predicate).select(col(fileCol))
+        }
+      val touched = touchedScan
         .distinct().collect().map(r => toRel(r.getString(0))).sorted
       if (touched.isEmpty) 0L
       else {
@@ -643,22 +716,28 @@ object Upsert {
             .getOrElse(Map.empty))
         val partCols =
           Manifest.layoutPartitionCols(touched.toSeq).getOrElse(Seq.empty)
-        val matched = sub.filter(predicate).count()
+        // membership joins attach to the touched-files read too; the
+        // kept projection selects back down to the table's own columns
+        // (marker/key columns are __graft_*-namespaced, so plain names
+        // stay unambiguous)
+        val aug = prepared.attach(sub)
+        val matched = aug.filter(predicate).count()
         val kept = set match {
           // SQL DELETE semantics: remove rows where the predicate is
           // TRUE; keep rows where it is FALSE *or NULL*. A bare
           // filter(!predicate) would drop NULL-evaluating rows too
           // (they fail both the positive and the negated filter under
           // three-valued logic) — silently deleting uncounted rows.
-          case None => sub.filter(org.apache.spark.sql.functions
+          case None => aug.filter(org.apache.spark.sql.functions
             .coalesce(!predicate, org.apache.spark.sql.functions
               .lit(true)))
+            .select(sub.columns.toIndexedSeq.map(col): _*)
           case Some(assignments) =>
             assignments.keys.foreach(c => require(
               sub.columns.contains(c),
               s"updateWhere into $path: SET column $c not in " +
                 sub.columns.mkString(",")))
-            sub.select(sub.columns.toIndexedSeq.map { c =>
+            aug.select(sub.columns.toIndexedSeq.map { c =>
               assignments.get(c) match {
                 case Some(v) => org.apache.spark.sql.functions
                   .when(predicate, v).otherwise(col(c)).as(c)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 import org.apache.spark.sql.graftshim.Shims
 
 import graft.catalog.GraftTable
@@ -339,8 +339,11 @@ final case class GraftUpdateCommand(table: GraftTable, condition: Column,
     set: Map[String, Column]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val where = s"UPDATE ${table.name()}"
+    // WHERE may carry oversized membership subqueries (distributed
+    // join fallback); SET values stay literal-only — they evaluate
+    // inside the rewrite projection, which a join cannot reach
     Upsert.updateWhere(session, table.path,
-      GraftDmlSubqueries.materialize(session, condition, where),
+      GraftDmlSubqueries.prepare(session, condition, where),
       set.map { case (k, v) =>
         k -> GraftDmlSubqueries.materialize(session, v, where) })
     Seq.empty
@@ -355,7 +358,7 @@ final case class GraftDeleteCommand(table: GraftTable, condition: Column)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     Upsert.deleteWhere(session, table.path, GraftDmlSubqueries
-      .materialize(session, condition, s"DELETE FROM ${table.name()}"))
+      .prepare(session, condition, s"DELETE FROM ${table.name()}"))
     Seq.empty
   }
 }
@@ -444,14 +447,18 @@ final case class GraftMergeCommand(table: GraftTable,
   * evaluation Postgres gives these shapes (the engine verb then
   * re-resolves the TARGET's snapshot under its writer lease; a commit
   * racing into that sliver serializes after this statement, exactly
-  * like a READ-COMMITTED subquery). The materialization is BOUNDED
-  * (`spark.graft.dml.subquery.maxRows`, default 100k) and refuses
-  * loudly past the cap: a key set that large should flow through
-  * MERGE, whose semi-join rewrite is the scale path — an IN-list of
-  * millions of literals is a driver-sized plan, not a distributed
-  * join. Correlated subqueries are refused at ANALYSIS time
-  * ([[GraftDmlSubqueries.check]]): they need a per-row join the
-  * rewrite verbs don't restate.
+  * like a READ-COMMITTED subquery). The literalization is BOUNDED
+  * (`spark.graft.dml.subquery.maxRows` default 100k;
+  * `spark.graft.dml.exists.maxKeys` default 1M for decorrelated-EXISTS
+  * key sets) — below the caps an InSet literal pushes into the parquet
+  * scan and prunes row groups, which no join can. PAST the caps
+  * (round 17), DELETE and UPDATE predicates route the key set through
+  * a DISTRIBUTED membership join ([[prepare]] →
+  * [[Upsert.MembershipJoin]]) instead of refusing; only positions a
+  * join cannot reach — SET values, MERGE clause conditions — still
+  * refuse loudly. Correlated subqueries beyond the equality-EXISTS
+  * shape are refused at ANALYSIS time ([[GraftDmlSubqueries.check]]):
+  * they need a per-row join the rewrite verbs don't restate.
   */
 private[plans] object GraftDmlSubqueries {
 
@@ -530,12 +537,20 @@ private[plans] object GraftDmlSubqueries {
         case Filter(cond, child) if hasOuter(cond) &&
             !child.exists(_.expressions.exists(hasOuter)) =>
           val (corr, rest) = conjuncts(cond).partition(hasOuter)
+          // inner.deterministic (round 17, ADVICE r16): a correlation
+          // conjunct like `t.k = rand()` is outer=deterministic-inner
+          // in SHAPE, but the rewrite evaluates the inner side ONCE
+          // into a shared key set where true EXISTS semantics evaluate
+          // it per outer row — refuse loudly instead of silently
+          // changing semantics.
           val pairs = corr.map {
             case EqualTo(o, inner)
-                if outerOnly(o) && hasOuter(o) && !hasOuter(inner) =>
+                if outerOnly(o) && hasOuter(o) && !hasOuter(inner) &&
+                  inner.deterministic =>
               Some(o -> inner)
             case EqualTo(inner, o)
-                if outerOnly(o) && hasOuter(o) && !hasOuter(inner) =>
+                if outerOnly(o) && hasOuter(o) && !hasOuter(inner) &&
+                  inner.deterministic =>
               Some(o -> inner)
             case _ => None
           }
@@ -554,82 +569,171 @@ private[plans] object GraftDmlSubqueries {
     }
   }
 
-  def materialize(spark: SparkSession, c: Column, where: String): Column =
-    Shims.column(eval(spark, Shims.expression(c), where))
+  def materialize(spark: SparkSession, c: Column, where: String): Column = {
+    val (expr, joins) = eval(spark, Shims.expression(c), where,
+      allowJoins = false)
+    assert(joins.isEmpty)
+    Shims.column(expr)
+  }
 
-  private def eval(spark: SparkSession, e: Expression,
-      where: String): Expression = {
-    def collectCapped(plan: LogicalPlan, max: Int,
-        capKey: String): Array[Row] = {
+  /** DELETE/UPDATE-WHERE predicate preparation (round 17, lifting the
+    * key-set ceiling): like [[materialize]], but a membership subquery
+    * whose key set overflows its driver cap is NOT refused — it becomes
+    * an [[Upsert.MembershipJoin]] (DISTINCT keys + marker, left-joined
+    * by the engine verb) and the predicate reads the marker. Below the
+    * caps the literal path is kept deliberately: an InSet literal
+    * pushes into the parquet scan and prunes row groups, which a join
+    * never does — small key sets are FASTER literalized, big ones only
+    * work joined.
+    */
+  def prepare(spark: SparkSession, c: Column,
+      where: String): Upsert.PreparedPredicate = {
+    val (expr, joins) = eval(spark, Shims.expression(c), where,
+      allowJoins = true)
+    Upsert.PreparedPredicate(joins, Shims.column(expr))
+  }
+
+  private def eval(spark: SparkSession, e: Expression, where: String,
+      allowJoins: Boolean): (Expression, Seq[Upsert.MembershipJoin]) = {
+    val joins = scala.collection.mutable.ArrayBuffer
+      .empty[Upsert.MembershipJoin]
+    // Collect up to `max` rows; None = overflow (the caller routes to
+    // the distributed join, or refuses loudly when literals are the
+    // only option — SET values and MERGE clause conditions evaluate
+    // inside frames the membership join cannot reach).
+    def collectUpTo(plan: LogicalPlan, max: Int): Option[Array[Row]] = {
       val rows = Shims.ofRows(spark, plan).limit(max + 1).collect()
-      require(rows.length <= max,
-        s"$where: uncorrelated subquery materialized more than $max " +
-          s"rows ($capKey) — a key set this " +
-          "large should flow through MERGE, whose semi-join scales")
-      rows
+      if (rows.length <= max) Some(rows) else None
     }
-    def collectBounded(plan: LogicalPlan): Array[Row] =
-      collectCapped(plan,
-        spark.conf.get("spark.graft.dml.subquery.maxRows", "100000").toInt,
-        "spark.graft.dml.subquery.maxRows")
-    // The decorrelated-EXISTS key set gets its OWN, much higher cap:
-    // the keys are DISTINCT, land on the driver once (~tens of bytes
-    // each), and the membership test optimizes to an O(1) InSet probe
-    // per row — 5M keys ≈ tens of MB of driver heap and a
-    // constant-time predicate, a totally different cost shape from a
-    // generic subquery result. Beyond it, MERGE's distributed
-    // semi-join is the documented path.
-    def collectKeys(plan: LogicalPlan): Array[Row] =
-      collectCapped(plan,
-        spark.conf.get("spark.graft.dml.exists.maxKeys", "5000000").toInt,
-        "spark.graft.dml.exists.maxKeys")
-    e.transformUp {
+    def overflow(max: Int, capKey: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$where: subquery materialized more than $max rows ($capKey) " +
+          "— in this position the key set must literalize; DELETE and " +
+          "UPDATE WHERE run oversized key sets as distributed joins, " +
+          "and MERGE's semi-join scales arbitrarily")
+    def capped(plan: LogicalPlan, max: Int, capKey: String): Array[Row] =
+      collectUpTo(plan, max).getOrElse(overflow(max, capKey))
+    def maxRows: Int =
+      spark.conf.get("spark.graft.dml.subquery.maxRows", "100000").toInt
+    // The decorrelated-EXISTS key set gets its OWN, higher cap: DISTINCT
+    // keys land on the driver once and the membership test optimizes to
+    // an O(1) InSet probe per row. Default lowered 5M → 1M (ADVICE r16:
+    // boxed string/struct rows can reach far past the scalar estimate);
+    // past it, DELETE/UPDATE predicates route through the distributed
+    // membership join instead of refusing.
+    def maxKeys: Int =
+      spark.conf.get("spark.graft.dml.exists.maxKeys", "1000000").toInt
+    var subIdx = -1
+    def nextIdx(): Int = { subIdx += 1; subIdx }
+    // A key subquery that runs as a JOIN executes once per frame the
+    // verb evaluates the predicate against (discovery + rewrite) — a
+    // nondeterministic one would name one file set and rewrite another.
+    def requireDeterministic(plan: LogicalPlan): Unit =
+      require(!plan.exists(_.expressions.exists(!_.deterministic)),
+        s"$where: a membership subquery past the literal cap must be " +
+          "deterministic — the distributed rewrite evaluates it once " +
+          "per predicate application")
+    // marker <=> TRUE after the left join: matched → true, unmatched
+    // (incl. NULL outer keys, which plain EqualTo never matches) → false
+    def existsJoin(keys: org.apache.spark.sql.DataFrame,
+        outerCols: Seq[Column], keyCols: Seq[String]): Expression = {
+      val i = nextIdx()
+      val marker = s"__graft_m$i"
+      val renamed = keys.toDF(
+        keyCols.indices.map(j => s"__graft_k${i}_$j"): _*)
+      val on = outerCols.zipWithIndex
+        .map { case (o, j) => o === col(s"__graft_k${i}_$j") }
+        .reduce(_ && _)
+      joins += Upsert.MembershipJoin(
+        renamed.distinct().withColumn(marker, lit(true)), on, marker)
+      Shims.expression(col(marker) <=> lit(true))
+    }
+    val out = e.transformUp {
       case InSubquery(values, lq) =>
         val dt = lq.plan.output.head.dataType
-        val items = collectBounded(lq.plan)
-          .map(r => Literal.create(r.get(0), dt)).toSeq
-        // x IN (empty set) is FALSE for every x, including NULL —
-        // and NOT IN over the surrounding Not() then holds for all
-        if (items.isEmpty) Literal(false) else In(values.head, items)
+        collectUpTo(lq.plan, maxRows) match {
+          case Some(rows) =>
+            val items = rows.map(r => Literal.create(r.get(0), dt)).toSeq
+            // x IN (empty set) is FALSE for every x, including NULL —
+            // and NOT IN over the surrounding Not() then holds for all
+            if (items.isEmpty) Literal(false) else In(values.head, items)
+          case None if allowJoins =>
+            requireDeterministic(lq.plan)
+            // IN keeps SQL's three-valued logic, which the marker alone
+            // loses: no match reads NULL (not FALSE) when either the
+            // probe value is NULL or the key set contains a NULL — a
+            // NOT IN above then correctly eliminates every row. The
+            // has-NULL fact is one tiny aggregate, not a key collection.
+            val q = Shims.ofRows(spark, lq.plan).toDF("__graft_v")
+            val st = q.agg(count(lit(1)).as("n"),
+              count(col("__graft_v")).as("nn")).head()
+            if (st.getLong(0) == 0L) Literal(false)
+            else {
+              val hasNull = st.getLong(1) < st.getLong(0)
+              val v = Shims.column(values.head)
+              val marked = Shims.column(existsJoin(q, Seq(v), Seq("k")))
+              Shims.expression(
+                when(marked, lit(true))
+                  .when(v.isNull || lit(hasNull),
+                    lit(null).cast("boolean"))
+                  .otherwise(lit(false)))
+            }
+          case None =>
+            overflow(maxRows, "spark.graft.dml.subquery.maxRows")
+        }
       case s: ScalarSubquery =>
-        val rows = collectBounded(s.plan)
+        val rows = capped(s.plan, maxRows,
+          "spark.graft.dml.subquery.maxRows")
         require(rows.length <= 1,
           s"$where: scalar subquery returned ${rows.length} rows")
         Literal.create(rows.headOption.map(_.get(0)).orNull,
           s.plan.output.head.dataType)
       case ex: Exists if ex.isCorrelated =>
         // decorrelated membership (round 16): DISTINCT keys of the
-        // stripped subquery, bounded like every materialization here;
-        // <=> TRUE pins the tri-state — EXISTS is never NULL, so a
-        // NULL outer key must yield FALSE (and TRUE under NOT EXISTS)
+        // stripped subquery; <=> TRUE pins the tri-state — EXISTS is
+        // never NULL, so a NULL outer key must yield FALSE (and TRUE
+        // under NOT EXISTS)
         val (outer, keyPlan) = decorrelateExists(ex).getOrElse(
           throw new UnsupportedOperationException(
             s"$where: this correlated EXISTS does not decorrelate — " +
               "restate it as a MERGE"))
-        val rows = collectKeys(Distinct(keyPlan))
         // outer sides re-expressed by NAME (the engine verb resolves
         // them against its own snapshot scan, the module convention)
         val outerRefs: Seq[Expression] = outer.map(_.transform {
           case OuterReference(a) => UnresolvedAttribute.quoted(a.name)
         })
         val keyTypes = keyPlan.output.map(_.dataType)
-        val (value, items) =
-          if (outer.size == 1)
-            (outerRefs.head,
-              rows.map(r => Literal.create(r.get(0), keyTypes.head)).toSeq)
-          else {
+        collectUpTo(Distinct(keyPlan), maxKeys) match {
+          case Some(rows) if rows.isEmpty => Literal(false)
+          case Some(rows) if outer.size == 1 =>
+            // single-key literal path: InSet built DIRECTLY from
+            // internal values (ADVICE r16 — an In() of millions of
+            // Literal nodes is GBs of expression tree before OptimizeIn
+            // collapses it; InSet is the end state, build it outright)
+            val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToCatalystConverter(keyTypes.head)
+            val hset = rows.iterator.map(r => conv(r.get(0))).toSet
+            org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+              org.apache.spark.sql.catalyst.expressions.InSet(
+                outerRefs.head, hset), Literal(true))
+          case Some(rows) =>
             val st = org.apache.spark.sql.types.StructType(
               keyPlan.output.map(o => org.apache.spark.sql.types
                 .StructField(o.name, o.dataType, nullable = true)))
-            (org.apache.spark.sql.catalyst.expressions.CreateStruct(
-              outerRefs),
-              rows.map(r => Literal.create(r, st)).toSeq)
-          }
-        if (items.isEmpty) Literal(false)
-        else org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
-          In(value, items), Literal(true))
+            org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+              In(org.apache.spark.sql.catalyst.expressions.CreateStruct(
+                  outerRefs),
+                rows.map(r => Literal.create(r, st)).toSeq), Literal(true))
+          case None if allowJoins =>
+            requireDeterministic(keyPlan)
+            existsJoin(Shims.ofRows(spark, keyPlan),
+              outerRefs.map(Shims.column), keyPlan.output.map(_.name))
+          case None =>
+            overflow(maxKeys, "spark.graft.dml.exists.maxKeys")
+        }
       case ex: Exists =>
         Literal(Shims.ofRows(spark, ex.plan).limit(1).collect().nonEmpty)
     }
+    (out, joins.toSeq)
   }
 }

@@ -166,6 +166,37 @@ object CatalogQueries {
                SET price_cents = price_cents + 11
                WHERE NOT EXISTS (SELECT 1 FROM __cat_merge_src s
                                  WHERE s.o_orderkey = t.o_orderkey)""")
+      // round 17: DISTRIBUTED membership — the same EXISTS / NOT
+      // EXISTS / IN statements with the literal caps forced below the
+      // key-set size, so they route through the membership-join
+      // fallback (plans.GraftDmlSubqueries.prepare →
+      // Upsert.MembershipJoin) instead of driver literals; the caps are
+      // restored so the rest of the fixture keeps the literal fast path
+      val prevMaxKeys = s.conf.getOption("spark.graft.dml.exists.maxKeys")
+      val prevMaxRows = s.conf.getOption("spark.graft.dml.subquery.maxRows")
+      s.conf.set("spark.graft.dml.exists.maxKeys", "3")
+      s.conf.set("spark.graft.dml.subquery.maxRows", "3")
+      try {
+        s.sql("""CREATE TABLE graftwh.marts.ord_dexb AS
+                 SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+        s.sql("""DELETE FROM graftwh.marts.ord_dexb t
+                 WHERE EXISTS (SELECT 1 FROM __cat_merge_src s
+                               WHERE s.o_orderkey = t.o_orderkey
+                                 AND s.pri <> '5-LOW')""")
+        s.sql("""UPDATE graftwh.marts.ord_dexb t
+                 SET price_cents = price_cents + 11
+                 WHERE NOT EXISTS (SELECT 1 FROM __cat_merge_src s
+                                   WHERE s.o_orderkey = t.o_orderkey)""")
+        s.sql("""DELETE FROM graftwh.marts.ord_dexb
+                 WHERE o_orderkey IN (SELECT o_orderkey
+                                      FROM __cat_merge_src
+                                      WHERE pri = '5-LOW')""")
+      } finally {
+        def restore(key: String, v: Option[String]): Unit =
+          v.fold(s.conf.unset(key))(s.conf.set(key, _))
+        restore("spark.graft.dml.exists.maxKeys", prevMaxKeys)
+        restore("spark.graft.dml.subquery.maxRows", prevMaxRows)
+      }
       // round 15: ALTER COLUMN TYPE widening — INT files live under a
       // BIGINT pinned schema (Spark's parquet widening promotion), the
       // post-widen insert lands values that overflow INT
@@ -644,6 +675,47 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** Distributed DML membership (round 17, lifting the key-set
+    * ceiling): the same correlated EXISTS / NOT EXISTS / uncorrelated
+    * IN statements as [[qSqlDeleteExists]]'s family, but with the
+    * literal caps forced to 3 in the fixture so every key set routes
+    * through the membership-JOIN fallback — DISTINCT keys + marker
+    * left-joined onto both the touched-file discovery scan and the
+    * rewrite, nothing collected to the driver. The oracle restates the
+    * three statements as key-set membership; matching it proves the
+    * join path is value-identical to the literal path it replaces.
+    */
+  val qSqlDeleteExistsBig = QueryDef(
+    "q_sql_delete_exists_big",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_dexb GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pri FROM base WHERE k % 5 = 0),
+      kept AS (
+        SELECT * FROM t7
+        WHERE k NOT IN (SELECT k FROM s5 WHERE pri <> '5-LOW')),
+      upd AS (
+        SELECT k,
+               pc + CASE WHEN k IN (SELECT k FROM s5) THEN 0 ELSE 11 END
+                 AS pc,
+               pri
+        FROM kept),
+      fin AS (
+        SELECT * FROM upd
+        WHERE k NOT IN (SELECT k FROM s5 WHERE pri = '5-LOW'))
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   /** Two-level `PARTITIONED BY (d, pri)` layout (round 15): a
     * partitioned CTAS laid the table out as nested `d=…/pri=…`
     * directories, a SQL MERGE maintained it through the generalized
@@ -682,5 +754,6 @@ object CatalogQueries {
     Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
       qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeFull,
       qSqlMergeShell, qSqlDeleteIn, qSqlTwoLevel, qSqlWiden,
-      qSqlHiddenPart, qSqlOverwriteDynamic, qSqlDeleteExists)
+      qSqlHiddenPart, qSqlOverwriteDynamic, qSqlDeleteExists,
+      qSqlDeleteExistsBig)
 }

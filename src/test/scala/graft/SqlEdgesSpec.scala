@@ -568,13 +568,26 @@ class SqlEdgesSpec extends AnyFunSuite {
          WHERE k = 1"""))
     assert(multi.getMessage.contains("returned 2 rows")
       || multi.getMessage.toLowerCase.contains("more than one row"))
-    // the bounded-materialization cap refuses loudly past maxRows
+    // past maxRows a DELETE predicate routes through the distributed
+    // membership join (round 17) instead of refusing …
     spark.conf.set("spark.graft.dml.subquery.maxRows", "1")
     try {
+      spark.sql(
+        "DELETE FROM ecat.ns.dsq WHERE k IN (SELECT v FROM __dsq_v)")
+      assert(rowsOf("ecat.ns.dsq") === Map(1L -> 15L, 2L -> 200L))
+      // the IN value may be an expression: k+4 ∈ {5,7} hits k=1
+      spark.sql(
+        "DELETE FROM ecat.ns.dsq WHERE k + 4 IN (SELECT v FROM __dsq_v)")
+      assert(rowsOf("ecat.ns.dsq") === Map(2L -> 200L))
+      // … but positions that must literalize — a SET value evaluates
+      // inside the rewrite projection, out of any join's reach — still
+      // refuse loudly at the cap
       val cap = intercept[Exception](spark.sql(
-        """DELETE FROM ecat.ns.dsq
-           WHERE k IN (SELECT v FROM __dsq_v)"""))
-      assert(cap.getMessage.contains("maxRows"))
+        """UPDATE ecat.ns.dsq
+           SET cents = CASE WHEN cents IN (SELECT v FROM __dsq_v)
+                            THEN 0 ELSE cents END
+           WHERE k = 2"""))
+      assert(cap.getMessage.contains("maxRows"), cap.getMessage)
     } finally spark.conf.unset("spark.graft.dml.subquery.maxRows")
   }
 
@@ -878,5 +891,125 @@ class SqlEdgesSpec extends AnyFunSuite {
                                    WHERE s.k = t.k)""")
     assert(spark.sql("SELECT count(*) FROM ecat.ns.nex")
       .as[Long].head() === 0L)
+  }
+
+  // ---- round 17: distributed DML membership (key sets past the cap) --
+
+  /** Force every membership subquery through the distributed-join
+    * fallback (caps below any real key set), restoring the session
+    * confs afterwards.
+    */
+  private def withLowCaps[A](f: => A): A = {
+    val pk = spark.conf.getOption("spark.graft.dml.exists.maxKeys")
+    val pr = spark.conf.getOption("spark.graft.dml.subquery.maxRows")
+    spark.conf.set("spark.graft.dml.exists.maxKeys", "1")
+    spark.conf.set("spark.graft.dml.subquery.maxRows", "1")
+    try f
+    finally {
+      pk.fold(spark.conf.unset("spark.graft.dml.exists.maxKeys"))(
+        spark.conf.set("spark.graft.dml.exists.maxKeys", _))
+      pr.fold(spark.conf.unset("spark.graft.dml.subquery.maxRows"))(
+        spark.conf.set("spark.graft.dml.subquery.maxRows", _))
+    }
+  }
+
+  test("distributed EXISTS / NOT EXISTS (key set past the cap): " +
+      "NULL-key semantics identical to the literal path") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.dexb (k BIGINT, cents BIGINT)")
+    spark.sql("""INSERT INTO ecat.ns.dexb
+                 VALUES (1, 10), (2, 20), (3, 30), (NULL, 99)""")
+    Seq(1L, 3L).toDF("k").createOrReplaceTempView("__dexb_keys")
+    withLowCaps {
+      // EXISTS joins on plain equality: 1 and 3 match and go; the NULL
+      // key row can never match (s.k = NULL is never true) and stays
+      spark.sql("""DELETE FROM ecat.ns.dexb t
+                   WHERE EXISTS (SELECT 1 FROM __dexb_keys s
+                                 WHERE s.k = t.k)""")
+    }
+    assert(spark.sql(
+      "SELECT coalesce(k, -1), cents FROM ecat.ns.dexb ORDER BY 1")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((-1L, 99L), (2L, 20L)))
+    withLowCaps {
+      // NOT EXISTS through the join: the unmatched marker reads FALSE
+      // (not NULL) via <=> TRUE, so both survivors — including the
+      // NULL-key row — are updated
+      spark.sql("""UPDATE ecat.ns.dexb t SET cents = cents + 1
+                   WHERE NOT EXISTS (SELECT 1 FROM __dexb_keys s
+                                     WHERE s.k = t.k)""")
+    }
+    assert(spark.sql(
+      "SELECT coalesce(k, -1), cents FROM ecat.ns.dexb ORDER BY 1")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((-1L, 100L), (2L, 21L)))
+  }
+
+  test("distributed IN keeps SQL's three-valued logic: NOT IN with a " +
+      "NULL in the subquery deletes nothing, IN skips the no-match rows") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.dinb (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.dinb VALUES (1, 10), (2, 20)")
+    Seq(Option(1L), Option.empty[Long]).toDF("k")
+      .createOrReplaceTempView("__dinb_keys")
+    withLowCaps {
+      // k NOT IN {1, NULL}: 1 → NOT(true) = false; 2 → NOT(NULL) = NULL
+      // — neither is TRUE, so the delete must be a no-op (the classic
+      // NOT-IN-with-NULL trap; a marker without the has-NULL CASE would
+      // wrongly delete row 2)
+      spark.sql("""DELETE FROM ecat.ns.dinb
+                   WHERE k NOT IN (SELECT k FROM __dinb_keys)""")
+    }
+    assert(rowsOf("ecat.ns.dinb") === Map(1L -> 10L, 2L -> 20L))
+    withLowCaps {
+      // k IN {1, NULL}: 1 → true (deleted); 2 → NULL (kept)
+      spark.sql("""DELETE FROM ecat.ns.dinb
+                   WHERE k IN (SELECT k FROM __dinb_keys)""")
+    }
+    assert(rowsOf("ecat.ns.dinb") === Map(2L -> 20L))
+  }
+
+  test("distributed EXISTS over a composite correlation key") {
+    root
+    spark.sql(
+      "CREATE TABLE ecat.ns.dmk (k BIGINT, p STRING, cents BIGINT)")
+    spark.sql("""INSERT INTO ecat.ns.dmk
+                 VALUES (1, 'a', 10), (1, 'b', 20), (2, 'a', 30)""")
+    Seq((1L, "a"), (2L, "a")).toDF("k", "p")
+      .createOrReplaceTempView("__dmk_keys")
+    withLowCaps {
+      spark.sql("""DELETE FROM ecat.ns.dmk t
+                   WHERE EXISTS (SELECT 1 FROM __dmk_keys s
+                                 WHERE s.k = t.k AND s.p = t.p)""")
+    }
+    assert(spark.sql("SELECT k, p, cents FROM ecat.ns.dmk")
+      .as[(Long, String, Long)].collect().toSeq === Seq((1L, "b", 20L)))
+  }
+
+  test("nondeterministic membership refuses loudly: a rand() correlation " +
+      "conjunct at analysis, a rand() key subquery past the cap at run") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.dnd (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO ecat.ns.dnd VALUES (1, 10)")
+    Seq(5L, 6L).toDF("k").createOrReplaceTempView("__dnd_keys")
+    // ADVICE r16: `t.k = rand()` is outer-vs-inner in SHAPE, but the
+    // decorrelation would evaluate the inner side once where EXISTS
+    // semantics evaluate it per outer row — must refuse, not rewrite
+    val e1 = intercept[Exception](
+      spark.sql("""DELETE FROM ecat.ns.dnd t
+                   WHERE EXISTS (SELECT 1 FROM __dnd_keys s
+                                 WHERE t.k = CAST(rand() * 10 AS BIGINT))"""))
+    assert(e1.getMessage.contains("decorrelate"), e1.getMessage)
+    // a nondeterministic key subquery past the literal cap would run
+    // TWICE (discovery + rewrite) with two different key sets — refuse
+    withLowCaps {
+      val e2 = intercept[Exception](
+        spark.sql("""DELETE FROM ecat.ns.dnd
+                     WHERE k IN (SELECT CAST(rand() * 10 AS BIGINT)
+                                 FROM __dnd_keys)"""))
+      assert(e2.getMessage.contains("deterministic"), e2.getMessage)
+    }
+    assert(rowsOf("ecat.ns.dnd") === Map(1L -> 10L),
+      "refused statements must leave the snapshot untouched")
   }
 }
