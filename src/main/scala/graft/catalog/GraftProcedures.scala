@@ -189,8 +189,47 @@ private[catalog] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.ann_reindex(source_path => '…', index_root => '…',
+    * if_staler_than => 2.0)` — the ANN staleness response (round 17):
+    * when the index's corpus has grown past `if_staler_than` × its
+    * build size (the measured frozen-geometry under-fit point,
+    * SCALE.md round 16), rebuild a fresh generation with the persisted
+    * spec and atomically swap the generation pointer
+    * ([[graft.engine.AnnIndex.reindex]]). Default threshold 0.0 =
+    * unconditional (an explicit CALL means "do it"). ANN indexes are
+    * PATH-addressed (they version alongside their corpus snapshot, not
+    * inside the catalog namespace), so the parameters take paths.
+    */
+  final class AnnReindexProcedure(root: String) extends GraftProcedure(root) {
+    override def name(): String = "ann_reindex"
+    override def description(): String =
+      "rebuild an ANN index into a fresh generation and swap the " +
+        "pointer when its corpus has grown past if_staler_than x the " +
+        "build size (0.0 = always); lease-guarded, probe-continuous"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("source_path", StringType),
+      in("index_root", StringType),
+      in("if_staler_than", DoubleType, "0.0D"))
+    override def resultSchema: StructType = StructType(Seq(
+      StructField("staleness_before", DoubleType, nullable = false),
+      StructField("reindexed", BooleanType, nullable = false),
+      StructField("vectors", LongType, nullable = false),
+      StructField("current_root", StringType, nullable = false)))
+    override def run(spark: SparkSession, root: String,
+        input: InternalRow): Seq[InternalRow] = {
+      val (src, idx) = (str(input, 0), str(input, 1))
+      val thr = if (input.isNullAt(2)) 0.0 else input.getDouble(2)
+      val before = graft.engine.AnnIndex.stats(spark, idx)
+      val done = graft.engine.AnnIndex.reindexIfStale(spark, src, idx, thr)
+      Seq(row(java.lang.Double.valueOf(before.staleness),
+        java.lang.Boolean.valueOf(done.isDefined),
+        java.lang.Long.valueOf(done.getOrElse(0L)),
+        graft.engine.AnnIndex.currentRoot(spark, idx)))
+    }
+  }
+
   val names: Seq[String] =
-    Seq("compact", "vacuum", "vacuum_warehouse", "history")
+    Seq("compact", "vacuum", "vacuum_warehouse", "history", "ann_reindex")
 
   /** A fresh instance bound to `root` — procedures carry no state
     * beyond the warehouse root they act on (one per catalog). */
@@ -200,6 +239,7 @@ private[catalog] object GraftProcedures {
       case "vacuum" => Some(new VacuumProcedure(root))
       case "vacuum_warehouse" => Some(new VacuumWarehouseProcedure(root))
       case "history" => Some(new HistoryProcedure(root))
+      case "ann_reindex" => Some(new AnnReindexProcedure(root))
       case _ => None
     }
 }

@@ -76,6 +76,22 @@ object AnnIndex {
   def assignmentsPath(root: String): String = s"$root/assignments"
   def codesPath(root: String): String = s"$root/codes"
 
+  /** The generation POINTER (round 17): [[reindex]] rebuilds into a
+    * fresh `gen_v<sourceVersion>` subdirectory and swaps this pointer;
+    * probes resolve through [[currentRoot]] so in-flight readers keep
+    * their generation's tables (still on disk) and new probes get the
+    * fresh geometry — the same snapshot-continuity story as a manifest
+    * commit. A missing/unreadable pointer degrades to the LEGACY layout
+    * (tables directly under the root), which is always the oldest valid
+    * generation — a stale read, never a broken one.
+    */
+  def pointerPath(root: String): String = s"$root/pointer"
+
+  /** Resolve a logical index root to its CURRENT generation root. */
+  def currentRoot(spark: SparkSession, root: String): String =
+    Manifest.tableProperties(spark, pointerPath(root)).get("ann.current")
+      .map(gen => s"$root/$gen").getOrElse(root)
+
   private val BuildApp = "annidx_build"
   private val RefreshApp = "annidx_refresh"
 
@@ -153,10 +169,25 @@ object AnnIndex {
   private def lloydRound(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val asg = assign(vecs, cents)
     val sums = asg.groupBy(col("cent_id"))
-      .agg(graft.functions.VectorSumAgg(col("v")).as("sv"))
+      .agg(graft.functions.VectorSumAgg(col("v")).as("sv"),
+        count(lit(1)).as("__cnt"), max(col("n2")).as("__mxn2"))
+    // Overflow guard (ADVICE r16): the exact Long ranking dot(v, sv) is
+    // bounded by Cauchy-Schwarz at ‖v‖·‖sv‖ ≤ √mxn2 · (cnt·√mxn2) =
+    // cnt·mxn2 — checked in DOUBLE (itself overflow-free) against half
+    // of Long range. A cell big/aligned enough to breach it must FAIL
+    // the train loudly, not silently wrap into a wrong medoid.
+    val svGuarded = when(
+      col("__cnt").cast("double") * col("__mxn2").cast("double") <=
+        lit(Long.MaxValue.toDouble / 2.0), col("sv"))
+      .otherwise(raise_error(concat(
+        lit("lloydRound: cell "), col("cent_id").cast("string"),
+        lit(" ("), col("__cnt").cast("string"),
+        lit(" members, max n2 "), col("__mxn2").cast("string"),
+        lit(") could overflow the exact medoid ranking — reduce cell " +
+          "size (more centroids) or the quantization scale"))))
     asg.join(sums, Seq("cent_id"))
       .withColumn("mcos",
-        dot(col("v"), col("sv")).cast("double") /
+        dot(col("v"), svGuarded).cast("double") /
           sqrt(col("n2").cast("double")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cent_id"))
@@ -243,10 +274,13 @@ object AnnIndex {
         assign(src, centsT), None, BuildApp, v)
       Upsert.appendEpoch(spark, codesPath(indexRoot),
         encode(src, booksT, spec), None, BuildApp, v)
+      // built_n (round 17): the corpus size the geometry was TRAINED on
+      // — the denominator of the staleness ratio [[stats]] exposes
       Manifest.writeTableProperties(spark, assignmentsPath(indexRoot),
         Map("ann.dim" -> spec.dim.toString, "ann.m" -> spec.m.toString,
           "ann.pqk" -> spec.pqK.toString,
-          "ann.lloyd" -> spec.lloyd.toString))
+          "ann.lloyd" -> spec.lloyd.toString,
+          "ann.built_n" -> n.toString))
       Incremental.writeBookmark(spark, assignmentsPath(indexRoot), v)
       n
     }
@@ -268,7 +302,11 @@ object AnnIndex {
     * replay after a mid-refresh crash lands each delta exactly once.
     */
   def refresh(spark: SparkSession, sourcePath: String,
-      indexRoot: String): Long =
+      logicalRoot: String): Long = {
+    // round 17: refresh maintains the CURRENT generation — after a
+    // reindex, callers keep passing the logical root and the pointer
+    // routes them (legacy un-pointed indexes resolve to themselves)
+    val indexRoot = currentRoot(spark, logicalRoot)
     WriterLease.withLease(spark, assignmentsPath(indexRoot)) {
       val spec = persistedSpec(spark, indexRoot)
       val toV = Manifest.currentVersion(spark, sourcePath).getOrElse(
@@ -334,4 +372,75 @@ object AnnIndex {
         math.max(nA, nC)
       }
     }
+  }
+
+  /** Build-vs-now freshness of the index (round 17): `builtN` = the
+    * corpus size the frozen geometry was trained on (persisted at
+    * build), `indexedN` = vectors in the inverted lists NOW. The
+    * [[staleness]] ratio is the measured quality dial from SCALE.md's
+    * round-16 growth experiment: refresh keeps geometry frozen, and a
+    * corpus grown ~3× past its build under-fits (recall 0.583@1 on the
+    * 10× fixture vs 0.792 fresh-built) — past ~2× it is time to
+    * [[reindex]]. Pre-r17 indexes have no persisted built_n: staleness
+    * reads 1.0 (unknown ≠ alarming; the next reindex persists it).
+    */
+  final case class IndexStats(builtN: Long, indexedN: Long,
+      generation: String) {
+    def staleness: Double =
+      if (builtN <= 0) 1.0 else indexedN.toDouble / builtN.toDouble
+  }
+
+  def stats(spark: SparkSession, logicalRoot: String): IndexStats = {
+    val root = currentRoot(spark, logicalRoot)
+    val indexed = Manifest.read(spark, assignmentsPath(root)).count()
+    val built = Manifest.tableProperties(spark, assignmentsPath(root))
+      .get("ann.built_n").map(_.toLong).getOrElse(indexed)
+    IndexStats(built, indexed,
+      if (root == logicalRoot) "legacy"
+      else root.substring(logicalRoot.length + 1))
+  }
+
+  /** REINDEX (round 17 — the "detectable but not acted on" gap): train
+    * a fresh generation from the source's CURRENT snapshot with the
+    * SAME persisted geometry spec, then atomically swap the generation
+    * pointer. Lease-guarded on the pointer (two racing reindexes
+    * serialize; the loser refuses on the already-built generation
+    * root). Probe continuity: the old generation's tables stay on disk
+    * — readers that resolved before the swap finish against them;
+    * probes that resolve after get the fresh build. Returns the
+    * vectors indexed into the new generation.
+    *
+    * Old generations are NOT auto-deleted (they may still be probed);
+    * retire them like any table data — an explicit cleanup once no
+    * reader needs them.
+    */
+  def reindex(spark: SparkSession, sourcePath: String,
+      logicalRoot: String): Long =
+    WriterLease.withLease(spark, pointerPath(logicalRoot)) {
+      val old = currentRoot(spark, logicalRoot)
+      val spec = persistedSpec(spark, old)
+      val v = Manifest.currentVersion(spark, sourcePath).getOrElse(
+        throw new IllegalStateException(
+          s"ANN reindex needs a manifest-managed source: $sourcePath"))
+      val gen = s"gen_v$v"
+      require(s"$logicalRoot/$gen" != old,
+        s"ANN index at $logicalRoot is already built at source " +
+          s"version $v — nothing to reindex")
+      val n = buildIvfPq(spark, sourcePath, s"$logicalRoot/$gen", spec)
+      Manifest.writeTableProperties(spark, pointerPath(logicalRoot),
+        Map("ann.current" -> gen))
+      n
+    }
+
+  /** [[reindex]] iff the staleness ratio has crossed `threshold` —
+    * the operator-friendly wrapper `CALL system.ann_reindex` exposes.
+    * Returns Some(vectors) when it reindexed, None when fresh enough.
+    */
+  def reindexIfStale(spark: SparkSession, sourcePath: String,
+      logicalRoot: String, threshold: Double): Option[Long] = {
+    val st = stats(spark, logicalRoot)
+    if (st.staleness >= threshold) Some(reindex(spark, sourcePath,
+      logicalRoot))
+    else None
+  }
 }

@@ -792,17 +792,27 @@ object VectorQueries {
     "q_ann_index_stats",
     (s, dir) => {
       val root = ivfIndexRoot(s, dir)
+      // staleness (round 17): indexed-now / built-on — the frozen-
+      // geometry growth dial ([[graft.engine.AnnIndex.stats]]; the
+      // fixture built on ⌈2N/3⌉ and refreshed the rest in, so the exact
+      // expected value is N / ⌈2N/3⌉ and the oracle restates it from
+      // the same two counts)
+      val st = graft.engine.AnnIndex.stats(s, root)
       graft.engine.Manifest.read(s,
-        graft.engine.AnnIndex.assignmentsPath(root))
+        graft.engine.AnnIndex.assignmentsPath(
+          graft.engine.AnnIndex.currentRoot(s, root)))
         .groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("n2")).cast("long").as("sum_n2"))
+        .withColumn("staleness", lit(st.staleness))
         .orderBy(col("cent_id"))
     },
     Some(s"""
       WITH $persistedAssignedSql
       SELECT cent_id, count(*) AS n_members,
-             CAST(sum(n2) AS BIGINT) AS sum_n2
+             CAST(sum(n2) AS BIGINT) AS sum_n2,
+             CAST((SELECT count(*) FROM n) AS DOUBLE) /
+               CAST((SELECT count(*) FROM a) AS DOUBLE) AS staleness
       FROM assigned GROUP BY 1 ORDER BY 1"""))
 
   val all: Seq[QueryDef] = Seq(qCosineTopk, qAnnLshTopk, qAnnIvfTopk,

@@ -291,4 +291,127 @@ class AnnIndexSpec extends AnyFunSuite {
       Manifest.currentVersion(spark, s"${root.stripSuffix("/ivfpq")}/source")
         .get))
   }
+
+  // ---- round 17: staleness + reindex ---------------------------------
+
+  test("staleness ratio grows with refresh; reindex swaps the " +
+      "generation pointer, resets it, and routes future refreshes; " +
+      "the old generation stays probe-able") {
+    val (src, idx) = freshPaths()
+    Upsert.append(spark, src, vecs(0, 20), None)
+    AnnIndex.buildIvfPq(spark, src, idx, spec)
+    assert(AnnIndex.stats(spark, idx) ===
+      AnnIndex.IndexStats(20L, 20L, "legacy"))
+    Upsert.append(spark, src, vecs(20, 40), None)
+    AnnIndex.refresh(spark, src, idx)
+    val grown = AnnIndex.stats(spark, idx)
+    assert(grown.builtN === 20L && grown.indexedN === 60L &&
+      math.abs(grown.staleness - 3.0) < 1e-12)
+    // below the threshold: no-op, pointer untouched
+    assert(AnnIndex.reindexIfStale(spark, src, idx, 4.0).isEmpty)
+    assert(AnnIndex.currentRoot(spark, idx) === idx)
+    // past it: fresh generation + pointer swap
+    assert(AnnIndex.reindexIfStale(spark, src, idx, 2.0) === Some(60L))
+    val cur = AnnIndex.currentRoot(spark, idx)
+    assert(cur != idx && cur.startsWith(s"$idx/gen_v"))
+    val st = AnnIndex.stats(spark, idx)
+    assert(st.builtN === 60L && st.indexedN === 60L &&
+      st.staleness === 1.0 && st.generation.startsWith("gen_v"))
+    // the new generation's geometry is BIT-IDENTICAL to a scratch build
+    // at the same source snapshot — reindex IS the fresh build
+    val ref = s"$idx-ref"
+    AnnIndex.buildIvfPq(spark, src, ref, spec)
+    def snap(root: String): Seq[String] =
+      Manifest.read(spark, AnnIndex.centroidsPath(root))
+        .orderBy("cent_id").collect().map(_.toString).toSeq
+    assert(snap(cur) === snap(ref))
+    // probe continuity: the legacy generation's tables are untouched
+    assert(Manifest.read(spark, AnnIndex.assignmentsPath(idx)).count()
+      === 60L)
+    // a second reindex at the same source version refuses
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.reindex(spark, src, idx))
+    assert(e.getMessage.contains("nothing to reindex"))
+    // refresh now maintains the NEW generation; the old stays frozen
+    Upsert.append(spark, src, vecs(60, 5), None)
+    assert(AnnIndex.refresh(spark, src, idx) === 5L)
+    assert(Manifest.read(spark, AnnIndex.assignmentsPath(cur)).count()
+      === 65L)
+    assert(Manifest.read(spark, AnnIndex.assignmentsPath(idx)).count()
+      === 60L)
+  }
+
+  test("reindex recovers fresh-build recall after frozen-geometry " +
+      "growth (SCALE.md round-16 under-fit, acted on)") {
+    // geometry frozen at a QUARTER of the corpus, corpus grown 4x past
+    // it — the spec-scale replica of the 10x fixture's 3x-growth
+    // under-fit (0.583@1 vs 0.792 fresh-built)
+    val d = "/root/testdata/sf0.001"
+    val sessionRoot = graft.queries.VectorQueries.ivfIndexRoot(spark, d)
+    val fixtureSrc = sessionRoot.stripSuffix("/ivfpq") + "/source"
+    val all = Manifest.read(spark, fixtureSrc)
+    val cut = all.count() / 4
+    val base = Files.createTempDirectory("graft-reindex").toString
+    val (src, idx) = (s"$base/src", s"$base/idx")
+    Upsert.append(spark, src, all.filter(col("vec_id") < cut), None)
+    AnnIndex.buildIvfPq(spark, src, idx,
+      graft.queries.VectorQueries.IdxSpec)
+    Upsert.append(spark, src, all.filter(col("vec_id") >= cut), None)
+    AnnIndex.refresh(spark, src, idx)
+    assert(AnnIndex.stats(spark, idx).staleness >= 3.0)
+    val exact = graft.queries.VectorQueries.qCosineTopk.run(spark, d)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(root: String): Double = {
+      val got = graft.queries.VectorQueries
+        .ivfpqTopkFromRoot(spark, root, 2)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val stale = recall(AnnIndex.currentRoot(spark, idx))
+    AnnIndex.reindex(spark, src, idx)
+    val fresh = recall(AnnIndex.currentRoot(spark, idx))
+    info(f"recall@3 nprobe=2: frozen-at-quarter=$stale%.3f " +
+      f"reindexed=$fresh%.3f")
+    // NOTE (measured): at 500 vectors the STALE index can read HIGHER
+    // recall — frozen-at-quarter has ⌈√125⌉=12 cells vs the rebuild's
+    // 23, so each probe covers ~2x more corpus (recall up, selectivity
+    // and per-probe cost down). The scale-relevant direction is the 10x
+    // fixture's distribution under-fit (0.583@1, SCALE.md round 16);
+    // the spec-scale contract is the FLOOR and scratch-equality below.
+    assert(fresh >= 0.8, s"reindexed recall floor: $fresh")
+    // and the swapped generation probes IDENTICALLY to a scratch build
+    // at the same snapshot — "recovers the fresh-build recall" exactly
+    val ref = s"$base/ref"
+    AnnIndex.buildIvfPq(spark, src, ref,
+      graft.queries.VectorQueries.IdxSpec)
+    val refGot = graft.queries.VectorQueries
+      .ivfpqTopkFromRoot(spark, ref, 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val curGot = graft.queries.VectorQueries
+      .ivfpqTopkFromRoot(spark, AnnIndex.currentRoot(spark, idx), 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(curGot === refGot)
+  }
+
+  test("lloydRound's exact medoid ranking is overflow-GUARDED: a cell " +
+      "whose count x max-n2 bound breaches Long range fails the train " +
+      "loudly instead of training a wrong centroid") {
+    val (src, idx) = freshPaths()
+    // components ~7.5e8: n2 = 8 x 5.6e17 ≈ 4.5e18 — itself safely
+    // within Long, but even a TWO-member cell's cnt*mxn2 bound (9e18)
+    // breaches the Long.MaxValue/2 guard
+    val big = (0 until 8).map { i =>
+      val v = (0 until 8).map(j => 750000000L - i - j)
+      (i.toLong, v, v.map(x => x * x).sum)
+    }.toDF("vec_id", "v", "n2")
+      .withColumn("v", col("v").cast("array<bigint>"))
+    Upsert.append(spark, src, big, None)
+    val e = intercept[Exception](AnnIndex.buildIvfPq(spark, src, idx,
+      AnnIndex.Spec(dim = 8, m = 2, pqK = 4, lloyd = 1)))
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++
+        causes(t.getCause)
+    assert(causes(e).exists(_.contains("overflow")),
+      causes(e).mkString(" | "))
+  }
 }

@@ -314,6 +314,40 @@ class CatalogSpec extends AnyFunSuite
     assert(e.getMessage.contains("no_such_proc"))
   }
 
+  test("CALL system.ann_reindex reports staleness, honors the " +
+      "threshold, and swaps the generation pointer (round 17)") {
+    val _ = root
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-call-ann").toString
+    val (src, idx) = (s"$base/src", s"$base/idx")
+    val vs = (0 until 16).map { i =>
+      val v = (0 until 4).map(j => ((i * 7 + j * 3) % 20 - 10).toLong)
+      (i.toLong, v, v.map(x => x * x).sum)
+    }.toDF("vec_id", "v", "n2")
+      .withColumn("v", org.apache.spark.sql.functions.col("v")
+        .cast("array<bigint>"))
+    graft.engine.Upsert.append(spark, src,
+      vs.filter($"vec_id" < 4), None)
+    graft.engine.AnnIndex.buildIvfPq(spark, src, idx,
+      graft.engine.AnnIndex.Spec(dim = 4, m = 2, pqK = 2, lloyd = 0))
+    graft.engine.Upsert.append(spark, src,
+      vs.filter($"vec_id" >= 4), None)
+    graft.engine.AnnIndex.refresh(spark, src, idx)
+    // 16 indexed / 4 built = staleness 4.0; a 10x threshold is a no-op
+    val r0 = spark.sql(s"""CALL tcat.system.ann_reindex(
+        source_path => '$src', index_root => '$idx',
+        if_staler_than => 10.0D)""").collect().head
+    assert(r0.getDouble(0) === 4.0 && !r0.getBoolean(1) &&
+      r0.getString(3) === idx)
+    // a crossed threshold rebuilds and swaps
+    val r1 = spark.sql(s"""CALL tcat.system.ann_reindex(
+        source_path => '$src', index_root => '$idx',
+        if_staler_than => 2.0D)""").collect().head
+    assert(r1.getDouble(0) === 4.0 && r1.getBoolean(1) &&
+      r1.getLong(2) === 16L && r1.getString(3).contains("gen_v"))
+    assert(graft.engine.AnnIndex.stats(spark, idx).staleness === 1.0)
+  }
+
   test("RENAME, DROP TABLE, and CASCADE namespace drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.tmpns")
     spark.sql("CREATE TABLE tcat.tmpns.a (k BIGINT)")
