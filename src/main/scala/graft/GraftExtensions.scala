@@ -64,6 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL reads of RENAME COLUMN'd tables → union scan + coalesce
     // projection (round 15)
     ext.injectResolutionRule(s => graft.plans.ExpandRenamedScan(s))
+    // persistent views (round 17): CREATE/DROP/SHOW VIEW intercepted at
+    // the parser seam (stock Spark refuses them on V2 catalogs), reads
+    // expanded by re-parsing the stored text in its captured context
+    ext.injectParser((s, delegate) =>
+      new graft.plans.GraftViewParser(s, delegate))
+    ext.injectResolutionRule(s => graft.plans.ResolveGraftViews(s))
     ext.injectTableFunction((
       FunctionIdentifier("table_changes"),
       new ExpressionInfo(classOf[graft.plans.TableChangesPlan].getName,

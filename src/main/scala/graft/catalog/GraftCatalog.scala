@@ -69,7 +69,7 @@ import graft.engine.{Manifest, Upsert, WriterLease}
   * layout) and `RENAME` across filesystems.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -243,6 +243,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         name() +: ident.namespace.toSeq :+ ident.name)
+    // one relation namespace (round 17): a table may not shadow a VIEW
+    // either — the reverse check lives in createView
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
     // ordered multi-column IDENTITY layouts (round 15) — exactly the
     // reference's (source_date, country) chart key, `ddl_ods.sql:21-23`
     // — plus HIDDEN TRANSFORMS (round 15): years/months/days/hours and
@@ -366,6 +371,125 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         s"catalog ${name()}: no procedure system.${ident.name} — " +
           s"available: ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  // ---- persisted views (round 17, [[GraftViews]]) -------------------
+
+  private def viewIdentOk(ident: Identifier): Boolean =
+    ident.namespace.length == 1
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewIdentOk(ident) && fs.exists(
+      GraftViews.viewFile(root, ident.namespace.toSeq, ident.name))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns))
+      throw new NoSuchNamespaceException(name() +: ns.toSeq)
+    GraftViews.list(fs, root, ns.toSeq)
+      .map(n => Identifier.of(ns, n)).toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val doc = GraftViews.read(fs, root, ident.namespace.toSeq, ident.name)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val fn = fullName(ident)
+    new View {
+      override def name(): String = fn
+      override def query(): String = doc.sql
+      override def currentCatalog(): String = doc.currentCatalog
+      override def currentNamespace(): Array[String] =
+        doc.currentNamespace.toArray
+      override def schema(): StructType = doc.schema
+      override def queryColumnNames(): Array[String] =
+        doc.queryColumnNames.toArray
+      override def columnAliases(): Array[String] =
+        doc.columnAliases.toArray
+      override def columnComments(): Array[String] =
+        doc.columnComments.toArray
+      override def properties(): util.Map[String, String] =
+        doc.properties.asJava
+    }
+  }
+
+  private def writeView(info: ViewInfo): View = {
+    val ident = info.ident
+    require(viewIdentOk(ident),
+      s"catalog ${name()} expects <namespace>.<view>, got " +
+        fullName(ident))
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(
+        name() +: ident.namespace.toSeq)
+    GraftViews.write(fs, root, ident.namespace.toSeq, ident.name,
+      GraftViews.ViewDoc(info.sql, info.currentCatalog,
+        info.currentNamespace.toSeq, info.schema.json,
+        info.queryColumnNames.toSeq, info.columnAliases.toSeq,
+        info.columnComments.toSeq, info.properties.asScala.toMap))
+    loadView(ident)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    // a view may not SHADOW a table (Postgres keeps one relation
+    // namespace; so do we) — and vice versa, see createTable
+    if (tableExists(info.ident))
+      throw new TableAlreadyExistsException(
+        name() +: info.ident.namespace.toSeq :+ info.ident.name)
+    if (viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident)
+    writeView(info)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (tableExists(info.ident))
+      throw new TableAlreadyExistsException(
+        name() +: info.ident.namespace.toSeq :+ info.ident.name)
+    if (!orCreate && !viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident)
+    // one atomic rename swaps the definition — readers see old or new,
+    // never a torn document
+    writeView(info)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: ViewChange*): View = {
+    val doc = GraftViews.read(fs, root, ident.namespace.toSeq, ident.name)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = changes.foldLeft(doc.properties) {
+      case (p, set: ViewChange.SetProperty) =>
+        p + (set.property() -> set.value())
+      case (p, rm: ViewChange.RemoveProperty) => p - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"catalog ${name()}: unsupported ALTER VIEW change $other")
+    }
+    GraftViews.write(fs, root, ident.namespace.toSeq, ident.name,
+      doc.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewIdentOk(ident) &&
+      GraftViews.delete(fs, root, ident.namespace.toSeq, ident.name)
+
+  override def renameView(from: Identifier, rawTo: Identifier): Unit = {
+    val to =
+      if (rawTo.namespace.length == 2 && rawTo.namespace.head == name())
+        Identifier.of(rawTo.namespace.tail, rawTo.name)
+      else rawTo
+    val doc = GraftViews.read(fs, root, from.namespace.toSeq, from.name)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(from))
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    if (tableExists(to))
+      throw new TableAlreadyExistsException(
+        name() +: to.namespace.toSeq :+ to.name)
+    GraftViews.write(fs, root, to.namespace.toSeq, to.name, doc)
+    GraftViews.delete(fs, root, from.namespace.toSeq, from.name); ()
   }
 
   override def renameTable(oldIdent: Identifier,

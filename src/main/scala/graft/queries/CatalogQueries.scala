@@ -197,6 +197,18 @@ object CatalogQueries {
         restore("spark.graft.dml.exists.maxKeys", prevMaxKeys)
         restore("spark.graft.dml.subquery.maxRows", prevMaxRows)
       }
+      // round 17: a PERSISTED VIEW over the maintained mart — the BI
+      // artifact the reference's DM layer exists to feed; CREATE OR
+      // REPLACE proves the swap is the definition actually served
+      s.sql("""CREATE VIEW graftwh.marts.v_priority AS
+               SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_upd GROUP BY pri""")
+      s.sql("""CREATE OR REPLACE VIEW graftwh.marts.v_priority AS
+               SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents,
+                      CAST(min(price_cents) AS BIGINT) AS min_cents
+               FROM graftwh.marts.ord_upd GROUP BY pri""")
       // round 15: ALTER COLUMN TYPE widening — INT files live under a
       // BIGINT pinned schema (Spark's parquet widening promotion), the
       // post-widen insert lands values that overflow INT
@@ -675,6 +687,41 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** Persistent SQL views (round 17): `SELECT` through a CREATE OR
+    * REPLACE'd view over the merged mart. The view exists only as
+    * stored SQL text + its captured resolution context
+    * ([[graft.catalog.GraftViews]]); the read re-parses and re-analyzes
+    * it against the CURRENT snapshot — so a green hash proves the
+    * whole chain: parser interception, catalog persistence, the
+    * replace swap (the served definition carries the replace-added
+    * `min_cents`), and read-time expansion. The oracle restates the
+    * view text inline over the ord_upd algebra.
+    */
+  val qSqlView = QueryDef(
+    "q_sql_view",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, n, cents, min_cents
+               FROM graftwh.marts.v_priority ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (
+        SELECT k, pc + CASE WHEN pri = '5-LOW' THEN 7 ELSE 0 END AS pc, pri
+        FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pc * 2 + 1 AS pc, pri FROM base WHERE k % 5 = 0),
+      fin AS (
+        SELECT * FROM s5
+        UNION ALL
+        SELECT * FROM t7 WHERE k NOT IN (SELECT k FROM s5))
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents,
+             CAST(min(pc) AS BIGINT) AS min_cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   /** Distributed DML membership (round 17, lifting the key-set
     * ceiling): the same correlated EXISTS / NOT EXISTS / uncorrelated
     * IN statements as [[qSqlDeleteExists]]'s family, but with the
@@ -755,5 +802,5 @@ object CatalogQueries {
       qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeFull,
       qSqlMergeShell, qSqlDeleteIn, qSqlTwoLevel, qSqlWiden,
       qSqlHiddenPart, qSqlOverwriteDynamic, qSqlDeleteExists,
-      qSqlDeleteExistsBig)
+      qSqlDeleteExistsBig, qSqlView)
 }

@@ -29,4 +29,49 @@ object Shims {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  // ---- catalog-manager bridge (round 17, persistent views) ----------
+  // CatalogManager is private[sql]; the view SQL surface needs name →
+  // (catalog, identifier) resolution with Spark's own precedence
+  // (registered catalog head wins, else current catalog + namespace).
+
+  private def cm(spark: org.apache.spark.sql.SparkSession) =
+    spark.sessionState.catalogManager
+
+  def isCatalogRegistered(spark: org.apache.spark.sql.SparkSession,
+      name: String): Boolean = cm(spark).isCatalogRegistered(name)
+
+  /** Named catalog, or the session's current one. */
+  def catalogPlugin(spark: org.apache.spark.sql.SparkSession,
+      name: Option[String])
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    name.fold(cm(spark).currentCatalog)(cm(spark).catalog)
+
+  def currentCatalogName(
+      spark: org.apache.spark.sql.SparkSession): String =
+    cm(spark).currentCatalog.name()
+
+  def currentNamespace(
+      spark: org.apache.spark.sql.SparkSession): Array[String] =
+    cm(spark).currentNamespace
+
+  /** Resolve multipart name parts the way the analyzer's LookupCatalog
+    * does: a registered-catalog head claims the name; otherwise the
+    * current catalog (current namespace for 1-part names).
+    */
+  def catalogAndIdentifier(spark: org.apache.spark.sql.SparkSession,
+      parts: Seq[String])
+      : (org.apache.spark.sql.connector.catalog.CatalogPlugin,
+        org.apache.spark.sql.connector.catalog.Identifier) = {
+    val m = cm(spark)
+    import org.apache.spark.sql.connector.catalog.Identifier
+    if (parts.size > 1 && m.isCatalogRegistered(parts.head))
+      (m.catalog(parts.head),
+        Identifier.of(parts.tail.dropRight(1).toArray, parts.last))
+    else if (parts.size > 1)
+      (m.currentCatalog,
+        Identifier.of(parts.dropRight(1).toArray, parts.last))
+    else
+      (m.currentCatalog, Identifier.of(m.currentNamespace, parts.last))
+  }
 }

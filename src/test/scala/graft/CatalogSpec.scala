@@ -348,6 +348,77 @@ class CatalogSpec extends AnyFunSuite
     assert(graft.engine.AnnIndex.stats(spark, idx).staleness === 1.0)
   }
 
+  test("persistent views (round 17): create/replace/drop, name-collision " +
+      "refusal in BOTH directions, rename, survival across catalog " +
+      "re-registration, CTE + column aliases, recursion guard") {
+    val _ = root
+    spark.sql("CREATE TABLE tcat.ns.vt (k BIGINT, pri STRING)")
+    spark.sql(
+      "INSERT INTO tcat.ns.vt VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    spark.sql("""CREATE VIEW tcat.ns.vv AS
+                 SELECT pri, count(*) AS n FROM tcat.ns.vt GROUP BY pri""")
+    assert(spark.sql("SELECT * FROM tcat.ns.vv ORDER BY pri")
+      .as[(String, Long)].collect().toSeq === Seq(("a", 2L), ("b", 1L)))
+    // the view tracks the CURRENT snapshot, like Postgres expansion
+    spark.sql("INSERT INTO tcat.ns.vt VALUES (4, 'b')")
+    assert(spark.sql("SELECT n FROM tcat.ns.vv WHERE pri = 'b'")
+      .as[Long].head() === 2L)
+    // name collisions refuse in BOTH directions — one relation namespace
+    val e1 = intercept[Exception](
+      spark.sql("CREATE TABLE tcat.ns.vv (x INT)"))
+    assert(e1.getMessage.toLowerCase.contains("view"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CREATE VIEW tcat.ns.vt AS SELECT 1 AS one"))
+    assert(e2.getMessage.toLowerCase.contains("already exists"),
+      e2.getMessage)
+    // CREATE without REPLACE on an existing view refuses; IF NOT EXISTS
+    // and OR REPLACE do their jobs
+    intercept[Exception](
+      spark.sql("CREATE VIEW tcat.ns.vv AS SELECT 1 AS one"))
+    spark.sql("CREATE VIEW IF NOT EXISTS tcat.ns.vv AS SELECT 1 AS one")
+    assert(spark.sql("SELECT * FROM tcat.ns.vv").columns.toSeq
+      === Seq("pri", "n"), "IF NOT EXISTS must keep the old definition")
+    spark.sql("""CREATE OR REPLACE VIEW tcat.ns.vv AS
+                 SELECT count(*) AS total FROM tcat.ns.vt""")
+    assert(spark.sql("SELECT total FROM tcat.ns.vv").as[Long].head()
+      === 4L)
+    // column aliases + a CTE in the body
+    spark.sql("""CREATE VIEW tcat.ns.vv2 (a, b) AS
+                 WITH c AS (SELECT k FROM tcat.ns.vt)
+                 SELECT k, k * 2 FROM c""")
+    assert(spark.sql("SELECT sum(a), sum(b) FROM tcat.ns.vv2")
+      .as[(Long, Long)].head() === ((10L, 20L)))
+    // SHOW VIEWS lists them
+    assert(spark.sql("SHOW VIEWS IN tcat.ns").collect()
+      .map(_.getString(1)).toSet === Set("vv", "vv2"))
+    // persistence: a SECOND catalog over the same root serves the view
+    spark.conf.set("spark.sql.catalog.tcat2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tcat2.root", root)
+    assert(spark.sql("SELECT total FROM tcat2.ns.vv").as[Long].head()
+      === 4L)
+    // rename via the catalog API; then a replace-created cycle refuses
+    // loudly at read instead of hanging
+    val g = new graft.catalog.GraftCatalog
+    g.initialize("tcat", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of("root", root)))
+    g.renameView(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "vv2"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "vv3"))
+    assert(spark.sql("SELECT sum(a) FROM tcat.ns.vv3").as[Long].head()
+      === 10L)
+    spark.sql("""CREATE OR REPLACE VIEW tcat.ns.vv AS
+                 SELECT * FROM tcat.ns.vv""")
+    val e3 = intercept[Exception](spark.sql("SELECT * FROM tcat.ns.vv"))
+    assert(e3.getMessage.contains("recursive"), e3.getMessage)
+    // drop; a dropped view is gone and DROP VIEW IF EXISTS is silent
+    spark.sql("DROP VIEW tcat.ns.vv")
+    spark.sql("DROP VIEW IF EXISTS tcat.ns.vv")
+    intercept[Exception](spark.sql("DROP VIEW tcat.ns.vv"))
+    intercept[Exception](spark.sql("SELECT * FROM tcat.ns.vv"))
+  }
+
   test("RENAME, DROP TABLE, and CASCADE namespace drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.tmpns")
     spark.sql("CREATE TABLE tcat.tmpns.a (k BIGINT)")
