@@ -221,33 +221,39 @@ final case class GraftTable(spark: SparkSession, tableName: String,
         with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
       private var replaceAll = false
       private var staticPart: Option[(String, Seq[String])] = None
+      private var replaceCond: Option[org.apache.spark.sql.Column] = None
       override def overwrite(predicates: Array[V2Predicate]): WriteBuilder = {
         if (predicates.forall(_.name() == "ALWAYS_TRUE")) {
           replaceAll = true
           return this
         }
-        def refuse(why: String): Nothing =
-          throw new UnsupportedOperationException(
-            s"INSERT OVERWRITE $tableName: $why (got " +
-              predicates.mkString(" AND ") + ") — whole-table overwrite " +
-              "and single-level PARTITION (col = value) are supported " +
-              "through SQL; anything else is the library's " +
-              "Upsert.overwritePartitions")
-        partitionCols match {
+        // `PARTITION (c = v)` on a single-level identity layout keeps
+        // its partition-wholesale fast path (declared expected values,
+        // no touched-file scan); every OTHER translatable predicate —
+        // range predicates, multi-level layouts, hidden-transform
+        // buckets — is REPLACE WHERE (round 17): row-scoped
+        // delete-by-predicate + append in one snapshot commit
+        // (`Upsert.replaceWhere`), with the leak check that staged rows
+        // satisfy the predicate.
+        val static = partitionCols match {
           case Seq(c) if !graft.engine.PartitionTransforms.isDerived(c) =>
-            val vals = predicates.toSeq.map(
-              StaticPartitionEq.unapply(_) match {
-                case Some((name, v)) if name.equalsIgnoreCase(c) => v
-                case Some((name, _)) => refuse(
-                  s"'$name' is not the table's partition column '$c'")
-                case None => refuse(
-                  "only <partition col> = <literal> predicates translate")
-              })
-            staticPart = Some(c -> vals.distinct)
-          case Seq() => refuse("the table has no partition layout")
-          case deep => refuse(
-            s"the layout ${deep.mkString("(", ", ", ")")} is multi-level " +
-              "or transform-derived")
+            val vals = predicates.toSeq.map(StaticPartitionEq.unapply(_)
+              .collect { case (n, v) if n.equalsIgnoreCase(c) => v })
+            if (vals.forall(_.isDefined))
+              Some(c -> vals.flatten.distinct)
+            else None
+          case _ => None
+        }
+        static match {
+          case Some(sp) => staticPart = Some(sp)
+          case None =>
+            replaceCond = Some(
+              V2PredicateColumns.translateAll(predicates).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"INSERT OVERWRITE / REPLACE WHERE $tableName: cannot " +
+                    "translate " + predicates.mkString(" AND ") +
+                    " — use the library's Upsert.replaceWhere with an " +
+                    "arbitrary Column predicate")))
         }
         this
       }
@@ -257,11 +263,13 @@ final case class GraftTable(spark: SparkSession, tableName: String,
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
               val pc = partitionCols
-              staticPart match {
-                case Some((c, vals)) =>
+              (staticPart, replaceCond) match {
+                case (Some((c, vals)), _) =>
                   Upsert.overwritePartitions(spark, path, data, c,
                     expectedValues = Some(vals))
-                case None =>
+                case (None, Some(cond)) =>
+                  Upsert.replaceWhereLayout(spark, path, cond, data, pc)
+                case (None, None) =>
                   if (replaceAll || overwrite)
                     Upsert.overwriteTableLayout(spark, path, data, pc)
                   else Upsert.appendLayout(spark, path, data, pc)

@@ -196,16 +196,18 @@ object Manifest {
   def commit(spark: SparkSession, path: String, files: Seq[String],
       stats: FileStats.TableStats = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      txn: Option[(String, Long)] = None): Long =
+      txn: Option[(String, Long)] = None,
+      knownLens: Map[String, Long] = Map.empty): Long =
     withCommitLock(spark, path) {
-      commitLocked(spark, path, files, stats, schema, txn)
+      commitLocked(spark, path, files, stats, schema, txn, knownLens)
     }
 
   private def commitLocked(spark: SparkSession, path: String,
       files: Seq[String],
       stats: FileStats.TableStats,
       schema: Option[org.apache.spark.sql.types.StructType],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)],
+      knownLens: Map[String, Long] = Map.empty): Long = {
     txn.foreach { case (app, _) =>
       require(app.nonEmpty && !app.exists(c => c == '\n' || c == '\r'),
         s"txn appId must be a non-empty single line, got ${app.take(40)}") }
@@ -234,8 +236,11 @@ object Manifest {
     // stat can't see yet (eventually-consistent listing after a PUT)
     // simply has no ledger entry: reads of that version fall back to
     // the listing path rather than fail, and the next commit re-stats.
+    // knownLens (round 17): lengths the caller already holds — e.g. the
+    // auto-backfill's single recursive listing — take precedence over
+    // per-file stats for files the previous ledger missed
     val prevLens = prev.map(v => fileLengthsAsOf(spark, path, v))
-      .getOrElse(Map.empty[String, Long])
+      .getOrElse(Map.empty[String, Long]) ++ knownLens
     val lens = files.flatMap { f =>
       prevLens.get(f).orElse {
         try Some(fs.getFileStatus(new Path(path, f)).getLen)
@@ -1147,23 +1152,81 @@ object Manifest {
     * paths excluded) — the adoption listing for pre-manifest tables and
     * the before/after diff for appends. Table-relative.
     */
-  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] =
+    listDataFilesWithLen(spark, path).map(_._1)
+
+  /** [[listDataFiles]] carrying each file's byte length off the SAME
+    * listing (a LIST already returns sizes) — the auto-backfill's
+    * one-walk source for the `#flen` ledger, paying zero extra stats.
+    */
+  def listDataFilesWithLen(spark: SparkSession,
+      path: String): Seq[(String, Long)] = {
     val fs = fsOf(spark, path)
     val root = new Path(path)
     if (!fs.exists(root)) return Seq.empty
     val rootUri = root.toUri.getPath.stripSuffix("/")
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (!n.startsWith("_") && !n.startsWith(".")) {
         if (st.isDirectory) walk(st.getPath)
-        else buf += st.getPath.toUri.getPath.stripPrefix(rootUri)
-          .stripPrefix("/")
+        else buf += (st.getPath.toUri.getPath.stripPrefix(rootUri)
+          .stripPrefix("/") -> st.getLen)
       }
     }
     walk(root)
     buf.toSeq
   }
+
+  /** AUTO-BACKFILL of the `#flen` ledger at first read (round 17,
+    * retiring the pre-r16 fallback): a PINNED-schema snapshot whose
+    * ledger does not cover its files would read through the legacy
+    * listing path on EVERY query — so the first read does the one
+    * recursive listing it was going to do anyway, and commits the
+    * lengths back as a metadata-only version under the writer lease.
+    * Every later read is then zero-listing, with no manual
+    * [[pinSchema]]. Returns the version to serve (the backfilled one
+    * when the upgrade landed, else `v`).
+    *
+    * Deliberately scoped to PINNED tables: backfilling lengths changes
+    * no read semantics, only metadata cost. UNPINNED tables are left
+    * alone — serving them zero-listing would require auto-pinning the
+    * inferred schema, silently freezing partition-column types (the
+    * documented [[pinSchema]] caveat); that upgrade stays opt-in.
+    *
+    * Best-effort and once per (process, table, version): an active
+    * writer (ConcurrentWriterException) or a read-only store skips the
+    * upgrade — the reader keeps the legacy path, and any writer's next
+    * commit backfills the ledger anyway. Disable with
+    * `spark.graft.read.autoBackfillLens=false`.
+    */
+  def maybeBackfillLens(spark: SparkSession, path: String,
+      v: Long): Long = {
+    if (!spark.conf.get("spark.graft.read.autoBackfillLens", "true")
+        .toBoolean) return v
+    // a verb mid-mutation on this thread reads through here (reentrant
+    // lease); its own commit backfills — do not commit under its feet
+    if (WriterLease.heldByThisThread(path)) return v
+    if (!autoBackfillTried.add(s"$path@$v")) return v
+    val files = filesAsOf(spark, path, v)
+    val needs = schemaAsOf(spark, path, v).nonEmpty && files.nonEmpty &&
+      !files.forall(fileLengthsAsOf(spark, path, v).contains)
+    if (!needs) return v
+    try WriterLease.withLease(spark, path) {
+      // re-check under the lease — a racing writer may have committed
+      // past v (its commit carries a full ledger) or backfilled already
+      if (currentVersion(spark, path).contains(v)) {
+        val listed = listDataFilesWithLen(spark, path).toMap
+        commit(spark, path, files, knownLens = listed)
+      } else v
+    } catch {
+      case _: ConcurrentWriterException => v
+      case _: java.io.IOException => v
+    }
+  }
+
+  private val autoBackfillTried =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The live set the NEXT commit builds on: the current manifest if one
     * exists, else (pre-manifest table) the plain directory listing,
@@ -1182,7 +1245,9 @@ object Manifest {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     currentVersion(spark, path) match {
-      case Some(v) => readAsOf(spark, path, v)
+      // current-snapshot reads route through the one-time ledger
+      // backfill (round 17); explicit AS-OF reads never upgrade
+      case Some(v) => readAsOf(spark, path, maybeBackfillLens(spark, path, v))
       case None => spark.read.parquet(path)
     }
 

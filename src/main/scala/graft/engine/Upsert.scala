@@ -637,6 +637,93 @@ object Upsert {
     rewriteMatching(spark, path, prepared, Some(set))
   }
 
+  /** REPLACE WHERE (round 17): delete-by-predicate + append in ONE
+    * snapshot commit — the expression-scoped overwrite. Files holding
+    * predicate matches are rewritten WITHOUT their matching rows and
+    * the incoming batch lands alongside, all swapped in a single
+    * optimistic commit: readers see the region wholly replaced or not
+    * at all, and time travel keeps the pre-replace snapshot. This is
+    * the safe idiom for layouts where dynamic partition overwrite must
+    * refuse (hidden-transform buckets: replacing a bucket wholesale
+    * would drop co-bucketed rows) — the predicate scopes ROWS, so
+    * co-bucketed strangers survive the rewrite byte-equal.
+    *
+    * LEAK CHECK (the Delta `REPLACE WHERE` contract): every incoming
+    * row must satisfy the predicate — a staged row outside the
+    * replaced region would survive the next identical REPLACE WHERE
+    * and silently duplicate. Refused loudly pre-commit, before any
+    * file moves. The predicate must be deterministic (evaluated for
+    * discovery, rewrite, and the leak check).
+    *
+    * `partCols`: the staged layout (the caller's declared layout; the
+    * overload derives it from the live files). Returns the number of
+    * rows deleted from touched files.
+    */
+  def replaceWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      incoming: DataFrame): Long =
+    replaceWhereLayout(spark, path, predicate, incoming,
+      Manifest.layoutPartitionCols(Manifest.currentLive(spark, path))
+        .getOrElse(Seq.empty))
+
+  def replaceWhereLayout(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column, incoming: DataFrame,
+      partCols: Seq[String]): Long =
+    WriterLease.withLease(spark, path) {
+      val table = Manifest.read(spark, path)
+      requireSameColumns(incoming, table, path)
+      // leak check FIRST — nothing staged, nothing moved on refusal
+      val leaks = incoming.filter(org.apache.spark.sql.functions
+        .coalesce(!predicate, org.apache.spark.sql.functions.lit(true)))
+        .limit(1).count()
+      require(leaks == 0L,
+        s"replaceWhere into $path: incoming rows do not all satisfy " +
+          "the replace predicate — they would land OUTSIDE the " +
+          "replaced region and duplicate on the next replace; widen " +
+          "the predicate or append them separately")
+      val toRel = scannedFileToRel(path, "replaceWhere") _
+      val touched = table.filter(predicate)
+        .select(org.apache.spark.sql.functions.input_file_name())
+        .distinct().collect().map(r => toRel(r.getString(0))).sorted
+      val live = Manifest.currentLive(spark, path)
+      val touchedSet = touched.toSet
+      require(touchedSet.subsetOf(live.toSet),
+        s"replaceWhere into $path: scan saw files outside the live " +
+          s"snapshot: ${(touchedSet -- live.toSet).mkString(", ")}")
+      val cur = Manifest.currentVersion(spark, path)
+      val pinned = cur.flatMap(Manifest.schemaAsOf(spark, path, _))
+      val cols = table.columns.toIndexedSeq
+      val incomingAligned = incoming.select(cols.map(col): _*)
+      val (deleted, staged) =
+        if (touched.isEmpty) (0L, incomingAligned)
+        else {
+          val sub = Manifest.readFiles(spark, path, pinned,
+            touched.toSeq,
+            cur.map(Manifest.fileLengthsAsOf(spark, path, _))
+              .getOrElse(Map.empty))
+          // keep FALSE-or-NULL rows (SQL DELETE three-valued semantics,
+          // same as deleteWhere)
+          val kept = sub.filter(org.apache.spark.sql.functions
+            .coalesce(!predicate, org.apache.spark.sql.functions
+              .lit(true)))
+          (sub.filter(predicate).count(),
+            kept.select(cols.map(col): _*).unionByName(incomingAligned))
+        }
+      withStaged(spark, path, staged, partCols, "replace") { movedIn =>
+        if (cur.isEmpty)
+          Manifest.commit(spark, path,
+            live.filterNot(touchedSet) ++ movedIn)
+        else
+          // scope = the files this replace retires; concurrent blind
+          // appends outside the region are preserved (WriteSerializable,
+          // same contract as deleteWhere)
+          Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+            scope = touchedSet, expected = touchedSet,
+            retire = touchedSet, add = movedIn))
+        deleted
+      }
+    }
+
   /** Table-relative path of an `input_file_name()` value. The scan
     * reports the file as a URI string with percent-encoded specials (a
     * space in a partition value surfaces as `%20`), while the manifest

@@ -197,6 +197,23 @@ object CatalogQueries {
         restore("spark.graft.dml.exists.maxKeys", prevMaxKeys)
         restore("spark.graft.dml.subquery.maxRows", prevMaxRows)
       }
+      // round 17: REPLACE WHERE — expression-scoped overwrite: the
+      // URGENT region is deleted-by-predicate and recomputed rows land
+      // in the SAME snapshot commit (writeTo().overwrite(pred) →
+      // Upsert.replaceWhere; the leak check pins staged ⊆ region)
+      s.sql("""CREATE TABLE graftwh.marts.ord_rw (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)""")
+      s.sql("""INSERT INTO graftwh.marts.ord_rw
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 5 === 0 &&
+          col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          (floor(col("o_totalprice") * 100).cast("bigint") * 3)
+            .as("price_cents"),
+          col("o_orderpriority").as("pri"))
+        .writeTo("graftwh.marts.ord_rw")
+        .overwrite(col("pri") === "1-URGENT")
       // round 17: a PERSISTED VIEW over the maintained mart — the BI
       // artifact the reference's DM layer exists to feed; CREATE OR
       // REPLACE proves the swap is the definition actually served
@@ -687,6 +704,36 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** REPLACE WHERE (round 17): the expression-scoped overwrite —
+    * `writeTo(t).overwrite(pred)` deletes the predicate's region and
+    * lands the staged recomputation in ONE snapshot commit
+    * ([[graft.engine.Upsert.replaceWhere]]); rows outside the region
+    * survive byte-equal. The oracle restates delete-region + insert.
+    */
+  val qSqlReplaceWhere = QueryDef(
+    "q_sql_replace_where",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_rw GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      repl AS (SELECT k, pc * 3 AS pc, pri FROM base
+               WHERE k % 5 = 0 AND pri = '1-URGENT'),
+      fin AS (
+        SELECT * FROM t7 WHERE pri <> '1-URGENT'
+        UNION ALL
+        SELECT * FROM repl)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   /** Persistent SQL views (round 17): `SELECT` through a CREATE OR
     * REPLACE'd view over the merged mart. The view exists only as
     * stored SQL text + its captured resolution context
@@ -802,5 +849,5 @@ object CatalogQueries {
       qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeFull,
       qSqlMergeShell, qSqlDeleteIn, qSqlTwoLevel, qSqlWiden,
       qSqlHiddenPart, qSqlOverwriteDynamic, qSqlDeleteExists,
-      qSqlDeleteExistsBig, qSqlView)
+      qSqlDeleteExistsBig, qSqlView, qSqlReplaceWhere)
 }

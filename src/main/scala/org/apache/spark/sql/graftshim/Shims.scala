@@ -30,6 +30,21 @@ object Shims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-base a micro-batch DataFrame onto its already-computed RDD
+    * (round 17, the named streaming sink): a V1 `Sink.addBatch` frame is
+    * backed by the trigger's IncrementalExecution and must not be
+    * re-planned by a verb that takes more than one action on it.
+    * `internalCreateDataFrame` is `private[sql]` — same bridge rationale
+    * as [[ofRows]].
+    */
+  def freshBatchDf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   // ---- catalog-manager bridge (round 17, persistent views) ----------
   // CatalogManager is private[sql]; the view SQL surface needs name →
   // (catalog, identifier) resolution with Spark's own precedence

@@ -108,19 +108,74 @@ class ManifestScanSpec extends AnyFunSuite {
     val v = Manifest.currentVersion(spark, path).get
     assert(Manifest.fileLengthsAsOf(spark, path, v).isEmpty,
       "fixture sanity: the ledger is gone")
-    val df = Manifest.read(spark, path)
-    assert(indexClassesOf(df).forall(c => !c.contains("ManifestFileIndex")),
-      "a ledger-less snapshot must take the legacy listing path")
-    assert(df.select("cents").as[Long].collect().sorted.toSeq ===
+    // with the auto-backfill disabled, the ledger-less snapshot takes
+    // the legacy listing path and answers identically
+    spark.conf.set("spark.graft.read.autoBackfillLens", "false")
+    try {
+      val df = Manifest.read(spark, path)
+      assert(indexClassesOf(df).forall(c =>
+        !c.contains("ManifestFileIndex")),
+        "a ledger-less snapshot must take the legacy listing path")
+      assert(df.select("cents").as[Long].collect().sorted.toSeq ===
+        Seq(10L, 20L))
+    } finally spark.conf.unset("spark.graft.read.autoBackfillLens")
+    // round 17: with the default conf, the FIRST read pays the one
+    // listing and commits the ledger back (a metadata-only version);
+    // the read itself — and every later one — resolves zero-listing,
+    // with no manual pinSchema
+    val df1 = Manifest.read(spark, path)
+    assert(indexClassesOf(df1).forall(_.contains("ManifestFileIndex")),
+      "the auto-backfilled read must be manifest-served")
+    assert(df1.select("cents").as[Long].collect().sorted.toSeq ===
       Seq(10L, 20L))
-    // the next commit re-stats and back-fills the ledger
+    val v1 = Manifest.currentVersion(spark, path).get
+    assert(v1 === v + 1, "the backfill is one metadata-only commit")
+    val lens1 = Manifest.fileLengthsAsOf(spark, path, v1)
+    assert(Manifest.filesAsOf(spark, path, v1).forall(lens1.contains))
+    assert(Manifest.filesAsOf(spark, path, v1).toSet ===
+      Manifest.filesAsOf(spark, path, v).toSet,
+      "the backfill must not change the file set")
+    assert(indexClassesOf(Manifest.read(spark, path))
+      .forall(_.contains("ManifestFileIndex")))
+    // the next commit keeps a complete ledger
     spark.sql("INSERT INTO mscat.ns.zl3 VALUES (3, 30)")
     val v2 = Manifest.currentVersion(spark, path).get
     val lens = Manifest.fileLengthsAsOf(spark, path, v2)
-    assert(Manifest.filesAsOf(spark, path, v2).forall(lens.contains),
-      "the first post-upgrade commit must cover every live file")
-    assert(indexClassesOf(Manifest.read(spark, path))
-      .forall(_.contains("ManifestFileIndex")))
+    assert(Manifest.filesAsOf(spark, path, v2).forall(lens.contains))
+    assert(Manifest.read(spark, path).select("cents").as[Long]
+      .collect().sorted.toSeq === Seq(10L, 20L, 30L))
+  }
+
+  test("the SQL catalog route auto-backfills too: the first SELECT of a " +
+      "ledger-less table commits the ledger and resolves zero-listing " +
+      "(round 17)") {
+    root
+    spark.sql("CREATE TABLE mscat.ns.zl5 (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO mscat.ns.zl5 VALUES (1, 10), (2, 20)")
+    val path = s"$root/ns/zl5"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest")
+    fs.listStatus(mdir).filter(_.getPath.getName.endsWith(".list"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val lines = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        val stripped = lines.split("\n").filterNot(_.startsWith("#flen "))
+          .mkString("\n")
+        val out = fs.create(st.getPath, true)
+        try out.write(stripped.getBytes("UTF-8")) finally out.close()
+      }
+    Manifest.invalidateListMemo(path)
+    val v = Manifest.currentVersion(spark, path).get
+    assert(Manifest.fileLengthsAsOf(spark, path, v).isEmpty)
+    val df = spark.sql("SELECT sum(cents) AS c FROM mscat.ns.zl5")
+    assert(df.as[Long].head() === 30L)
+    assert(Manifest.currentVersion(spark, path).get === v + 1)
+    val idx = indexClassesOf(
+      spark.sql("SELECT sum(cents) AS c FROM mscat.ns.zl5"))
+    assert(idx.nonEmpty && idx.forall(_.contains("ManifestFileIndex")),
+      s"post-backfill catalog scan must be manifest-served, got: $idx")
   }
 
   test("pinSchema upgrades an unpinned library table onto the " +

@@ -893,6 +893,66 @@ class SqlEdgesSpec extends AnyFunSuite {
       .as[Long].head() === 0L)
   }
 
+  // ---- round 17: REPLACE WHERE (expression-scoped overwrite) --------
+
+  test("REPLACE WHERE: delete-by-predicate + append in ONE snapshot " +
+      "commit; time travel across it; the leak check refuses staged " +
+      "rows outside the region pre-commit") {
+    root
+    spark.sql("CREATE TABLE ecat.ns.rw (k BIGINT, cents BIGINT, " +
+      "pri STRING)")
+    spark.sql("""INSERT INTO ecat.ns.rw
+                 VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'a')""")
+    val path = s"$root/ns/rw"
+    val vBefore = Manifest.currentVersion(spark, path).get
+    Seq((9L, 90L, "a")).toDF("k", "cents", "pri")
+      .writeTo("ecat.ns.rw").overwrite($"pri" === "a")
+    assert(spark.sql("SELECT k, cents, pri FROM ecat.ns.rw ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((2L, 20L, "b"), (9L, 90L, "a")))
+    // ONE commit: delete + append are not two versions
+    assert(Manifest.currentVersion(spark, path).get === vBefore + 1)
+    // time travel: the pre-replace snapshot is intact
+    assert(spark.sql(
+      s"SELECT k FROM ecat.ns.rw VERSION AS OF $vBefore ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // leak check: a staged row NOT satisfying the predicate refuses
+    // loudly and leaves the snapshot untouched (it would survive the
+    // next identical replace and duplicate)
+    val e = intercept[Exception](
+      Seq((7L, 70L, "zzz")).toDF("k", "cents", "pri")
+        .writeTo("ecat.ns.rw").overwrite($"pri" === "a"))
+    assert(e.getMessage.contains("replace"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM ecat.ns.rw").as[Long].head()
+      === 2L)
+    assert(Manifest.currentVersion(spark, path).get === vBefore + 1)
+  }
+
+  test("REPLACE WHERE on a hidden-transform layout: row-scoped, so " +
+      "co-bucketed strangers survive — the safe alternative the " +
+      "dynamic-overwrite refusal points at") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.rwb (k BIGINT, cents BIGINT,
+                 pri STRING) PARTITIONED BY (bucket(4, k))""")
+    // k = 1, 5, 9 share bucket 1; 9 is a 'b' row co-bucketed with the
+    // 'a' region being replaced
+    spark.sql("""INSERT INTO ecat.ns.rwb
+                 VALUES (1, 10, 'a'), (5, 50, 'a'), (9, 90, 'b'),
+                        (2, 20, 'b')""")
+    // dynamic overwrite on this layout refuses (co-bucketed-rows
+    // footgun) — REPLACE WHERE is the supported idiom
+    Seq((1L, 11L, "a"), (5L, 51L, "a")).toDF("k", "cents", "pri")
+      .writeTo("ecat.ns.rwb").overwrite($"pri" === "a")
+    assert(spark.sql("SELECT k, cents, pri FROM ecat.ns.rwb ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((1L, 11L, "a"), (2L, 20L, "b"), (5L, 51L, "a"),
+        (9L, 90L, "b")),
+      "the co-bucketed 'b' rows must survive byte-equal")
+    // the layout stays hidden-transform after the rewrite
+    assert(Manifest.currentLive(spark, s"$root/ns/rwb")
+      .forall(_.startsWith("ptx_bucket4_k=")))
+  }
+
   // ---- round 17: distributed DML membership (key sets past the cap) --
 
   /** Force every membership subquery through the distributed-join
