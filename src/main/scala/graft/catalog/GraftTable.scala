@@ -186,10 +186,12 @@ final case class GraftTable(spark: SparkSession, tableName: String,
       case Some(st) =>
         // manifest-served index: both the initial builder and any
         // stats-pruned rebuild resolve without touching the filesystem
+        val commitTs = snapshotVersion
+          .flatMap(Manifest.commitTsAsOf(spark, path, _)).getOrElse(0L)
         def build(files: Seq[String]): ScanBuilder =
           org.apache.spark.sql.graftshim.ManifestScan.parquetScanBuilder(
             spark, path, files.map(f => f -> fileLens(f)), st,
-            scanOptions(options))._2
+            scanOptions(options), commitTs)._2
         new GraftScanBuilder(spark, path, snapshotVersion, relFiles,
           build(relFiles), build)
       case None =>

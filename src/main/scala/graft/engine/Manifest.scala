@@ -96,13 +96,22 @@ object Manifest {
     * [[vacuum]] invalidates a table's entries when it retires versions
     * so a vacuumed version fails loudly at the manifest GET (the
     * pre-memo behavior) instead of serving a husk from memory.
+    *
+    * CROSS-JVM vacuum (ADVICE r16): that invalidation is process-local
+    * — a vacuum run from ANOTHER process cannot reach this memo. So a
+    * hit older than [[MemoRecheckMillis]] re-confirms the manifest key
+    * still exists (one HEAD, at most once a minute per manifest) and a
+    * retired version fails loudly at the manifest level instead of
+    * planning against deleted data files. Staleness is thereby bounded
+    * to one minute — far inside any sane vacuum `retainMillis` grace.
     */
+  private[graft] var MemoRecheckMillis = 60000L // var: specs force 0
   private val listMemo =
-    new java.util.LinkedHashMap[(String, Long), Seq[String]](
+    new java.util.LinkedHashMap[(String, Long), (Seq[String], Long)](
       64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
-        size > 32
+          e: java.util.Map.Entry[(String, Long), (Seq[String], Long)])
+          : Boolean = size > 32
     }
 
   private[graft] def invalidateListMemo(path: String): Unit =
@@ -113,17 +122,30 @@ object Manifest {
 
   private def listLines(spark: SparkSession, path: String,
       v: Long): Seq[String] = {
-    val hit = listMemo.synchronized(Option(listMemo.get((path, v))))
-    hit.getOrElse {
-      val fs = fsOf(spark, path)
-      val f = new Path(mdir(path), f"v$v%020d.list")
-      val in = fs.open(f)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toList
-        finally in.close()
-      listMemo.synchronized(listMemo.put((path, v), lines))
-      lines
+    val now = System.currentTimeMillis()
+    val f = new Path(mdir(path), f"v$v%020d.list")
+    listMemo.synchronized(Option(listMemo.get((path, v)))) match {
+      case Some((lines, confirmedAt))
+          if now - confirmedAt < MemoRecheckMillis => lines
+      case Some((lines, _)) =>
+        if (fsOf(spark, path).exists(f)) {
+          listMemo.synchronized(listMemo.put((path, v), (lines, now)))
+          lines
+        } else {
+          listMemo.synchronized(listMemo.remove((path, v)))
+          throw new java.io.FileNotFoundException(
+            s"$f no longer exists — version $v was retired (vacuum in " +
+              "another process)")
+        }
+      case None =>
+        val fs = fsOf(spark, path)
+        val in = fs.open(f)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toList
+          finally in.close()
+        listMemo.synchronized(listMemo.put((path, v), (lines, now)))
+        lines
     }
   }
 
@@ -171,6 +193,15 @@ object Manifest {
         val i = kv.lastIndexOf('=')
         kv.substring(0, i) -> kv.substring(i + 1).toLong
       }.toMap
+
+  /** The version's commit instant from its `#ts` header (round 17) —
+    * zero extra ops (it rides the already-read list content). Absent on
+    * pre-r17 manifests: manifest-served reads then stamp epoch 0, the
+    * pre-r17 behavior.
+    */
+  def commitTsAsOf(spark: SparkSession, path: String, v: Long): Option[Long] =
+    listLines(spark, path, v).find(_.startsWith("#ts "))
+      .map(_.stripPrefix("#ts ").trim.toLong)
 
   /** Atomically commit `files` (table-relative) as the next version.
     * Callers hold the table's [[WriterLease]], so versions never race;
@@ -228,7 +259,12 @@ object Manifest {
     // all; previous apps' markers carry forward
     val txns = prev.map(v => txnsAsOf(spark, path, v))
       .getOrElse(Map.empty) ++ txn
-    val header = txns.toSeq.sortBy(_._1)
+    // commit instant header (round 17, ADVICE r16): manifest-served
+    // reads fabricate FileStatuses and need an mtime better than the
+    // 1970 epoch — the snapshot's own commit instant rides in the list
+    // content, so no reader ever stats the manifest file for it
+    val header = Seq(s"#ts ${System.currentTimeMillis()}") ++
+      txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"#txn $app=$b" }
     // byte-length ledger (round 16): carried forward for files already
     // in the previous version (immutable data files — lengths can't go
@@ -1143,7 +1179,8 @@ object Manifest {
         read(spark, path).schema)
     else currentVersion(spark, path) match {
       case Some(v) => readFiles(spark, path, schemaAsOf(spark, path, v),
-        kept, fileLengthsAsOf(spark, path, v))
+        kept, fileLengthsAsOf(spark, path, v),
+        commitTsAsOf(spark, path, v).getOrElse(0L))
       case None => readFiles(spark, path, None, kept)
     }
   }
@@ -1325,7 +1362,8 @@ object Manifest {
     require(files.nonEmpty,
       s"manifest v$v of $path lists no files — nothing to read")
     readFiles(spark, path, schemaAsOf(spark, path, v), files,
-      fileLengthsAsOf(spark, path, v))
+      fileLengthsAsOf(spark, path, v),
+      commitTsAsOf(spark, path, v).getOrElse(0L))
   }
 
   /** The ONE schema-aware file reader every snapshot read funnels
@@ -1346,7 +1384,8 @@ object Manifest {
   private[graft] def readFiles(spark: SparkSession, path: String,
       pinned: Option[org.apache.spark.sql.types.StructType],
       relFiles: Seq[String],
-      lens: Map[String, Long] = Map.empty): DataFrame = {
+      lens: Map[String, Long] = Map.empty,
+      commitMtime: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.coalesce
     val r = spark.read.option("basePath", path)
     val paths = relFiles.map(f => s"$path/$f")
@@ -1361,7 +1400,7 @@ object Manifest {
         : Option[DataFrame] =
       if (relFiles.nonEmpty && relFiles.forall(lens.contains))
         Some(org.apache.spark.sql.graftshim.ManifestScan.dataFrame(
-          spark, path, relFiles.map(f => f -> lens(f)), st))
+          spark, path, relFiles.map(f => f -> lens(f)), st, commitMtime))
       else None
     pinned match {
       case None =>
@@ -1407,7 +1446,8 @@ object Manifest {
   def readSubsetAsOf(spark: SparkSession, path: String, v: Long,
       relFiles: Seq[String]): DataFrame =
     readFiles(spark, path, schemaAsOf(spark, path, v), relFiles,
-      fileLengthsAsOf(spark, path, v))
+      fileLengthsAsOf(spark, path, v),
+      commitTsAsOf(spark, path, v).getOrElse(0L))
 
   /** Move every data file under `stagingPath` into the table directory,
     * preserving relative (partition) structure — the stage-in step of a

@@ -48,15 +48,22 @@ object ManifestScan {
       spark: SparkSession,
       table: Path,
       files: Seq[(String, Long)],
-      pinned: Option[StructType])
+      pinned: Option[StructType],
+      mtimeMillis: Long)
     extends PartitioningAwareFileIndex(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       Map("basePath" -> table.toString), pinned, NoopCache) {
 
     private val statuses: Seq[FileStatus] = files.map { case (rel, len) =>
-      // blockSize steers FilePartition split math only; mtime 0 is
-      // fine for batch parquet (nothing on the scan path reads it)
-      new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+      // blockSize steers FilePartition split math only. mtime is the
+      // SERVED SNAPSHOT's commit instant (the manifest `#ts` header,
+      // round 17 — ADVICE r16): nothing on the batch scan path reads
+      // it, but the hidden `_metadata.file_modification_time` column
+      // does, and epoch-0 there silently diverged from the legacy
+      // listing read. Documented semantic: on manifest-served reads
+      // every file reports its snapshot's commit time (0 only for
+      // pre-r17 manifests with no header).
+      new FileStatus(len, false, 1, 128L * 1024 * 1024, mtimeMillis,
         new Path(table, rel))
     }
 
@@ -86,11 +93,12 @@ object ManifestScan {
 
   private def index(spark: SparkSession, tablePath: String,
       files: Seq[(String, Long)],
-      pinned: Option[StructType]): ManifestFileIndex = {
+      pinned: Option[StructType], mtimeMillis: Long): ManifestFileIndex = {
     val p = new Path(tablePath)
     val fs = p.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    new ManifestFileIndex(spark, fs.makeQualified(p), files, pinned)
+    new ManifestFileIndex(spark, fs.makeQualified(p), files, pinned,
+      mtimeMillis)
   }
 
   /** `dataSchema` = pinned minus the dir-derived partition columns
@@ -114,8 +122,9 @@ object ManifestScan {
     * read.
     */
   def dataFrame(spark: SparkSession, tablePath: String,
-      files: Seq[(String, Long)], pinned: StructType): DataFrame = {
-    val idx = index(spark, tablePath, files, Some(pinned))
+      files: Seq[(String, Long)], pinned: StructType,
+      mtimeMillis: Long): DataFrame = {
+    val idx = index(spark, tablePath, files, Some(pinned), mtimeMillis)
     val (dataSchema, partitionSchema) = split(pinned, idx.partitionSchema)
     val relation = HadoopFsRelation(idx, partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(
@@ -131,8 +140,9 @@ object ManifestScan {
     */
   def parquetScanBuilder(spark: SparkSession, tablePath: String,
       files: Seq[(String, Long)], pinned: StructType,
-      options: CaseInsensitiveStringMap): (StructType, ScanBuilder) = {
-    val idx = index(spark, tablePath, files, Some(pinned))
+      options: CaseInsensitiveStringMap,
+      mtimeMillis: Long): (StructType, ScanBuilder) = {
+    val idx = index(spark, tablePath, files, Some(pinned), mtimeMillis)
     val (dataSchema, partitionSchema) = split(pinned, idx.partitionSchema)
     val caseSensitive = classic(spark).sessionState.conf.caseSensitiveAnalysis
     val (fullSchema, _) = PartitioningUtils.mergeDataAndPartitionSchema(
@@ -148,7 +158,8 @@ object ManifestScan {
     */
   def tableSchema(spark: SparkSession, tablePath: String,
       files: Seq[(String, Long)], pinned: StructType): StructType = {
-    val idx = index(spark, tablePath, files, Some(pinned))
+    // schema derivation never reads mtimes
+    val idx = index(spark, tablePath, files, Some(pinned), 0L)
     val (dataSchema, partitionSchema) = split(pinned, idx.partitionSchema)
     val caseSensitive = classic(spark).sessionState.conf.caseSensitiveAnalysis
     PartitioningUtils.mergeDataAndPartitionSchema(

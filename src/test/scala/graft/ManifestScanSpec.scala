@@ -209,6 +209,48 @@ class ManifestScanSpec extends AnyFunSuite {
     assert(grown.count() === 3L)
   }
 
+  test("_metadata.file_modification_time on a manifest-served read is " +
+      "the snapshot's commit instant, not the 1970 epoch (round 17)") {
+    root
+    spark.sql("CREATE TABLE mscat.ns.zl6 (k BIGINT, cents BIGINT)")
+    val before = System.currentTimeMillis()
+    spark.sql("INSERT INTO mscat.ns.zl6 VALUES (1, 10)")
+    val after = System.currentTimeMillis()
+    // the hidden _metadata column is a V1 file-source feature — the
+    // library read path (the DSv2 catalog table never exposed it)
+    val lib = Manifest.read(spark, s"$root/ns/zl6")
+    assert(indexClassesOf(lib).forall(_.contains("ManifestFileIndex")))
+    val mt = Manifest.read(spark, s"$root/ns/zl6")
+      .select(col("_metadata.file_modification_time").as("mt"))
+      .as[java.sql.Timestamp].head().getTime
+    assert(mt >= before - 1000 && mt <= after + 1000,
+      s"commit-instant mtime expected in [$before, $after], got $mt")
+  }
+
+  test("a memoized manifest retired by ANOTHER process's vacuum fails " +
+      "loudly at the recheck instead of serving a husk (round 17)") {
+    root
+    spark.sql("CREATE TABLE mscat.ns.zl7 (k BIGINT)")
+    spark.sql("INSERT INTO mscat.ns.zl7 VALUES (1)")
+    val path = s"$root/ns/zl7"
+    val v = Manifest.currentVersion(spark, path).get
+    // warm the memo
+    assert(Manifest.filesAsOf(spark, path, v).nonEmpty)
+    // simulate a cross-JVM vacuum: the .list key disappears but THIS
+    // process's memo was never invalidated
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      f"$path/_graft_manifest/v$v%020d.list"), false)
+    val prev = Manifest.MemoRecheckMillis
+    Manifest.MemoRecheckMillis = 0L // force the existence recheck
+    try {
+      val e = intercept[Exception](
+        Manifest.filesAsOf(spark, path, v))
+      assert(e.getMessage.contains("retired"), e.getMessage)
+    } finally Manifest.MemoRecheckMillis = prev
+  }
+
   test("partition pruning on the manifest-served index schedules only " +
       "the matching leaves") {
     root
