@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL reads of RENAME COLUMN'd tables → union scan + coalesce
     // projection (round 15)
     ext.injectResolutionRule(s => graft.plans.ExpandRenamedScan(s))
+    // SQL reads of snapshots carrying deletion vectors (round 17
+    // merge-on-read DML) → the DV-applied V1 plan; a stock scan would
+    // resurrect deleted rows
+    ext.injectResolutionRule(s => graft.plans.ApplyDeletionVectors(s))
     // persistent views (round 17): CREATE/DROP/SHOW VIEW intercepted at
     // the parser seam (stock Spark refuses them on V2 catalogs), reads
     // expanded by re-parsing the stored text in its captured context

@@ -307,9 +307,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "— choose different names")
     val path = tablePath(ident)
     fs.mkdirs(new Path(path))
-    if (partCols.nonEmpty)
-      Manifest.writeTableProperties(spark, path,
-        Map("partition" -> partCols.mkString(",")))
+    // persisted user properties (whitelisted): the DML write strategy
+    // (round 17 merge-on-read) rides CREATE TABLE … TBLPROPERTIES
+    val dmlMode = Option(properties.get("graft.dml.mode"))
+    dmlMode.foreach(m => require(
+      m == "copy-on-write" || m == "merge-on-read",
+      s"catalog ${name()}: graft.dml.mode must be copy-on-write or " +
+        s"merge-on-read, got '$m'"))
+    val props =
+      (if (partCols.nonEmpty) Map("partition" -> partCols.mkString(","))
+       else Map.empty[String, String]) ++
+        dmlMode.map("graft.dml.mode" -> _)
+    if (props.nonEmpty) Manifest.writeTableProperties(spark, path, props)
     Manifest.commit(spark, path, Seq.empty, schema = Some(schema))
     GraftTable(spark, fullName(ident), path, asOfVersion = None)
   }

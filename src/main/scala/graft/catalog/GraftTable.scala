@@ -64,6 +64,21 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     pinnedSchema.filter(_ => relFiles.nonEmpty &&
       relFiles.forall(fileLens.contains)).map(widen)
 
+  /** Deletion-vector pointers of the served snapshot (round 17).
+    * Non-empty ⇒ SQL reads of this relation are swapped onto the
+    * DV-applied V1 plan by [[graft.plans.ApplyDeletionVectors]] — a
+    * stock parquet scan would resurrect merge-on-read-deleted rows.
+    */
+  private[graft] lazy val dvMap: Map[String, Manifest.DvPointer] =
+    snapshotVersion.map(Manifest.dvsAsOf(spark, path, _))
+      .getOrElse(Map.empty)
+
+  /** The snapshot version this table object serves (for the DV rule's
+    * version-exact re-read; None only for adopted directories, which
+    * can never carry DVs).
+    */
+  private[graft] def servedVersion: Option[Long] = snapshotVersion
+
   /** logical column → its prior (pre-rename) physical names, from the
     * pinned schema's [[Manifest.PriorNamesKey]] chains. Non-empty ⇔
     * this snapshot has columns whose data lives under old names in old
@@ -298,6 +313,9 @@ final case class GraftTable(spark: SparkSession, tableName: String,
         s"DELETE FROM $tableName: cannot translate " +
           predicates.mkString(" AND ") + " — use Upsert.deleteWhere " +
           "with an arbitrary Column predicate"))
-    Upsert.deleteWhere(spark, path, cond); ()
+    if (Upsert.dmlMode(spark, path) == "merge-on-read")
+      Upsert.deleteWhereMor(spark, path, cond)
+    else Upsert.deleteWhere(spark, path, cond)
+    ()
   }
 }

@@ -58,8 +58,19 @@ object ChangeFeed {
       if (vFrom == 0L) Set.empty[String]
       else Manifest.filesAsOf(spark, path, vFrom).toSet
     val to = Manifest.filesAsOf(spark, path, vTo).toSet
-    val removed = (from -- to).toSeq.sorted
-    val added = (to -- from).toSeq.sorted
+    // deletion vectors (round 17): a merge-on-read delete changes NO
+    // file-set membership — only the `#dv` pointer. A common file
+    // whose pointer differs between the endpoints contributes to BOTH
+    // sides, each read under its own version's DV state, and the
+    // classification join nets out the still-identical rows. Still
+    // O(delta): only re-pointed files re-read, never the table.
+    val dvFrom =
+      if (vFrom == 0L) Map.empty[String, Manifest.DvPointer]
+      else Manifest.dvsAsOf(spark, path, vFrom)
+    val dvTo = Manifest.dvsAsOf(spark, path, vTo)
+    val dvChanged = (from & to).filter(f => dvFrom.get(f) != dvTo.get(f))
+    val removed = ((from -- to) ++ dvChanged).toSeq.sorted
+    val added = ((to -- from) ++ dvChanged).toSeq.sorted
     val pinned = Manifest.schemaAsOf(spark, path, vTo)
 
     // removed files only exist in the OLDER version's ledger, added
@@ -70,17 +81,19 @@ object ChangeFeed {
        else Manifest.fileLengthsAsOf(spark, path, vFrom)) ++
         Manifest.fileLengthsAsOf(spark, path, vTo)
 
-    def readSubset(files: Seq[String]): Option[DataFrame] =
+    def readSubset(files: Seq[String],
+        dvs: Map[String, Manifest.DvPointer]): Option[DataFrame] =
       if (files.isEmpty) None
       // rename-aware (prior-name coalesce): removed files can predate a
       // renameColumn while the feed reads them under vTo's schema
-      else Some(Manifest.readFiles(spark, path, pinned, files, lens))
+      else Some(Manifest.readFiles(spark, path, pinned, files, lens,
+        dvs = dvs))
 
     def emptyLike(d: DataFrame): DataFrame =
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], d.schema)
 
-    (readSubset(removed), readSubset(added)) match {
+    (readSubset(removed, dvFrom), readSubset(added, dvTo)) match {
       case (None, None) =>
         // no file changed in the range: an empty feed, typed off the
         // snapshot schema (cheap — limit 0 prunes the scan to nothing).

@@ -203,6 +203,31 @@ object Manifest {
     listLines(spark, path, v).find(_.startsWith("#ts "))
       .map(_.stripPrefix("#ts ").trim.toLong)
 
+  /** A data file's deletion-vector binding: the DV object (table-
+    * relative) holding its COMPLETE deleted-position set, plus the row
+    * count (so cap checks are metadata-only). See
+    * [[graft.engine.DeletionVectors]].
+    */
+  final case class DvPointer(rel: String, rows: Long)
+
+  /** The version's deletion-vector pointers (round 17 merge-on-read
+    * DML): `#dv <relFile>=<dvRel>:<rows>` header lines. Pointers carry
+    * forward across commits for files still in the list (like `#flen`)
+    * and drop automatically when a rewrite retires the file — new
+    * files always have new names, so a pointer can never go stale.
+    */
+  def dvsAsOf(spark: SparkSession, path: String,
+      v: Long): Map[String, DvPointer] =
+    listLines(spark, path, v).filter(_.startsWith("#dv "))
+      .map { line =>
+        val kv = line.stripPrefix("#dv ")
+        val i = kv.lastIndexOf('=')
+        val value = kv.substring(i + 1)
+        val j = value.lastIndexOf(':')
+        kv.substring(0, i) ->
+          DvPointer(value.substring(0, j), value.substring(j + 1).toLong)
+      }.toMap
+
   /** Atomically commit `files` (table-relative) as the next version.
     * Callers hold the table's [[WriterLease]], so versions never race;
     * the rename is what makes the commit atomic FOR READERS.
@@ -228,9 +253,10 @@ object Manifest {
       stats: FileStats.TableStats = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       txn: Option[(String, Long)] = None,
-      knownLens: Map[String, Long] = Map.empty): Long =
+      knownLens: Map[String, Long] = Map.empty,
+      dvs: Map[String, DvPointer] = Map.empty): Long =
     withCommitLock(spark, path) {
-      commitLocked(spark, path, files, stats, schema, txn, knownLens)
+      commitLocked(spark, path, files, stats, schema, txn, knownLens, dvs)
     }
 
   private def commitLocked(spark: SparkSession, path: String,
@@ -238,7 +264,8 @@ object Manifest {
       stats: FileStats.TableStats,
       schema: Option[org.apache.spark.sql.types.StructType],
       txn: Option[(String, Long)],
-      knownLens: Map[String, Long] = Map.empty): Long = {
+      knownLens: Map[String, Long] = Map.empty,
+      dvs: Map[String, DvPointer] = Map.empty): Long = {
     txn.foreach { case (app, _) =>
       require(app.nonEmpty && !app.exists(c => c == '\n' || c == '\r'),
         s"txn appId must be a non-empty single line, got ${app.take(40)}") }
@@ -285,7 +312,17 @@ object Manifest {
     }.toMap
     val lenHeader = lens.toSeq.sortBy(_._1)
       .map { case (f, l) => s"#flen $f=$l" }
-    val bytes = (header ++ lenHeader ++ files.sorted)
+    // deletion-vector pointers (round 17): carry forward for files
+    // still in the committed list (immutable files — a pointer only
+    // changes when a merge-on-read delete re-points it), drop with the
+    // file otherwise; caller-provided pointers override
+    val prevDvs = prev.map(v => dvsAsOf(spark, path, v))
+      .getOrElse(Map.empty[String, DvPointer])
+    val dvHeader = (prevDvs ++ dvs)
+      .filter { case (f, _) => fileSet(f) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, d) => s"#dv $f=${d.rel}:${d.rows}" }
+    val bytes = (header ++ lenHeader ++ dvHeader ++ files.sorted)
       .mkString("\n").getBytes("UTF-8")
     val fin = new Path(d, f"v$next%020d.list")
     if (conditionalPutStore(fs)) {
@@ -679,7 +716,8 @@ object Manifest {
       add: Seq[String],
       stats: FileStats.TableStats = Map.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      dvs: Map[String, DvPointer] = Map.empty)
 
   /** Validate `p` against the CURRENT snapshot and commit it as the
     * next version, atomically (under the commit lock). Returns None
@@ -717,7 +755,8 @@ object Manifest {
             " — recompute against the current snapshot and retry")
       }
       Some(commitLocked(spark, path,
-        live.filterNot(p.retire) ++ p.add, p.stats, p.schema, p.txn))
+        live.filterNot(p.retire) ++ p.add, p.stats, p.schema, p.txn,
+        dvs = p.dvs))
     }
   }
 
@@ -1180,7 +1219,8 @@ object Manifest {
     else currentVersion(spark, path) match {
       case Some(v) => readFiles(spark, path, schemaAsOf(spark, path, v),
         kept, fileLengthsAsOf(spark, path, v),
-        commitTsAsOf(spark, path, v).getOrElse(0L))
+        commitTsAsOf(spark, path, v).getOrElse(0L),
+        dvsAsOf(spark, path, v))
       case None => readFiles(spark, path, None, kept)
     }
   }
@@ -1363,7 +1403,8 @@ object Manifest {
       s"manifest v$v of $path lists no files — nothing to read")
     readFiles(spark, path, schemaAsOf(spark, path, v), files,
       fileLengthsAsOf(spark, path, v),
-      commitTsAsOf(spark, path, v).getOrElse(0L))
+      commitTsAsOf(spark, path, v).getOrElse(0L),
+      dvsAsOf(spark, path, v))
   }
 
   /** The ONE schema-aware file reader every snapshot read funnels
@@ -1385,10 +1426,11 @@ object Manifest {
       pinned: Option[org.apache.spark.sql.types.StructType],
       relFiles: Seq[String],
       lens: Map[String, Long] = Map.empty,
-      commitMtime: Long = 0L): DataFrame = {
+      commitMtime: Long = 0L,
+      dvs: Map[String, DvPointer] = Map.empty,
+      keepPositions: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.coalesce
     val r = spark.read.option("basePath", path)
-    val paths = relFiles.map(f => s"$path/$f")
     // ZERO-LISTING fast path (round 16): when the manifest's `#flen`
     // ledger covers every requested file and the schema is pinned, the
     // read is served by a manifest-backed FileIndex — no per-file
@@ -1396,12 +1438,33 @@ object Manifest {
     // GET). Partition-value parsing and pruning are Spark's own
     // (ManifestScan scaladoc). Ledger-incomplete (pre-round-16) or
     // unpinned snapshots keep the legacy listing read.
-    def served(st: org.apache.spark.sql.types.StructType)
-        : Option[DataFrame] =
-      if (relFiles.nonEmpty && relFiles.forall(lens.contains))
+    def served(st: org.apache.spark.sql.types.StructType,
+        files: Seq[String]): Option[DataFrame] =
+      if (files.nonEmpty && files.forall(lens.contains))
         Some(org.apache.spark.sql.graftshim.ManifestScan.dataFrame(
-          spark, path, relFiles.map(f => f -> lens(f)), st, commitMtime))
+          spark, path, files.map(f => f -> lens(f)), st, commitMtime))
       else None
+    // the raw scan of a file SUBSET (deletion vectors split the read:
+    // clean files keep the exact pre-DV plan, DV'd files anti-join
+    // their recorded positions pre-projection — DeletionVectors
+    // scaladoc). dvs empty ⇒ one raw(relFiles) call, the old plan.
+    def raw(st: Option[org.apache.spark.sql.types.StructType])(
+        files: Seq[String]): DataFrame = {
+      val paths = files.map(f => s"$path/$f")
+      st match {
+        case Some(s) =>
+          served(s, files).getOrElse(r.schema(s).parquet(paths: _*))
+        case None => r.parquet(paths: _*)
+      }
+    }
+    def scan(st: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      DeletionVectors.applyTo(spark, path, relFiles, dvs, raw(st),
+        keepPositions)
+    val posCols: Seq[org.apache.spark.sql.Column] =
+      if (keepPositions)
+        Seq(litCol(DeletionVectors.FilePathCol),
+          litCol(DeletionVectors.RowIndexCol))
+      else Seq.empty
     pinned match {
       case None =>
         // even without a pinned schema, the reserved ptx_* transform
@@ -1414,7 +1477,7 @@ object Manifest {
         // (review fix, round 15).
         val dirCols = layoutPartitionCols(relFiles).getOrElse(Seq.empty)
           .filter(PartitionTransforms.isDerived).toSet
-        val df = r.parquet(paths: _*)
+        val df = scan(None)
         val derived = df.columns.filter(dirCols)
         if (derived.isEmpty) df else df.drop(derived.toSeq: _*)
       case Some(st) =>
@@ -1423,31 +1486,52 @@ object Manifest {
           // the trailing projection hides directory columns Spark
           // appends beyond the explicit schema — in particular the
           // hidden `ptx_*` transform dirs (round 15); a no-op otherwise
-          served(st).getOrElse(r.schema(st).parquet(paths: _*))
-            .select(st.fieldNames.map(litCol).toSeq: _*)
+          scan(Some(st))
+            .select(st.fieldNames.map(litCol).toSeq ++ posCols: _*)
         else {
           val union = org.apache.spark.sql.types.StructType(
             chains.flatMap { case (f, ps) =>
               f +: ps.map(p => org.apache.spark.sql.types.StructField(
                 p, f.dataType, nullable = true)) })
-          served(union).getOrElse(r.schema(union).parquet(paths: _*))
+          scan(Some(union))
             .select(chains.map { case (f, ps) =>
               if (ps.isEmpty) litCol(f.name)
               else coalesce((f.name +: ps).map(litCol): _*).as(f.name)
-            }: _*)
+            } ++ posCols: _*)
         }
     }
   }
 
   /** A pinned-schema (rename-aware) read of a SUBSET of version `v`'s
     * files — the sub-read the touched-files rewrites (DELETE/UPDATE/
-    * MERGE) use on the files they are about to replace.
+    * MERGE) use on the files they are about to replace. Deletion
+    * vectors apply: rows a merge-on-read delete removed stay removed
+    * in every rewrite's re-read.
     */
   def readSubsetAsOf(spark: SparkSession, path: String, v: Long,
       relFiles: Seq[String]): DataFrame =
     readFiles(spark, path, schemaAsOf(spark, path, v), relFiles,
       fileLengthsAsOf(spark, path, v),
-      commitTsAsOf(spark, path, v).getOrElse(0L))
+      commitTsAsOf(spark, path, v).getOrElse(0L),
+      dvsAsOf(spark, path, v))
+
+  /** Snapshot read carrying the two reserved POSITION columns
+    * ([[DeletionVectors.FilePathCol]] = data-file qualified URI,
+    * [[DeletionVectors.RowIndexCol]] = parquet row index) on every
+    * row — the merge-on-read writers' discovery scan. Positions are
+    * captured at the SCAN (before any projection or join), so they
+    * survive membership joins attached above.
+    */
+  private[graft] def readWithPositionsAsOf(spark: SparkSession,
+      path: String, v: Long): DataFrame = {
+    val files = filesAsOf(spark, path, v)
+    require(files.nonEmpty,
+      s"manifest v$v of $path lists no files — nothing to read")
+    readFiles(spark, path, schemaAsOf(spark, path, v), files,
+      fileLengthsAsOf(spark, path, v),
+      commitTsAsOf(spark, path, v).getOrElse(0L),
+      dvsAsOf(spark, path, v), keepPositions = true)
+  }
 
   /** Move every data file under `stagingPath` into the table directory,
     * preserving relative (partition) structure — the stage-in step of a
@@ -1647,6 +1731,12 @@ object Manifest {
         val live = kept.flatMap(filesAsOf(spark, path, _)).toSet
         val dead = listDataFiles(spark, path).filterNot(live)
         dead.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+        // deletion-vector objects referenced by no retained version
+        // (re-pointed by a later merge-on-read delete, or absorbed by
+        // a rewrite) reclaim with the versions that referenced them
+        DeletionVectors.reclaim(spark, path,
+          kept.flatMap(v => dvsAsOf(spark, path, v).values.map(_.rel))
+            .toSet)
         // prune now-empty partition directories so directory listings
         // don't accumulate husks (best-effort; non-recursive delete
         // fails harmlessly on non-empty dirs)

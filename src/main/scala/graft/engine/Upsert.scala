@@ -637,6 +637,163 @@ object Upsert {
     rewriteMatching(spark, path, prepared, Some(set))
   }
 
+  // ---- merge-on-read DML (round 17): deletion vectors ----------------
+
+  /** The table's row-level DML write strategy: `"copy-on-write"`
+    * (default — rewrite touched files, [[rewriteMatching]]) or
+    * `"merge-on-read"` (record deleted positions in a sidecar,
+    * [[graft.engine.DeletionVectors]]). The static table property
+    * `graft.dml.mode` wins over the session conf
+    * `spark.graft.dml.mode`. COW optimizes reads (no anti-join ever),
+    * MoR optimizes small mutations against big files — O(matched)
+    * sidecar rows instead of O(touched-file-bytes) rewrite, with
+    * compaction as the deferred absorb.
+    */
+  def dmlMode(spark: SparkSession, path: String): String = {
+    val m = Manifest.tableProperties(spark, path).get("graft.dml.mode")
+      .orElse(spark.conf.getOption("spark.graft.dml.mode"))
+      .getOrElse("copy-on-write")
+    require(m == "copy-on-write" || m == "merge-on-read",
+      s"graft.dml.mode of $path must be copy-on-write or merge-on-read," +
+        s" got '$m'")
+    m
+  }
+
+  /** Row-level DELETE as a deletion-vector commit: the matched rows'
+    * (file, position) pairs land in one DV object and the snapshot
+    * re-points — NO data file is rewritten. Same observable semantics
+    * as [[deleteWhere]] (three-valued logic, WriteSerializable vs
+    * concurrent appends, time travel keeps the pre-delete snapshot);
+    * the cost moves from O(touched-file-bytes) to O(matched rows).
+    */
+  def deleteWhereMor(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long =
+    morMutation(spark, path, PreparedPredicate.plain(predicate), None)
+
+  def deleteWhereMor(spark: SparkSession, path: String,
+      prepared: PreparedPredicate): Long =
+    morMutation(spark, path, prepared, None)
+
+  /** Row-level UPDATE under merge-on-read: old images are DV'd out and
+    * the updated copies append as new files — BOTH in one snapshot
+    * commit, so readers see the update wholly or not at all. Updating
+    * a partition column moves the row to its new directory (the append
+    * partitions by the live layout).
+    */
+  def updateWhereMor(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "updateWhereMor: empty SET clause")
+    morMutation(spark, path, PreparedPredicate.plain(predicate), Some(set))
+  }
+
+  def updateWhereMor(spark: SparkSession, path: String,
+      prepared: PreparedPredicate,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(set.nonEmpty, "updateWhereMor: empty SET clause")
+    morMutation(spark, path, prepared, Some(set))
+  }
+
+  /** Shared merge-on-read DELETE/UPDATE engine. Discovery runs ONE
+    * scan with positions captured at the parquet leaves
+    * ([[Manifest.readWithPositionsAsOf]] — they survive membership
+    * joins), the matched row set is persisted so the DV rows, the
+    * per-file counts, and (for UPDATE) the updated copies all derive
+    * from the SAME materialization, and the commit is the standard
+    * optimistic swap scoped to the touched files.
+    */
+  private def morMutation(spark: SparkSession, path: String,
+      prepared: PreparedPredicate,
+      set: Option[Map[String, org.apache.spark.sql.Column]]): Long =
+    WriterLease.withLease(spark, path) {
+      val predicate = prepared.predicate
+      val cur = Manifest.currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"merge-on-read DML needs a manifest-managed table: $path " +
+            "has no committed version — commit an adoption snapshot " +
+            "first, or use copy-on-write"))
+      val live = Manifest.filesAsOf(spark, path, cur)
+      if (live.isEmpty) 0L
+      else {
+        val scan0 = Manifest.readWithPositionsAsOf(spark, path, cur)
+        val fpc = DeletionVectors.FilePathCol
+        val ric = DeletionVectors.RowIndexCol
+        val matches = prepared.attach(scan0).filter(predicate)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val newPos = matches.select(col(fpc).as("file"), col(ric).as("pos"))
+          val matched = newPos.count()
+          if (matched == 0L) 0L
+          else {
+            val toRel = scannedFileToRel(path, "merge-on-read DML") _
+            // per-file match counts: one driver row per touched file
+            // (the pointer metadata, not the matched rows)
+            val perFile = newPos.groupBy("file").count().collect()
+              .map(r => toRel(r.getString(0)) -> r.getLong(1)).toMap
+            val touchedRel = perFile.keys.toSeq.sorted
+            val touchedSet = touchedRel.toSet
+            require(touchedSet.subsetOf(live.toSet),
+              s"merge-on-read DML into $path: scan saw files outside " +
+                s"the live snapshot: " +
+                (touchedSet -- live.toSet).take(3).mkString(", "))
+            val dvs = Manifest.dvsAsOf(spark, path, cur)
+            val oldTouched = touchedRel.filter(dvs.contains)
+            // a touched file's NEW DV object holds its COMPLETE set:
+            // prior positions (if any) plus this statement's matches —
+            // old objects become unreferenced and vacuum reclaims them
+            val allRows = if (oldTouched.isEmpty) newPos
+              else newPos.unionByName(DeletionVectors.readRows(
+                spark, path, oldTouched.map(f => dvs(f).rel)))
+            val totalAfter =
+              dvs.filterNot { case (f, _) => touchedSet(f) }
+                .values.map(_.rows).sum +
+              oldTouched.map(dvs(_).rows).sum + matched
+            val cap = DeletionVectors.maxRows(spark)
+            require(totalAfter <= cap,
+              s"merge-on-read DML into $path would grow the table's " +
+                s"deletion-vector set to $totalAfter rows (cap $cap, " +
+                "spark.graft.dml.dv.maxRows — the DV rows broadcast to " +
+                "every scan). Compact the table to absorb its deletion " +
+                "vectors, or run this statement copy-on-write")
+            val dvRel = DeletionVectors.write(spark, path, allRows)
+            val pointers = touchedRel.map { f =>
+              f -> Manifest.DvPointer(dvRel,
+                perFile(f) + dvs.get(f).map(_.rows).getOrElse(0L))
+            }.toMap
+            set match {
+              case None =>
+                Manifest.commitOptimistic(spark, path,
+                  Manifest.PreparedCommit(
+                    scope = touchedSet, expected = touchedSet,
+                    retire = Set.empty, add = Seq.empty, dvs = pointers))
+                matched
+              case Some(assignments) =>
+                val tableCols = scan0.columns
+                  .filterNot(c => c == fpc || c == ric).toIndexedSeq
+                assignments.keys.foreach(c => require(
+                  tableCols.contains(c),
+                  s"updateWhereMor into $path: SET column $c not in " +
+                    tableCols.mkString(",")))
+                val updated = matches.select(tableCols.map { c =>
+                  assignments.get(c).map(_.as(c)).getOrElse(col(c))
+                }: _*)
+                val partCols =
+                  Manifest.layoutPartitionCols(live).getOrElse(Seq.empty)
+                withStaged(spark, path, updated, partCols, "mor_update") {
+                  movedIn =>
+                    Manifest.commitOptimistic(spark, path,
+                      Manifest.PreparedCommit(
+                        scope = touchedSet,
+                        expected = touchedSet,
+                        retire = Set.empty, add = movedIn, dvs = pointers))
+                }
+                matched
+            }
+          }
+        } finally { matches.unpersist(); () }
+      }
+    }
+
   /** REPLACE WHERE (round 17): delete-by-predicate + append in ONE
     * snapshot commit — the expression-scoped overwrite. Files holding
     * predicate matches are rewritten WITHOUT their matching rows and
@@ -682,9 +839,16 @@ object Upsert {
           "replaced region and duplicate on the next replace; widen " +
           "the predicate or append them separately")
       val toRel = scannedFileToRel(path, "replaceWhere") _
-      val touched = table.filter(predicate)
-        .select(org.apache.spark.sql.functions.input_file_name())
-        .distinct().collect().map(r => toRel(r.getString(0))).sorted
+      val touched = dvDiscovery(spark, path) match {
+        case Some((scan0, toRelB)) =>
+          scan0.filter(predicate)
+            .select(col(DeletionVectors.FilePathCol))
+            .distinct().collect().map(r => toRelB(r.getString(0))).sorted
+        case None =>
+          table.filter(predicate)
+            .select(org.apache.spark.sql.functions.input_file_name())
+            .distinct().collect().map(r => toRel(r.getString(0))).sorted
+      }
       val live = Manifest.currentLive(spark, path)
       val touchedSet = touched.toSet
       require(touchedSet.subsetOf(live.toSet),
@@ -700,6 +864,8 @@ object Upsert {
           val sub = Manifest.readFiles(spark, path, pinned,
             touched.toSeq,
             cur.map(Manifest.fileLengthsAsOf(spark, path, _))
+              .getOrElse(Map.empty),
+            dvs = cur.map(Manifest.dvsAsOf(spark, path, _))
               .getOrElse(Map.empty))
           // keep FALSE-or-NULL rows (SQL DELETE three-valued semantics,
           // same as deleteWhere)
@@ -747,6 +913,27 @@ object Upsert {
     p.substring(i + pathUri.length).stripPrefix("/")
   }
 
+  /** Touched-file discovery over a DV-BEARING snapshot (round 17): the
+    * DV-applied read is a multi-source union (clean branch ∪ anti-join
+    * branch), where `input_file_name()` refuses to bind
+    * (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION) — so the per-branch
+    * position capture names each row's file instead
+    * ([[Manifest.readWithPositionsAsOf]]'s [[DeletionVectors
+    * .FilePathCol]], relativized through the same
+    * [[scannedFileToRel]] every rewrite verb uses). Returns None for a
+    * DV-free snapshot: callers keep the single-source
+    * `input_file_name()` scan with its full predicate pushdown.
+    */
+  private def dvDiscovery(spark: SparkSession, path: String)
+      : Option[(DataFrame, String => String)] = {
+    val cur = Manifest.currentVersion(spark, path)
+    val dvs = cur.map(Manifest.dvsAsOf(spark, path, _))
+      .getOrElse(Map.empty[String, Manifest.DvPointer])
+    if (dvs.isEmpty) None
+    else Some((Manifest.readWithPositionsAsOf(spark, path, cur.get),
+      scannedFileToRel(path, "DV discovery") _))
+  }
+
   /** Shared DELETE/UPDATE engine: find touched files via a
     * predicate-pushed `input_file_name()` scan, rewrite only those,
     * swap via one manifest commit. `set` None = delete matches;
@@ -768,19 +955,28 @@ object Upsert {
       // honest cost of a key set too large to literalize (AQE still
       // broadcasts a small-enough key side).
       val fileCol = "__graft_input_file"
-      val touchedScan =
-        if (prepared.joins.isEmpty)
-          table.filter(predicate)
-            .select(org.apache.spark.sql.functions.input_file_name())
-        else {
-          require(!table.columns.contains(fileCol),
-            s"rewriteMatching into $path: column $fileCol is reserved")
-          prepared.attach(table.withColumn(fileCol,
-              org.apache.spark.sql.functions.input_file_name()))
-            .filter(predicate).select(col(fileCol))
-        }
-      val touched = touchedScan
-        .distinct().collect().map(r => toRel(r.getString(0))).sorted
+      val touched = dvDiscovery(spark, path) match {
+        case Some((scan0, toRelB)) =>
+          // DV'd snapshot: positions captured per scan branch replace
+          // input_file_name (which cannot bind over the DV union)
+          prepared.attach(scan0).filter(predicate)
+            .select(col(DeletionVectors.FilePathCol))
+            .distinct().collect().map(r => toRelB(r.getString(0))).sorted
+        case None =>
+          val touchedScan =
+            if (prepared.joins.isEmpty)
+              table.filter(predicate)
+                .select(org.apache.spark.sql.functions.input_file_name())
+            else {
+              require(!table.columns.contains(fileCol),
+                s"rewriteMatching into $path: column $fileCol is reserved")
+              prepared.attach(table.withColumn(fileCol,
+                  org.apache.spark.sql.functions.input_file_name()))
+                .filter(predicate).select(col(fileCol))
+            }
+          touchedScan
+            .distinct().collect().map(r => toRel(r.getString(0))).sorted
+      }
       if (touched.isEmpty) 0L
       else {
         val live = Manifest.currentLive(spark, path)
@@ -800,6 +996,8 @@ object Upsert {
         val pinned = cur.flatMap(Manifest.schemaAsOf(spark, path, _))
         val sub = Manifest.readFiles(spark, path, pinned, touched.toSeq,
           cur.map(Manifest.fileLengthsAsOf(spark, path, _))
+            .getOrElse(Map.empty),
+          dvs = cur.map(Manifest.dvsAsOf(spark, path, _))
             .getOrElse(Map.empty))
         val partCols =
           Manifest.layoutPartitionCols(touched.toSeq).getOrElse(Seq.empty)
@@ -1219,13 +1417,24 @@ object Upsert {
         // standard cost of this clause; see [[mergeProgram]])
         preLive.sorted
       else if (matched.isEmpty) Seq.empty // insert-only: no rewrite needed
-      else {
-        val withFile = table.withColumn("__graft_file", input_file_name())
-        val matchCond = keys.map(k => withFile(k) <=> srcKeys(s"__mk_$k"))
-          .reduce(_ && _)
-        withFile.join(srcKeys, matchCond, "left_semi")
-          .select(col("__graft_file")).distinct()
-          .collect().map(r => toRel(r.getString(0))).sorted.toSeq
+      else dvDiscovery(spark, path) match {
+        case Some((scan0, toRelB)) =>
+          // DV'd snapshot: per-branch position capture instead of
+          // input_file_name (which cannot bind over the DV union)
+          val withFile = scan0.withColumnRenamed(
+            DeletionVectors.FilePathCol, "__graft_file")
+          val matchCond = keys.map(k => withFile(k) <=> srcKeys(s"__mk_$k"))
+            .reduce(_ && _)
+          withFile.join(srcKeys, matchCond, "left_semi")
+            .select(col("__graft_file")).distinct()
+            .collect().map(r => toRelB(r.getString(0))).sorted.toSeq
+        case None =>
+          val withFile = table.withColumn("__graft_file", input_file_name())
+          val matchCond = keys.map(k => withFile(k) <=> srcKeys(s"__mk_$k"))
+            .reduce(_ && _)
+          withFile.join(srcKeys, matchCond, "left_semi")
+            .select(col("__graft_file")).distinct()
+            .collect().map(r => toRel(r.getString(0))).sorted.toSeq
       }
     val touchedSet = touched.toSet
     require(touchedSet.subsetOf(preLive.toSet),

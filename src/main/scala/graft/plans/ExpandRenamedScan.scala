@@ -34,7 +34,12 @@ case class ExpandRenamedScan(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def expandable(p: LogicalPlan): Boolean = p match {
     case r: DataSourceV2Relation => r.table match {
-      case t: GraftTable => !t.exposeUnion && t.renamePriors.nonEmpty
+      // DV-bearing snapshots are [[ApplyDeletionVectors]]'s to swap —
+      // its V1 plan coalesces rename chains itself (readFiles), and
+      // expanding here first would leave it a union-schema relation
+      // whose coalesced re-read breaks the Project above (round 17)
+      case t: GraftTable =>
+        !t.exposeUnion && t.renamePriors.nonEmpty && t.dvMap.isEmpty
       case _ => false
     }
     case _ => false

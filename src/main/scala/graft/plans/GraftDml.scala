@@ -225,9 +225,15 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     // rewrite; [[GraftDmlSubqueries]] literalizes the subqueries when
     // the command RUNS. Subquery-free DELETEs keep the stock
     // SupportsDeleteV2 route (predicate translation + pushdown).
+    // … and (round 17) ANY delete against a merge-on-read table — the
+    // stock route only handles V2-translatable predicates (it refuses
+    // `%`, functions, …) and always rewrites files; the command
+    // dispatches to the deletion-vector verb with the full Column
+    // predicate
     case d @ DeleteFromTable(GraftRelation(_, t), condition)
         if d.resolved &&
-          condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+          (condition.exists(_.isInstanceOf[SubqueryExpression]) ||
+            Upsert.dmlMode(spark, t.path) == "merge-on-read") =>
       t.asOfVersion.foreach(v => throw new UnsupportedOperationException(
         s"cannot delete from ${t.name()}: VERSION AS OF $v is a " +
           "read-only snapshot"))
@@ -334,7 +340,9 @@ final case class GraftDynamicOverwriteCommand(table: GraftTable,
 }
 
 /** `UPDATE <cat>.<ns>.<t> SET … WHERE …` → [[Upsert.updateWhere]]'s
-  * touched-files-only snapshot rewrite. */
+  * touched-files-only snapshot rewrite, or — when the table's DML mode
+  * is merge-on-read (round 17) — [[Upsert.updateWhereMor]]'s
+  * deletion-vector + append commit. */
 final case class GraftUpdateCommand(table: GraftTable, condition: Column,
     set: Map[String, Column]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
@@ -342,23 +350,31 @@ final case class GraftUpdateCommand(table: GraftTable, condition: Column,
     // WHERE may carry oversized membership subqueries (distributed
     // join fallback); SET values stay literal-only — they evaluate
     // inside the rewrite projection, which a join cannot reach
-    Upsert.updateWhere(session, table.path,
-      GraftDmlSubqueries.prepare(session, condition, where),
-      set.map { case (k, v) =>
-        k -> GraftDmlSubqueries.materialize(session, v, where) })
+    val prepared = GraftDmlSubqueries.prepare(session, condition, where)
+    val assigns = set.map { case (k, v) =>
+      k -> GraftDmlSubqueries.materialize(session, v, where) }
+    if (Upsert.dmlMode(session, table.path) == "merge-on-read")
+      Upsert.updateWhereMor(session, table.path, prepared, assigns)
+    else
+      Upsert.updateWhere(session, table.path, prepared, assigns)
     Seq.empty
   }
 }
 
 /** `DELETE FROM <cat>.<ns>.<t> WHERE <pred with subqueries>` →
-  * [[Upsert.deleteWhere]]'s touched-files-only snapshot rewrite (the
-  * subquery-free shapes never get here — they ride the stock
-  * SupportsDeleteV2 route). */
+  * [[Upsert.deleteWhere]]'s touched-files-only snapshot rewrite — or
+  * the deletion-vector commit under merge-on-read (round 17). The
+  * subquery-free shapes never get here; they ride the stock
+  * SupportsDeleteV2 route, which dispatches on the same mode. */
 final case class GraftDeleteCommand(table: GraftTable, condition: Column)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    Upsert.deleteWhere(session, table.path, GraftDmlSubqueries
-      .prepare(session, condition, s"DELETE FROM ${table.name()}"))
+    val prepared = GraftDmlSubqueries.prepare(session, condition,
+      s"DELETE FROM ${table.name()}")
+    if (Upsert.dmlMode(session, table.path) == "merge-on-read")
+      Upsert.deleteWhereMor(session, table.path, prepared)
+    else
+      Upsert.deleteWhere(session, table.path, prepared)
     Seq.empty
   }
 }

@@ -226,6 +226,43 @@ object CatalogQueries {
                       CAST(sum(price_cents) AS BIGINT) AS cents,
                       CAST(min(price_cents) AS BIGINT) AS min_cents
                FROM graftwh.marts.ord_upd GROUP BY pri""")
+      // round 17: MERGE-ON-READ DML — the table property routes every
+      // DELETE/UPDATE through deletion-vector commits
+      // (Upsert.deleteWhereMor/updateWhereMor): no data file is ever
+      // rewritten; SQL reads anti-join the recorded positions
+      // (plans.ApplyDeletionVectors). Exercises both SQL routes
+      // (subquery-free DELETE = SupportsDeleteV2, subquery DELETE =
+      // GraftDeleteCommand), STACKED deletes on the same files
+      // (pointer re-point + position-set merge), and an UPDATE whose
+      // new images append beside the DV'd old ones in one commit.
+      s.sql("""CREATE TABLE graftwh.marts.ord_mor (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)
+               TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')""")
+      s.sql("""INSERT INTO graftwh.marts.ord_mor
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""DELETE FROM graftwh.marts.ord_mor
+               WHERE pri = '2-HIGH' AND o_orderkey % 3 = 0""")
+      s.sql("""DELETE FROM graftwh.marts.ord_mor
+               WHERE pri = '2-HIGH' AND o_orderkey % 3 = 1""")
+      s.sql("""DELETE FROM graftwh.marts.ord_mor
+               WHERE pri = '3-MEDIUM' AND o_orderkey IN
+                 (SELECT o_orderkey FROM __cat_merge_src)""")
+      s.sql("""UPDATE graftwh.marts.ord_mor
+               SET price_cents = price_cents * 2 + 5
+               WHERE pri = '5-LOW' AND o_orderkey % 2 = 0""")
+      // … and the ABSORB: a second merge-on-read table compacted after
+      // its DVs accumulate — compaction reads DV-applied rows and
+      // lands clean files, retiring every pointer in one commit
+      s.sql("""CREATE TABLE graftwh.marts.ord_morc (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)
+               TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')""")
+      s.sql("""INSERT INTO graftwh.marts.ord_morc
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""DELETE FROM graftwh.marts.ord_morc
+               WHERE pri = '1-URGENT' AND o_orderkey % 2 = 1""")
+      s.sql("""UPDATE graftwh.marts.ord_morc
+               SET pri = 'X-MOR' WHERE pri = '4-NOT SPECIFIED'""")
+      s.sql("CALL graftwh.system.compact('marts.ord_morc')")
       // round 15: ALTER COLUMN TYPE widening — INT files live under a
       // BIGINT pinned schema (Spark's parquet widening promotion), the
       // post-widen insert lands values that overflow INT
@@ -844,10 +881,83 @@ object CatalogQueries {
       FROM fin WHERE d >= DATE '1997-01-01'
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Merge-on-read DML (round 17): three DELETEs (two stacked on the
+    * same files, one through the subquery-command route) and an UPDATE
+    * against a `graft.dml.mode=merge-on-read` table — every statement
+    * commits deletion-vector pointers, never a rewritten data file,
+    * and the SELECT reads through the DV anti-join
+    * ([[graft.plans.ApplyDeletionVectors]]). The oracle restates the
+    * surviving-row algebra; a green hash proves positions recorded,
+    * merged across stacked deletes, and applied at read are exactly
+    * the rows the statements matched.
+    */
+  val qSqlDeleteMor = QueryDef(
+    "q_sql_delete_mor",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_mor GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      kept AS (
+        SELECT * FROM t7
+        WHERE NOT (pri = '2-HIGH' AND (k % 3 = 0 OR k % 3 = 1))
+          AND NOT (pri = '3-MEDIUM' AND
+                   k IN (SELECT k FROM base WHERE k % 5 = 0))),
+      fin AS (
+        SELECT k,
+               CASE WHEN pri = '5-LOW' AND k % 2 = 0
+                    THEN pc * 2 + 5 ELSE pc END AS pc,
+               pri
+        FROM kept)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
+  /** Deletion-vector ABSORB (round 17): merge-on-read DELETE + UPDATE
+    * accumulate DVs, then `CALL system.compact` reads the DV-applied
+    * rows and lands clean files — the deferred rewrite. The oracle
+    * restates the post-DML state; a green hash proves the absorb is
+    * value-exact (CatalogSpec asserts the pointers actually dropped
+    * and the files merged).
+    */
+  val qSqlMorCompact = QueryDef(
+    "q_sql_mor_compact",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_morc GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      kept AS (
+        SELECT * FROM t7
+        WHERE NOT (pri = '1-URGENT' AND k % 2 = 1)),
+      fin AS (
+        SELECT k, pc,
+               CASE WHEN pri = '4-NOT SPECIFIED' THEN 'X-MOR'
+                    ELSE pri END AS pri
+        FROM kept)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
       qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeFull,
       qSqlMergeShell, qSqlDeleteIn, qSqlTwoLevel, qSqlWiden,
       qSqlHiddenPart, qSqlOverwriteDynamic, qSqlDeleteExists,
-      qSqlDeleteExistsBig, qSqlView, qSqlReplaceWhere)
+      qSqlDeleteExistsBig, qSqlView, qSqlReplaceWhere, qSqlDeleteMor,
+      qSqlMorCompact)
 }
