@@ -130,7 +130,8 @@ object Bench {
   private[graft] final case class BaselineDetail(
       wall: Map[String, Double],
       cpu: Map[String, Double],
-      exec: Map[String, Map[String, Long]])
+      exec: Map[String, Map[String, Long]],
+      ncpus: Option[Int] = None)
 
   private[graft] def readBaseline(path: String): Option[BaselineDetail] =
     try {
@@ -148,7 +149,9 @@ object Bench {
             .map(f => f.getKey -> f.getValue.asLong()).toMap
         }.toMap
       }.getOrElse(Map.empty[String, Map[String, Long]])
-      Some(BaselineDetail(numMap("queries"), numMap("cpu"), exec))
+      val ncpus = Option(root.get("env")).flatMap(e =>
+        Option(e.get("ncpus"))).map(_.asInt())
+      Some(BaselineDetail(numMap("queries"), numMap("cpu"), exec, ncpus))
     } catch { case _: Throwable => None }
 
   /** The mechanized arbitration (round-16 verdict ask 6). Compares this
@@ -167,7 +170,15 @@ object Bench {
   private[graft] def driftVerdict(
       baselinePath: String, base: BaselineDetail,
       wall: Map[String, Double], cpu: Map[String, Double],
-      exec: Map[String, Map[String, Long]]): String = {
+      exec: Map[String, Map[String, Long]],
+      runNcpus: Int): String = {
+    // a baseline captured at a different parallelism has legitimately
+    // different task counts and shuffle splits — comparing would read
+    // as a spurious "code-change" (round-17 close lesson: an 8-cpu
+    // verification run clobbered the 32-cpu baseline's comparability)
+    base.ncpus.filter(_ != runNcpus).foreach { n =>
+      return s"""{"baseline":"$baselinePath","verdict":"baseline-incomparable","baseline_ncpus":$n,"run_ncpus":$runNcpus}"""
+    }
     val common = wall.keySet.intersect(base.wall.keySet)
       .filter(q => wall(q) >= 0 && base.wall(q) >= 0 &&
         exec.contains(q) && base.exec.contains(q)).toSeq.sorted
@@ -414,7 +425,8 @@ object Bench {
       .orElse(Option("BENCH_DETAIL.json")
         .filter(p => keep.isEmpty && new java.io.File(p).isFile))
     val driftJson = baselinePath.flatMap(p => readBaseline(p).map(b =>
-      driftVerdict(p, b, results.toMap, cpuStats.toMap, execStats.toMap)))
+      driftVerdict(p, b, results.toMap, cpuStats.toMap, execStats.toMap,
+        cpus.toInt)))
       .getOrElse("""{"verdict":"no-baseline"}""")
     val detail = line(fullJson, results.size, total).dropRight(1) +
       s""","work":$workJson,"drift":$driftJson,"reps":$repsJson,"cpu":$cpuJson,"exec":$execJson}"""

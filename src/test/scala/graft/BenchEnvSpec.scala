@@ -26,4 +26,43 @@ class BenchEnvSpec extends AnyFunSuite {
     val b = Bench.systemBusyJiffies()
     assert(b >= a, s"busy jiffies went backwards: $a -> $b")
   }
+
+  test("readBaseline carries env.ncpus for the comparability guard") {
+    // round-17 close lesson: a baseline captured at a different
+    // parallelism has legitimately different task counts, and the
+    // drift verdict must refuse it rather than report "code-change"
+    val f = java.nio.file.Files.createTempFile("bench_baseline", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"queries":{"q_a":1.5},"cpu":{"q_a":2.0},""" +
+        """"exec":{"q_a":{"n_tasks":8,"shuffle_write_bytes":100}},""" +
+        """"env":{"ncpus":8}}""")
+    val b = Bench.readBaseline(f.toString)
+    assert(b.exists(_.ncpus.contains(8)))
+    assert(b.exists(_.wall("q_a") == 1.5))
+    // a pre-round-17 record without the env block parses with None
+    java.nio.file.Files.writeString(f, """{"queries":{"q_a":1.0}}""")
+    assert(Bench.readBaseline(f.toString).exists(_.ncpus.isEmpty))
+    java.nio.file.Files.delete(f)
+  }
+
+  test("driftVerdict refuses a baseline captured at different ncpus") {
+    val base = Bench.BaselineDetail(
+      wall = Map("q_a" -> 1.0), cpu = Map("q_a" -> 2.0),
+      exec = Map("q_a" -> Map("n_tasks" -> 8L, "shuffle_write_bytes" -> 100L)),
+      ncpus = Some(8))
+    val run = Map("q_a" -> 1.3)
+    val rc = Map("q_a" -> 2.3)
+    val re = Map("q_a" -> Map("n_tasks" -> 32L, "shuffle_write_bytes" -> 90L))
+    val refused = Bench.driftVerdict("b.json", base, run, rc, re, 32)
+    assert(refused.contains("baseline-incomparable") &&
+      refused.contains("\"baseline_ncpus\":8") &&
+      refused.contains("\"run_ncpus\":32"), refused)
+    // same ncpus: the comparison proceeds (here: work changed)
+    val judged = Bench.driftVerdict("b.json", base, run, rc, re, 8)
+    assert(judged.contains("\"verdict\":\"code-change\""), judged)
+    // a pre-round-17 baseline (no ncpus) stays comparable
+    val legacy = Bench.driftVerdict("b.json", base.copy(ncpus = None),
+      run, rc, re, 32)
+    assert(!legacy.contains("baseline-incomparable"), legacy)
+  }
 }
