@@ -313,7 +313,13 @@ final case class GraftTable(spark: SparkSession, tableName: String,
         s"DELETE FROM $tableName: cannot translate " +
           predicates.mkString(" AND ") + " — use Upsert.deleteWhere " +
           "with an arbitrary Column predicate"))
-    if (Upsert.dmlMode(spark, path) == "merge-on-read")
+    // the trivially-true condition (`DELETE FROM t`, TRUNCATE) stays
+    // copy-on-write even under merge-on-read: DV'ing every row keeps
+    // all files live under full vectors — the empty-snapshot commit is
+    // strictly better (round 17; mirrors RewriteGraftDml's guard)
+    val trivial = predicates.isEmpty ||
+      predicates.forall(_.name() == "ALWAYS_TRUE")
+    if (!trivial && Upsert.dmlMode(spark, path) == "merge-on-read")
       Upsert.deleteWhereMor(spark, path, cond)
     else Upsert.deleteWhere(spark, path, cond)
     ()

@@ -229,11 +229,15 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     // stock route only handles V2-translatable predicates (it refuses
     // `%`, functions, …) and always rewrites files; the command
     // dispatches to the deletion-vector verb with the full Column
-    // predicate
+    // predicate. EXCEPT the trivially-true condition (`DELETE FROM t`
+    // with no WHERE): DV'ing every row keeps all data files live under
+    // full deletion vectors, strictly worse than the stock route's
+    // empty-snapshot commit — table clearing stays copy-on-write.
     case d @ DeleteFromTable(GraftRelation(_, t), condition)
         if d.resolved &&
           (condition.exists(_.isInstanceOf[SubqueryExpression]) ||
-            Upsert.dmlMode(spark, t.path) == "merge-on-read") =>
+            (condition != Literal.TrueLiteral &&
+              Upsert.dmlMode(spark, t.path) == "merge-on-read")) =>
       t.asOfVersion.foreach(v => throw new UnsupportedOperationException(
         s"cannot delete from ${t.name()}: VERSION AS OF $v is a " +
           "read-only snapshot"))

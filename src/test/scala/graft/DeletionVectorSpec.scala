@@ -235,6 +235,30 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(keys(p) === Set(1, 4))
   }
 
+  test("full-table DELETE on a MoR table clears it copy-on-write, no DVs") {
+    val root = Files.createTempDirectory("graft-dv-trunc").toString
+    spark.conf.set("spark.sql.catalog.dvtc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvtc.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvtc.ns")
+    spark.sql("""CREATE TABLE dvtc.ns.t (k BIGINT, v BIGINT)
+                 TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')""")
+    spark.range(0, 20).selectExpr("id as k", "id as v")
+      .createOrReplaceTempView("__dv_trunc_src")
+    spark.sql("INSERT INTO dvtc.ns.t SELECT k, v FROM __dv_trunc_src")
+    val p = s"$root/ns/t"
+    val before = Manifest.currentLive(spark, p).toSet
+    assert(before.nonEmpty)
+    spark.sql("DELETE FROM dvtc.ns.t")
+    val v = Manifest.currentVersion(spark, p).get
+    // DV'ing every row would keep all data files live under full
+    // vectors; the clear must RETIRE them (at most one empty part
+    // file survives the unpartitioned rewrite) and bind no pointers
+    val after = Manifest.filesAsOf(spark, p, v)
+    assert(after.toSet.intersect(before).isEmpty && after.size <= 1)
+    assert(Manifest.dvsAsOf(spark, p, v).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM dvtc.ns.t").as[Long].head === 0L)
+  }
+
   test("no-match MoR delete is a version no-op") {
     val p = tmp(); seed(p)
     val v = Manifest.currentVersion(spark, p).get
