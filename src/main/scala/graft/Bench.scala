@@ -131,7 +131,8 @@ object Bench {
       wall: Map[String, Double],
       cpu: Map[String, Double],
       exec: Map[String, Map[String, Long]],
-      ncpus: Option[Int] = None)
+      ncpus: Option[Int] = None,
+      quiescedAtStart: Option[Boolean] = None)
 
   private[graft] def readBaseline(path: String): Option[BaselineDetail] =
     try {
@@ -151,8 +152,40 @@ object Bench {
       }.getOrElse(Map.empty[String, Map[String, Long]])
       val ncpus = Option(root.get("env")).flatMap(e =>
         Option(e.get("ncpus"))).map(_.asInt())
-      Some(BaselineDetail(numMap("queries"), numMap("cpu"), exec, ncpus))
+      val quiesced = Option(root.get("env")).flatMap(e =>
+        Option(e.get("quiesced_at_start"))).map(_.asBoolean())
+      Some(BaselineDetail(numMap("queries"), numMap("cpu"), exec, ncpus,
+        quiesced))
     } catch { case _: Throwable => None }
+
+  /** Default drift baseline (round-17 verdict ask 6): the most recent
+    * committed QUIESCED record matching this run's parallelism —
+    * `BENCH_DETAIL_r<N>_<phase>_quiesced.json`, ranked by round then
+    * phase (close of a round postdates its early anchor), skipping any
+    * whose env says a different ncpus or a failed quiesce gate. Falls
+    * back to the working-tree BENCH_DETAIL.json (the pre-round-18
+    * behavior) when no quiesced record qualifies, so a fresh checkout
+    * still gets a verdict.
+    */
+  private[graft] def defaultBaseline(runNcpus: Int,
+      dir: java.io.File = new java.io.File(".")): Option[String] = {
+    val re = """BENCH_DETAIL_r(\d+)_([a-z]+)_quiesced\.json""".r
+    val ranked = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        f.getName match {
+          case re(r, phase) =>
+            Some((f, r.toInt, if (phase == "early") 0 else 1))
+          case _ => None
+        }
+      }
+      .sortBy { case (f, round, phase) => (-round, -phase, -f.lastModified) }
+    ranked.find { case (f, _, _) =>
+      readBaseline(f.getPath).exists(b =>
+        b.ncpus.contains(runNcpus) && b.quiescedAtStart.contains(true))
+    }.map(_._1.getName)
+      .orElse(Option("BENCH_DETAIL.json")
+        .filter(p => new java.io.File(dir, p).isFile))
+  }
 
   /** The mechanized arbitration (round-16 verdict ask 6). Compares this
     * run's per-query evidence against a baseline detail record and
@@ -167,11 +200,24 @@ object Bench {
     *  - otherwise `code-change`, naming the queries whose task/shuffle
     *    footprint moved most.
     */
+  /** JSON string-escape for values interpolated into the hand-built
+    * records (the baseline PATH is caller-controlled — a quote or
+    * backslash in it must not corrupt BENCH_DETAIL.json).
+    */
+  private def jstr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private[graft] def driftVerdict(
-      baselinePath: String, base: BaselineDetail,
+      baselinePath0: String, base: BaselineDetail,
       wall: Map[String, Double], cpu: Map[String, Double],
       exec: Map[String, Map[String, Long]],
       runNcpus: Int): String = {
+    val baselinePath = jstr(baselinePath0)
     // a baseline captured at a different parallelism has legitimately
     // different task counts and shuffle splits — comparing would read
     // as a spurious "code-change" (round-17 close lesson: an 8-cpu
@@ -369,8 +415,16 @@ object Bench {
       else math.max(0.0, (jiffies1 - timedJiffies0) / 100.0 - procCpuSec)
     val nCpus = cpus.toInt
     val loadavgEnd = loadavg1()
+    // two triggers: >15% of MACHINE capacity (the original rule — a
+    // co-running compile), or other-process CPU exceeding one full
+    // core-second per wall-second (round-17's raw record burned 722
+    // other-CPU-s over a 570 s window — heavily contended — yet read
+    // contended:false because 722 was under 15% of 32 cores; accepted
+    // quiesced records run 0–0.7 cores of background, so one core is
+    // the honest line)
     val contended = (otherCpuSec >= 0 &&
-      otherCpuSec > 0.15 * timedWallSec * nCpus) || loadavgStart > nCpus / 4.0
+      (otherCpuSec > 0.15 * timedWallSec * nCpus ||
+        otherCpuSec > timedWallSec)) || loadavgStart > nCpus / 4.0
     // cpu_queries_sec is the work-normalized suite total (sum of
     // per-query per-rep process-CPU seconds): drift-resistant where the
     // wall total is not, printed alongside it on the one-line record.
@@ -419,11 +473,13 @@ object Bench {
     val workJson =
       f"""{"cpu_total_sec":$cpuTotal%.1f,"tasks_total":$tasksTotal,"shuffle_write_total_bytes":$shuffleTotal}"""
     // Drift arbitration vs a prior record: explicit via
-    // SPARK_GRAFT_BENCH_BASELINE, else the committed BENCH_DETAIL.json
-    // in the working directory (the previous round's record) if present.
+    // SPARK_GRAFT_BENCH_BASELINE, else the most recent env-matched
+    // QUIESCED record in the working directory (round-17 ask: the
+    // last-written BENCH_DETAIL.json may be a contended raw record or
+    // a different-parallelism probe — the committed quiesced anchors
+    // are the decision-grade baselines), else BENCH_DETAIL.json.
     val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
-      .orElse(Option("BENCH_DETAIL.json")
-        .filter(p => keep.isEmpty && new java.io.File(p).isFile))
+      .orElse(if (keep.nonEmpty) None else defaultBaseline(cpus.toInt))
     val driftJson = baselinePath.flatMap(p => readBaseline(p).map(b =>
       driftVerdict(p, b, results.toMap, cpuStats.toMap, execStats.toMap,
         cpus.toInt)))

@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "connected_components"),
       (children: Seq[Expression]) =>
         graft.plans.ComponentsTvf.fromArgs(children)))
+    // persisted matviews re-arm before the rewrite rule can run
+    // (round 18: SQL DDL for materialized views)
+    ext.injectResolutionRule(s => graft.plans.LoadGraftMatviews(s))
     ext.injectResolutionRule(s =>
       graft.engine.MaterializedViews.RewriteToMv(s))
     ext.injectResolutionRule(s => graft.plans.ExpandTableChanges(s))

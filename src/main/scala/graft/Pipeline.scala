@@ -51,7 +51,9 @@ object Pipeline {
   def runDaily(spark: SparkSession, landingRoot: String, warehouse: String,
       date: String, checked: Boolean = false,
       autoCompactPolicy: engine.Compaction.AutoPolicy =
-        engine.Compaction.AutoPolicy()): Unit = {
+        engine.Compaction.AutoPolicy(),
+      annIndexes: Seq[(String, String)] = Nil,
+      annStaleness: Double = 0.5): Unit = {
     // 1. ingest ONLY the day's prefix (the reference's date-scoped key
     //    listing, `transformed_from_s3_to_pg.py:22-25`) → idempotent ODS
     val day =
@@ -127,6 +129,15 @@ object Pipeline {
       partitionCol = Some("source_date"), policy = autoCompactPolicy)
     engine.Compaction.autoCompact(spark, factPath(warehouse),
       partitionCol = Some("date"), policy = autoCompactPolicy)
+    // 8. ANN indexes riding this pipeline's tables reindex themselves
+    //    once their corpus outgrows the build (round 18 — the policy
+    //    half of round 17's reindex verb: the staleness check is one
+    //    metadata read, the rebuild fires only past the threshold and
+    //    swaps probe-continuously)
+    annIndexes.foreach { case (srcPath, indexRoot) =>
+      engine.AnnIndex.reindexIfStale(spark, srcPath, indexRoot,
+        annStaleness)
+    }
     ()
   }
 

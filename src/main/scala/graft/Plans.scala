@@ -93,7 +93,20 @@ object Plans {
     // streamed change feed (the read side of each — the DML itself is
     // command-shaped, not plan-shaped)
     "q_sql_ctas_overwrite", "q_sql_merge_actions", "q_cdc_stream",
-    "q_video_frames")
+    "q_video_frames",
+    // round 17: the view expansion (plan = the expanded definition
+    // against the current snapshot — the view layer adds zero scan
+    // cost), the predicate-scoped replace, the membership-join DML,
+    // and the merge-on-read read side: ord_mor must show the per-file
+    // split (clean scan ∪ DV anti-join), ord_morc post-absorb must be
+    // a PLAIN scan again (the pointers died with the compaction)
+    "q_sql_view", "q_sql_replace_where", "q_sql_delete_exists_big",
+    "q_sql_delete_mor", "q_sql_mor_compact",
+    // round 18: the MoR MERGE read-back (write-time DV work; the scan
+    // shows the anti-join branch), the SQL matview probe (the plan
+    // must scan the MART manifest, not the source fact — the rewrite
+    // is the evidence), and the named-source drained feed read-back
+    "q_sql_merge_mor", "q_sql_matview", "q_graft_source")
 
   /** Queries whose scale story rests on RUNTIME exchange reuse across
     * the K levels of an analysis-time TVF expansion (one shuffle of the

@@ -393,6 +393,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def viewIdentOk(ident: Identifier): Boolean =
     ident.namespace.length == 1
 
+  // ---- persisted matviews (round 18, [[GraftMatviews]]) -------------
+  // Definition docs only; the mart DATA is an ordinary manifest table
+  // at the matview's own identifier (tablePath), so reads/DESCRIBE/
+  // time travel work through the standard table surface. The SQL DDL
+  // commands live in [[graft.plans.GraftMatviewSql]].
+
+  private[graft] def warehouseRoot: String = root
+
+  private[graft] def matviewExists(ident: Identifier): Boolean =
+    viewIdentOk(ident) && fs.exists(
+      GraftMatviews.file(root, ident.namespace.toSeq, ident.name))
+
+  private[graft] def readMatview(ident: Identifier)
+      : Option[GraftMatviews.MatviewDoc] =
+    if (!viewIdentOk(ident)) None
+    else GraftMatviews.read(fs, root, ident.namespace.toSeq, ident.name)
+
+  private[graft] def writeMatview(ident: Identifier,
+      doc: GraftMatviews.MatviewDoc): Unit = {
+    require(viewIdentOk(ident),
+      s"catalog ${name()} expects <namespace>.<matview>, got " +
+        fullName(ident))
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(name() +: ident.namespace.toSeq)
+    GraftMatviews.write(fs, root, ident.namespace.toSeq, ident.name, doc)
+  }
+
+  private[graft] def dropMatview(ident: Identifier): Boolean =
+    viewIdentOk(ident) &&
+      GraftMatviews.delete(fs, root, ident.namespace.toSeq, ident.name)
+
+  private[graft] def listMatviews(ns: Seq[String]): Seq[Identifier] =
+    GraftMatviews.list(fs, root, ns)
+      .map(n => Identifier.of(ns.toArray, n))
+
   override def viewExists(ident: Identifier): Boolean =
     viewIdentOk(ident) && fs.exists(
       GraftViews.viewFile(root, ident.namespace.toSeq, ident.name))

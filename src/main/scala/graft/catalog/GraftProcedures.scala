@@ -228,8 +228,58 @@ private[catalog] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.maintain(table => 'ns.t', ann_source_path => …,
+    * ann_index_root => …, ann_staleness => 0.5)` — ONE maintenance
+    * verb bundling the self-healing passes (round 18, closing the
+    * "reindex is a procedure, not a policy" gap): auto-compaction with
+    * its small-file AND deletion-vector-debt policies
+    * ([[Compaction.autoCompact]] — the DV dimension absorbs
+    * merge-on-read delete trickle before the broadcast cap refuses),
+    * plus — when an ANN index rides the table — a staleness-gated
+    * generation rebuild ([[graft.engine.AnnIndex.reindexIfStale]],
+    * conservative default 0.5 = rebuild once the corpus outgrew the
+    * build by 50%). Idempotent and cheap when nothing trips: the
+    * decisions are metadata-only reads.
+    */
+  final class MaintainProcedure(root: String) extends GraftProcedure(root) {
+    override def name(): String = "maintain"
+    override def description(): String =
+      "bundled self-healing maintenance: auto-compact (small files + " +
+        "deletion-vector debt) and staleness-gated ANN reindex"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("table", StringType),
+      in("ann_source_path", StringType, "''"),
+      in("ann_index_root", StringType, "''"),
+      in("ann_staleness", DoubleType, "0.5D"))
+    override def resultSchema: StructType = StructType(Seq(
+      StructField("compacted", BooleanType, nullable = false),
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false),
+      StructField("ann_reindexed", BooleanType, nullable = false),
+      StructField("ann_vectors", LongType, nullable = false)))
+    override def run(spark: SparkSession, root: String,
+        input: InternalRow): Seq[InternalRow] = {
+      val path = tablePathOf(root, str(input, 0))
+      val compacted = Compaction.autoCompact(spark, path)
+      val (annSrc, annIdx) = (str(input, 1), str(input, 2))
+      val thr = if (input.isNullAt(3)) 0.5 else input.getDouble(3)
+      require(annSrc.isEmpty == annIdx.isEmpty,
+        "maintain: ann_source_path and ann_index_root come together")
+      val reindexed =
+        if (annIdx.isEmpty) None
+        else graft.engine.AnnIndex.reindexIfStale(spark, annSrc, annIdx,
+          thr)
+      Seq(row(java.lang.Boolean.valueOf(compacted.isDefined),
+        java.lang.Long.valueOf(compacted.map(_._1).getOrElse(0L)),
+        java.lang.Long.valueOf(compacted.map(_._2).getOrElse(0L)),
+        java.lang.Boolean.valueOf(reindexed.isDefined),
+        java.lang.Long.valueOf(reindexed.getOrElse(0L))))
+    }
+  }
+
   val names: Seq[String] =
-    Seq("compact", "vacuum", "vacuum_warehouse", "history", "ann_reindex")
+    Seq("compact", "vacuum", "vacuum_warehouse", "history", "ann_reindex",
+      "maintain")
 
   /** A fresh instance bound to `root` — procedures carry no state
     * beyond the warehouse root they act on (one per catalog). */
@@ -240,6 +290,7 @@ private[catalog] object GraftProcedures {
       case "vacuum_warehouse" => Some(new VacuumWarehouseProcedure(root))
       case "history" => Some(new HistoryProcedure(root))
       case "ann_reindex" => Some(new AnnReindexProcedure(root))
+      case "maintain" => Some(new MaintainProcedure(root))
       case _ => None
     }
 }

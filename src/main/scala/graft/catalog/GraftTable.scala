@@ -79,6 +79,12 @@ final case class GraftTable(spark: SparkSession, tableName: String,
     */
   private[graft] def servedVersion: Option[Long] = snapshotVersion
 
+  /** The served snapshot's table-relative file list — the matview
+    * rewrite's scan normalization ([[graft.engine.MaterializedViews]])
+    * compares V2 catalog scans against V1 path reads by file set.
+    */
+  private[graft] def liveRelFiles: Seq[String] = relFiles
+
   /** logical column → its prior (pre-rename) physical names, from the
     * pinned schema's [[Manifest.PriorNamesKey]] chains. Non-empty ⇔
     * this snapshot has columns whose data lives under old names in old

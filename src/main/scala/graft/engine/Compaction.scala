@@ -22,11 +22,26 @@ object Compaction {
     * pass fires once, replaces them with target-sized files, and the
     * counter effectively resets (compacted files are no longer small).
     * Deciding costs ONE file listing of the live set; no data I/O.
+    *
+    * Round 18 adds the DELETION-VECTOR dimension: a merge-on-read
+    * delete trickle grows DV rows on large, healthy-sized files — the
+    * small-file rules never trip, every scan pays a growing broadcast
+    * anti-join, and the user's first signal would be the hard
+    * `spark.graft.dml.dv.maxRows` cap refusing a delete
+    * ([[DeletionVectors]]). Compaction is the designed absorb verb, so
+    * the policy fires it when the table's total DV rows reach
+    * `dvRowsFraction` of that cap (default 20% — absorb at 2M rows,
+    * well before the 10M refusal). Read from the `#dv` manifest
+    * headers: still zero data I/O, and independent of the small-file
+    * rules (a 5-file table under heavy delete churn must absorb too,
+    * so the DV trip ignores `minFiles`). `dvRowsFraction <= 0`
+    * disables the dimension.
     */
   final case class AutoPolicy(
       minFiles: Int = 16,
       smallBytes: Long = 64L * 1024 * 1024,
-      smallFraction: Double = 0.5)
+      smallFraction: Double = 0.5,
+      dvRowsFraction: Double = 0.2)
 
   /** Run [[compact]] iff `policy` trips on the live snapshot — the
     * maintenance hook `Pipeline.runDaily` calls after each day's
@@ -45,8 +60,19 @@ object Compaction {
       policy: AutoPolicy = AutoPolicy()): Option[(Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || Manifest.currentVersion(spark, path).isEmpty)
-      return None
+    val cur = Manifest.currentVersion(spark, path)
+    if (!fs.exists(p) || cur.isEmpty) return None
+    // DV-debt trip (round 18): absorb merge-on-read deletion vectors
+    // before their broadcast grows toward the hard cap — metadata-only
+    // decision from the #dv headers, independent of file count/size
+    if (policy.dvRowsFraction > 0) {
+      val dvRows = Manifest.dvsAsOf(spark, path, cur.get)
+        .values.map(_.rows).sum
+      if (dvRows > 0 &&
+          dvRows >= policy.dvRowsFraction * DeletionVectors.maxRows(spark))
+        return Some(compact(spark, path, partitionCol, targetBytesPerFile,
+          statsCols, clusterBy))
+    }
     val live = Manifest.currentLive(spark, path)
     if (live.size < policy.minFiles) return None
     // Tolerant stat (ADVICE r13): this probe holds neither the lease nor

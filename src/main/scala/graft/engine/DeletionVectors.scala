@@ -179,7 +179,12 @@ object DeletionVectors {
   }
 
   /** Delete DV objects referenced by NO retained version — vacuum's
-    * DV sweep. Returns the number reclaimed.
+    * DV sweep — plus any orphaned `_staging_*` directory a crashed
+    * [[write]] left behind (a committed object is always a renamed-out
+    * plain FILE, so a staging DIRECTORY still present here is by
+    * definition unreferenced; vacuum holds the writer lease, and every
+    * DV writer stages under that same lease, so none can be in
+    * flight). Returns the number reclaimed.
     */
   def reclaim(spark: SparkSession, path: String,
       liveDvRels: Set[String]): Int = {
@@ -188,10 +193,15 @@ object DeletionVectors {
     val dvDir = new Path(new Path(path, "_graft_manifest"), SubDir)
     if (!fs.exists(dvDir)) 0
     else {
-      val dead = fs.listStatus(dvDir).filter(_.isFile).map(_.getPath)
+      val entries = fs.listStatus(dvDir)
+      val dead = entries.filter(_.isFile).map(_.getPath)
         .filterNot(p => liveDvRels(s"_graft_manifest/$SubDir/${p.getName}"))
       dead.foreach(p => fs.delete(p, false))
-      dead.length
+      val orphanStaging = entries.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("_staging_"))
+        .map(_.getPath)
+      orphanStaging.foreach(p => fs.delete(p, true))
+      dead.length + orphanStaging.length
     }
   }
 }

@@ -85,11 +85,25 @@ object MaterializedViews {
     * file lists match.
     */
   private def shape(plan: LogicalPlan): (LogicalPlan, Seq[Seq[String]]) = {
+    // scheme-independent file identity: both the V1 path read
+    // (qualified URIs from the FileIndex) and the V2 catalog scan
+    // (table-relative names off the manifest) normalize to the plain
+    // URI path, so `SELECT … FROM cat.ns.t` and Manifest.read(t) agree
+    // on "the same files" (round 18, SQL matview DDL)
+    def uriPath(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
     val scans = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     val normalized = plan.transformUp {
       case lr @ LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
-        scans += h.location.inputFiles.sorted.toSeq
+        scans += h.location.inputFiles.map(uriPath).sorted.toSeq
         LocalRelation(lr.output)
+      case dsv2: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation if dsv2.table.isInstanceOf[
+            graft.catalog.GraftTable] =>
+        val t = dsv2.table.asInstanceOf[graft.catalog.GraftTable]
+        scans += t.liveRelFiles.map(f => uriPath(s"${t.path}/$f"))
+          .sorted
+        LocalRelation(dsv2.output)
     }
     (normalized.canonicalized, scans.toSeq)
   }
@@ -112,12 +126,22 @@ object MaterializedViews {
       // must scan files under the MV's source at all (the analyzer
       // calls resolution rules to fixpoint on every query — queries
       // that never touch the source should pay a tree walk, not reads)
-      val prefix = new org.apache.hadoop.fs.Path(mv.sourcePath)
-        .toUri.getPath.stripSuffix("/") + "/"
+      val srcPath = new org.apache.hadoop.fs.Path(mv.sourcePath)
+        .toUri.getPath.stripSuffix("/")
+      val prefix = srcPath + "/"
       val touchesSource = plan.exists {
         case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
           h.location.rootPaths.exists(
             _.toUri.getPath.startsWith(prefix))
+        case dsv2: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => dsv2.table match {
+          // V2 catalog scans of the source count too (round 18: the
+          // SQL matview path reaches the source by NAME)
+          case t: graft.catalog.GraftTable =>
+            new org.apache.hadoop.fs.Path(t.path).toUri.getPath
+              .stripSuffix("/") == srcPath
+          case _ => false
+        }
         case _ => false
       }
       if (!touchesSource) return plan

@@ -725,74 +725,116 @@ object Upsert {
           val matched = newPos.count()
           if (matched == 0L) 0L
           else {
-            val toRel = scannedFileToRel(path, "merge-on-read DML") _
-            // per-file match counts: one driver row per touched file
-            // (the pointer metadata, not the matched rows)
-            val perFile = newPos.groupBy("file").count().collect()
-              .map(r => toRel(r.getString(0)) -> r.getLong(1)).toMap
-            val touchedRel = perFile.keys.toSeq.sorted
-            val touchedSet = touchedRel.toSet
-            require(touchedSet.subsetOf(live.toSet),
-              s"merge-on-read DML into $path: scan saw files outside " +
-                s"the live snapshot: " +
-                (touchedSet -- live.toSet).take(3).mkString(", "))
-            val dvs = Manifest.dvsAsOf(spark, path, cur)
-            val oldTouched = touchedRel.filter(dvs.contains)
-            // a touched file's NEW DV object holds its COMPLETE set:
-            // prior positions (if any) plus this statement's matches —
-            // old objects become unreferenced and vacuum reclaims them
-            val allRows = if (oldTouched.isEmpty) newPos
-              else newPos.unionByName(DeletionVectors.readRows(
-                spark, path, oldTouched.map(f => dvs(f).rel)))
-            val totalAfter =
-              dvs.filterNot { case (f, _) => touchedSet(f) }
-                .values.map(_.rows).sum +
-              oldTouched.map(dvs(_).rows).sum + matched
-            val cap = DeletionVectors.maxRows(spark)
-            require(totalAfter <= cap,
-              s"merge-on-read DML into $path would grow the table's " +
-                s"deletion-vector set to $totalAfter rows (cap $cap, " +
-                "spark.graft.dml.dv.maxRows — the DV rows broadcast to " +
-                "every scan). Compact the table to absorb its deletion " +
-                "vectors, or run this statement copy-on-write")
-            val dvRel = DeletionVectors.write(spark, path, allRows)
-            val pointers = touchedRel.map { f =>
-              f -> Manifest.DvPointer(dvRel,
-                perFile(f) + dvs.get(f).map(_.rows).getOrElse(0L))
-            }.toMap
-            set match {
-              case None =>
-                Manifest.commitOptimistic(spark, path,
-                  Manifest.PreparedCommit(
-                    scope = touchedSet, expected = touchedSet,
-                    retire = Set.empty, add = Seq.empty, dvs = pointers))
-                matched
-              case Some(assignments) =>
-                val tableCols = scan0.columns
-                  .filterNot(c => c == fpc || c == ric).toIndexedSeq
-                assignments.keys.foreach(c => require(
-                  tableCols.contains(c),
-                  s"updateWhereMor into $path: SET column $c not in " +
-                    tableCols.mkString(",")))
-                val updated = matches.select(tableCols.map { c =>
-                  assignments.get(c).map(_.as(c)).getOrElse(col(c))
-                }: _*)
-                val partCols =
-                  Manifest.layoutPartitionCols(live).getOrElse(Seq.empty)
-                withStaged(spark, path, updated, partCols, "mor_update") {
-                  movedIn =>
-                    Manifest.commitOptimistic(spark, path,
-                      Manifest.PreparedCommit(
-                        scope = touchedSet,
-                        expected = touchedSet,
-                        retire = Set.empty, add = movedIn, dvs = pointers))
-                }
-                matched
+            val appended = set.map { assignments =>
+              val tableCols = scan0.columns
+                .filterNot(c => c == fpc || c == ric).toIndexedSeq
+              assignments.keys.foreach(c => require(
+                tableCols.contains(c),
+                s"updateWhereMor into $path: SET column $c not in " +
+                  tableCols.mkString(",")))
+              matches.select(tableCols.map { c =>
+                assignments.get(c).map(_.as(c)).getOrElse(col(c))
+              }: _*)
             }
+            morCommitTail(spark, path, cur, live, newPos, matched,
+              appended,
+              Manifest.layoutPartitionCols(live).getOrElse(Seq.empty),
+              wholeTableScope = false, what = "merge-on-read DML")
+            matched
           }
         } finally { matches.unpersist(); () }
       }
     }
+
+  /** Shared commit tail of every merge-on-read mutation (DELETE /
+    * UPDATE / round-18 MERGE matched actions): relativize the matched
+    * positions to per-file pointer metadata, merge prior DV rows for
+    * the touched files, enforce the broadcast cap, write ONE new DV
+    * object, optionally stage appended rows (updated copies, merge
+    * inserts), and swap everything in a single optimistic commit.
+    *
+    * Prior-object merge filters to THIS statement's touched files by
+    * the exact qualified URIs the scan captured: old objects are
+    * per-statement, multi-file — carrying their rows forward
+    * unfiltered would copy rows of files NOT touched here (whose
+    * pointers keep referencing the old object), so live objects would
+    * accumulate stale duplicates across stacked deletes over
+    * overlapping file sets, and the cap accounting (pointer-row sums)
+    * would undercount the actual broadcast (ADVICE r17, medium). The
+    * URI is the same representation the read-side anti-join matches
+    * on, so the filter hits iff the read would.
+    *
+    * `wholeTableScope`: a caller whose row derivation read the WHOLE
+    * table (a merge with an INSERT clause — its anti-join could race a
+    * concurrent append's same-key rows) widens the conflict scope to
+    * the full live set; row-scoped mutations keep the touched files.
+    */
+  private def morCommitTail(spark: SparkSession, path: String, cur: Long,
+      live: Seq[String], newPos: DataFrame, matched: Long,
+      appended: Option[DataFrame], partCols: Seq[String],
+      wholeTableScope: Boolean, what: String): Unit = {
+    val toRel = scannedFileToRel(path, what) _
+    // per-file match counts: one driver row per touched file
+    // (the pointer metadata, not the matched rows)
+    val perFileUri = newPos.groupBy("file").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perFile = perFileUri.map { case (u, c) => toRel(u) -> c }.toMap
+    val touchedRel = perFile.keys.toSeq.sorted
+    val touchedSet = touchedRel.toSet
+    require(touchedSet.subsetOf(live.toSet),
+      s"$what into $path: scan saw files outside the live snapshot: " +
+        (touchedSet -- live.toSet).take(3).mkString(", "))
+    val dvs = Manifest.dvsAsOf(spark, path, cur)
+    val oldTouched = touchedRel.filter(dvs.contains)
+    // a touched file's NEW DV object holds its COMPLETE set: prior
+    // positions (if any, filtered to the touched files — see scaladoc)
+    // plus this statement's matches — old objects become unreferenced
+    // and vacuum reclaims them
+    val touchedUriByRel =
+      perFileUri.map { case (u, _) => toRel(u) -> u }.toMap
+    val allRows = if (oldTouched.isEmpty) newPos
+      else {
+        val oldUris = oldTouched.map(touchedUriByRel)
+        newPos.unionByName(DeletionVectors.readRows(
+            spark, path, oldTouched.map(f => dvs(f).rel))
+          .filter(col("file").isin(oldUris: _*)))
+      }
+    val totalAfter =
+      dvs.filterNot { case (f, _) => touchedSet(f) }
+        .values.map(_.rows).sum +
+      oldTouched.map(dvs(_).rows).sum + matched
+    val cap = DeletionVectors.maxRows(spark)
+    require(totalAfter <= cap,
+      s"$what into $path would grow the table's " +
+        s"deletion-vector set to $totalAfter rows (cap $cap, " +
+        "spark.graft.dml.dv.maxRows — the DV rows broadcast to " +
+        "every scan). Compact the table to absorb its deletion " +
+        "vectors, or run this statement copy-on-write")
+    val dvRel = DeletionVectors.write(spark, path, allRows)
+    val pointers = touchedRel.map { f =>
+      f -> Manifest.DvPointer(dvRel,
+        perFile(f) + dvs.get(f).map(_.rows).getOrElse(0L))
+    }.toMap
+    val (scopeFn, expected): (String => Boolean, Set[String]) =
+      if (wholeTableScope) ((_: String) => true, live.toSet)
+      else (touchedSet, touchedSet)
+    appended match {
+      case None =>
+        Manifest.commitOptimistic(spark, path,
+          Manifest.PreparedCommit(
+            scope = scopeFn, expected = expected,
+            retire = Set.empty, add = Seq.empty, dvs = pointers))
+        ()
+      case Some(df) =>
+        withStaged(spark, path, df, partCols, "mor_update") { movedIn =>
+          Manifest.commitOptimistic(spark, path,
+            Manifest.PreparedCommit(
+              scope = scopeFn, expected = expected,
+              retire = Set.empty, add = movedIn, dvs = pointers))
+        }
+        ()
+    }
+  }
 
   /** REPLACE WHERE (round 17): delete-by-predicate + append in ONE
     * snapshot commit — the expression-scoped overwrite. Files holding
@@ -1367,10 +1409,148 @@ object Upsert {
         s"${dupKeys.head.toSeq.init.mkString("(", ",", ")")} more than once")
     WriterLease.withLease(spark, path) {
       retryingConflicts(s"mergeActions into $path") {
-        mergeActionsOnce(spark, path, source, keys, matched, bySource,
-          insert, partitionCols)
+        // merge-on-read routing (round 18): matched UPDATE/DELETE
+        // actions ride the DV + append machinery instead of the
+        // key-matched-file rewrite — the CDC upsert trickle (few
+        // changed rows per file, many files) is the same
+        // write-amplification shape DELETE/UPDATE fixed in round 17.
+        // By-source clauses stay copy-on-write: they act on rows the
+        // source does NOT name, so the rewrite is whole-table either
+        // way and the COW path's single staged rewrite is the better
+        // plan. Matched-free programs (insert-only) have nothing to
+        // DV.
+        val mor = matched.nonEmpty && bySource.isEmpty &&
+          dmlMode(spark, path) == "merge-on-read" &&
+          Manifest.currentVersion(spark, path).nonEmpty
+        if (mor)
+          mergeActionsOnceMor(spark, path, source, keys, matched,
+            insert, partitionCols)
+        else
+          mergeActionsOnce(spark, path, source, keys, matched, bySource,
+            insert, partitionCols)
       }
     }
+  }
+
+  /** One merge-on-read merge attempt (round 18): the matched-clause
+    * half of SQL MERGE as a deletion-vector commit. ONE inner join of
+    * the position-captured snapshot scan against the (unique-keyed)
+    * source finds every matched target row; first-match-wins clause
+    * resolution runs over that joined frame exactly as the COW path's
+    * — but instead of rewriting every touched file wholly, fired rows'
+    * old images are DV'd out and UPDATE rows' new copies append as
+    * fresh files, all in one snapshot commit ([[morCommitTail]]).
+    * Unmatched target rows in touched files are never read again and
+    * never rewritten — O(matched) write bytes, not O(touched files).
+    * INSERT rows anti-join the same snapshot scan (the discovery read
+    * is whole-table already, unlike the COW path there is no touched
+    * subset to narrow to) and append alongside.
+    */
+  private def mergeActionsOnceMor(spark: SparkSession, path: String,
+      source: DataFrame, keys: Seq[String], matched: Seq[MatchedAction],
+      insert: Option[InsertSpec], partitionCols: Seq[String])
+      : (Long, Long) = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val version = Manifest.currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"mergeActionsOnceMor needs a manifest-managed table: $path"))
+    val preLive = Manifest.filesAsOf(spark, path, version)
+    if (preLive.isEmpty)
+      return mergeIntoEmptyShell(spark, path, version, source, keys,
+        matched, Seq.empty, insert, partitionCols)
+    val scan0 = Manifest.readWithPositionsAsOf(spark, path, version)
+    val fpc = DeletionVectors.FilePathCol
+    val ric = DeletionVectors.RowIndexCol
+    val targetCols = scan0.columns.filterNot(c => c == fpc || c == ric)
+      .toIndexedSeq
+    val targetSchema = org.apache.spark.sql.types.StructType(
+      scan0.schema.filterNot(f => f.name == fpc || f.name == ric))
+    requireNoReservedNames(path, targetCols, keys)
+    validateMergeClauses(path, targetCols, source.columns.toSet, keys,
+      matched, Seq.empty, insert)
+    val renamed = renamedSource(source, keys)
+    // matched target rows only — the inner join IS the MoR win: rows
+    // no clause can touch (unmatched) never enter the mutation at all
+    val joinedRaw = scan0.join(renamed,
+      keys.map(k => scan0(k) <=> renamed(k)).reduce(_ && _), "inner")
+    val joinedClean = keys.foldLeft(joinedRaw)((d, k) => d.drop(renamed(k)))
+    // first-match-wins among the matched clauses (every row here IS
+    // matched, so conditions need no isMatched guard)
+    var actionExpr: org.apache.spark.sql.Column = null
+    matched.zipWithIndex.foreach { case (a, i) =>
+      val p = a.cond.getOrElse(lit(true))
+      actionExpr =
+        if (actionExpr == null) when(p, lit(i)) else actionExpr.when(p, lit(i))
+    }
+    val decided = joinedClean
+      .withColumn("__action", actionExpr.otherwise(lit(-1)))
+      .filter(col("__action") =!= -1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newPos = decided.select(col(fpc).as("file"), col(ric).as("pos"))
+      val nAffected = newPos.count()
+      val updateIdx = matched.zipWithIndex.collect {
+        case (u: MatchedUpdate, i) =>
+          (i, if (u.set.isEmpty) None else Some(u.set))
+      }
+      // UPDATE rows' new images: same per-column CASE writers as the
+      // COW rewrite, restricted to rows whose fired clause updates
+      val updatedCopies: Option[DataFrame] =
+        if (updateIdx.isEmpty || nAffected == 0L) None
+        else Some(decided
+          .filter(col("__action").isin(updateIdx.map(p => Int.box(p._1)): _*))
+          .select(targetCols.map { c =>
+            val writers = updateIdx.flatMap { case (i, set) =>
+              set match {
+                case None =>
+                  if (keys.contains(c)) None
+                  else Some(i -> col(s"__src_$c"))
+                case Some(as) => as.collectFirst { case (`c`, v) =>
+                  i -> v.cast(targetSchema(c).dataType) }
+              }
+            }
+            if (writers.isEmpty) col(c).as(c)
+            else writers.foldLeft(
+              Option.empty[org.apache.spark.sql.Column]) {
+              case (acc, (i, v)) =>
+                Some(acc.fold(when(col("__action") === i, v))(
+                  _.when(col("__action") === i, v)))
+            }.get.otherwise(col(c)).as(c)
+          }: _*))
+      val insertRows = insert.map { spec =>
+        val exKeys = scan0.select(keys.map(k => col(k).as(s"__ex_$k")): _*)
+        val against = renamed.join(exKeys,
+          keys.map(k => renamed(k) <=> exKeys(s"__ex_$k")).reduce(_ && _),
+          "left_anti")
+        val filtered = spec.cond.fold(against)(c => against.filter(c))
+        insertProjection(filtered, spec, keys, targetCols, targetSchema)
+      }
+      val nInserted = insertRows.fold(0L)(_.count())
+      val appended = (updatedCopies, insertRows) match {
+        case (Some(u), Some(i)) => Some(u.unionByName(i))
+        case (Some(u), None) => Some(u)
+        case (None, Some(i)) if nInserted > 0 => Some(i)
+        case _ => None
+      }
+      if (nAffected == 0L) {
+        // nothing fired: a pure append (or a no-op). Whole-table scope
+        // — the insert anti-join read the table (same reasoning as the
+        // COW path's insert commit).
+        appended.filter(_ => nInserted > 0).foreach { df =>
+          withStaged(spark, path, df, partitionCols, "merge") { moved =>
+            Manifest.commitOptimistic(spark, path, Manifest.PreparedCommit(
+              scope = _ => true, expected = preLive.toSet,
+              retire = Set.empty, add = moved))
+          }
+        }
+        (0L, nInserted)
+      } else {
+        morCommitTail(spark, path, version, preLive, newPos, nAffected,
+          appended, partitionCols,
+          wholeTableScope = insert.nonEmpty, what = "merge-on-read MERGE")
+        (nAffected, nInserted)
+      }
+    } finally { decided.unpersist(); () }
   }
 
   private def mergeActionsOnce(spark: SparkSession, path: String,

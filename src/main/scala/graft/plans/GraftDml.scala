@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Exists, Expression, In, InSubquery, Literal, NamedExpression, OuterReference, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Exists, Expression, In, InSubquery, Literal, NamedExpression, Or, OuterReference, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -236,7 +236,7 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(GraftRelation(_, t), condition)
         if d.resolved &&
           (condition.exists(_.isInstanceOf[SubqueryExpression]) ||
-            (condition != Literal.TrueLiteral &&
+            (!triviallyTrue(condition) &&
               Upsert.dmlMode(spark, t.path) == "merge-on-read")) =>
       t.asOfVersion.foreach(v => throw new UnsupportedOperationException(
         s"cannot delete from ${t.name()}: VERSION AS OF $v is a " +
@@ -245,6 +245,45 @@ case class RewriteGraftDml(spark: SparkSession) extends Rule[LogicalPlan] {
         Shims.column(unbound(condition, s"DELETE FROM ${t.name()} WHERE")))
 
     case _ => plan
+  }
+
+  /** Is this DELETE condition semantically the trivially-true
+    * predicate? `DELETE FROM t WHERE 1=1` (or `true OR x IS NULL`)
+    * must route like `DELETE FROM t`: the merge-on-read verb would DV
+    * every row — and refuse past the broadcast cap — where the stock
+    * empty-snapshot commit succeeds for free. The analyzer hands us
+    * the condition UNFOLDED, so evaluate foldable deterministic
+    * subtrees and short-circuit OR/AND on constant sides (the two
+    * simplifications a hand-written tautology actually hits) before
+    * comparing to TRUE, mirroring GraftTable.deleteWhere's
+    * ALWAYS_TRUE check on the pushed-predicate route.
+    */
+  private def triviallyTrue(e: Expression): Boolean = {
+    def norm(x: Expression): Expression = x match {
+      case Or(l, r) => (norm(l), norm(r)) match {
+        case (Literal.TrueLiteral, _) => Literal.TrueLiteral
+        case (_, Literal.TrueLiteral) => Literal.TrueLiteral
+        case (Literal.FalseLiteral, rr) => rr
+        case (ll, Literal.FalseLiteral) => ll
+        case (ll, rr) => Or(ll, rr)
+      }
+      case And(l, r) => (norm(l), norm(r)) match {
+        case (Literal.FalseLiteral, _) => Literal.FalseLiteral
+        case (_, Literal.FalseLiteral) => Literal.FalseLiteral
+        case (Literal.TrueLiteral, rr) => rr
+        case (ll, Literal.TrueLiteral) => ll
+        case (ll, rr) => And(ll, rr)
+      }
+      case f if f.foldable && f.deterministic &&
+          f.dataType == org.apache.spark.sql.types.BooleanType =>
+        f.eval(null) match {
+          case true => Literal.TrueLiteral
+          case false => Literal.FalseLiteral
+          case _ => f
+        }
+      case other => other
+    }
+    norm(e) == Literal.TrueLiteral
   }
 
   /** Re-express a resolved expression against a FRESH read of the same
@@ -406,8 +445,15 @@ final case class GraftMergeCommand(table: GraftTable,
   override def run(session: SparkSession): Seq[Row] = {
     val targetCols = table.schema().fieldNames.toSeq
     (actions, bySource, insert) match {
+      // SCD1 fast path (partition-wholesale / whole-table staged
+      // rewrite) — copy-on-write tables only; a merge-on-read table
+      // routes through mergeProgram, whose round-18 DV path turns the
+      // same SET * + INSERT * program into O(matched) sidecar rows +
+      // appends instead of a partition rewrite
       case (Seq(Upsert.MatchedUpdate(None, assigns)), Seq(),
-          Some((None, None))) if assigns.isEmpty =>
+          Some((None, None)))
+          if assigns.isEmpty &&
+            Upsert.dmlMode(session, table.path) != "merge-on-read" =>
         val src = Shims.ofRows(session, source)
           .select(targetCols.map(col): _*)
         table.partitionCols match {

@@ -48,6 +48,9 @@ final class GraftViewParser(session: SparkSession,
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =
+    // materialized-view DDL first (round 18): the delegate does not
+    // PARSE `MATERIALIZED` at all, so recognition must precede it
+    GraftMatviewSql.intercept(session, sqlText, delegate).getOrElse(
     delegate.parsePlan(sqlText) match {
       case cv: CreateView => cv.child match {
         case UnresolvedIdentifier(parts, _) =>
@@ -83,7 +86,7 @@ final class GraftViewParser(session: SparkSession,
         case _ => sv
       }
       case other => other
-    }
+    })
 
   override def parseExpression(s: String): Expression =
     delegate.parseExpression(s)

@@ -263,6 +263,49 @@ object CatalogQueries {
       s.sql("""UPDATE graftwh.marts.ord_morc
                SET pri = 'X-MOR' WHERE pri = '4-NOT SPECIFIED'""")
       s.sql("CALL graftwh.system.compact('marts.ord_morc')")
+      // round 18: merge-on-read MERGE — the matched clauses commit DV
+      // pointers + appended new images instead of rewriting matched
+      // files; a stacked MoR DELETE afterwards re-points the same
+      // files (the old-object merge path, post-ADVICE-r17 filter)
+      s.sql("""CREATE TABLE graftwh.marts.ord_mmor (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING)
+               TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')""")
+      s.sql("""INSERT INTO graftwh.marts.ord_mmor
+               SELECT o_orderkey, price_cents, pri FROM __cat_src""")
+      s.sql("""MERGE INTO graftwh.marts.ord_mmor t
+               USING __cat_merge_src s ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED AND t.pri = '1-URGENT' THEN DELETE
+               WHEN MATCHED
+                 THEN UPDATE SET price_cents = s.price_cents - t.price_cents,
+                                 pri = 'X-MORM'
+               WHEN NOT MATCHED AND s.pri = '3-MEDIUM' THEN INSERT *""")
+      s.sql("""DELETE FROM graftwh.marts.ord_mmor
+               WHERE pri = 'X-MORM' AND o_orderkey % 2 = 0""")
+      // round 18: SQL materialized view — identity-partitioned source,
+      // CREATE materializes, a second insert makes the mart stale, and
+      // REFRESH brings the bookmark to the source's current version so
+      // the auto-rewrite answers definition-shaped queries from it
+      s.sql("""CREATE TABLE graftwh.marts.ord_mvsrc (
+                 o_orderkey BIGINT, price_cents BIGINT, pri STRING,
+                 d INT)
+               PARTITIONED BY (d)""")
+      Tables.t(s, dir, "orders")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("price_cents"),
+          col("o_orderpriority").as("pri"),
+          year(col("o_orderdate")).as("d"))
+        .createOrReplaceTempView("__cat_mv_src")
+      s.sql("""INSERT INTO graftwh.marts.ord_mvsrc
+               SELECT o_orderkey, price_cents, pri, d FROM __cat_mv_src
+               WHERE o_orderkey % 2 = 0""")
+      s.sql("""CREATE MATERIALIZED VIEW graftwh.marts.mv_pri AS
+               SELECT d, pri, count(*) AS n, sum(price_cents) AS cents
+               FROM graftwh.marts.ord_mvsrc GROUP BY d, pri""")
+      s.sql("""INSERT INTO graftwh.marts.ord_mvsrc
+               SELECT o_orderkey, price_cents, pri, d FROM __cat_mv_src
+               WHERE o_orderkey % 2 = 1""")
+      s.sql("REFRESH MATERIALIZED VIEW graftwh.marts.mv_pri")
       // round 15: ALTER COLUMN TYPE widening — INT files live under a
       // BIGINT pinned schema (Spark's parquet widening promotion), the
       // post-widen insert lands values that overflow INT
@@ -953,11 +996,83 @@ object CatalogQueries {
       SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
       FROM fin GROUP BY 1 ORDER BY 1"""))
 
+  /** Merge-on-read MERGE (round 18): a three-clause MERGE against a
+    * `graft.dml.mode=merge-on-read` table — matched DELETE and matched
+    * UPDATE commit deletion-vector pointers plus appended new images
+    * (never a rewritten matched file), the INSERT clause appends — and
+    * a stacked MoR DELETE afterwards re-points the SAME files, driving
+    * the old-object merge path (whose rows are filtered to the touched
+    * files; ADVICE r17 medium). The oracle restates the full algebra:
+    * a green hash proves the DV'd old images, the appended update
+    * images, the conditional inserts, and the second delete compose to
+    * exactly the SQL MERGE semantics the COW path gives.
+    */
+  val qSqlMergeMor = QueryDef(
+    "q_sql_merge_mor",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT pri, count(*) AS n,
+                      CAST(sum(price_cents) AS BIGINT) AS cents
+               FROM graftwh.marts.ord_mmor GROUP BY pri ORDER BY pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri
+        FROM orders),
+      t7 AS (SELECT k, pc, pri FROM base WHERE k % 7 = 0),
+      s5 AS (SELECT k, pc * 2 + 1 AS pc, pri FROM base WHERE k % 5 = 0),
+      kept AS (SELECT * FROM t7 WHERE k % 5 <> 0),
+      upd AS (
+        SELECT t7.k, s5.pc - t7.pc AS pc, 'X-MORM' AS pri
+        FROM t7 JOIN s5 ON t7.k = s5.k
+        WHERE t7.pri <> '1-URGENT' AND t7.k % 2 = 1),
+      ins AS (SELECT k, pc, pri FROM s5
+              WHERE k % 7 <> 0 AND pri = '3-MEDIUM'),
+      fin AS (
+        SELECT * FROM kept
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins)
+      SELECT pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM fin GROUP BY 1 ORDER BY 1"""))
+
+  /** SQL materialized view (round 18): `CREATE MATERIALIZED VIEW … AS
+    * SELECT` materialized the aggregate, a later source insert made it
+    * stale, `REFRESH MATERIALIZED VIEW` ran the bookmark refresh — and
+    * this query RESTATES the definition over the SOURCE, so the
+    * freshness-gated plan-shape rewrite answers it from the mart
+    * (CatalogSpec asserts the scan actually lands on the mart's
+    * manifest, and that the stale window falls back to the source).
+    * The oracle recomputes from `orders` arithmetic: a green hash
+    * proves the SQL-created mart, the refresh, and the rewrite are all
+    * semantics-preserving.
+    */
+  val qSqlMatview = QueryDef(
+    "q_sql_matview",
+    (s, dir) => {
+      fixture(s, dir)
+      s.sql("""SELECT d, pri, n, cents FROM (
+                 SELECT d, pri, count(*) AS n, sum(price_cents) AS cents
+                 FROM graftwh.marts.ord_mvsrc GROUP BY d, pri)
+               ORDER BY d, pri""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS pc,
+               o_orderpriority AS pri,
+               CAST(year(o_orderdate) AS INT) AS d
+        FROM orders),
+      t11 AS (SELECT * FROM base WHERE k % 11 = 0)
+      SELECT d, pri, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents
+      FROM t11 GROUP BY d, pri ORDER BY d, pri"""))
+
   val all: Seq[QueryDef] =
     Seq(qSqlCatalog, qSqlCatalogTravel, qSqlUpdateMerge,
       qSqlCtasOverwrite, qSqlMergeActions, qSqlMergeAssign, qSqlMergeFull,
       qSqlMergeShell, qSqlDeleteIn, qSqlTwoLevel, qSqlWiden,
       qSqlHiddenPart, qSqlOverwriteDynamic, qSqlDeleteExists,
       qSqlDeleteExistsBig, qSqlView, qSqlReplaceWhere, qSqlDeleteMor,
-      qSqlMorCompact)
+      qSqlMorCompact, qSqlMergeMor, qSqlMatview)
 }

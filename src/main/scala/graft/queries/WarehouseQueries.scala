@@ -1187,9 +1187,59 @@ object WarehouseQueries {
     },
     qCdcFeed.oracle)
 
+  private val graftSourceOnce = new graft.engine.SessionKeyedCache[String]
+
+  /** The change feed through the NAMED STREAMING SOURCE (round 18):
+    * `spark.readStream.format("graft")` on the same fixture and
+    * against the same from-scratch oracle as q_cdc_feed /
+    * q_cdc_stream — the named source, the helper API, the TVF, and
+    * the DataFrame formulation mutually pin each other to one answer.
+    * The consumer offset is seeded at the fixture's vFrom, the stream
+    * drains with `AvailableNow` into a parquet sink, and the durable
+    * consumer pointer (advanced in `Source.commit`) makes a replay
+    * deliver nothing new (StreamingSpec proves the checkpoint-LOSS
+    * variant).
+    */
+  val qGraftSource = QueryDef(
+    "q_graft_source",
+    (s, dir) => {
+      val (srcPath, vFrom, _) = cdcTable(s, dir)
+      val outPath = graftSourceOnce.getOrElseUpdate(s, s"gsource:$dir",
+        graft.engine.SessionKeyedCache.fileFingerprint(
+          s, s"$dir/orders.parquet"))({
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_gsrc_" +
+          s"${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val sinkPath = s"$base/out"
+        graft.engine.ChangeFeed.seekConsumer(s, srcPath,
+          "q_graft_source", vFrom)
+        s.readStream.format("graft")
+          .option("path", srcPath)
+          .option("keyCols", "o_orderkey")
+          .option("consumerId", "q_graft_source")
+          .load()
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet")
+          .option("path", sinkPath)
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+          .awaitTermination()
+        sinkPath
+      })
+      s.read.parquet(outPath)
+        .select(col("o_orderkey"), col("price_cents"), col("d"),
+          col(graft.engine.ChangeFeed.ChangeCol).as("change_type"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    },
+    qCdcFeed.oracle)
+
   val all: Seq[QueryDef] = Seq(qScd2, qWindowRangeFrame, qDqAudit, qBloomPrune,
     qBurstEvents, qIvmCounting, qZorderCluster, qSnapshotDiff, qFeedGaps,
     qTimeTravel, qStatsSkipping, qSchemaEvolution, qIncrementalMart, qCdcFeed,
     qSqlCdcFeed, qMvRewrite, qDeleteWhere, qUpdateWhere, qMartMaintain,
-    qCdcStream)
+    qCdcStream, qGraftSource)
 }

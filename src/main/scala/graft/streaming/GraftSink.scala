@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 
 import graft.engine.Upsert
 
@@ -43,9 +44,39 @@ import graft.engine.Upsert
   * .freshBatchDf]]): a streaming-internal frame must not be re-planned
   * by the multiple actions a verb may take.
   */
-class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class GraftSinkProvider extends StreamSinkProvider
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- the source half (round 18): spark.readStream.format("graft")
+  // — change-data-feed rows off the manifest versions; semantics and
+  // options in [[GraftSource]]'s scaladoc
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val path = GraftSource.resolvePath(spark, parameters)
+    require(schema.isEmpty,
+      "graft source derives its schema from the table's manifest — " +
+        "drop the user-specified schema")
+    (shortName(), GraftSource.feedSchema(spark, path))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = GraftSource.resolvePath(spark, parameters)
+    val starting = parameters.get("startingVersion")
+      .orElse(parameters.get("startingversion")).map(_.toLong)
+      .getOrElse(0L)
+    val consumerId = parameters.get("consumerId")
+      .orElse(parameters.get("consumerid"))
+    new GraftSource(spark, path, GraftSource.keyCols(parameters),
+      consumerId, starting)
+  }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

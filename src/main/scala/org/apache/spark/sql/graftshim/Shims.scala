@@ -45,6 +45,21 @@ object Shims {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Batch plan → STREAMING DataFrame (round 18, the named streaming
+    * source): a V1 `Source.getBatch` result must satisfy
+    * MicroBatchExecution's `isStreaming` assertion, and the only door
+    * is the same `private[sql]` `internalCreateDataFrame` with the
+    * flag set. The RDD is the batch plan's lazily-planned execution —
+    * nothing runs until the trigger does.
+    */
+  def streamingBatchDf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   // ---- catalog-manager bridge (round 17, persistent views) ----------
   // CatalogManager is private[sql]; the view SQL surface needs name →
   // (catalog, identifier) resolution with Spark's own precedence

@@ -54,6 +54,42 @@ class AutoCompactSpec extends AnyFunSuite {
       policy = Compaction.AutoPolicy(minFiles = 4)).isEmpty)
   }
 
+  test("DV debt trips auto-compaction before the broadcast cap refuses") {
+    // round-18 policy dimension: a merge-on-read delete trickle grows
+    // DV rows on large, HEALTHY-sized files — the small-file rules
+    // never fire, and pre-round-18 the user's first signal was the
+    // hard spark.graft.dml.dv.maxRows refusal. The DV trip reads the
+    // #dv manifest headers (zero data I/O), ignores minFiles, and
+    // absorbs via the standard compact pass.
+    val p = tmp()
+    Upsert.upsertPartitioned(spark, p,
+      (1 to 40).map(i => (i, d1, i * 10L)).toDF("k", "d", "cents")
+        .coalesce(1), Seq("k", "d"), "d")
+    spark.conf.set("spark.graft.dml.dv.maxRows", "20")
+    try {
+      // 2 files total — far below any small-file minFiles threshold
+      assert(Manifest.currentLive(spark, p).size < 16)
+      Upsert.deleteWhereMor(spark, p, col("k") % 10 === 1) // 4 DV rows
+      // 4/20 = 20% < 50%: policy must NOT trip yet
+      assert(Compaction.autoCompact(spark, p, Some("d"),
+        policy = Compaction.AutoPolicy(dvRowsFraction = 0.5)).isEmpty)
+      Upsert.deleteWhereMor(spark, p, col("k") % 10 === 2) // 8 total
+      Upsert.deleteWhereMor(spark, p, col("k") % 10 === 3) // 12 total
+      // 12/20 = 60% >= 50%: absorb fires despite healthy file count
+      val Some((_, _)) = Compaction.autoCompact(spark, p, Some("d"),
+        policy = Compaction.AutoPolicy(dvRowsFraction = 0.5))
+      val v = Manifest.currentVersion(spark, p).get
+      assert(Manifest.dvsAsOf(spark, p, v).isEmpty,
+        "absorb must retire every DV pointer")
+      assert(Manifest.read(spark, p).count() === 28L)
+      // and the next delete has full cap headroom again
+      assert(Upsert.deleteWhereMor(spark, p, col("k") % 10 === 4) === 4L)
+      // dvRowsFraction <= 0 disables the dimension
+      assert(Compaction.autoCompact(spark, p, Some("d"),
+        policy = Compaction.AutoPolicy(dvRowsFraction = 0.0)).isEmpty)
+    } finally spark.conf.unset("spark.graft.dml.dv.maxRows")
+  }
+
   test("clustered auto-compaction keeps envelopes tight: skipping still prunes") {
     val p = tmp()
     // 8 appends, each spanning the FULL key range — pre-compaction

@@ -65,4 +65,54 @@ class BenchEnvSpec extends AnyFunSuite {
       run, rc, re, 32)
     assert(!legacy.contains("baseline-incomparable"), legacy)
   }
+
+  test("driftVerdict JSON survives a hostile baseline path") {
+    // ADVICE r17: an unescaped quote/backslash in the interpolated
+    // path produced invalid JSON inside BENCH_DETAIL.json
+    val base = Bench.BaselineDetail(
+      wall = Map("q_a" -> 1.0), cpu = Map("q_a" -> 2.0),
+      exec = Map("q_a" ->
+        Map("n_tasks" -> 8L, "shuffle_write_bytes" -> 100L)))
+    val hostile = """weird"na\me.json"""
+    val out = Bench.driftVerdict(hostile, base, Map("q_a" -> 1.0),
+      Map("q_a" -> 2.0),
+      Map("q_a" -> Map("n_tasks" -> 8L, "shuffle_write_bytes" -> 100L)),
+      32)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(out) // must parse
+    assert(node.get("baseline").asText() === hostile)
+  }
+
+  test("defaultBaseline picks the newest env-matched quiesced record") {
+    // round-17 ask 6: the drift default must be the decision-grade
+    // quiesced anchor, not whatever BENCH_DETAIL.json was last written
+    val dir = java.nio.file.Files.createTempDirectory("bench_base").toFile
+    def put(name: String, ncpus: Int, quiesced: Boolean): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, name).toPath,
+        s"""{"queries":{"q":1.0},"env":{"ncpus":$ncpus,""" +
+          s""""quiesced_at_start":$quiesced}}""")
+    put("BENCH_DETAIL.json", 32, true)
+    put("BENCH_DETAIL_r17_close_quiesced.json", 32, true)
+    put("BENCH_DETAIL_r18_early_quiesced.json", 32, true)
+    // highest round wins, even over an in-round close of the previous
+    assert(Bench.defaultBaseline(32, dir) ===
+      Some("BENCH_DETAIL_r18_early_quiesced.json"))
+    // close of a round outranks its early anchor
+    put("BENCH_DETAIL_r18_close_quiesced.json", 32, true)
+    assert(Bench.defaultBaseline(32, dir) ===
+      Some("BENCH_DETAIL_r18_close_quiesced.json"))
+    // env-mismatched (other parallelism) and failed-quiesce records
+    // are skipped, not compared
+    put("BENCH_DETAIL_r19_early_quiesced.json", 8, true)
+    put("BENCH_DETAIL_r19_close_quiesced.json", 32, false)
+    assert(Bench.defaultBaseline(32, dir) ===
+      Some("BENCH_DETAIL_r18_close_quiesced.json"))
+    // no qualifying quiesced record: fall back to BENCH_DETAIL.json
+    Seq("BENCH_DETAIL_r17_close_quiesced.json",
+      "BENCH_DETAIL_r18_early_quiesced.json",
+      "BENCH_DETAIL_r18_close_quiesced.json").foreach(n =>
+      new java.io.File(dir, n).delete())
+    assert(Bench.defaultBaseline(16, dir) === Some("BENCH_DETAIL.json"))
+  }
 }

@@ -419,6 +419,97 @@ class CatalogSpec extends AnyFunSuite
     intercept[Exception](spark.sql("SELECT * FROM tcat.ns.vv"))
   }
 
+  test("SQL materialized views (round 18): create materializes, the " +
+      "rewrite answers definition-shaped queries from the mart, " +
+      "staleness falls back, REFRESH re-arms, drop removes everything") {
+    val _ = root
+    seedPartitioned("mv_src")
+    val defQuery =
+      """SELECT d, count(*) AS n, sum(cents) AS total
+         FROM tcat.ns.mv_src GROUP BY d"""
+    spark.sql(
+      s"CREATE MATERIALIZED VIEW tcat.ns.mv_agg AS $defQuery")
+    // materialized NOW: the mart is an ordinary named table (its
+    // partition column `d` reads back LAST, like any partitioned table)
+    assert(spark.sql("SELECT d, n, total FROM tcat.ns.mv_agg ORDER BY d")
+      .as[(Date, Long, Long)].collect().toSeq ===
+      Seq((d1, 2L, 300L), (d2, 2L, 700L)))
+    // a query RESTATING the definition over the SOURCE reads the mart
+    def probe() = spark.sql(s"SELECT d, n, total FROM ($defQuery) " +
+      "ORDER BY d")
+    val planFresh = finalPlan(probe()).toString
+    assert(planFresh.contains("mv_agg") && !planFresh.contains("mv_src"),
+      s"fresh matview must answer the definition-shaped query:\n$planFresh")
+    // staleness: a source commit stops the match — honest source scan,
+    // fresh values
+    spark.sql(s"INSERT INTO tcat.ns.mv_src VALUES (5, 50, DATE'2024-07-02')")
+    val planStale = finalPlan(probe()).toString
+    assert(planStale.contains("mv_src"),
+      s"stale matview must fall back to the source:\n$planStale")
+    assert(probe().as[(Date, Long, Long)].collect().toSeq ===
+      Seq((d1, 2L, 300L), (d2, 3L, 750L)))
+    // REFRESH recomputes only the changed partition and re-arms
+    spark.sql("REFRESH MATERIALIZED VIEW tcat.ns.mv_agg")
+    val planRefreshed = finalPlan(probe()).toString
+    assert(planRefreshed.contains("mv_agg") &&
+      !planRefreshed.contains("mv_src"), planRefreshed)
+    assert(probe().as[(Date, Long, Long)].collect().toSeq ===
+      Seq((d1, 2L, 300L), (d2, 3L, 750L)))
+    // the definition doc persists: a second catalog over the same root
+    // lists it (the fresh-session loader reads these docs)
+    val g2 = new graft.catalog.GraftCatalog
+    g2.initialize("tcatmv", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of("root", root)))
+    assert(g2.listMatviews(Seq("ns")).map(_.name()).contains("mv_agg"))
+    // collisions refuse: a table may not shadow the matview, a matview
+    // may not shadow a table; IF NOT EXISTS is silent
+    val e1 = intercept[Exception](
+      spark.sql("CREATE TABLE tcat.ns.mv_agg (x INT)"))
+    assert(e1.getMessage.toLowerCase.contains("exists"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW tcat.ns.mv_src AS $defQuery"))
+    assert(e2.getMessage.toLowerCase.contains("table"), e2.getMessage)
+    spark.sql(
+      s"CREATE MATERIALIZED VIEW IF NOT EXISTS tcat.ns.mv_agg AS $defQuery")
+    // multi-source definitions refuse loudly (single-source refresh)
+    val e3 = intercept[Exception](spark.sql(
+      """CREATE MATERIALIZED VIEW tcat.ns.mv_bad AS
+         SELECT a.d, count(*) AS n FROM tcat.ns.mv_src a
+         JOIN tcat.ns.lib_t b ON a.k = b.k GROUP BY a.d"""))
+    assert(e3.getMessage.contains("single-source"), e3.getMessage)
+    // drop removes the definition, the registration, and the mart
+    spark.sql("DROP MATERIALIZED VIEW tcat.ns.mv_agg")
+    intercept[Exception](spark.sql("SELECT * FROM tcat.ns.mv_agg"))
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS tcat.ns.mv_agg")
+    intercept[Exception](
+      spark.sql("DROP MATERIALIZED VIEW tcat.ns.mv_agg"))
+    val planDropped = finalPlan(probe()).toString
+    assert(planDropped.contains("mv_src"), planDropped)
+  }
+
+  test("CALL system.maintain bundles DV absorb and ANN staleness check") {
+    val _ = root
+    val p = seedPartitioned("maint_t")
+    spark.conf.set("spark.graft.dml.dv.maxRows", "4")
+    try {
+      Upsert.deleteWhereMor(spark, p, col("k") === 1)
+      Upsert.deleteWhereMor(spark, p, col("k") === 2)
+      Upsert.deleteWhereMor(spark, p, col("k") === 3)
+      // 3/4 = 75% of the cap >= the default 20% fraction → absorb
+      val r = spark.sql(
+        "CALL tcat.system.maintain(table => 'ns.maint_t')").collect()
+      assert(r.head.getBoolean(0) === true, "DV debt must trip absorb")
+      val v = Manifest.currentVersion(spark, p).get
+      assert(Manifest.dvsAsOf(spark, p, v).isEmpty)
+      assert(spark.sql("SELECT count(*) FROM tcat.ns.maint_t")
+        .as[Long].head() === 1L)
+      // nothing left to do: second call is a clean no-op
+      val r2 = spark.sql(
+        "CALL tcat.system.maintain(table => 'ns.maint_t')").collect()
+      assert(r2.head.getBoolean(0) === false)
+    } finally spark.conf.unset("spark.graft.dml.dv.maxRows")
+  }
+
   test("RENAME, DROP TABLE, and CASCADE namespace drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.tmpns")
     spark.sql("CREATE TABLE tcat.tmpns.a (k BIGINT)")

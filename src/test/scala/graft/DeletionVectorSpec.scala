@@ -192,6 +192,106 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(keys(p) === Set(2, 4))
   }
 
+  test("overlapping-file-set deletes keep DV objects duplicate-free") {
+    // ADVICE r17 (medium): old DV objects are per-statement and
+    // multi-file — merging them UNFILTERED into a later statement's
+    // object would copy rows of files NOT touched by that statement
+    // (still pointed at the old object), growing live objects
+    // superlinearly and undercounting the broadcast-cap accounting.
+    val p = tmp(); seed(p)
+    // statement 1 touches BOTH files → one shared object
+    assert(Upsert.deleteWhereMor(spark, p,
+      col("k") === 1 || col("k") === 3) === 2L)
+    val dv1 = dvsNow(p)
+    assert(dv1.size === 2 && dv1.values.map(_.rel).toSet.size === 1)
+    // statement 2 touches ONLY d1's file → its new object must carry
+    // d1's prior position + the new one, and NOT d2's position
+    assert(Upsert.deleteWhereMor(spark, p, col("k") === 2) === 1L)
+    val dv2 = dvsNow(p)
+    val d1f = dv2.keys.find(_.startsWith("d=2024-07-01/")).get
+    val d2f = dv2.keys.find(_.startsWith("d=2024-07-02/")).get
+    assert(dv2(d1f).rows === 2L && dv2(d2f).rows === 1L)
+    val actualRows = spark.read.schema(DeletionVectors.Schema)
+      .parquet(s"$p/${dv2(d1f).rel}").count()
+    assert(actualRows === 2L,
+      s"new DV object holds $actualRows rows; pointer accounting says 2")
+    assert(keys(p) === Set(4))
+  }
+
+  test("vacuum reclaims orphaned DV staging directories") {
+    // a crashed DeletionVectors.write leaves _staging_<uuid>/ behind;
+    // a committed object is always a renamed-out plain file, so any
+    // staging DIRECTORY at reclaim time is an orphan (ADVICE r17)
+    val p = tmp(); seed(p)
+    Upsert.deleteWhereMor(spark, p, col("k") === 1)
+    val live = dvsNow(p).values.head.rel
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$p/_graft_manifest/dv/_staging_deadbeef")
+    fs.mkdirs(orphan)
+    val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "part.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    Manifest.vacuum(spark, p, keep = 1)
+    assert(!fs.exists(orphan), "orphaned staging dir survived reclaim")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/$live")),
+      "the live DV object must survive")
+    assert(keys(p) === Set(2, 3, 4))
+  }
+
+  test("MoR MERGE: matched clauses commit DVs + appended images, one commit") {
+    val p = tmp(); seed(p)
+    spark.conf.set("spark.graft.dml.mode", "merge-on-read")
+    try {
+      val pre = Manifest.currentLive(spark, p).toSet
+      val src = Seq((1, d1, 111L), (2, d1, 222L), (5, d2, 555L))
+        .toDF("k", "d", "cents")
+      val (affected, inserted) = Upsert.mergeProgram(spark, p, src,
+        Seq("k"),
+        Seq(Upsert.MatchedDelete(Some(col("k") === 1)),
+          Upsert.MatchedUpdate(None)),
+        Seq.empty, Some(Upsert.InsertSpec(None)), Seq("d"))
+      assert(affected === 2L && inserted === 1L)
+      // no matched file was rewritten: originals all survive; the only
+      // additions are the update image + the insert
+      val post = Manifest.currentLive(spark, p).toSet
+      assert(pre.subsetOf(post) && (post -- pre).nonEmpty)
+      val dv = dvsNow(p)
+      assert(dv.size === 1 && dv.values.head.rows === 2L)
+      assert(dv.keys.forall(_.startsWith("d=2024-07-01/")))
+      assert(Manifest.read(spark, p).select("k", "cents")
+        .as[(Int, Long)].collect().toSet ===
+        Set((2, 222L), (3, 300L), (4, 400L), (5, 555L)))
+      // one snapshot: version-1 shows the pre-merge state wholly
+      val v = Manifest.currentVersion(spark, p).get
+      assert(Manifest.readAsOf(spark, p, v - 1).select("k", "cents")
+        .as[(Int, Long)].collect().toSet ===
+        Set((1, 100L), (2, 200L), (3, 300L), (4, 400L)))
+    } finally spark.conf.unset("spark.graft.dml.mode")
+  }
+
+  test("MoR MERGE matched-only keeps narrow scope; COW by-source untouched") {
+    val p = tmp(); seed(p)
+    spark.conf.set("spark.graft.dml.mode", "merge-on-read")
+    try {
+      val src = Seq((2, d1, 999L)).toDF("k", "d", "cents")
+      // matched-only: no insert clause → only the touched file DV'd
+      val (affected, inserted) = Upsert.mergeProgram(spark, p, src,
+        Seq("k"), Seq(Upsert.MatchedUpdate(None)), Seq.empty, None,
+        Seq("d"))
+      assert(affected === 1L && inserted === 0L)
+      assert(Manifest.read(spark, p).filter(col("k") === 2)
+        .select("cents").as[Long].head() === 999L)
+      // by-source clauses stay copy-on-write by design: the whole-table
+      // rewrite must land rewritten files, not pointers
+      val (a2, _) = Upsert.mergeProgram(spark, p, src, Seq("k"),
+        Seq.empty,
+        Seq(Upsert.BySourceDelete(Some(col("k") === 4))), None, Seq("d"))
+      assert(a2 === 1L)
+      assert(keys(p) === Set(1, 2, 3))
+    } finally spark.conf.unset("spark.graft.dml.mode")
+  }
+
   test("SQL catalog reads apply DVs; clean tables keep the stock scan") {
     val root = Files.createTempDirectory("graft-dv-cat").toString
     spark.conf.set("spark.sql.catalog.dvcat", "graft.catalog.GraftCatalog")

@@ -1072,4 +1072,40 @@ class SqlEdgesSpec extends AnyFunSuite {
     assert(rowsOf("ecat.ns.dnd") === Map(1L -> 10L),
       "refused statements must leave the snapshot untouched")
   }
+
+  test("semantically trivial DELETE predicates route like DELETE FROM t " +
+      "on merge-on-read tables (ADVICE r17: fold before deciding)") {
+    root
+    spark.sql("""CREATE TABLE ecat.ns.mor_triv (k BIGINT, cents BIGINT)
+                 TBLPROPERTIES ('graft.dml.mode' = 'merge-on-read')""")
+    spark.range(0, 50).selectExpr("id AS k", "id * 10 AS cents")
+      .createOrReplaceTempView("__triv_src")
+    spark.sql("INSERT INTO ecat.ns.mor_triv SELECT k, cents FROM __triv_src")
+    // cap far below the row count: an accidental DV route would refuse
+    spark.conf.set("spark.graft.dml.dv.maxRows", "5")
+    try {
+      spark.sql("DELETE FROM ecat.ns.mor_triv WHERE 1=1")
+      assert(spark.sql("SELECT count(*) FROM ecat.ns.mor_triv")
+        .as[Long].head() === 0L)
+      val p = s"$root/ns/mor_triv"
+      val v = Manifest.currentVersion(spark, p).get
+      assert(Manifest.dvsAsOf(spark, p, v).isEmpty,
+        "a trivially-true DELETE must take the empty-snapshot commit, " +
+          "not DV every row")
+      // the OR-tautology shape folds too
+      spark.sql("INSERT INTO ecat.ns.mor_triv SELECT k, cents FROM __triv_src")
+      spark.sql("DELETE FROM ecat.ns.mor_triv WHERE true OR cents IS NULL")
+      assert(spark.sql("SELECT count(*) FROM ecat.ns.mor_triv")
+        .as[Long].head() === 0L)
+      assert(Manifest.dvsAsOf(spark, p,
+        Manifest.currentVersion(spark, p).get).isEmpty)
+      // a REAL predicate still routes merge-on-read under the tiny cap
+      spark.sql("INSERT INTO ecat.ns.mor_triv SELECT k, cents FROM __triv_src")
+      spark.sql("DELETE FROM ecat.ns.mor_triv WHERE k < 3")
+      assert(Manifest.dvsAsOf(spark, p,
+        Manifest.currentVersion(spark, p).get).nonEmpty)
+      assert(spark.sql("SELECT count(*) FROM ecat.ns.mor_triv")
+        .as[Long].head() === 47L)
+    } finally spark.conf.unset("spark.graft.dml.dv.maxRows")
+  }
 }

@@ -509,4 +509,73 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Int, Long, String)].collect().toSeq.sorted ===
       Seq((1, 10L, "insert"), (2, 999L, "insert")))
   }
+
+  test("named source format(\"graft\") streams the change feed; " +
+      "checkpoint loss replays zero duplicate rows") {
+    import java.sql.Date
+    val root = Files.createTempDirectory("graft-gsource").toString
+    val src = s"$root/src"; val sink = s"$root/sink"
+    val d1 = Date.valueOf("2024-07-01")
+    graft.engine.Upsert.append(spark, src,
+      Seq((1, d1, 10L), (2, d1, 20L)).toDF("k", "d", "cents"), Some("d"))
+    // foreachBatch append, NOT the parquet file sink: the file sink
+    // keeps its own _spark_metadata batch log per OUTPUT dir, which
+    // would dedup replayed batchIds itself and mask what this test
+    // pins — that the SOURCE's durable consumer pointer alone delivers
+    // zero duplicates across checkpoint loss
+    def drain(ckpt: String): Unit =
+      spark.readStream.format("graft")
+        .option("path", src)
+        .option("keyCols", "k,d")
+        .option("consumerId", "gsrc1")
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+        .awaitTermination()
+    def delivered(): Seq[(Int, Long, String)] =
+      spark.read.parquet(sink)
+        .select(col("k"), col("cents"),
+          col(graft.engine.ChangeFeed.ChangeCol))
+        .as[(Int, Long, String)].collect().toSeq.sorted
+
+    // first delivery: the whole snapshot as inserts
+    drain(s"$root/ckpt1")
+    assert(delivered() === Seq((1, 10L, "insert"), (2, 20L, "insert")))
+
+    // checkpoint LOST: the durable consumer pointer (advanced in
+    // Source.commit) absorbs the replay — zero new rows
+    drain(s"$root/ckpt2")
+    assert(delivered() === Seq((1, 10L, "insert"), (2, 20L, "insert")),
+      "checkpoint-loss replay through the named source must deliver " +
+        "zero duplicate change rows")
+
+    // a new commit streams exactly its delta through the same source
+    graft.engine.Upsert.mergePartitioned(spark, src,
+      Seq((2, d1, 999L)).toDF("k", "d", "cents"), Seq("k", "d"), "d")
+    drain(s"$root/ckpt3")
+    assert(delivered() === Seq((1, 10L, "insert"), (2, 20L, "insert"),
+      (2, 20L, "update_preimage"), (2, 999L, "update_postimage")))
+
+    // without a consumerId the stream is checkpoint-scoped: a fresh
+    // checkpoint restarts at startingVersion (0 = full snapshot)
+    val sink2 = s"$root/sink2"
+    spark.readStream.format("graft")
+      .option("path", src).option("keyCols", "k,d")
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", sink2)
+      .option("checkpointLocation", s"$root/ckpt4")
+      .start().awaitTermination()
+    assert(spark.read.parquet(sink2)
+      .select(col("k"), col("cents"),
+        col(graft.engine.ChangeFeed.ChangeCol))
+      .as[(Int, Long, String)].collect().toSeq.sorted ===
+      Seq((1, 10L, "insert"), (2, 999L, "insert")))
+  }
 }

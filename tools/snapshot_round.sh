@@ -27,13 +27,27 @@ if ls target/test-reports/TEST-*.xml >/dev/null 2>&1; then
       rm -f "$f"
     }
   done
+  # Round-17 verdict: the tally must postdate the LAST test-relevant
+  # source change, or the counter syncs to an obsolete run (r17: the
+  # final commit added DeletionVectorSpec rows after the sync — README
+  # said 471, the post-commit run said 474). If any spec source is
+  # newer than every report, demand a re-run rather than tallying.
+  newest_src=$(find src/test/scala -name '*.scala' -newer \
+    "$(ls -t target/test-reports/TEST-*.xml | head -1)" 2>/dev/null | head -3)
+  if [ -n "$newest_src" ]; then
+    echo "[snapshot] STALE REPORTS: test sources changed after the last" \
+      "test run (e.g. $newest_src) — run 'sbt test' before snapshotting"
+    exit 1
+  fi
   actual=$(grep -ho 'tests="[0-9]*"' target/test-reports/TEST-*.xml \
     | awk -F'"' '{s+=$2} END {print s}')
   claimed=$(grep -o '[0-9]* ScalaTest tests' README.md | awk '{print $1}')
   if [ -n "$claimed" ] && [ "$claimed" != "$actual" ]; then
-    echo "[snapshot] COUNTER DRIFT: README claims $claimed ScalaTest" \
-      "tests, reports tally $actual — fix README.md before committing"
-    exit 1
+    # Auto-sync instead of failing (round-17 ask 7b): the fresh tally
+    # IS the truth once the freshness gate above has passed.
+    echo "[snapshot] counter sync: README claimed $claimed ScalaTest" \
+      "tests, reports tally $actual — updating README.md"
+    sed -i "s/$claimed ScalaTest tests/$actual ScalaTest tests/" README.md
   fi
 else
   echo "[snapshot] WARNING: no test reports found; counter gate skipped"
