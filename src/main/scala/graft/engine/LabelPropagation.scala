@@ -30,8 +30,11 @@ import scala.util.chaining._
   * set `reliable` so a lost executor costs a task retry, not the whole
   * fixpoint): the state is referenced more than once
   * per round (propagation join + shortcut self-join + convergence
-  * diff), so without the checkpoint the logical plan doubles per round
-  * (measured as an OOM while Spark merely stringified the plan).
+  * test), so without the checkpoint the logical plan doubles per round
+  * (measured as an OOM while Spark merely stringified the plan). The
+  * convergence test itself is join-free: each round threads its
+  * starting label through as `old`, so "did anything move" is a
+  * filter+count over the round's own checkpoint blocks.
   */
 object LabelPropagation {
 
@@ -41,20 +44,40 @@ object LabelPropagation {
     *               convergence is observable, not silent)
     */
   def components(edges: DataFrame, tag: String = "label-prop"): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).pipe(Checkpoints.iter)
+    // Fused init (round-18 optimization): the old shape seeded
+    // labels = id and paid a full first round to fold in the 1-hop
+    // neighbor minimum; seeding with least(node, min incoming src)
+    // IS that first propagation — one aggregate over the edges, one
+    // round fewer through the loop. Every node of a symmetric edge
+    // relation appears as a dst, so the aggregate covers the node set.
+    var labels = edges.groupBy(col("dst").as("node"))
+      .agg(min(col("src")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
+      .pipe(Checkpoints.iter)
     var converged = false
     var rounds = 0
     val maxRounds = 64
     while (!converged && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val prop = labels
-        .join(neighborMin.select(col("src").as("node"), col("nlabel")),
-          Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // One propagation = ONE join + ONE aggregate (round-18, guide
+      // §2.3/§2.4): each node's standing row rides the same shuffle as
+      // its incoming neighbor labels via a union branch (the self-loop
+      // trick of GraphQueries.relaxRounds, applied to the fixpoint
+      // loop), replacing the old neighborMin-aggregate THEN left-join
+      // shape — one exchange and one join fewer per round. The
+      // round-start label rides along as `old` (non-null exactly once
+      // per node, so max() recovers it through the aggregate) and the
+      // convergence test below is a bare filter+count over the round's
+      // checkpoint instead of a |V|-row shuffle join.
+      val nullLabel = lit(null).cast(edges.schema("src").dataType)
+      val prop = labels.select(col("node"), col("label"),
+          col("label").as("old"))
+        .unionByName(edges
+          .join(labels.select(col("node").as("dst"), col("label")),
+            Seq("dst"))
+          .select(col("src").as("node"), col("label"),
+            nullLabel.as("old")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
         .pipe(Checkpoints.iter)
       // Pointer-doubling shortcut: jump to the label's OWN label
       // (labels are always node ids, so the lookup self-join is total).
@@ -62,11 +85,11 @@ object LabelPropagation {
         .join(prop.select(col("node").as("l2node"), col("label").as("l2label")),
           prop("label") === col("l2node"), "left")
         .select(prop("node"),
-          least(prop("label"), coalesce(col("l2label"), prop("label"))).as("label"))
+          least(prop("label"), coalesce(col("l2label"), prop("label"))).as("label"),
+          prop("old"))
         .pipe(Checkpoints.iter)
-      val changed = next.join(labels.select(col("node"), col("label").as("old")),
-        Seq("node")).filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       rounds += 1
       System.err.println(s"[$tag] round $rounds: changed=$changed")

@@ -29,6 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO gotchas the codec seams below are shaped around (found by
+  // the round-18 parallelization): the ImageIO.read/write/
+  // createImage*Stream conveniences re-walk the IIORegistry per call
+  // AND default to DISK-cached stream wrappers, so every payload
+  // round-trips through a temp file — 32 concurrent codec tasks then
+  // contend on temp-file create/delete (measured ~30x per-task
+  // inflation: q_multimodal_frames 2.2s serial task-time → 58s across
+  // 67 parallel tasks, wall unchanged). Every seam therefore holds ONE
+  // reader/writer per partition and constructs
+  // MemoryCacheImage{Input,Output}Stream directly — all payloads here
+  // are in-memory byte arrays, so memory-cached streams are strictly
+  // right at any scale.
+
   final case class MediaRow(doc_id: Long, media: Array[Byte])
   final case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)
@@ -85,6 +98,32 @@ object Multimodal {
   private[graft] def pngWidth(o: Long): Int = (o % WidthMod).toInt + 1
   private[graft] def pngHeight(o: Long): Int = ((o * 7) % HeightMod).toInt + 1
 
+  /** The `(doc_id, text-byte-count)` proxy every media synthesizer
+    * consumes, hash-repartitioned on doc_id BEFORE the codec seam
+    * (round-18 optimization, guide §2.5 / §8): the proxy is ~16
+    * bytes/row while the encode+decode work downstream costs
+    * milliseconds/row, so the exchange moves the LIGHT rows once and
+    * decouples codec parallelism from the input's file/row-group
+    * layout — a single-row-group parquet input otherwise serializes
+    * the entire encode→decode chain into one task (measured at sf0.1:
+    * q_multimodal_frames ran 3.1 s of codec work on 1 of 32 cores).
+    * Deterministic hash partitioning (not round-robin), so task
+    * retries reproduce the same row placement. The partition count is
+    * PINNED to the session's default parallelism: a keyed repartition
+    * without a count is AQE-coalesced by shuffle BYTES, and the proxy
+    * rows are so small that AQE folds them back into one partition —
+    * re-serializing the codec stage it cannot see (measured: the
+    * unpinned form kept q_multimodal_frames at 2.3 s on 5 tasks).
+    */
+  private def lenProxy(documents: DataFrame): Dataset[(Long, Long)] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("o"))
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .as[(Long, Long)]
+  }
+
   /** Synthesize a REAL PNG payload per document: a `BufferedImage` of
     * the deterministic geometry, pixels filled from a cheap function of
     * (doc_id, x, y) so the bytes are content-bearing, encoded by the
@@ -94,10 +133,17 @@ object Multimodal {
     */
   def derivePng(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), octet_length(col("text")).cast("long")
-        .as("o"))
-      .as[(Long, Long)]
+    lenProxy(documents)
       .mapPartitions { rows =>
+        // per-partition writer + direct memory-cached stream: the
+        // ImageIO.write convenience re-walks the IIORegistry per image
+        // and defaults to a disk-backed stream wrapper — measured as
+        // the residual task-time inflation once the seam parallelized
+        val writer = {
+          val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+          require(it.hasNext, "JDK PNG ImageWriter missing")
+          it.next()
+        }
         val buf = new java.io.ByteArrayOutputStream(1 << 12)
         rows.map { case (docId, o) =>
           val w = pngWidth(o); val h = pngHeight(o)
@@ -120,7 +166,11 @@ object Multimodal {
             y += 1
           }
           buf.reset()
-          javax.imageio.ImageIO.write(img, "png", buf)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+          try {
+            writer.setOutput(ios)
+            writer.write(img)
+          } finally ios.close()
           MediaRow(docId, buf.toByteArray)
         }
       }
@@ -149,7 +199,7 @@ object Multimodal {
       }
       rows.map { r =>
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(r.media))
           try {
             reader.setInput(iis, true, true)
@@ -192,9 +242,18 @@ object Multimodal {
   def decodePixelSums(media: Dataset[MediaRow]): Dataset[PngPixels] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      val reader = {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+        require(it.hasNext, "JDK PNG ImageReader missing")
+        it.next()
+      }
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
+        val img = try {
+          reader.setInput(iis, true, true)
+          reader.read(0)
+        } finally iis.close()
         require(img != null, s"doc ${r.doc_id}: payload failed to decode")
         var sum = 0L
         var y = 0
@@ -246,12 +305,27 @@ object Multimodal {
     */
   def deriveWav(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"),
-        octet_length(col("text")).cast("long").as("o"))
-      .as[(Long, Long)]
+    lenProxy(documents)
       .mapPartitions { rows =>
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
           true /* signed */, false /* little-endian */)
+        // per-partition WAVE writer via the public SPI: the
+        // AudioSystem.write convenience funnels every call through a
+        // SYNCHRONIZED static provider lookup, which serializes the
+        // parallel codec tasks (measured: 19.7 task-seconds for 0.27 s
+        // of actual containerizing work)
+        val writer = {
+          val it = java.util.ServiceLoader.load(
+            classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+          var w: javax.sound.sampled.spi.AudioFileWriter = null
+          while (w == null && it.hasNext) {
+            val c = it.next()
+            if (c.isFileTypeSupported(
+                javax.sound.sampled.AudioFileFormat.Type.WAVE)) w = c
+          }
+          require(w != null, "JDK WAVE AudioFileWriter missing")
+          w
+        }
         rows.map { case (docId, o) =>
           val n = wavSamples(o)
           val pcm = new Array[Byte](n * 2)
@@ -266,7 +340,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
           val buf = new java.io.ByteArrayOutputStream(n * 2 + 64)
-          javax.sound.sampled.AudioSystem.write(ais,
+          writer.write(ais,
             javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
           MediaRow(docId, buf.toByteArray)
         }
@@ -286,9 +360,34 @@ object Multimodal {
   def decodeWav(media: Dataset[MediaRow]): Dataset[WavMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      // per-partition readers via the public SPI (the AudioSystem
+      // convenience pays the synchronized provider lookup per row —
+      // see deriveWav); payloads here are always WAV, so the first
+      // reader that accepts the stream wins
+      val readers = {
+        val it = java.util.ServiceLoader.load(
+          classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+        val b = Vector.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+        while (it.hasNext) b += it.next()
+        val rs = b.result()
+        require(rs.nonEmpty, "no JDK AudioFileReader providers")
+        rs
+      }
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        var i = 0
+        while (i < readers.size) {
+          try return readers(i).getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              i += 1
+          }
+        }
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          "no provider accepted the payload")
+      }
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.media))
+        val ais = open(r.media)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian, s"doc ${r.doc_id}: unexpected format $fmt")
@@ -352,9 +451,7 @@ object Multimodal {
     */
   def deriveGif(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"),
-        octet_length(col("text")).cast("long").as("o"))
-      .as[(Long, Long)]
+    lenProxy(documents)
       .mapPartitions { rows =>
         val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
         require(it.hasNext, "JDK GIF ImageWriter missing")
@@ -372,7 +469,8 @@ object Multimodal {
           val w = gifWidth(o); val h = gifHeight(o)
           val nf = nFrames(o).toInt
           val buf = new java.io.ByteArrayOutputStream(1 << 12)
-          val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+          val ios =
+            new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
           try {
             writer.setOutput(ios)
             writer.prepareWriteSequence(null)
@@ -422,7 +520,7 @@ object Multimodal {
       require(it.hasNext, "JDK GIF ImageReader missing")
       val reader = it.next()
       rows.flatMap { r =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
         try {
           reader.setInput(iis, false, true)
@@ -480,9 +578,7 @@ object Multimodal {
     */
   def deriveAvi(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"),
-        octet_length(col("text")).cast("long").as("o"))
-      .as[(Long, Long)]
+    lenProxy(documents)
       .mapPartitions { rows =>
         rows.map { case (docId, o) =>
           MediaRow(docId, buildAvi(docId, o))

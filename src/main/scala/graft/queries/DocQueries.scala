@@ -43,7 +43,12 @@ object DocQueries {
         s, s"$dir/documents.parquet"))(
       docs(s, dir)
         .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id"))
+        // count pinned (round-18): an unpinned keyed repartition is
+        // AQE-coalescible by shuffle BYTES, and once cached-plan AQE is
+        // on (Bench conf) the kB-sized text proxy folds back to one
+        // partition — freezing a SERIAL layout into the cache that
+        // every downstream tokenization consumer inherits
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           graft.functions.TextFunctions.words(col("text")).as("ws"))
         .persist())

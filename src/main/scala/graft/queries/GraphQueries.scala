@@ -269,13 +269,40 @@ object GraphQueries {
     */
   private[graft] def relaxRounds(relation: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
+    // Hash-partition the loop relation on the join key ONCE (round-18
+    // optimization): every one of the K levels references it, and
+    // without the explicit repartition each level's join planted its
+    // own ENSURE_REQUIREMENTS exchange — measured at sf0.1, 9 separate
+    // materializations of the identical |E|+|V| union for the K=8
+    // components TVF (~27 executor-seconds, all shuffling the same
+    // bytes). An explicit keyed repartition is an IDENTICAL Exchange at
+    // every level, which exchange reuse (plain ReuseExchange, or AQE
+    // stage reuse) materializes once and replays from shuffle files for
+    // the other K−1 levels — the exact idiom the pagerank/ppr TVF
+    // expansions already use for their weighted relation
+    // (plans/PageRankTvf.scala).
+    //
+    // The explicit null filter is what makes the levels' exchanges
+    // CANONICALLY IDENTICAL: constraint inference pushes isnotnull(src)
+    // into level 1's copy but isnotnull(src, dst) into deeper levels'
+    // copies (their dst feeds the next join), and the structurally
+    // different filters defeated reuse — measured as one
+    // materialization PER LEVEL despite the shared repartition.
+    // Filtering both keys up front subsumes every inferred variant.
+    // Semantics: node ids are non-null by construction in every caller
+    // (arithmetically encoded keys; self-loops from the degree table) —
+    // a hypothetical null edge endpoint could never survive the
+    // next level's join anyway.
+    val rel = relation
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
     var dist = seeds
     for (_ <- 1 to rounds) {
       // dataset aliases: from round 2 on, the state's lineage contains
       // the relation itself, so bare Dataset-column references would
       // trip DetectAmbiguousSelfJoin — qualified names resolve cleanly
       val prev = dist.select(col("node").as("pnode"), col("d").as("pd"))
-      dist = relation.as("e").join(prev.as("p"),
+      dist = rel.as("e").join(prev.as("p"),
           col("e.src") === col("p.pnode"))
         .groupBy(col("e.dst").as("node"))
         .agg(min(col("p.pd") + col("e.w")).as("d"))

@@ -42,7 +42,10 @@ object HashedGrams {
         s, s"$dir/documents.parquet"))(
       graft.engine.Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id"))
+        // count pinned (round-18): see DocQueries.tokenized — AQE would
+        // coalesce the byte-tiny proxy to one partition and serialize
+        // the shingle expansion frozen into this cache
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= n)
         .select(col("doc_id"),

@@ -209,7 +209,8 @@ object SearchQueries {
       .fileFingerprint(s, s"$dir/documents.parquet"))(
       docs(s, dir)
         .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id"))
+        // count pinned (round-18): see DocQueries.tokenized
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"),

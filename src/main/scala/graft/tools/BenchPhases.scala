@@ -28,6 +28,9 @@ object BenchPhases {
     @volatile var jobs = 0
     @volatile var tasks = 0
     @volatile var taskNanos = 0L
+    @volatile var gcMs = 0L
+    @volatile var fetchWaitMs = 0L
+    @volatile var deserMs = 0L
     override def onJobStart(
         j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
       synchronized { jobs += 1 }
@@ -35,10 +38,37 @@ object BenchPhases {
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       synchronized {
         tasks += 1
-        if (te.taskMetrics != null)
+        if (te.taskMetrics != null) {
           taskNanos += te.taskMetrics.executorRunTime * 1000000L
+          gcMs += te.taskMetrics.jvmGCTime
+          fetchWaitMs += te.taskMetrics.shuffleReadMetrics.fetchWaitTime
+          deserMs += te.taskMetrics.executorDeserializeTime
+        }
       }
-    def reset(): Unit = synchronized { jobs = 0; tasks = 0; taskNanos = 0L }
+    def reset(): Unit = synchronized {
+      jobs = 0; tasks = 0; taskNanos = 0L; gcMs = 0L; fetchWaitMs = 0L
+      deserMs = 0L
+    }
+  }
+
+  /** Optional per-stage attribution (SPARK_GRAFT_PHASES_STAGES=1): one
+    * stderr line per completed stage — tasks, summed task run time, and
+    * the stage name/callsite — the "which operator owns the task time"
+    * drill-down.
+    */
+  private final class StageDumpListener
+      extends org.apache.spark.scheduler.SparkListener {
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val t = si.taskMetrics
+      val rdds = si.rddInfos.map(_.name).filter(_ != null).distinct
+        .mkString(">")
+      System.err.println(
+        f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"run=${if (t == null) -1 else t.executorRunTime}%6dms " +
+          f"rdds=${rdds.take(120)}")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -51,6 +81,11 @@ object BenchPhases {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       .config("spark.sql.extensions", "graft.GraftExtensions")
     // dev-only A/B hook: SPARK_GRAFT_BENCH_CONF="k=v;k=v" — lets a
     // config hypothesis be measured without a recompile
@@ -76,8 +111,11 @@ object BenchPhases {
     }
     val listener = new JobTaskListener
     spark.sparkContext.addSparkListener(listener)
+    if (sys.env.get("SPARK_GRAFT_PHASES_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new StageDumpListener)
     println(f"${"query"}%-34s ${"build"}%7s ${"ana"}%6s ${"opt"}%6s " +
-      f"${"plan"}%6s ${"exec"}%7s ${"total"}%7s ${"tsum"}%7s jobs tasks")
+      f"${"plan"}%6s ${"exec"}%7s ${"total"}%7s ${"tsum"}%7s jobs tasks " +
+      f"${"gc"}%6s ${"fetchw"}%6s ${"deser"}%6s")
     qs.foreach { case (n, fn) =>
       System.gc()
       org.apache.spark.graftshim.CoreShims
@@ -103,7 +141,9 @@ object BenchPhases {
           f"${ph.getOrElse("optimization", 0.0)}%6.3f " +
           f"${ph.getOrElse("planning", 0.0)}%6.3f $exec%7.3f " +
           f"${(t2 - t0) / 1e9}%7.3f ${listener.taskNanos / 1e9}%7.3f " +
-          f"${listener.jobs}%4d ${listener.tasks}%5d")
+          f"${listener.jobs}%4d ${listener.tasks}%5d " +
+          f"${listener.gcMs / 1e3}%6.2f ${listener.fetchWaitMs / 1e3}%6.2f " +
+          f"${listener.deserMs / 1e3}%6.2f")
       } catch { case e: Throwable =>
         println(s"$n FAILED: ${e.getMessage}")
       }

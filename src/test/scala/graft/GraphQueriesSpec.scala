@@ -255,6 +255,41 @@ class GraphQueriesSpec extends AnyFunSuite {
     parent.keys.map(n => n -> find(n)).toMap
   }
 
+  // Round-18 loop internals (fused 1-hop init; union+agg propagation;
+  // old-label threading for the join-free convergence test): a long
+  // chain forces several propagation+shortcut rounds past the fused
+  // init, a star converges AT the init (the early-exit path), and both
+  // must land on the component-min fixpoint.
+  test("label-propagation: chain (multi-round) and star (init-converged) hit the fixpoint") {
+    val chain = (1L to 8L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val symChain = chain ++ chain.map(_.swap)
+    val gotChain = graft.engine.LabelPropagation
+      .components(symChain.toDF("src", "dst"), "spec-chain")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain === (1L to 8L).map(_ -> 1L).toMap)
+    val star = (2L to 6L).map(n => (1L, n))
+    val symStar = star ++ star.map(_.swap)
+    val gotStar = graft.engine.LabelPropagation
+      .components(symStar.toDF("src", "dst"), "spec-star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStar === (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  // Round-18 relaxRounds internals (shared keyed repartition + uniform
+  // null filter): the loop relation's contract is non-null endpoints;
+  // a null endpoint must be ignored, not crash the round and not mint
+  // a null-keyed distance row.
+  test("relaxRounds ignores null edge endpoints") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 2L, 1L), (2L, 3L, 1L), (null, 2L, 1L), (3L, null, 1L),
+      (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L))
+    val rel = rows.toDF("src", "dst", "w")
+    val seeds = Seq((1L, 0L)).toDF("node", "d")
+    val got = graft.queries.GraphQueries.relaxRounds(rel, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("label-propagation components match union-find on random graphs (10 seeds)") {
     for (seed <- 1 to 10) {
       val rnd = new scala.util.Random(300 + seed)
