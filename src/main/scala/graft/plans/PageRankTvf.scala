@@ -98,19 +98,30 @@ case class ExpandPageRank(spark: SparkSession)
           .select(col(pr.srcCol).as("src"), col(pr.dstCol).as("dst"))
         val (w, deg) = graft.queries.GraphQueries.weight(edges)
         // The expansion references the weighted relation at every one
-        // of the K plan levels, and an analysis rule must stay
-        // side-effect-free (no persist), so the first cut re-ran the
-        // edges⋈deg build — and its |E|-sized aggregate — once per
-        // level (measured: 4.6 s vs the cached DataFrame form's 2.6 s
-        // at sf0.1; 32.7 s at the 10× sweep). Hash-partitioning the
-        // weighted relation on the join key instead plants an
-        // IDENTICAL Exchange at every level, which exchange reuse
-        // (plain ReuseExchange, or AQE stage reuse) materializes once
-        // and replays from shuffle files for the other K−1 levels —
-        // the same property the BFS loop relation relies on
-        // (GraphQueries.withLoops scaladoc). PLANS.md's q_sql_pagerank
-        // dump shows the single reused exchange.
-        val wShared = w.repartition(col("src"))
+        // of the K plan levels. Round 18 hash-partitioned it once and
+        // leaned on exchange reuse; round 19 materializes it ONCE as an
+        // eager localCheckpoint leaf instead — the executed plans
+        // showed the per-level wall was sequential AQE stage
+        // round-trips through the relation's whole subtree (cache
+        // scans wrapped in per-level TableCacheQueryStage nodes, the
+        // edges⋈deg build re-planned per level), and a leaf RDD scan
+        // removes all of them (see GraphQueries.relaxRounds for the
+        // measured job/wall numbers on the components twin). The
+        // repartition BEFORE the checkpoint pins hashpartitioning(src)
+        // into the leaf so at non-broadcast sizes the relation side of
+        // each level's join still needs no exchange. The checkpoint
+        // executes inside the analysis rule — the same
+        // eager-work-at-build-time regime as the LabelPropagation
+        // fixpoint loops, re-run (and re-timed) on every execution of
+        // the enclosing query. Below the measured K crossover
+        // (GraphQueries.MaterializeRelationRounds) the fixed
+        // materialization cost exceeds the replan savings, so short
+        // chains keep round 18's reusable-exchange form.
+        val wRep = w.repartition(col("src"))
+        val wShared =
+          if (pr.iters >= graft.queries.GraphQueries.MaterializeRelationRounds)
+            wRep.localCheckpoint()
+          else wRep
         graft.queries.GraphQueries.pagerankIterate(wShared, deg, pr.iters)
           .queryExecution.analyzed
     }

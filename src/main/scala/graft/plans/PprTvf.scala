@@ -97,10 +97,19 @@ case class ExpandPpr(spark: SparkSession) extends Rule[LogicalPlan] {
           .ofRows(spark, p.right)
           .select(col(p.seedCol).as("node"))
         val (w, _) = graft.queries.GraphQueries.weight(edges)
-        // both relations recur at every level; identical Exchanges →
-        // one materialization via reuse (see the object scaladoc)
+        // both relations recur at every level: identical exchanges →
+        // one materialization via reuse. Long chains (K ≥ the measured
+        // crossover, GraphQueries.MaterializeRelationRounds) checkpoint
+        // the weighted relation instead — leaf scans beat per-level
+        // AQE replans through the subtree once K amortizes the eager
+        // materialization (see GraphQueries.relaxRounds).
+        val wRep = w.repartition(col("src"))
+        val wShared =
+          if (p.iters >= graft.queries.GraphQueries.MaterializeRelationRounds)
+            wRep.localCheckpoint()
+          else wRep
         graft.queries.GraphQueries.pprIterate(
-          w.repartition(col("src")), seeds.repartition(col("node")), p.iters)
+          wShared, seeds.repartition(col("node")), p.iters)
           .queryExecution.analyzed
     }
 }

@@ -267,42 +267,66 @@ object GraphQueries {
     * distinct repeats per plan level, but its exchange is identical
     * across levels, so ReuseExchange materializes it once.
     */
+  /** Minimum K at which [[relaxRounds]] (and the rank TVF expansions)
+    * eagerly materialize their loop relation as a localCheckpoint leaf
+    * instead of sharing one reusable exchange — see the comment inside
+    * [[relaxRounds]] for the measured crossover.
+    */
+  private[graft] val MaterializeRelationRounds = 4
+
   private[graft] def relaxRounds(relation: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
-    // Hash-partition the loop relation on the join key ONCE (round-18
-    // optimization): every one of the K levels references it, and
-    // without the explicit repartition each level's join planted its
-    // own ENSURE_REQUIREMENTS exchange — measured at sf0.1, 9 separate
-    // materializations of the identical |E|+|V| union for the K=8
-    // components TVF (~27 executor-seconds, all shuffling the same
-    // bytes). An explicit keyed repartition is an IDENTICAL Exchange at
-    // every level, which exchange reuse (plain ReuseExchange, or AQE
-    // stage reuse) materializes once and replays from shuffle files for
-    // the other K−1 levels — the exact idiom the pagerank/ppr TVF
-    // expansions already use for their weighted relation
-    // (plans/PageRankTvf.scala).
+    // Materialize the loop relation ONCE as an eager localCheckpoint
+    // leaf (round-19 optimization, on round 18's shared-exchange form).
+    // Round 18 hash-partitioned the relation once and leaned on
+    // exchange reuse, but the executed plans showed the wall was the
+    // sequential AQE stage-materialization round-trips: every one of
+    // the K levels re-planned through the relation's whole subtree —
+    // cache scans wrapped in per-level TableCacheQueryStage nodes (26
+    // of them in q_sql_components' final plan), plus the union/filter
+    // replayed per level — ~60 distinct AQE query stages for K=8,
+    // executed strictly in sequence because each level feeds the next.
+    // Checkpointing collapses the relation to a leaf RDD scan: the
+    // subtree executes exactly once (inside the timed region — every
+    // rep re-materializes it), per-level plans shrink to
+    // join+aggregate over two leaves, and the per-level replan/
+    // materialization round-trips drop with them (measured: 36 → 11
+    // jobs, 7.1 → 1.8 s exec wall on q_sql_components at sf0.1).
     //
-    // The explicit null filter is what makes the levels' exchanges
-    // CANONICALLY IDENTICAL: constraint inference pushes isnotnull(src)
-    // into level 1's copy but isnotnull(src, dst) into deeper levels'
-    // copies (their dst feeds the next join), and the structurally
-    // different filters defeated reuse — measured as one
-    // materialization PER LEVEL despite the shared repartition.
-    // Filtering both keys up front subsumes every inferred variant.
-    // Semantics: node ids are non-null by construction in every caller
-    // (arithmetically encoded keys; self-loops from the degree table) —
-    // a hypothetical null edge endpoint could never survive the
-    // next level's join anyway.
-    val rel = relation
+    // The keyed repartition BEFORE the checkpoint pins
+    // hashpartitioning(src) into the LogicalRDD's outputPartitioning
+    // (Dataset.checkpoint preserves the executed plan's partitioning),
+    // so at sizes where the per-level join is not a broadcast the
+    // relation side still needs no exchange — the 100 TB stance is
+    // unchanged from round 18: one |E|-shuffle total, K state-sized
+    // exchanges. localCheckpoint blocks are MEMORY_AND_DISK on the
+    // executors — the same bytes the reused exchange held in shuffle
+    // files before.
+    //
+    // The explicit null filter predates the checkpoint (round 18) and
+    // is still load-bearing for semantics: callers guarantee non-null
+    // ids, and a hypothetical null endpoint could never survive the
+    // next level's join anyway (GraphQueriesSpec pins this).
+    // The crossover is measured, not guessed: at K=3 (BFS, routes, the
+    // 3-iteration rank TVFs) the eager materialization's fixed cost
+    // (~0.4-0.7 s at sf0.1: its own stage round-trips + storing the
+    // rows) exceeds the ~3 levels of replan savings — bfs/route ran
+    // 15-25% SLOWER checkpointed — while at K=8 (components TVF) the
+    // saving is ~2.2 s. Below the threshold, keep round 18's form: one
+    // shared coalescible keyed repartition whose identical exchange
+    // every level reuses.
+    val base = relation
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("src"))
+    val rel = if (rounds >= MaterializeRelationRounds) base.localCheckpoint()
+      else base
     var dist = seeds
     for (_ <- 1 to rounds) {
       // dataset aliases: from round 2 on, the state's lineage contains
       // the relation itself, so bare Dataset-column references would
       // trip DetectAmbiguousSelfJoin — qualified names resolve cleanly
       val prev = dist.select(col("node").as("pnode"), col("d").as("pd"))
-      dist = rel.as("e").join(prev.as("p"),
+      dist = rel.as("e").join(prev.as("p").hint("shuffle_hash"),
           col("e.src") === col("p.pnode"))
         .groupBy(col("e.dst").as("node"))
         .agg(min(col("p.pd") + col("e.w")).as("d"))
