@@ -336,9 +336,16 @@ object Bench {
     // overlay are iteration probes, not the committed record).
     val confOverlay = sys.env.get("SPARK_GRAFT_BENCH_CONF")
     confOverlay.foreach {
-      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+      // self-documenting overlay (round-19 advice): log every applied
+      // pair AND every skipped fragment — a typo'd hypothesis must not
+      // silently measure the baseline while labeled as the experiment
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        if (kv.contains("=")) {
+          val Array(k, v) = kv.split("=", 2)
+          spark.conf.set(k, v)
+          System.err.println(s"[bench conf-overlay] applied $k=$v")
+        } else System.err.println(
+          s"[bench conf-overlay] SKIPPED fragment without '=': '$kv'")
       }
     }
     // SPARK_GRAFT_BENCH_FILTER=q_a,q_b restricts the run to the named

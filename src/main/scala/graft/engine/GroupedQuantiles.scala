@@ -96,6 +96,108 @@ object GroupedQuantiles {
     at.select(groupCols.map(col) ++ outCols: _*)
   }
 
+  /** Fused winsorized sum (round 19): per group, the row count `n`,
+    * the discrete rank bounds `lo`/`hi` (the [[Q]] rank definition of
+    * [[valueAtRanks]]), and `wsum` = the EXACT sum of values clamped
+    * into [lo, hi] — computed with the SAME two fact passes the bounds
+    * alone already cost, instead of bounds-then-rescan-and-clamp (the
+    * third fact pass q_winsorize paid before this existed). The
+    * identity, with below = rows strictly < lo and above = rows
+    * strictly > hi:
+    *
+    *   Σ clamp(v) = Σ v + (lo·|below| − Σ_below v)
+    *                    + (hi·|above| − Σ_above v)
+    *
+    * Every term falls out of the existing passes once they carry value
+    * sums alongside counts: phase 1's coarse histogram gains a
+    * per-bucket Σv and its per-group cumulative (buckets before the
+    * boundary bucket = the out-of-bucket below/above mass), and phase
+    * 2's per-value refine histogram gains a cumulative value-weighted
+    * sum (rows before/after the bound INSIDE its boundary bucket). All
+    * arithmetic stays exact integer; the overflow exposure (LongType
+    * sums of the value column) is identical to the unfused
+    * `sum(clamp(v))` this replaces.
+    */
+  def winsorizedSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      loQ: Q, hiQ: Q, bucketWidth: Long = 1L << 16): DataFrame = {
+    require(bucketWidth >= 2 && (bucketWidth & (bucketWidth - 1)) == 0,
+      s"bucketWidth must be a power of two >= 2, got $bucketWidth")
+    val shift = java.lang.Long.numberOfTrailingZeros(bucketWidth)
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val byGroup = Window.partitionBy(g: _*)
+    val byBucket = byGroup.orderBy(col("__bucket"))
+
+    // Phase 1: coarse histogram with per-bucket count AND value sum;
+    // the boundary-bucket pick carries the count/sum mass before it.
+    val hist = df
+      .select(g ++ Seq(v.as("__v"), shiftright(v, shift).as("__bucket")): _*)
+      .groupBy((g :+ col("__bucket")): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__s"))
+      .withColumn("__cum", sum(col("__cnt")).over(byBucket))
+      .withColumn("__cums", sum(col("__s")).over(byBucket))
+      .withColumn("__n", sum(col("__cnt")).over(byGroup))
+      .withColumn("__tot", sum(col("__s")).over(byGroup))
+    def rankOf(q: Q): Column =
+      call_function("div", col("__n") * q.num + (q.den - 1), lit(q.den))
+    val bCols = Seq("__blo" -> loQ, "__bhi" -> hiQ).map { case (out, q) =>
+      val r = rankOf(q)
+      min(when(col("__cum") >= r,
+        struct(col("__bucket"), (col("__cum") - col("__cnt")).as("__before"),
+          (col("__cums") - col("__s")).as("__bsum"), r.as("__rank")))).as(out)
+    } ++ Seq(max(col("__n")).as("__n"), max(col("__tot")).as("__tot"))
+    val perGroup = hist.groupBy(g: _*).agg(bCols.head, bCols.tail: _*)
+    val boundaries = perGroup.select(
+      g :+ explode(array(Seq("lo" -> "__blo", "hi" -> "__bhi").map {
+        case (tag, out) =>
+          struct(lit(tag).as("__q"),
+            col(out).getField("__bucket").as("__bucket"),
+            (col(out).getField("__rank") - col(out).getField("__before"))
+              .as("__local"))
+      }: _*)).as("__b"): _*)
+      .select(g ++ Seq(col("__b.__q"), col("__b.__bucket"),
+        col("__b.__local")): _*)
+
+    // Phase 2: per-value refine histogram of the two boundary buckets,
+    // cumulative in both count and value-weighted sum; the picked row
+    // is the bound value plus its within-bucket below/upto mass.
+    val byBoundary = Window.partitionBy((g :+ col("__q")): _*)
+      .orderBy(col("__v"))
+    val refined = df
+      .select(g ++ Seq(v.as("__v"), shiftright(v, shift).as("__bucket")): _*)
+      .join(broadcast(boundaries), groupCols :+ "__bucket")
+      .groupBy((g ++ Seq(col("__q"), col("__local"), col("__v"))): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(byBoundary))
+      .withColumn("__cumw", sum(col("__cnt") * col("__v")).over(byBoundary))
+      .filter(col("__cum") - col("__cnt") < col("__local") &&
+        col("__local") <= col("__cum"))
+      .select(g ++ Seq(col("__q"), col("__v"),
+        (col("__cum") - col("__cnt")).as("__inb_below_cnt"),
+        (col("__cumw") - col("__cnt") * col("__v")).as("__inb_below_sum"),
+        col("__cum").as("__inb_upto_cnt"),
+        col("__cumw").as("__inb_upto_sum")): _*)
+
+    // Assemble: two refined rows per group → one row via conditional
+    // aggregation (each min(when) sees exactly one non-null).
+    val asm = refined.groupBy(g: _*).agg(
+      min(when(col("__q") === "lo", col("__v"))).as("__lo"),
+      min(when(col("__q") === "lo", col("__inb_below_cnt"))).as("__lo_ic"),
+      min(when(col("__q") === "lo", col("__inb_below_sum"))).as("__lo_is"),
+      min(when(col("__q") === "hi", col("__v"))).as("__hi"),
+      min(when(col("__q") === "hi", col("__inb_upto_cnt"))).as("__hi_ic"),
+      min(when(col("__q") === "hi", col("__inb_upto_sum"))).as("__hi_is"))
+    asm.join(perGroup, groupCols)
+      .select(g ++ Seq(
+        col("__n").as("n"), col("__lo").as("lo"), col("__hi").as("hi"),
+        (col("__tot")
+          + col("__lo") * (col("__blo.__before") + col("__lo_ic"))
+          - (col("__blo.__bsum") + col("__lo_is"))
+          + col("__hi") * (col("__n") - col("__bhi.__before") - col("__hi_ic"))
+          - (col("__tot") - col("__bhi.__bsum") - col("__hi_is")))
+          .as("wsum")): _*)
+  }
+
   /** Core: exact value at caller-supplied 1-based ranks (each a
     * function of the group's row count n). Output: one row per group,
     * `groupCols ++ rank names ++ __gq_n` (the group row count, for

@@ -15,9 +15,19 @@ import scala.util.chaining._
   *
   * Contract: `edges(src, dst)` must be SYMMETRIC (callers supply both
   * directions — components of a directed graph are its weakly connected
-  * components, so symmetrize first). Returns `(node, label)` for every
-  * node appearing as a source, `label` = the component's minimum node
-  * id.
+  * components, so symmetrize first). Returns `(node, label)`, `label` =
+  * the component's minimum node id, for every node of the relation:
+  * under the symmetric contract every node appears as BOTH a source and
+  * a destination, and the fused init below seeds the node set from the
+  * DESTINATION side. A contract-violating asymmetric caller silently
+  * gets only dst-side nodes (and wrong weak components) — there is no
+  * cheap per-round guard for that, so the contract is checkable instead:
+  * set `graft.labelprop.checkSymmetry=true` (debug-mode; one extra
+  * anti-join pass over the edges per call) and any directed edge list
+  * fails loudly before the loop starts. Both production callers
+  * symmetrize by construction (`GraphQueries.components` unions the
+  * bidirectional fulfillment pairs; `DocQueries.dupGroups` unions
+  * swapped candidate pairs); LabelPropagationSpec pins the guard.
   *
   * 100 TB design: each round is one equi-join + min-aggregate over the
   * edge relation (O(|E|) shuffled rows) plus the pointer-doubling
@@ -44,6 +54,23 @@ object LabelPropagation {
     *               convergence is observable, not silent)
     */
   def components(edges: DataFrame, tag: String = "label-prop"): DataFrame = {
+    // Debug-mode symmetry guard (round-19, advice item): an asymmetric
+    // edge list violates the operator contract and silently yields
+    // dst-seeded partial output — opt in here to fail loudly instead.
+    // Left-anti join (edges minus their own transpose) rather than
+    // except: except DISTINCTs both sides; anti-join short-circuits on
+    // the first unmatched direction via limit(1).
+    if (edges.sparkSession.conf
+        .get("graft.labelprop.checkSymmetry", "false").toBoolean) {
+      val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+      val missing = edges.select(col("src"), col("dst"))
+        .join(rev, Seq("src", "dst"), "left_anti").limit(1)
+        .collect()
+      require(missing.isEmpty,
+        s"$tag: edges must be symmetric (both directions present); " +
+          s"missing reverse of (${missing.headOption.map(_.toSeq.mkString(", "))
+            .getOrElse("")}) — symmetrize the edge list first")
+    }
     // Fused init (round-18 optimization): the old shape seeded
     // labels = id and paid a full first round to fold in the 1-hop
     // neighbor minimum; seeding with least(node, min incoming src)

@@ -138,7 +138,14 @@ object Multimodal {
         // per-partition writer + direct memory-cached stream: the
         // ImageIO.write convenience re-walks the IIORegistry per image
         // and defaults to a disk-backed stream wrapper — measured as
-        // the residual task-time inflation once the seam parallelized
+        // the residual task-time inflation once the seam parallelized.
+        // Reclamation note (applies to every per-partition ImageIO
+        // reader/writer in this file): plugin instances are not
+        // dispose()d when the partition iterator drains — they hold no
+        // native resources on the JDK's PNG/GIF plugins (pure-Java
+        // readers/writers over our MemoryCache streams), so GC
+        // reclaims them with the task; a completing-iterator dispose
+        // would buy nothing here.
         val writer = {
           val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
           require(it.hasNext, "JDK PNG ImageWriter missing")
@@ -373,15 +380,38 @@ object Multimodal {
         require(rs.nonEmpty, "no JDK AudioFileReader providers")
         rs
       }
+      // Remember which provider accepted the last payload and try it
+      // first (round 19): provider order is ServiceLoader order, and on
+      // JDK 17 the Gervill SoftMidiAudioFileReader precedes the WAV
+      // reader — its rejection path funnels EVERY probe through
+      // MidiSystem.getMidiFileReaders, a STATIC SYNCHRONIZED provider
+      // lookup (JDK13Services.getProviders) that serialized the 32
+      // parallel decode tasks (JFR: 2200 monitor-enter blocks on the
+      // Class lock for one bench execution; ~23 task-seconds for ~1 s
+      // of decode work). With the hint, the MIDI probe happens at most
+      // once per partition instead of once per row.
+      var preferred = -1
       def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-        var i = 0
-        while (i < readers.size) {
-          try return readers(i).getAudioInputStream(
+        if (preferred >= 0) {
+          try return readers(preferred).getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException =>
-              i += 1
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
           }
+        }
+        var i = 0
+        while (i < readers.size) {
+          if (i != preferred) {
+            try {
+              val ais = readers(i).getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              preferred = i
+              return ais
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            }
+          }
+          i += 1
         }
         throw new javax.sound.sampled.UnsupportedAudioFileException(
           "no provider accepted the payload")

@@ -367,16 +367,18 @@ object AnalyticQueries {
     * hash-stable under any partial-aggregation order (an interpolated
     * bound would inject an order-sensitive double into the sum).
     *
-    * Shape: the p05/p95 bounds come from
-    * [[graft.engine.GroupedQuantiles]] — two-phase histogram
-    * refinement, where every shuffle is histogram-sized (coarse
-    * buckets, then per-value counts inside the one boundary bucket per
-    * quantile). The round-5 form ranked DISTINCT (group, cents) values,
-    * but prices are near-continuous, so |distinct values| is within a
-    * constant of |fact| — measured 2.1 s of the old 2.7 s was that
-    * distinct-shuffle+window. Now nothing fact-sized shuffles at all;
-    * the 6-row bounds table broadcasts back onto the fact for one
-    * final hash aggregate.
+    * Shape: [[graft.engine.GroupedQuantiles.winsorizedSum]] — the
+    * two-phase histogram refinement of the round-5 rework, FUSED
+    * (round 19): the clamped sum is assembled from the same two fact
+    * passes that locate the p05/p95 bounds (phase-1 coarse histogram +
+    * phase-2 boundary-bucket refine, both now carrying value sums
+    * alongside counts), so the third fact pass — re-scan, broadcast
+    * the 6-row bounds back on, clamp, aggregate — is gone. Every
+    * shuffle stays histogram-sized; the fact is scanned exactly twice,
+    * the structural minimum for an exact rank bound plus a corrected
+    * sum. (History: the round-5 form ranked DISTINCT (group, cents)
+    * values — near-continuous prices made that fact-sized; round 18
+    * measured 2.1 s of its 2.7 s in that distinct-shuffle+window.)
     */
   val qWinsorize = QueryDef(
     "q_winsorize",
@@ -385,17 +387,15 @@ object AnalyticQueries {
         .cast("bigint")
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"), cents.as("cents"))
-      val bounds = graft.engine.GroupedQuantiles.valueAtRanks(li,
+      graft.engine.GroupedQuantiles.winsorizedSum(li,
         Seq("l_returnflag", "l_linestatus"), "cents",
-        Seq(graft.engine.GroupedQuantiles.Q("lo", 5, 100),
-          graft.engine.GroupedQuantiles.Q("hi", 95, 100)))
-      val clamped = least(greatest(col("cents"), col("lo")), col("hi"))
-      li.join(broadcast(bounds), Seq("l_returnflag", "l_linestatus"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n_rows"),
-          (sum(clamped).cast("double") / 100).as("sum_winsorized"),
-          (min(col("lo")).cast("double") / 100).as("winsor_lo"),
-          (min(col("hi")).cast("double") / 100).as("winsor_hi"))
+        graft.engine.GroupedQuantiles.Q("lo", 5, 100),
+        graft.engine.GroupedQuantiles.Q("hi", 95, 100))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n").as("n_rows"),
+          (col("wsum").cast("double") / 100).as("sum_winsorized"),
+          (col("lo").cast("double") / 100).as("winsor_lo"),
+          (col("hi").cast("double") / 100).as("winsor_hi"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""

@@ -658,6 +658,11 @@ object DocQueries {
       // (doc_id, u, v, k): transition multiplicities per doc — the
       // grouping starts with doc_id, so the doc-partitioned input
       // aggregates shuffle-free
+      // The per-doc transition table feeds TWO branches (the global
+      // bigram model and the scoring join), and both executed the
+      // transform+explode+aggregate twice — materialize it once as an
+      // eager localCheckpoint leaf (round 19; the span-dedup `occ`
+      // rationale, same double-reference shape).
       val tr = toks.select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 1),
           |  i -> struct(element_at(ws, i) AS u,
@@ -665,6 +670,7 @@ object DocQueries {
           .stripMargin.replace('\n', ' '))).as("p"))
         .groupBy(col("doc_id"), col("p.u").as("u"), col("p.v").as("v"))
         .agg(count(lit(1)).as("k"))
+        .localCheckpoint()
       val uni = tokenized(s, dir)
         .select(explode(col("ws")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cu"))
@@ -976,9 +982,19 @@ object DocQueries {
     (s, dir) => {
       val W = 8
       val toks = tokenized(s, dir).filter(size(col("ws")) >= W)
+      // The positional gram relation feeds TWO plan branches (the
+      // canonical-election aggregate and the occurrence join), and the
+      // branches executed the SpanHashes projection twice — the
+      // query's single most expensive leaf (round-19 profile: ~40% of
+      // its 43 executor-seconds). Materialize it once as an eager
+      // localCheckpoint leaf; both branches then scan the stored rows.
+      // A window-over-gh would also single-pass it but serializes on
+      // boilerplate spans (the scaladoc's skew argument) — the leaf
+      // keeps the mergeable aggregate + join shape.
       val occ = toks.select(col("doc_id"),
         posexplode(graft.functions.SpanHashes(col("ws"), W))
           .as(Seq("pos", "gh")))
+        .localCheckpoint()
       val firsts = occ.groupBy(col("gh")).agg(
         count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("c0"))

@@ -437,11 +437,21 @@ object TpchFull {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      val perOrder = li.groupBy(col("l_orderkey").as("po_ok"))
+      // Two-level aggregate instead of two countDistincts (round 19):
+      // Spark plans multiple distinct aggregates via Expand (×2 the
+      // fact rows through the first exchange, plus the gid machinery).
+      // Grouping by (order, supplier) first — with bool_or carrying the
+      // "has a flagged line" bit — then counting per order is
+      // value-identical (count(po_sk) skips nulls exactly as
+      // countDistinct did) and shuffles the fact once at its natural
+      // (order, supplier) grain with no row multiplication.
+      val perOrder = li
+        .groupBy(col("l_orderkey").as("po_ok"), col("l_suppkey").as("po_sk"))
+        .agg(max(col("l_returnflag") === "R").as("has_r"))
+        .groupBy(col("po_ok"))
         .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_supp_r"))
+          count(col("po_sk")).as("n_supp"),
+          sum(when(col("has_r"), 1L).otherwise(0L)).as("n_supp_r"))
       li.filter(col("l_returnflag") === "R")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),

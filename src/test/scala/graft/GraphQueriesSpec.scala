@@ -290,6 +290,25 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  // Round-19 contract hardening: the symmetric-edges contract is
+  // checkable — with graft.labelprop.checkSymmetry=true a directed
+  // edge list fails loudly before the loop; a symmetrized one passes.
+  test("label-propagation symmetry guard rejects directed input when enabled") {
+    val spark0 = spark
+    spark0.conf.set("graft.labelprop.checkSymmetry", "true")
+    try {
+      val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      val e = intercept[IllegalArgumentException] {
+        graft.engine.LabelPropagation.components(directed, "spec-asym")
+      }
+      assert(e.getMessage.contains("symmetric"))
+      val sym = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+      val got = graft.engine.LabelPropagation.components(sym, "spec-sym")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L))
+    } finally spark0.conf.set("graft.labelprop.checkSymmetry", "false")
+  }
+
   test("label-propagation components match union-find on random graphs (10 seeds)") {
     for (seed <- 1 to 10) {
       val rnd = new scala.util.Random(300 + seed)

@@ -83,6 +83,44 @@ class GroupedQuantilesSpec extends AnyFunSuite {
     assert(got == expected) // == on doubles: bit-identical, no tolerance
   }
 
+  /** winsorizedSum must equal the brute force bounds-then-clamp: value
+    * at rank ceil(n·5/100) / ceil(n·95/100), then Σ clamp(v) — on
+    * uniform data, duplicate-heavy data (copies straddling the bound),
+    * negatives, and widths small enough to force real refinement.
+    */
+  private def checkWinsorized(rows: Seq[(String, Long)], width: Long): Unit = {
+    val df = rows.toDF("grp", "v")
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.size.toLong
+      def at(num: Long) = sorted(((n * num + 99) / 100 - 1).toInt)
+      val (lo, hi) = (at(5), at(95))
+      g -> (n, lo, hi, sorted.map(x => math.min(math.max(x, lo), hi)).sum)
+    }
+    val got = GroupedQuantiles.winsorizedSum(df, Seq("grp"), "v",
+      Q("lo", 5, 100), Q("hi", 95, 100), bucketWidth = width)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+          r.getAs[Long]("wsum"))).toMap
+    assert(got == expected)
+  }
+
+  test("winsorizedSum matches brute-force clamp on uniform-ish groups") {
+    val rnd = new scala.util.Random(31)
+    val rows = (for (g <- Seq("a", "b", "c"); _ <- 1 to 600)
+      yield (g, rnd.nextLong() % 100000)) ++ Seq(("one", 17L))
+    checkWinsorized(rows, 1L << 8)
+  }
+
+  test("winsorizedSum: duplicates straddling both bounds, tiny buckets") {
+    // heavy mass AT the bound values exercises the strictly-below /
+    // strictly-above accounting (copies equal to a bound are unclamped)
+    val rows = Seq.fill(400)(("d", 100L)) ++ Seq.fill(300)(("d", 500L)) ++
+      Seq.fill(400)(("d", 900L)) ++ (1 to 50).map(i => ("d", i * 37L)) ++
+      (1 to 1000).map(i => ("n", i.toLong - 500))
+    checkWinsorized(rows, 1L << 3)
+  }
+
   test("rejects non-power-of-two widths and bad fractions") {
     val df = Seq(("a", 1L)).toDF("grp", "v")
     intercept[IllegalArgumentException] {
