@@ -122,7 +122,8 @@ case class ExpandPageRank(spark: SparkSession)
           if (pr.iters >= graft.queries.GraphQueries.MaterializeRelationRounds)
             wRep.localCheckpoint()
           else wRep
-        graft.queries.GraphQueries.pagerankIterate(wShared, deg, pr.iters)
+        graft.queries.GraphQueries.pagerankIterate(wShared, deg, pr.iters,
+          hintStateJoin = true)
           .queryExecution.analyzed
     }
 }

@@ -109,7 +109,8 @@ case class ExpandPpr(spark: SparkSession) extends Rule[LogicalPlan] {
             wRep.localCheckpoint()
           else wRep
         graft.queries.GraphQueries.pprIterate(
-          wShared, seeds.repartition(col("node")), p.iters)
+          wShared, seeds.repartition(col("node")), p.iters,
+          hintStateJoin = true)
           .queryExecution.analyzed
     }
 }

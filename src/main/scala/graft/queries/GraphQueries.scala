@@ -140,10 +140,19 @@ object GraphQueries {
     * ([[pagerankConverged]]).
     */
   private def pagerankRound(edgesW: DataFrame, ranks: DataFrame,
-      seed: Long, base: Long): DataFrame = {
+      seed: Long, base: Long, hintStateJoin: Boolean = false): DataFrame = {
     val mMax = (BigInt(Long.MaxValue) - base) * 100 / 85
     val mMaxLit = lit(new java.math.BigDecimal(mMax.bigInteger))
-    edgesW.join(ranks, edgesW("src") === ranks("node"))
+    // hintStateJoin (round 19, TVF paths only): with the weighted
+    // relation explicitly hash-partitioned on src, a shuffled-hash
+    // join of the state rides that partitioning — one exchange per
+    // level, no per-level broadcast-build stage round-trip (the
+    // relaxRounds trade). Skew-safe: the build side is the rank state,
+    // one row per node. The DataFrame twins keep AQE's broadcast —
+    // their cached relation is not key-partitioned, and a forced SHJ
+    // would plant a per-level exchange of the edges instead.
+    val r = if (hintStateJoin) ranks.hint("shuffle_hash") else ranks
+    edgesW.join(r, edgesW("src") === r("node"))
       .groupBy(edgesW("dst").as("node"))
       .agg(sum(call_function("div", col("pr"), col("outdeg"))
         .cast("decimal(38,0)")).as("m"))
@@ -158,9 +167,11 @@ object GraphQueries {
   }
 
   private[graft] def pagerankIterate(edgesW: DataFrame, deg: DataFrame,
-      iters: Int, seed: Long = Seed, base: Long = Base): DataFrame = {
+      iters: Int, seed: Long = Seed, base: Long = Base,
+      hintStateJoin: Boolean = false): DataFrame = {
     var ranks = deg.select(col("node"), lit(seed).as("pr"))
-    for (_ <- 1 to iters) ranks = pagerankRound(edgesW, ranks, seed, base)
+    for (_ <- 1 to iters)
+      ranks = pagerankRound(edgesW, ranks, seed, base, hintStateJoin)
     ranks
   }
 
@@ -701,8 +712,10 @@ object GraphQueries {
     * ANSI-checked — a wrap is loud, never silent.
     */
   private def pprRound(edgesW: DataFrame, ranks: DataFrame,
-      seedBase: DataFrame): DataFrame =
-    edgesW.join(ranks, edgesW("src") === ranks("node"))
+      seedBase: DataFrame, hintStateJoin: Boolean = false): DataFrame = {
+    // see pagerankRound for the hintStateJoin rationale
+    val r = if (hintStateJoin) ranks.hint("shuffle_hash") else ranks
+    edgesW.join(r, edgesW("src") === r("node"))
       .select(edgesW("dst").as("node"),
         call_function("div", col("pr"), col("outdeg"))
           .cast("decimal(38,0)").as("m"),
@@ -713,13 +726,16 @@ object GraphQueries {
       .select(col("node"),
         (col("sb") + call_function("div",
           lit(85).cast("decimal(38,0)") * col("sm"), lit(100))).as("pr"))
+  }
 
   private[graft] def pprIterate(edgesW: DataFrame, seeds: DataFrame,
-      iters: Int, seed: Long = Seed, base: Long = Base): DataFrame = {
+      iters: Int, seed: Long = Seed, base: Long = Base,
+      hintStateJoin: Boolean = false): DataFrame = {
     val seedBase = seeds.select(col("node"),
       lit(BigDecimal(0)).cast("decimal(38,0)").as("m"), lit(base).as("b"))
     var ranks = seeds.select(col("node"), lit(seed).as("pr"))
-    for (_ <- 1 to iters) ranks = pprRound(edgesW, ranks, seedBase)
+    for (_ <- 1 to iters)
+      ranks = pprRound(edgesW, ranks, seedBase, hintStateJoin)
     ranks
   }
 
